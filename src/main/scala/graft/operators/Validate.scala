@@ -1,0 +1,67 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.rules.{Rule, RuleCompiler}
+import graft.model.{Verdict, Violation}
+
+/** Applies a compiled rule tree to a document table, set-at-a-time.
+  *
+  * The distributed analogue of the reference's `Engine::evaluate_with_schemas`
+  * (`/root/reference/src/engine.rs:37-59`): instead of walking one parsed YAML
+  * document against the rule tree, the whole table is evaluated in one pass —
+  * the rule tree compiles to a single `violations` array expression per row
+  * (no mutable `Context`; see `RuleCompiler`), then:
+  *
+  *   - per-row verdict: `size(violations) == 0`
+  *   - violation rows: `explode(violations)` → `Dataset[Violation]`
+  *   - per-partition verdicts: one `groupBy(part)` agg — the analogue of the
+  *     CLI exit code (`/root/reference/src/bin/ys.rs:215-243`) per partition.
+  *
+  * Everything stays inside whole-stage codegen (pure Column expressions, no
+  * UDFs on the hot path except rare procedural `format`s), so at 100 TB the
+  * per-row phase is a single scan with no shuffle; the only shuffle in the
+  * whole per-row pipeline is the final per-partition verdict aggregation,
+  * which is a map-side-combined `groupBy` on the partition column.
+  */
+object Validate {
+
+  /** docs + `violations: array<struct<path,rule,message>>` + `pass: boolean`. */
+  def withViolations(df: DataFrame, rule: Rule,
+      defs: Map[String, Rule] = Map.empty): DataFrame = {
+    val c = RuleCompiler.compile(rule, struct(df.columns.map(col): _*), df.schema, defs)
+    df.withColumn("violations", c.violations)
+      .withColumn("pass", size(col("violations")) === lit(0))
+  }
+
+  /** Flat violation rows, deterministically sortable by (doc_id, path, rule)
+    * — Spark has no row order, the reference emits in document order
+    * (SURVEY.md §2.8), so goldens compare sorted.
+    */
+  def violations(df: DataFrame, rule: Rule,
+      defs: Map[String, Rule] = Map.empty)(implicit spark: SparkSession): Dataset[Violation] = {
+    import spark.implicits._
+    withViolations(df, rule, defs)
+      .select(col("doc_id"), explode(col("violations")).as("v"))
+      .select(col("doc_id"), col("v.path").as("path"), col("v.rule").as("rule"),
+        col("v.message").as("message"))
+      .as[Violation]
+  }
+
+  /** Per-partition verdict rows (requires a `part` column). One shuffle,
+    * map-side combined; 32 → thousands of partitions scales linearly.
+    */
+  def verdicts(df: DataFrame, rule: Rule,
+      defs: Map[String, Rule] = Map.empty)(implicit spark: SparkSession): Dataset[Verdict] = {
+    import spark.implicits._
+    withViolations(df, rule, defs)
+      .groupBy(col("part"))
+      .agg(
+        count(lit(1)).as("docs"),
+        sum(when(!col("pass"), 1L).otherwise(0L)).as("failed_docs"),
+        sum(size(col("violations")).cast("long")).as("violations"))
+      .withColumn("pass", col("failed_docs") === lit(0L))
+      .select(col("part"), col("docs"), col("failed_docs"), col("violations"), col("pass"))
+      .as[Verdict]
+  }
+}

@@ -1,0 +1,114 @@
+package graft.rules
+
+/** Constant values usable in `const` / `enum` rules.
+  *
+  * Mirrors the reference's `ConstValue::{Null, Boolean, Number, String}`
+  * (`/root/reference/src/lib.rs:115-126`); arrays/objects constants are
+  * supported at compile time via deep struct equality (`lib.rs:145-188`
+  * → Spark's `===` on struct/array columns is already deep).
+  */
+sealed trait ConstVal
+object ConstVal {
+  case object VNull extends ConstVal
+  final case class VBool(b: Boolean) extends ConstVal
+  final case class VInt(i: Long) extends ConstVal
+  final case class VNum(d: Double) extends ConstVal
+  final case class VStr(s: String) extends ConstVal
+
+  /** format_yaml_data rendering (`/root/reference/src/utils.rs:56-94`):
+    * strings quoted, scalars plain.
+    */
+  def render(c: ConstVal): String = c match {
+    case VNull    => "null"
+    case VBool(b) => b.toString
+    case VInt(i)  => i.toString
+    case VNum(d)  => Num.fmt(d)
+    case VStr(s)  => "\"" + s + "\""
+  }
+}
+
+/** Rust-`Display`-style number formatting used in reference messages:
+  * `format!("{}", 1.0f64)` renders as `1`, `1.5` as `1.5`.
+  */
+object Num {
+  def fmt(d: Double): String =
+    if (d.isWhole && !d.isInfinite && math.abs(d) < 1e15) d.toLong.toString
+    else d.toString
+}
+
+/** The compiled rule tree — the engine's logical plan, analogous to the
+  * reference's `RootSchema -> YamlSchema -> Subschema`
+  * (`/root/reference/src/schemas/root_schema.rs:21-26`,
+  * `schemas/yaml_schema.rs:45-50,325-360`). Built once on the driver,
+  * then compiled by [[RuleCompiler]] into Catalyst `Column` expressions.
+  */
+sealed trait Rule
+
+object Rule {
+
+  /** Empty schema / `true` — accepts everything (`yaml_schema.rs:171,181`). */
+  case object Accept extends Rule
+
+  /** `false` schema — rejects everything (`yaml_schema.rs:183-186`). */
+  case object Reject extends Rule
+
+  /** A `$ref` to a named definition; resolved (inlined) before compilation
+    * with compile-time cycle detection (`context.rs:219-236` does this at
+    * runtime; a static rule tree lets us do it at load).
+    */
+  final case class Ref(name: String) extends Rule
+
+  /** One keyword-bearing subschema. All present keywords must pass
+    * (implicit allOf), matching `Subschema::validate` keyword order
+    * (`yaml_schema.rs:705-898`).
+    */
+  final case class Check(kw: Keywords) extends Rule
+}
+
+/** All supported keywords of one subschema level (JSON Schema 2020-12
+  * vocabulary as implemented by the reference, SURVEY.md §2.2-2.6).
+  */
+final case class Keywords(
+    // type: single or list ("string","number","integer","boolean","null","object","array")
+    types: Option[List[String]] = None,
+    const: Option[ConstVal] = None,
+    enum_ : Option[List[ConstVal]] = None,
+    // numeric (schemas/numeric.rs:18-58)
+    minimum: Option[Double] = None,
+    maximum: Option[Double] = None,
+    exclusiveMinimum: Option[Double] = None,
+    exclusiveMaximum: Option[Double] = None,
+    multipleOf: Option[Double] = None,
+    // string (validation/strings.rs:55-98)
+    minLength: Option[Int] = None,
+    maxLength: Option[Int] = None,
+    pattern: Option[String] = None,
+    format: Option[String] = None,
+    // object (validation/objects.rs)
+    properties: Map[String, Rule] = Map.empty,
+    patternProperties: Map[String, Rule] = Map.empty,
+    additionalProperties: Option[Rule] = None, // None = allowed (2020-12 default)
+    propertyNames: Option[Rule] = None,
+    required: List[String] = Nil,
+    minProperties: Option[Int] = None,
+    maxProperties: Option[Int] = None,
+    dependentRequired: Map[String, List[String]] = Map.empty,
+    dependentSchemas: Map[String, Rule] = Map.empty,
+    // array (schemas/array.rs)
+    items: Option[Rule] = None, // Some(Reject) models `items: false`
+    prefixItems: List[Rule] = Nil,
+    minItems: Option[Int] = None,
+    maxItems: Option[Int] = None,
+    uniqueItems: Boolean = false,
+    contains: Option[Rule] = None,
+    minContains: Option[Int] = None,
+    maxContains: Option[Int] = None,
+    // composition (schemas/{all,any,one}_of.rs, not.rs, if_then_else.rs)
+    allOf: List[Rule] = Nil,
+    anyOf: List[Rule] = Nil,
+    oneOf: List[Rule] = Nil,
+    not: Option[Rule] = None,
+    ifRule: Option[Rule] = None,
+    thenRule: Option[Rule] = None,
+    elseRule: Option[Rule] = None
+)
