@@ -1,13 +1,563 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators._
+import graft.rules._
+import graft.sources.DocsGen
+
+/** Driver contract — one `queries` entry per implemented operator
+  * (SURVEY.md §2 + the training-data-pipeline operators), each with DuckDB
+  * oracle SQL where SQL-expressible. Column names and deterministic row
+  * order match between both sides (the driver's compare hashes values after
+  * sorting columns by name).
+  *
+  * Queries derive validation inputs from the driver-provided tables so the
+  * oracle can reproduce them; violations are injected deterministically
+  * in-query (the raw TPC-H-ish data is clean).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /** The north-rule docs table derived from lineitem: one doc per order,
+    * spans = lineitems ordered by linenumber; offset-order violations
+    * injected where l_quantity > 45 (offset forced to 0).
+    */
+  private def derivedDocs(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    li.select(
+      col("l_orderkey"),
+      struct(
+        col("l_linenumber").as("ln"),
+        col("l_partkey").as("pk"), col("l_suppkey").as("sk"),
+        col("l_quantity").as("qt"), col("l_extendedprice").as("ep"),
+        struct(
+          when(col("l_returnflag") === "R", "media").otherwise("text").as("kind"),
+          when(col("l_returnflag") === "R", "").otherwise(col("l_linestatus")).as("text"),
+          when(col("l_returnflag") === "R",
+            concat(lit("m-"), lpad((pmod(col("l_partkey"), lit(100000000L))).cast("string"),
+              8, "0"))).otherwise(lit("")).as("media_ref"),
+          when(col("l_quantity") > 45, 0)
+            .otherwise(col("l_linenumber") * 10).cast("int").as("offset")).as("span"))
+        .as("lnspan"))
+      .groupBy(col("l_orderkey"))
+      .agg(transform(array_sort(collect_list(col("lnspan"))),
+        x => x.getField("span")).as("spans"))
+      .select(
+        col("l_orderkey").cast("string").as("doc_id"),
+        col("spans"),
+        pmod(col("l_orderkey"), lit(8L)).cast("int").as("part"))
+  }
+
+  /** Flagship: full validation pipeline (keyword rules + span invariant +
+    * per-partition verdicts) over docs derived from sf0.001.
+    */
+  def entry(spark: SparkSession): DataFrame = {
+    val dir = "/root/testdata/sf0.001"
+    val docs = derivedDocs(spark, dir)
+    val withV = docs.withColumn("violations",
+      SpanInvariant.violationsCol(col("spans")))
+    withV.groupBy(col("part"))
+      .agg(count(lit(1)).as("docs"),
+        sum(when(size(col("violations")) > 0, 1L).otherwise(0L)).as("failed_docs"),
+        sum(size(col("violations")).cast("long")).as("violations"))
+      .orderBy("part")
+  }
+
+  private val langEnum = List("en", "de", "fr", "es").map(ConstVal.VStr(_))
+
+  // marker lists as SQL literals for the oracle
+  private def sqlList(ws: Seq[String]): String = ws.map(w => s"'$w'").mkString(", ")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---------- per-row validation keywords (rule compiler) ----------
+    "v_enum" -> ((s, dir) => {
+      val rule = Rule.Check(Keywords(properties = Map(
+        "lang" -> Rule.Check(Keywords(enum_ = Some(langEnum))))))
+      Validate.withViolations(t(s, dir, "documents"), rule)
+        .select(col("doc_id").cast("string").as("doc_id"), explode(col("violations")).as("v"))
+        .select(col("doc_id"), col("v.path").as("path"), col("v.rule").as("rule"),
+          col("v.message").as("message"))
+        .orderBy("doc_id", "path", "rule")
+    }),
+    "v_type_integer" -> ((s, dir) => {
+      val df = t(s, dir, "lineitem")
+        .select((col("l_orderkey") * 10 + col("l_linenumber")).cast("string").as("doc_id"),
+          (col("l_quantity") +
+            when(pmod(col("l_orderkey"), lit(7L)) === 0L, 0.5).otherwise(0.0)).as("qty"))
+      val rule = Rule.Check(Keywords(properties = Map(
+        "qty" -> Rule.Check(Keywords(types = Some(List("integer")))))))
+      Validate.withViolations(df, rule)
+        .select(col("doc_id"), explode(col("violations")).as("v"))
+        .select(col("doc_id"), col("v.rule").as("rule"), col("v.message").as("message"))
+        .orderBy("doc_id")
+    }),
+    "v_minmax" -> ((s, dir) => {
+      val rule = Rule.Check(Keywords(properties = Map(
+        "o_totalprice" -> Rule.Check(Keywords(minimum = Some(5000), maximum = Some(300000))))))
+      Validate.withViolations(t(s, dir, "orders"), rule)
+        .select(col("o_orderkey").cast("string").as("doc_id"), explode(col("violations")).as("v"))
+        .select(col("doc_id"), col("v.rule").as("rule"), col("v.message").as("message"))
+        .orderBy("doc_id", "rule")
+    }),
+    "v_length" -> ((s, dir) => {
+      val rule = Rule.Check(Keywords(properties = Map(
+        "c_name" -> Rule.Check(Keywords(minLength = Some(12), maxLength = Some(16))))))
+      Validate.withViolations(t(s, dir, "customer"), rule)
+        .select(col("c_custkey").cast("string").as("doc_id"), explode(col("violations")).as("v"))
+        .select(col("doc_id"), col("v.rule").as("rule"), col("v.message").as("message"))
+        .orderBy("doc_id", "rule")
+    }),
+    "v_pattern" -> ((s, dir) => {
+      val rule = Rule.Check(Keywords(properties = Map(
+        "source" -> Rule.Check(Keywords(pattern = Some("^src[0-9]$"))))))
+      Validate.withViolations(t(s, dir, "documents"), rule)
+        .select(col("doc_id").cast("string").as("doc_id"), explode(col("violations")).as("v"))
+        .select(col("doc_id"), col("v.rule").as("rule"), col("v.message").as("message"))
+        .orderBy("doc_id")
+    }),
+    "v_required" -> ((s, dir) => {
+      val df = t(s, dir, "documents")
+        .select(col("doc_id").cast("string").as("doc_id"),
+          when(col("lang") === "zh", lit(null)).otherwise(col("lang")).as("lang2"))
+      val rule = Rule.Check(Keywords(required = List("lang2")))
+      Validate.withViolations(df, rule)
+        .select(col("doc_id"), explode(col("violations")).as("v"))
+        .select(col("doc_id"), col("v.rule").as("rule"), col("v.message").as("message"))
+        .orderBy("doc_id")
+    }),
+    "v_format_date" -> ((s, dir) => {
+      val df = t(s, dir, "orders")
+        .select(col("o_orderkey").cast("string").as("doc_id"),
+          when(pmod(col("o_orderkey"), lit(13L)) === 0L,
+            concat(substring(date_format(col("o_orderdate"), "yyyy-MM-dd"), 1, 8), lit("31")))
+            .otherwise(date_format(col("o_orderdate"), "yyyy-MM-dd")).as("d"))
+      val rule = Rule.Check(Keywords(properties = Map(
+        "d" -> Rule.Check(Keywords(format = Some("date"))))))
+      Validate.withViolations(df, rule)
+        .select(col("doc_id"), explode(col("violations")).as("v"))
+        .select(col("doc_id"), col("v.message").as("message"))
+        .orderBy("doc_id")
+    }),
+    "v_one_of" -> ((s, dir) => {
+      val rule = Rule.Check(Keywords(oneOf = List(
+        Rule.Check(Keywords(properties = Map(
+          "o_totalprice" -> Rule.Check(Keywords(maximum = Some(100000)))))),
+        Rule.Check(Keywords(properties = Map(
+          "o_orderpriority" -> Rule.Check(Keywords(const = Some(ConstVal.VStr("1-URGENT"))))))))))
+      Validate.withViolations(t(s, dir, "orders"), rule)
+        .select(col("o_orderkey").cast("string").as("doc_id"), explode(col("violations")).as("v"))
+        .select(col("doc_id"), col("v.message").as("message"))
+        .orderBy("doc_id")
+    }),
+    "v_any_of" -> ((s, dir) => {
+      val rule = Rule.Check(Keywords(anyOf = List(
+        Rule.Check(Keywords(properties = Map(
+          "l_discount" -> Rule.Check(Keywords(maximum = Some(0.02)))))),
+        Rule.Check(Keywords(properties = Map(
+          "l_tax" -> Rule.Check(Keywords(minimum = Some(0.06)))))))))
+      val df = t(s, dir, "lineitem")
+        .select((col("l_orderkey") * 10 + col("l_linenumber")).cast("string").as("doc_id"),
+          col("l_discount"), col("l_tax"))
+      Validate.withViolations(df, rule)
+        .select(col("doc_id"), explode(col("violations")).as("v"))
+        .select(col("doc_id"), col("v.message").as("message"))
+        .orderBy("doc_id")
+    }),
+    "v_not" -> ((s, dir) => {
+      val rule = Rule.Check(Keywords(not = Some(
+        Rule.Check(Keywords(properties = Map(
+          "o_orderstatus" -> Rule.Check(Keywords(const = Some(ConstVal.VStr("F"))))))))))
+      Validate.withViolations(t(s, dir, "orders"), rule)
+        .select(col("o_orderkey").cast("string").as("doc_id"), explode(col("violations")).as("v"))
+        .select(col("doc_id"), col("v.message").as("message"))
+        .orderBy("doc_id")
+    }),
+    // ---------- north-rule span invariant over array<struct> HOFs ----------
+    "v_span_invariant" -> ((s, dir) => {
+      derivedDocs(s, dir)
+        .select(col("doc_id"),
+          size(SpanInvariant.violationsCol(col("spans"))).cast("long").as("n_viol"),
+          SpanInvariant.predCol(col("spans")).as("pass"))
+        .orderBy(col("doc_id").cast("long"))
+    }),
+    "q_verdicts" -> ((s, dir) => {
+      val docs = derivedDocs(s, dir)
+        .withColumn("violations", SpanInvariant.violationsCol(col("spans")))
+      docs.groupBy(col("part"))
+        .agg(count(lit(1)).as("docs"),
+          sum(when(size(col("violations")) > 0, 1L).otherwise(0L)).as("failed_docs"),
+          sum(size(col("violations")).cast("long")).as("violations"))
+        .orderBy("part")
+    }),
+    // ---------- global checks ----------
+    "g_uniqueness" -> ((s, dir) => {
+      Uniqueness.duplicates(t(s, dir, "orders"), "o_custkey")
+        .select(col("o_custkey").cast("long").as("key"), col("count"))
+        .orderBy("key")
+    }),
+    "g_ref_integrity" -> ((s, dir) => {
+      // docs: lineitem-derived media refs; catalog: part table's key namespace
+      // minus a deterministic hole (every partkey % 10 == 3 is "missing")
+      val docs = derivedDocs(s, dir)
+      val catalog = t(s, dir, "part")
+        .filter(pmod(col("p_partkey"), lit(10L)) =!= 3L)
+        .select(concat(lit("m-"), lpad(pmod(col("p_partkey"), lit(100000000L)).cast("string"),
+          8, "0")).as("media_ref"))
+      RefIntegrity.dangling(docs, catalog)
+        .groupBy(col("media_ref")).agg(count(lit(1)).as("n_docs"))
+        .orderBy("media_ref")
+    }),
+    "g_stats" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val cols = Seq("l_quantity", "l_extendedprice", "l_discount")
+      val aggs = cols.flatMap { c =>
+        Seq(count(col(c)).as(s"${c}_cnt"),
+          round(min(col(c)), 4).as(s"${c}_min"),
+          round(max(col(c)), 4).as(s"${c}_max"),
+          countDistinct(col(c)).as(s"${c}_distinct"))
+      }
+      li.agg(aggs.head, aggs.tail: _*)
+    }),
+    "g_stats_hll" -> ((s, dir) => {
+      // HLL-sketch profile (approximate — no SQL oracle; rows-only check)
+      Stats.profile(t(s, dir, "lineitem"), Seq("l_orderkey", "l_partkey", "l_returnflag"))
+        .orderBy("column")
+    }),
+    "g_drift_psi" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      Drift.psi(li.filter(col("l_returnflag") === "R"),
+        li.filter(col("l_returnflag") === "N"),
+        "l_extendedprice", 0.0, 120000.0, 10)
+        .select(round(col("psi"), 6).as("psi"))
+    }),
+    "g_drift_ks" -> ((s, dir) => {
+      // KS over percentile_approx sketches (approximate — rows-only check)
+      val li = t(s, dir, "lineitem")
+      Drift.ks(li.filter(col("l_returnflag") === "R"),
+        li.filter(col("l_returnflag") === "N"), "l_extendedprice")
+        .select(round(col("ks"), 4).as("ks"))
+    }),
+    // ---------- dedup ----------
+    "d_dedup_exact" -> ((s, dir) => {
+      // first 12 chars of text as the near-boilerplate key so exact groups exist
+      val df = t(s, dir, "documents")
+        .select(col("doc_id"), substring(col("text"), 1, 12).as("text"))
+      df.groupBy(md5(lower(regexp_replace(col("text"), "\\s+", " "))).as("fingerprint"))
+        .agg(count(lit(1)).as("dup_count"))
+        .filter(col("dup_count") > 1)
+        .orderBy("fingerprint")
+    }),
+    "d_dedup_minhash" -> ((s, dir) => {
+      // MinHash-LSH near-dup pairs (xxhash64 signatures — rows-only check)
+      Dedup.minHashPairs(t(s, dir, "documents"), "doc_id", "text",
+        k = 3, numHashes = 32, bands = 16, threshold = 0.5)
+        .orderBy("id_a", "id_b")
+    }),
+    "d_dedup_simhash" -> ((s, dir) => {
+      // SimHash near-dup pairs (rows-only check)
+      Dedup.simHashPairs(t(s, dir, "documents"), "doc_id", "text", maxHamming = 10)
+        .orderBy("id_a", "id_b")
+    }),
+    "d_ngram_jaccard" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pairs = docs.filter(pmod(col("doc_id"), lit(2L)) === 0L)
+        .select(col("doc_id").as("id_a"), (col("doc_id") + 1).as("id_b"))
+      Dedup.ngramJaccard(docs, pairs, "doc_id", "text", k = 1)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+        .orderBy("id_a")
+    }),
+    // ---------- similarity search ----------
+    "s_ann_cosine" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val q: Seq[Float] = emb.filter(col("vec_id") === 0L)
+        .select(col("embedding")).collect()(0).getSeq[Float](0)
+      Similarity.cosineScores(emb.filter(col("vec_id") =!= 0L), "vec_id", "embedding", q)
+        .filter(col("cosine") >= 0.25)
+        .select(col("id"), round(col("cosine"), 2).as("cosine"))
+        .orderBy("id")
+    }),
+    "s_ann_lsh" -> ((s, dir) => {
+      // LSH-bucketed ANN (deterministic hyperplanes — rows-only check)
+      val emb = t(s, dir, "embeddings")
+      val q: Seq[Float] = emb.filter(col("vec_id") === 0L)
+        .select(col("embedding")).collect()(0).getSeq[Float](0)
+      Similarity.lshTopK(emb.filter(col("vec_id") =!= 0L), "vec_id", "embedding", q,
+        k = 50, nPlanes = 8, nTables = 4)
+        .select(col("id"), round(col("cosine"), 2).as("cosine"))
+        .orderBy(col("cosine").desc, col("id"))
+    }),
+    "s_cosine_neardup" -> ((s, dir) => {
+      // embedding-cosine near-dup pairs via LSH buckets (rows-only check)
+      Similarity.cosineNearDupPairs(t(s, dir, "embeddings"), "vec_id", "embedding",
+        dims = 64, threshold = 0.9, nPlanes = 8, nTables = 2)
+        .select(col("id_a"), col("id_b"), round(col("cosine"), 2).as("cosine"))
+        .orderBy("id_a", "id_b")
+    }),
+    // ---------- text analysis ----------
+    "t_lang_id" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang_id"))
+        .orderBy("doc_id")
+    }),
+    "t_tokens" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          TextAnalysis.tokenCountWs(col("text")).cast("long").as("tokens_ws"),
+          TextAnalysis.tokenCountBpe(col("text")).cast("long").as("tokens_bpe"))
+        .orderBy("doc_id")
+    }),
+    "t_quality" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"), TextAnalysis.qualityScore(col("text")).as("quality"))
+        .orderBy("doc_id")
+    }),
+    "t_fingerprint" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"), TextAnalysis.fingerprintMd5(col("text")).as("fingerprint"))
+        .orderBy("doc_id")
+    }),
+    // ---------- multimodal plumbing (stubbed codec — rows-only checks) ----------
+    "m_media_meta" -> ((s, dir) => {
+      val media = Multimodal.syntheticMedia(s, 2000)
+      Multimodal.probeMeta(media).toDF().orderBy("media_ref")
+    }),
+    "m_frame_sample" -> ((s, dir) => {
+      val meta = Multimodal.probeMeta(Multimodal.syntheticMedia(s, 2000)).toDF()
+      Multimodal.sampleFrames(meta, stride = 50)
+        .select(col("media_ref"), size(col("frame_indices")).as("n_sampled"))
+        .orderBy("media_ref")
+    }),
+    // ---------- generated north-rule corpus (self-contained — rows-only) ----------
+    "gen_validate" -> ((s, dir) => {
+      val docs = DocsGen.docs(s, DocsGen.Knobs(nDocs = 20000, nParts = 16,
+        badKindPerMille = 10, badMediaRefPerMille = 10, badOrderPerMille = 10,
+        negOffsetPerMille = 5, nullDocIdPerMille = 2, dupPerMille = 5))
+      docs.withColumn("violations", SpanInvariant.violationsCol(col("spans")))
+        .groupBy(col("part"))
+        .agg(count(lit(1)).as("docs"),
+          sum(when(size(col("violations")) > 0, 1L).otherwise(0L)).as("failed_docs"))
+        .orderBy("part")
+    }))
+
+  /** DuckDB-runnable oracle SQL (ANSI-ish, DuckDB 1.0 dialect) for every
+    * SQL-expressible query above. Omitted entries get the driver's weaker
+    * rows-only check and are golden-tested in ScalaTest instead.
+    */
+  def oracleSql: Map[String, String] = Map(
+    "v_enum" ->
+      """SELECT CAST(doc_id AS VARCHAR) AS doc_id, 'lang' AS path, 'enum' AS rule,
+        |  'Value "' || lang || '" is not in the enum: ["en", "de", "fr", "es"]' AS message
+        |FROM documents WHERE lang NOT IN ('en','de','fr','es')
+        |ORDER BY doc_id, path, rule""".stripMargin,
+    "v_type_integer" ->
+      """WITH q AS (SELECT CAST(l_orderkey*10 + l_linenumber AS VARCHAR) AS doc_id,
+        |  l_quantity + CASE WHEN l_orderkey % 7 = 0 THEN 0.5 ELSE 0.0 END AS qty
+        |  FROM lineitem)
+        |SELECT doc_id, 'type' AS rule,
+        |  'Expected an integer, but got: ' || CAST(qty AS VARCHAR) || ' (float)' AS message
+        |FROM q WHERE qty != floor(qty) ORDER BY doc_id""".stripMargin,
+    "v_minmax" ->
+      """SELECT CAST(o_orderkey AS VARCHAR) AS doc_id, 'minimum' AS rule,
+        |  'Number must be greater than or equal to 5000' AS message
+        |FROM orders WHERE o_totalprice < 5000
+        |UNION ALL
+        |SELECT CAST(o_orderkey AS VARCHAR), 'maximum',
+        |  'Number must be less than or equal to 300000'
+        |FROM orders WHERE o_totalprice > 300000
+        |ORDER BY doc_id, rule""".stripMargin,
+    "v_length" ->
+      """SELECT CAST(c_custkey AS VARCHAR) AS doc_id, 'minLength' AS rule,
+        |  'String is too short! (min length: 12)' AS message
+        |FROM customer WHERE length(c_name) < 12
+        |UNION ALL
+        |SELECT CAST(c_custkey AS VARCHAR), 'maxLength',
+        |  'String is too long! (max length: 16)'
+        |FROM customer WHERE length(c_name) > 16
+        |ORDER BY doc_id, rule""".stripMargin,
+    "v_pattern" ->
+      """SELECT CAST(doc_id AS VARCHAR) AS doc_id, 'pattern' AS rule,
+        |  'String does not match regular expression ^src[0-9]$!' AS message
+        |FROM documents WHERE NOT regexp_matches(source, '^src[0-9]$')
+        |ORDER BY doc_id""".stripMargin,
+    "v_required" ->
+      """SELECT CAST(doc_id AS VARCHAR) AS doc_id, 'required' AS rule,
+        |  'Required property ''lang2'' is missing!' AS message
+        |FROM documents WHERE lang = 'zh' ORDER BY doc_id""".stripMargin,
+    "v_format_date" ->
+      """WITH d AS (SELECT CAST(o_orderkey AS VARCHAR) AS doc_id,
+        |  CASE WHEN o_orderkey % 13 = 0
+        |       THEN substr(strftime(o_orderdate, '%Y-%m-%d'), 1, 8) || '31'
+        |       ELSE strftime(o_orderdate, '%Y-%m-%d') END AS ds FROM orders)
+        |SELECT doc_id, 'String "' || ds || '" is not a valid "date"' AS message
+        |FROM d WHERE TRY_CAST(ds AS DATE) IS NULL ORDER BY doc_id""".stripMargin,
+    "v_one_of" ->
+      """WITH m AS (SELECT o_orderkey,
+        |  (CASE WHEN o_totalprice <= 100000 THEN 1 ELSE 0 END
+        |   + CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS n
+        |  FROM orders)
+        |SELECT CAST(o_orderkey AS VARCHAR) AS doc_id,
+        |  CASE WHEN n = 0 THEN 'None of the schemas in `oneOf` matched!'
+        |       ELSE 'Value matched multiple schemas in `oneOf`!' END AS message
+        |FROM m WHERE n != 1 ORDER BY doc_id""".stripMargin,
+    "v_any_of" ->
+      """SELECT CAST(l_orderkey*10 + l_linenumber AS VARCHAR) AS doc_id,
+        |  'None of the schemas in `anyOf` matched!' AS message
+        |FROM lineitem WHERE NOT (l_discount <= 0.02 OR l_tax >= 0.06)
+        |ORDER BY doc_id""".stripMargin,
+    "v_not" ->
+      """SELECT CAST(o_orderkey AS VARCHAR) AS doc_id,
+        |  'Value matches schema in `not`' AS message
+        |FROM orders WHERE o_orderstatus = 'F' ORDER BY doc_id""".stripMargin,
+    "v_span_invariant" ->
+      """WITH spans AS (SELECT l_orderkey, l_linenumber,
+        |  CASE WHEN l_quantity > 45 THEN 0 ELSE l_linenumber*10 END AS off,
+        |  l_partkey, l_suppkey, l_quantity, l_extendedprice
+        |  FROM lineitem),
+        |adj AS (SELECT l_orderkey, off,
+        |  lag(off) OVER (PARTITION BY l_orderkey ORDER BY l_linenumber, l_partkey,
+        |    l_suppkey, l_quantity, l_extendedprice) AS prev FROM spans)
+        |SELECT CAST(l_orderkey AS VARCHAR) AS doc_id,
+        |  CAST(count(CASE WHEN prev IS NOT NULL AND off <= prev THEN 1 END) AS BIGINT)
+        |    AS n_viol,
+        |  count(CASE WHEN prev IS NOT NULL AND off <= prev THEN 1 END) = 0 AS pass
+        |FROM adj GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin,
+    "q_verdicts" ->
+      """WITH spans AS (SELECT l_orderkey, l_linenumber,
+        |  CASE WHEN l_quantity > 45 THEN 0 ELSE l_linenumber*10 END AS off,
+        |  l_partkey, l_suppkey, l_quantity, l_extendedprice
+        |  FROM lineitem),
+        |adj AS (SELECT l_orderkey, off,
+        |  lag(off) OVER (PARTITION BY l_orderkey ORDER BY l_linenumber, l_partkey,
+        |    l_suppkey, l_quantity, l_extendedprice) AS prev FROM spans),
+        |per_doc AS (SELECT l_orderkey,
+        |  count(CASE WHEN prev IS NOT NULL AND off <= prev THEN 1 END) AS nv
+        |  FROM adj GROUP BY l_orderkey)
+        |SELECT CAST(l_orderkey % 8 AS INT) AS part,
+        |  CAST(count(*) AS BIGINT) AS docs,
+        |  CAST(sum(CASE WHEN nv > 0 THEN 1 ELSE 0 END) AS BIGINT) AS failed_docs,
+        |  CAST(sum(nv) AS BIGINT) AS violations
+        |FROM per_doc GROUP BY 1 ORDER BY part""".stripMargin,
+    "g_uniqueness" ->
+      """SELECT CAST(o_custkey AS BIGINT) AS key, CAST(count(*) AS BIGINT) AS count
+        |FROM orders GROUP BY o_custkey HAVING count(*) > 1 ORDER BY key""".stripMargin,
+    "g_ref_integrity" ->
+      """WITH refs AS (SELECT l_orderkey,
+        |  'm-' || lpad(CAST(l_partkey % 100000000 AS VARCHAR), 8, '0') AS media_ref
+        |  FROM lineitem WHERE l_returnflag = 'R'),
+        |cat AS (SELECT 'm-' || lpad(CAST(p_partkey % 100000000 AS VARCHAR), 8, '0')
+        |  AS media_ref FROM part WHERE p_partkey % 10 != 3)
+        |SELECT r.media_ref, CAST(count(*) AS BIGINT) AS n_docs
+        |FROM refs r WHERE NOT EXISTS (SELECT 1 FROM cat c WHERE c.media_ref = r.media_ref)
+        |GROUP BY r.media_ref ORDER BY r.media_ref""".stripMargin,
+    "g_stats" ->
+      """SELECT
+        |  CAST(count(l_quantity) AS BIGINT) AS l_quantity_cnt,
+        |  round(min(l_quantity), 4) AS l_quantity_min,
+        |  round(max(l_quantity), 4) AS l_quantity_max,
+        |  CAST(count(DISTINCT l_quantity) AS BIGINT) AS l_quantity_distinct,
+        |  CAST(count(l_extendedprice) AS BIGINT) AS l_extendedprice_cnt,
+        |  round(min(l_extendedprice), 4) AS l_extendedprice_min,
+        |  round(max(l_extendedprice), 4) AS l_extendedprice_max,
+        |  CAST(count(DISTINCT l_extendedprice) AS BIGINT) AS l_extendedprice_distinct,
+        |  CAST(count(l_discount) AS BIGINT) AS l_discount_cnt,
+        |  round(min(l_discount), 4) AS l_discount_min,
+        |  round(max(l_discount), 4) AS l_discount_max,
+        |  CAST(count(DISTINCT l_discount) AS BIGINT) AS l_discount_distinct
+        |FROM lineitem""".stripMargin,
+    "g_drift_psi" ->
+      """WITH a AS (SELECT CAST(least(greatest(floor(((l_extendedprice - 0.0) / 120000.0)
+        |    * 10), 0.0), 9.0) AS INT) AS bucket FROM lineitem WHERE l_returnflag = 'R'),
+        |b AS (SELECT CAST(least(greatest(floor(((l_extendedprice - 0.0) / 120000.0)
+        |    * 10), 0.0), 9.0) AS INT) AS bucket FROM lineitem WHERE l_returnflag = 'N'),
+        |ha AS (SELECT bucket, count(*) AS ca FROM a GROUP BY 1),
+        |hb AS (SELECT bucket, count(*) AS cb FROM b GROUP BY 1),
+        |j AS (SELECT coalesce(ha.ca, 0) AS ca, coalesce(hb.cb, 0) AS cb
+        |      FROM ha FULL OUTER JOIN hb ON ha.bucket = hb.bucket),
+        |tot AS (SELECT ca, cb, sum(ca) OVER () AS ta, sum(cb) OVER () AS tb FROM j),
+        |pq AS (SELECT greatest(ca / ta, 1e-6) AS p, greatest(cb / tb, 1e-6) AS q FROM tot)
+        |SELECT round(sum((p - q) * ln(p / q)), 6) AS psi FROM pq""".stripMargin,
+    "d_dedup_exact" ->
+      """SELECT md5(lower(regexp_replace(substr(text, 1, 12), '\s+', ' ', 'g')))
+        |  AS fingerprint, CAST(count(*) AS BIGINT) AS dup_count
+        |FROM documents GROUP BY 1 HAVING count(*) > 1 ORDER BY fingerprint""".stripMargin,
+    "d_ngram_jaccard" ->
+      """WITH dw AS (SELECT DISTINCT doc_id, unnest(string_split_regex(
+        |    lower(regexp_replace(trim(text), '\s+', ' ', 'g')), ' ')) AS w
+        |  FROM documents),
+        |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+        |  WHERE a.doc_id % 2 = 0),
+        |ca AS (SELECT doc_id, count(*) AS n FROM dw GROUP BY 1),
+        |inter AS (SELECT p.id_a, p.id_b, count(*) AS i
+        |  FROM pairs p JOIN dw x ON x.doc_id = p.id_a
+        |  JOIN dw y ON y.doc_id = p.id_b AND y.w = x.w GROUP BY 1, 2)
+        |SELECT p.id_a, p.id_b,
+        |  round(coalesce(i.i, 0) / (ca1.n + ca2.n - coalesce(i.i, 0)), 4) AS jaccard
+        |FROM pairs p
+        |JOIN ca ca1 ON ca1.doc_id = p.id_a
+        |JOIN ca ca2 ON ca2.doc_id = p.id_b
+        |LEFT JOIN inter i ON i.id_a = p.id_a AND i.id_b = p.id_b
+        |ORDER BY p.id_a""".stripMargin,
+    "s_ann_cosine" ->
+      """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+        |SELECT vec_id AS id,
+        |  round(CAST(list_cosine_similarity(embedding, (SELECT qe FROM q)) AS DOUBLE), 2)
+        |    AS cosine
+        |FROM embeddings WHERE vec_id != 0
+        |  AND list_cosine_similarity(embedding, (SELECT qe FROM q)) >= 0.25
+        |ORDER BY id""".stripMargin,
+    "t_lang_id" ->
+      s"""WITH toks AS (SELECT doc_id, string_split_regex(
+        |    lower(regexp_replace(trim(text), '[^\\p{L}\\p{N}\\s]', ' ', 'g')), '\\s+') AS tk
+        |  FROM documents),
+        |h AS (SELECT doc_id,
+        |  len(list_filter(tk, x -> x IN (${sqlList(TextAnalysis.markers("en"))}))) AS h_en,
+        |  len(list_filter(tk, x -> x IN (${sqlList(TextAnalysis.markers("de"))}))) AS h_de,
+        |  len(list_filter(tk, x -> x IN (${sqlList(TextAnalysis.markers("fr"))}))) AS h_fr,
+        |  len(list_filter(tk, x -> x IN (${sqlList(TextAnalysis.markers("es"))}))) AS h_es
+        |  FROM toks)
+        |SELECT doc_id,
+        |  CASE WHEN greatest(h_en, h_de, h_fr, h_es) = 0 THEN 'und'
+        |       WHEN h_fr >= h_es AND h_fr >= h_en AND h_fr >= h_de THEN 'fr'
+        |       WHEN h_es >= h_en AND h_es >= h_de THEN 'es'
+        |       WHEN h_en >= h_de THEN 'en'
+        |       ELSE 'de' END AS lang_id
+        |FROM h ORDER BY doc_id""".stripMargin,
+    "t_tokens" ->
+      """SELECT doc_id,
+        |  CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+        |    ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT) AS tokens_ws,
+        |  CAST(len(regexp_extract_all(text,
+        |    '''(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+'))
+        |    AS BIGINT) AS tokens_bpe
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "t_quality" ->
+      s"""WITH c AS (SELECT doc_id, text,
+        |  CAST(length(text) AS DOUBLE) AS n,
+        |  CAST(length(regexp_replace(text, '[^\\p{L}]', '', 'g')) AS DOUBLE) AS alpha,
+        |  CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE) AS punct,
+        |  CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+        |    ELSE len(string_split_regex(trim(text), '\\s+')) END AS DOUBLE) AS words,
+        |  CAST(len(list_filter(string_split_regex(
+        |    lower(regexp_replace(trim(text), '[^\\p{L}\\p{N}\\s]', ' ', 'g')), '\\s+'),
+        |    x -> x IN (${sqlList(TextAnalysis.markers.values.flatten.toSeq)})))
+        |    AS DOUBLE) AS stop
+        |  FROM documents)
+        |SELECT doc_id, round(
+        |  (CASE WHEN n >= 200 AND n <= 20000 THEN 1.0 WHEN n >= 50 THEN 0.5 ELSE 0.1 END)
+        |    * 0.25
+        |  + (CASE WHEN n > 0 THEN alpha / n ELSE 0.0 END) * 0.25
+        |  + (CASE WHEN n > 0 AND punct / n <= 0.1 THEN 1.0 ELSE 0.4 END) * 0.15
+        |  + (CASE WHEN words > 0 AND stop / words >= 0.05 THEN 1.0 ELSE 0.3 END) * 0.2
+        |  + (CASE WHEN (CASE WHEN words > 0 THEN alpha / words ELSE 0.0 END) >= 3
+        |          AND (CASE WHEN words > 0 THEN alpha / words ELSE 0.0 END) <= 12
+        |          THEN 1.0 ELSE 0.4 END) * 0.15, 4) AS quality
+        |FROM c ORDER BY doc_id""".stripMargin,
+    "t_fingerprint" ->
+      """SELECT doc_id, md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g')))
+        |  AS fingerprint
+        |FROM documents ORDER BY doc_id""".stripMargin)
 }

@@ -1,0 +1,202 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Deduplication operators for large-scale training-data pipelines: exact,
+  * MinHash+LSH, SimHash, and n-gram Jaccard. No reference analogue (the
+  * reference validates one document); these are the corpus-level operators a
+  * 100 TB pipeline needs.
+  *
+  * All hashing is done with Spark-native expressions (`xxhash64`, `hash`,
+  * `crc32`) inside whole-stage codegen — no UDF per token. Shingling uses
+  * SQL HOFs over `split`, so the whole minhash signature of a document is
+  * one projection.
+  *
+  * Scale notes:
+  *   - exact dedup = groupBy on a 64/128-bit content hash → partial agg
+  *     collapses unique docs map-side; only hash+id shuffle, never text.
+  *   - MinHash-LSH: b bands × r rows; candidate generation is
+  *     `explode(bands)` → self-join on (band_idx, band_hash) — the join key
+  *     is a bucket, so the shuffle is proportional to candidate mass, not
+  *     corpus²; per-bucket skew (boilerplate docs) is bounded by capping
+  *     bucket size (`maxBucket`).
+  *   - SimHash: 64-bit signature via per-token hash bit-votes expressed as
+  *     one `aggregate` HOF; near-dup = identical signature band join, with
+  *     hamming-distance verify.
+  */
+object Dedup {
+
+  /** Normalized content hash: lowercase, collapse whitespace, xxhash64 +
+    * md5 (128-bit confirmation channel).
+    */
+  def contentHash(text: Column): Column =
+    xxhash64(lower(regexp_replace(text, "\\s+", " ")))
+
+  /** Exact duplicates: groups of identical normalized text. Returns
+    * (content_hash, dup_count) for groups with >1 member.
+    */
+  def exact(df: DataFrame, textCol: String): DataFrame =
+    df.filter(col(textCol).isNotNull)
+      .groupBy(contentHash(col(textCol)).as("content_hash"))
+      .agg(count(lit(1)).as("dup_count"))
+      .filter(col("dup_count") > 1)
+
+  /** Exact-dup group membership: (id, content_hash, keep) where keep marks
+    * the canonical (min id) representative — the "drop the rest" plan.
+    */
+  def exactMembers(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val hashed = df.select(col(idCol).as("id"), contentHash(col(textCol)).as("content_hash"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("content_hash")).orderBy(col("id"))
+    hashed.withColumn("rank", row_number().over(w))
+      .withColumn("keep", col("rank") === 1)
+      .drop("rank")
+  }
+
+  /** Word k-shingles of a normalized text column (array<string>). */
+  def shingles(text: Column, k: Int = 3): Column = {
+    val toks = split(lower(regexp_replace(trim(text), "\\s+", " ")), " ")
+    val n = size(toks)
+    // n-k+1 shingles; each = k tokens joined (empty when too short)
+    filter(
+      transform(sequence(lit(0), greatest(n - k, lit(0))),
+        i => when(n >= k, concat_ws(" ", slice(toks, i + 1, lit(k))))),
+      s => s.isNotNull)
+  }
+
+  /** MinHash signature (array<long>, length = numHashes) over shingles.
+    * Hash family: xxhash64(shingle, seed_i) — independent seeds; min per
+    * seed via `array_min(transform(...))`, all codegen.
+    */
+  def minHashSignature(shingleCol: Column, numHashes: Int): Column =
+    transform(sequence(lit(0), lit(numHashes - 1)), seed =>
+      array_min(transform(shingleCol, s => xxhash64(s, seed))))
+
+  /** LSH banding: (id, band_idx, band_hash) — one row per band. */
+  def lshBands(df: DataFrame, idCol: String, textCol: String, k: Int = 3,
+      numHashes: Int = 32, bands: Int = 8): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must divide into bands")
+    val r = numHashes / bands
+    val sig = minHashSignature(shingles(col(textCol), k), numHashes)
+    df.filter(col(textCol).isNotNull && length(col(textCol)) > 0)
+      .select(col(idCol).as("id"), sig.as("sig"))
+      .filter(size(col("sig")) > 0 && !array_contains(transform(col("sig"),
+        x => x.isNull), true))
+      .select(col("id"), posexplode(
+        transform(sequence(lit(0), lit(bands - 1)), b =>
+          xxhash64(concat_ws(",", slice(col("sig"), b * r + 1, lit(r)))))))
+      .withColumnRenamed("pos", "band_idx")
+      .withColumnRenamed("col", "band_hash")
+  }
+
+  /** MinHash-LSH candidate pairs (id_a < id_b), deduplicated across bands,
+    * with estimated Jaccard from full signatures. `maxBucket` caps
+    * pathological buckets (boilerplate) to bound the self-join blow-up.
+    */
+  def minHashCandidates(df: DataFrame, idCol: String, textCol: String, k: Int = 3,
+      numHashes: Int = 32, bands: Int = 8, maxBucket: Int = 1000): DataFrame = {
+    val b = lshBands(df, idCol, textCol, k, numHashes, bands)
+    val capped = b
+      .withColumn("bucket_size",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("band_idx"), col("band_hash"))))
+      .filter(col("bucket_size") <= maxBucket)
+      .drop("bucket_size")
+    val l = capped.select(col("band_idx"), col("band_hash"), col("id").as("id_a"))
+    val rr = capped.select(col("band_idx"), col("band_hash"), col("id").as("id_b"))
+    l.join(rr, Seq("band_idx", "band_hash"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+  }
+
+  /** Estimated-Jaccard verification of candidate pairs against the full
+    * MinHash signatures: fraction of agreeing hash slots.
+    */
+  def minHashPairs(df: DataFrame, idCol: String, textCol: String, k: Int = 3,
+      numHashes: Int = 32, bands: Int = 8, threshold: Double = 0.7,
+      maxBucket: Int = 1000): DataFrame = {
+    val sigs = df.filter(col(textCol).isNotNull && length(col(textCol)) > 0)
+      .select(col(idCol).as("id"),
+        minHashSignature(shingles(col(textCol), k), numHashes).as("sig"))
+    val cands = minHashCandidates(df, idCol, textCol, k, numHashes, bands, maxBucket)
+    cands
+      .join(sigs.select(col("id").as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
+      .join(sigs.select(col("id").as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
+      .withColumn("est_jaccard",
+        aggregate(zip_with(col("sig_a"), col("sig_b"), (x, y) =>
+          when(x === y, 1).otherwise(0)), lit(0), (acc, z) => acc + z)
+          .cast("double") / lit(numHashes))
+      .filter(col("est_jaccard") >= threshold)
+      .select("id_a", "id_b", "est_jaccard")
+  }
+
+  /** 64-bit SimHash over whitespace tokens: per-bit weighted vote, all in
+    * one `aggregate` HOF (no UDF).
+    */
+  def simHash(text: Column): Column = {
+    val toks = split(lower(regexp_replace(trim(text), "\\s+", " ")), " ")
+    // votes: array of 64 counters; each token adds +1/-1 per bit of its hash
+    val votes = aggregate(
+      toks,
+      transform(sequence(lit(0), lit(63)), _ => lit(0)),
+      (acc, t) => {
+        val h = xxhash64(t)
+        zip_with(acc, sequence(lit(0), lit(63)), (a, bit) =>
+          a + when(call_function("shiftright", h, bit).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1))
+      })
+    // fold votes back into a long
+    aggregate(
+      zip_with(votes, sequence(lit(0), lit(63)), (v, bit) =>
+        when(v > 0, call_function("shiftleft", lit(1L), bit)).otherwise(lit(0L))),
+      lit(0L), (acc, x) => acc.bitwiseOR(x))
+  }
+
+  /** Hamming distance between two long simhashes (bit_count of xor). */
+  def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** SimHash near-dup pairs: band the 64-bit signature into 4×16-bit keys
+    * (any pair within hamming distance 3 shares at least one exact band),
+    * join per band, verify with bit_count.
+    */
+  def simHashPairs(df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3, maxBucket: Int = 1000): DataFrame = {
+    val sigs = df.filter(col(textCol).isNotNull && length(col(textCol)) > 0)
+      .select(col(idCol).as("id"), simHash(col(textCol)).as("sh"))
+    val banded = sigs.select(col("id"), col("sh"), posexplode(
+      transform(sequence(lit(0), lit(3)), b =>
+        call_function("shiftright", col("sh"), b * lit(16)).bitwiseAND(lit(0xffffL)))))
+      .withColumnRenamed("pos", "band_idx").withColumnRenamed("col", "band_key")
+    val capped = banded.withColumn("bucket_size",
+      count(lit(1)).over(org.apache.spark.sql.expressions.Window
+        .partitionBy(col("band_idx"), col("band_key"))))
+      .filter(col("bucket_size") <= maxBucket).drop("bucket_size")
+    val l = capped.select(col("band_idx"), col("band_key"),
+      col("id").as("id_a"), col("sh").as("sh_a"))
+    val r = capped.select(col("band_idx"), col("band_key"),
+      col("id").as("id_b"), col("sh").as("sh_b"))
+    l.join(r, Seq("band_idx", "band_key"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), hamming(col("sh_a"), col("sh_b")).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
+  /** Exact n-gram Jaccard similarity for given candidate pairs — the
+    * verification stage after LSH narrows candidates (never run all-pairs at
+    * scale). `pairs` must have (id_a, id_b).
+    */
+  def ngramJaccard(df: DataFrame, pairs: DataFrame, idCol: String, textCol: String,
+      k: Int = 3): DataFrame = {
+    val sh = df.select(col(idCol).as("id"),
+      array_distinct(shingles(col(textCol), k)).as("sh"))
+    pairs
+      .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("double"))
+      .withColumn("uni", size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
+      .select(col("id_a"), col("id_b"),
+        when(col("uni") === 0, 0.0).otherwise(col("inter") / col("uni")).as("jaccard"))
+  }
+}

@@ -1,0 +1,91 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Distribution-drift checks (north rule: "KS/PSI over quantile sketches per
+  * partition"). No reference analogue (single-document validator, SURVEY.md
+  * §2.7) — this is table-level capability.
+  *
+  * PSI: fixed equal-width bins over a closed range (via `width_bucket`),
+  * per-side `groupBy(bucket)` counts (map-side combined; bins ≤ a few
+  * hundred so the shuffle is negligible), epsilon-smoothed
+  * Σ (p−q)·ln(p/q). Deterministic and exactly reproducible at any scale.
+  *
+  * KS: the two-sample statistic sup |F1(x) − F2(x)| evaluated on a quantile
+  * grid obtained from `percentile_approx` (Greenwald-Khanna summaries —
+  * mergeable across partitions, single pass per side). Grid evaluation of
+  * the opposing CDF is one aggregation with #grid conditional-sum columns —
+  * no sort, no collect of data rows.
+  */
+object Drift {
+
+  /** Population Stability Index between `a` and `b` on numeric column `c`,
+    * over `bins` equal-width bins spanning [lo, hi]. Returns a 1-row DF
+    * (psi: double).
+    */
+  def psi(a: DataFrame, b: DataFrame, c: String, lo: Double, hi: Double,
+      bins: Int = 10): DataFrame = {
+    // clamped floor bucketing (not width_bucket) so any engine reproduces
+    // the exact bucket ids — floor(((x-lo)/(hi-lo))*bins) clamped to
+    // [0, bins-1]
+    def hist(df: DataFrame, side: String): DataFrame =
+      df.filter(col(c).isNotNull)
+        .select(least(greatest(floor(((col(c).cast("double") - lit(lo)) / lit(hi - lo))
+          * lit(bins)), lit(0.0)), lit((bins - 1).toDouble)).cast("int").as("bucket"))
+        .groupBy("bucket").agg(count(lit(1)).as(s"cnt_$side"))
+    val ha = hist(a, "a")
+    val hb = hist(b, "b")
+    val eps = 1e-6
+    val joined = ha.join(hb, Seq("bucket"), "full_outer")
+      .select(
+        coalesce(col("cnt_a"), lit(0L)).as("ca"),
+        coalesce(col("cnt_b"), lit(0L)).as("cb"))
+    joined
+      .select(col("ca"), col("cb"),
+        sum(col("ca")).over().as("ta"), sum(col("cb")).over().as("tb"))
+      .select(
+        (greatest(col("ca") / col("ta"), lit(eps))).as("p"),
+        (greatest(col("cb") / col("tb"), lit(eps))).as("q"))
+      .agg(sum((col("p") - col("q")) * log(col("p") / col("q"))).as("psi"))
+  }
+
+  /** Two-sample KS statistic on numeric column `c` between `a` and `b`,
+    * evaluated on a `gridSize`-point quantile grid of the union. Returns a
+    * 1-row DF (ks: double). `accuracy` is percentile_approx's inverse-epsilon.
+    */
+  def ks(a: DataFrame, b: DataFrame, c: String, gridSize: Int = 101,
+      accuracy: Int = 10000): DataFrame = {
+    val probs = (0 to gridSize - 1).map(i => i.toDouble / (gridSize - 1))
+    val grid: Array[Double] = a.select(col(c).cast("double").as("v"))
+      .unionAll(b.select(col(c).cast("double").as("v")))
+      .filter(col("v").isNotNull)
+      .agg(percentile_approx(col("v"),
+        typedLit(probs), lit(accuracy)).as("qs"))
+      .collect()(0).getSeq[Double](0).toArray
+
+    def cdfAt(df: DataFrame): Array[Double] = {
+      val n = count(when(col(c).isNotNull, 1))
+      val sums: Seq[Column] = grid.zipWithIndex.map { case (g, i) =>
+        (sum(when(col(c).cast("double") <= lit(g), 1L).otherwise(0L)) / n).as(s"f$i")
+      }.toSeq
+      val r = df.agg(sums.head, sums.tail: _*).collect()(0)
+      grid.indices.map(i => r.getDouble(i)).toArray
+    }
+    val fa = cdfAt(a)
+    val fb = cdfAt(b)
+    val ksStat = grid.indices.map(i => math.abs(fa(i) - fb(i))).max
+    val spark = a.sparkSession
+    import spark.implicits._
+    Seq(ksStat).toDF("ks")
+  }
+
+  /** Per-`part` quantile summaries of `c` — the checkpointable per-partition
+    * sketch form (probs × parts in one pass).
+    */
+  def partitionQuantiles(df: DataFrame, c: String, probs: Seq[Double],
+      partCol: String = "part", accuracy: Int = 10000): DataFrame =
+    df.groupBy(col(partCol))
+      .agg(percentile_approx(col(c).cast("double"), typedLit(probs), lit(accuracy))
+        .as("quantiles"), count(lit(1)).as("rows"))
+}

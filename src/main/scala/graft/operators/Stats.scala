@@ -1,0 +1,77 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Per-column statistics profiling (north rule: "per-column stats
+  * (min/max/null-rate/cardinality via approx_count_distinct and HyperLogLog
+  * sketches)"). The reference validates one value at a time and has no stats
+  * operator (SURVEY.md §2.7); this is the set-at-a-time capability layered on
+  * top.
+  *
+  * One full-scan aggregation computes every column's stats in a single job
+  * (no per-column passes); HLL sketches (`hll_sketch_agg`, Spark ≥ 3.5 /
+  * 4.x, Apache DataSketches under the hood) are mergeable across partitions
+  * — at cluster scale the per-partition sketches combine on the reducer
+  * without ever materializing distinct values.
+  */
+object Stats {
+
+  /** One output row per profiled column:
+    * (column, non_null_count, null_rate, min, max, approx_distinct,
+    * hll_distinct). min/max rendered as strings for schema uniformity.
+    */
+  def profile(df: DataFrame, columns: Seq[String] = Nil): DataFrame = {
+    val cols = if (columns.nonEmpty) columns else df.schema.fields.collect {
+      case f if isProfilable(f.dataType) => f.name
+    }.toSeq
+    val total = count(lit(1))
+    val aggs: Seq[Column] = cols.flatMap { c =>
+      val v = col(c)
+      Seq(
+        count(v).as(s"${c}__cnt"),
+        min(v).cast(StringType).as(s"${c}__min"),
+        max(v).cast(StringType).as(s"${c}__max"),
+        approx_count_distinct(v).as(s"${c}__acd"),
+        hll_sketch_estimate(hll_sketch_agg(v.cast(StringType))).as(s"${c}__hll"))
+    } :+ total.as("__total")
+    val row = df.agg(aggs.head, aggs.tail: _*)
+
+    // melt the single wide row into one row per column (tiny: done with a
+    // stack expression, still one Spark job end-to-end)
+    val stackArgs = cols.map { c =>
+      s"'$c', `${c}__cnt`, `${c}__min`, `${c}__max`, `${c}__acd`, `${c}__hll`"
+    }.mkString(", ")
+    row.select(
+      expr(s"stack(${cols.size}, $stackArgs) as " +
+        "(column, non_null_count, min, max, approx_distinct, hll_distinct)"),
+      col("__total"))
+      .select(
+        col("column"), col("non_null_count"),
+        round(lit(1.0) - col("non_null_count") / col("__total"), 6).as("null_rate"),
+        col("min"), col("max"), col("approx_distinct"), col("hll_distinct"))
+  }
+
+  private def isProfilable(dt: DataType): Boolean = dt match {
+    case _: NumericType | StringType | BooleanType | DateType | TimestampType => true
+    case _ => false
+  }
+
+  /** Mergeable per-partition HLL sketches for a column: one binary sketch
+    * per `part`, union-able later with `hll_union_agg` — the building block
+    * for incremental/resumable cardinality at 10^12 docs.
+    */
+  def partitionSketches(df: DataFrame, column: String, partCol: String = "part"): DataFrame =
+    df.groupBy(col(partCol))
+      .agg(hll_sketch_agg(col(column).cast(StringType)).as("sketch"),
+        count(lit(1)).as("rows"))
+
+  /** Union previously materialized per-partition sketches into a global
+    * distinct-count estimate.
+    */
+  def unionSketches(sketches: DataFrame): DataFrame =
+    sketches.agg(
+      hll_sketch_estimate(hll_union_agg(col("sketch"))).as("distinct_estimate"),
+      sum(col("rows")).as("rows"))
+}

@@ -1,0 +1,47 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Global `doc_id` uniqueness — the table-level generalization of the
+  * reference's within-array `uniqueItems` (`/root/reference/src/schemas/
+  * array.rs:176-187`), required by the north rule ("uniqueness: doc_id via
+  * salted groupBy + two-phase dedup to handle skew").
+  *
+  * Two-phase salted aggregation: phase 1 groups on `(hash(key) % salt, key)`
+  * and counts; phase 2 re-aggregates by `key` alone and filters `total > 1`.
+  *
+  * Why the salt matters at 100 TB: Spark's hash aggregate already does
+  * map-side partial aggregation, which collapses benign duplicates early —
+  * but a pathological hot key (billions of occurrences of one `doc_id`, e.g.
+  * a default/placeholder id) still funnels every partial row for that key to
+  * a single reducer, and any per-key payload (example offsets, first/last
+  * file) amplifies it. The salt fans one key out over `salt` reducers; the
+  * phase-2 re-agg then sees at most `salt` rows per key. Phase 2's input is
+  * bounded by (#distinct keys that appear in >0 salt buckets) ≤ phase-1
+  * output, which is already tiny relative to the corpus.
+  */
+object Uniqueness {
+
+  /** Violation-shaped output: one row per duplicated key value with its
+    * multiplicity (count > 1).
+    */
+  def duplicates(df: DataFrame, keyCol: String, salt: Int = 64): DataFrame = {
+    val keyed = df.select(col(keyCol)).filter(col(keyCol).isNotNull)
+    keyed
+      .groupBy(pmod(xxhash64(col(keyCol)), lit(salt.toLong)).as("_salt"), col(keyCol))
+      .agg(count(lit(1)).as("_partial"))
+      .groupBy(col(keyCol))
+      .agg(sum(col("_partial")).as("count"))
+      .filter(col("count") > 1)
+  }
+
+  /** Violation rows in the engine's standard shape. */
+  def violations(df: DataFrame, keyCol: String, salt: Int = 64): DataFrame =
+    duplicates(df, keyCol, salt).select(
+      col(keyCol).cast("string").as("doc_id"),
+      lit("").as("path"),
+      lit("uniqueItems").as("rule"),
+      concat(lit(s"Duplicate $keyCol: appears "), col("count").cast("string"),
+        lit(" times")).as("message"))
+}
