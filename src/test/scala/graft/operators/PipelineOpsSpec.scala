@@ -1,0 +1,164 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Golden tests for the training-data pipeline operators: known near-dups
+  * must be found, known distinct docs must not be.
+  */
+class PipelineOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val base = "the quick brown fox jumps over the lazy dog and runs far away " +
+    "into the deep dark forest where nobody can find it anymore tonight"
+  private val nearDup = base.replace("tonight", "today") // 1-word edit
+  private val distinct1 = "completely different content about spark dataframes and " +
+    "catalyst optimizer rules that share absolutely nothing with the fox story at all"
+  private val distinct2 = "yet another unrelated document discussing parquet column " +
+    "pruning predicate pushdown and whole stage code generation internals in depth"
+
+  private lazy val docs = Seq(
+    (1L, base), (2L, nearDup), (3L, distinct1), (4L, distinct2),
+    (5L, base) // exact duplicate of 1
+  ).toDF("doc_id", "text")
+
+  test("exact dedup finds the identical pair only") {
+    val groups = Dedup.exact(docs, "text").collect()
+    assert(groups.length == 1 && groups(0).getLong(1) == 2L)
+    val members = Dedup.exactMembers(docs, "doc_id", "text")
+      .filter(!col("keep")).select("id").as[Long].collect()
+    assert(members.toSet == Set(5L))
+  }
+
+  test("minhash LSH finds the near-dup pair and not the distinct docs") {
+    val pairs = Dedup.minHashPairs(docs, "doc_id", "text",
+      k = 3, numHashes = 32, bands = 16, threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)) || pairs.contains((1L, 5L)), s"got $pairs")
+    assert(pairs.contains((1L, 5L)), s"exact dup must be found: $pairs")
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("simhash: identical texts distance 0; near-dup small; distinct large") {
+    val sh = docs.select(col("doc_id"), Dedup.simHash(col("text")).as("sh"))
+      .as[(Long, Long)].collect().toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(sh(1L), sh(5L)) == 0)
+    assert(ham(sh(1L), sh(2L)) < ham(sh(1L), sh(3L)), "near-dup closer than distinct")
+    val pairs = Dedup.simHashPairs(docs, "doc_id", "text", maxHamming = 6)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 5L)))
+  }
+
+  test("ngram jaccard: exact=1.0, near-dup high, distinct low") {
+    val pairs = Seq((1L, 5L), (1L, 2L), (1L, 3L)).toDF("id_a", "id_b")
+    val j = Dedup.ngramJaccard(docs, pairs, "doc_id", "text", k = 2)
+      .as[(Long, Long, Double)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    assert(j((1L, 5L)) == 1.0)
+    assert(j((1L, 2L)) > 0.8)
+    assert(j((1L, 3L)) < 0.1)
+  }
+
+  test("brute-force cosine top-k: identical vector first, orthogonal excluded") {
+    val vecs = Seq(
+      (1L, Seq(1f, 0f, 0f, 0f)),
+      (2L, Seq(0.9f, 0.1f, 0f, 0f)),
+      (3L, Seq(0f, 1f, 0f, 0f)),
+      (4L, Seq(1f, 0f, 0f, 0f))).toDF("vec_id", "embedding")
+    val top = Similarity.bruteForceTopK(vecs, "vec_id", "embedding",
+      Seq(1f, 0f, 0f, 0f), k = 2).as[(Long, Double)].collect()
+    assert(top.map(_._1).toSeq == Seq(1L, 4L) && top.forall(_._2 == 1.0))
+  }
+
+  test("LSH ANN returns a subset of brute-force candidates with the top hit") {
+    // deterministic cloud: near-dups of a query vector + noise vectors
+    val dims = 16
+    val rows = (0 until 200).map { i =>
+      val v = (0 until dims).map { d =>
+        val h = ((i * 31 + d) * 2654435761L % 1000) / 1000.0f
+        if (i < 5) (if (d == 0) 10f else 0.01f * h) else h - 0.5f
+      }
+      (i.toLong, v)
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val q = rows(0)._2
+    val exact = Similarity.bruteForceTopK(df.filter(col("vec_id") =!= 0L),
+      "vec_id", "embedding", q, 3).as[(Long, Double)].collect()
+    val approx = Similarity.lshTopK(df.filter(col("vec_id") =!= 0L),
+      "vec_id", "embedding", q, 3, nPlanes = 6, nTables = 4)
+      .as[(Long, Double)].collect()
+    assert(exact.nonEmpty && approx.nonEmpty)
+    // the strong hits (ids 1-4 share direction with q) should be recalled
+    assert(approx.map(_._1).exists(id => id >= 1L && id <= 4L),
+      s"approx=${approx.toSeq} exact=${exact.toSeq}")
+  }
+
+  test("text analysis: language id, token counts, quality, fingerprints") {
+    val df = Seq(
+      (1L, "the cat and the dog sat in the house and it was warm"),
+      (2L, "der hund und die katze sind nicht mit der maus auf das dach"),
+      (3L, "le chat et le chien sont dans la maison pour une heure"),
+      (4L, "xyzzy plugh abracadabra")).toDF("doc_id", "text")
+    val p = TextAnalysis.profile(df, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(p(1L).getString(1) == "en")
+    assert(p(2L).getString(1) == "de")
+    assert(p(3L).getString(1) == "fr")
+    assert(p(4L).getString(1) == "und")
+    assert(p(1L).getInt(2) == 13) // whitespace tokens
+    assert(p(1L).getInt(3) >= 13) // BPE-ish >= word count here
+    val q = p(1L).getDouble(4)
+    assert(q > 0 && q <= 1.0)
+    assert(p(1L).getString(5).matches("[0-9a-f]{32}"))
+    // rolling hash deterministic + normalization-invariant
+    val fps = df.select(TextAnalysis.fingerprintRolling(col("text"))).as[Long].collect()
+    val fps2 = df.select(TextAnalysis.fingerprintRolling(
+      upper(concat(col("text"), lit("  "))))).as[Long].collect()
+    assert(fps.sameElements(fps2), "case/whitespace-normalized rolling hash")
+  }
+
+  test("multimodal plumbing: schema, determinism, frame sampling") {
+    val media = Multimodal.syntheticMedia(spark, 50)
+    val meta = Multimodal.probeMeta(media).collect()
+    assert(meta.length == 50)
+    assert(meta.forall(m => m.width >= 16 && m.height >= 16 && m.nframes >= 1))
+    assert(meta.filter(_.mime.startsWith("video")).forall(_.nframes >= 1))
+    val meta2 = Multimodal.probeMeta(media).collect()
+    assert(meta.sortBy(_.media_ref).sameElements(meta2.sortBy(_.media_ref)))
+    val feats = Multimodal.extractFeatures(media, dim = 8).collect()
+    assert(feats.forall(_.feature.length == 8))
+    val frames = Multimodal.sampleFrames(Multimodal.probeMeta(media).toDF(), stride = 10)
+    assert(frames.count() == meta.count(_.mime.startsWith("video")))
+  }
+
+  test("uniqueness: salted two-phase finds exactly the injected duplicates") {
+    val df = (1 to 1000).map(i => Tuple1(s"k${i % 700}")).toDF("doc_id")
+    // keys k1..k300 appear twice (1000 rows, 700 distinct)
+    val dups = Uniqueness.duplicates(df, "doc_id", salt = 16).collect()
+    assert(dups.length == 300 && dups.forall(_.getLong(1) == 2L))
+  }
+
+  test("drift: PSI ~ 0 for identical distributions, large for shifted") {
+    val a = spark.range(10000).select((col("id") % 100).cast("double").as("x"))
+    val b = spark.range(10000).select(((col("id") % 100) + 50).cast("double").as("x"))
+    val same = Drift.psi(a, a, "x", 0, 200, 20).collect()(0).getDouble(0)
+    val diff = Drift.psi(a, b, "x", 0, 200, 20).collect()(0).getDouble(0)
+    assert(math.abs(same) < 1e-9 && diff > 1.0, s"same=$same diff=$diff")
+    val ksSame = Drift.ks(a, a, "x").collect()(0).getDouble(0)
+    val ksDiff = Drift.ks(a, b, "x").collect()(0).getDouble(0)
+    assert(ksSame < 0.01 && ksDiff > 0.4, s"ksSame=$ksSame ksDiff=$ksDiff")
+  }
+
+  test("ref integrity: anti-join finds exactly the dangling refs") {
+    import graft.model.{Doc, Span}
+    val docs = Seq(
+      Doc("d1", Seq(Span("media", "", "m-00000001", 0)), 0),
+      Doc("d2", Seq(Span("media", "", "m-deadbeef", 0)), 0),
+      Doc("d3", Seq(Span("text", "x", "", 0)), 0)).toDF()
+    val catalog = Seq(("m-00000001", "image/png", 10L))
+      .toDF("media_ref", "mime", "bytes")
+    val dangling = RefIntegrity.dangling(docs, catalog).collect()
+    assert(dangling.length == 1 && dangling(0).getString(1) == "d2")
+  }
+}
