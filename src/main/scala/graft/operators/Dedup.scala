@@ -67,26 +67,49 @@ object Dedup {
   }
 
   /** MinHash signature (array<long>, length = numHashes) over shingles.
-    * Hash family: xxhash64(shingle, seed_i) — independent seeds; min per
-    * seed via `array_min(transform(...))`, all codegen.
+    *
+    * Single pass over the shingle array: the accumulator holds all
+    * `numHashes` running minima and each shingle contributes
+    * `xxhash64(shingle, seed_i)` per slot via one `zip_with`. Expressing it
+    * as N independent `array_min(transform(...))` scans instead makes the
+    * shingle expression tree explode N× (no CSE inside HOF lambdas) — that
+    * variant benched ~100× slower.
     */
   def minHashSignature(shingleCol: Column, numHashes: Int): Column =
-    transform(sequence(lit(0), lit(numHashes - 1)), seed =>
-      array_min(transform(shingleCol, s => xxhash64(s, seed))))
+    aggregate(
+      shingleCol,
+      array_repeat(lit(Long.MaxValue), numHashes),
+      (acc, s) => zip_with(acc, sequence(lit(0), lit(numHashes - 1)),
+        (m, seed) => least(m, xxhash64(s, seed))),
+      // empty shingle set -> null signature (else every short doc would
+      // share the [MaxValue, ...] signature and flood one LSH bucket)
+      acc => when(element_at(acc, 1) === lit(Long.MaxValue), lit(null))
+        .otherwise(acc))
+
+  /** All band hashes in the same single pass (the aggregate's finish lambda
+    * binds the final signature once — no re-evaluation per band).
+    */
+  def bandHashes(shingleCol: Column, numHashes: Int, bands: Int): Column = {
+    val r = numHashes / bands
+    aggregate(
+      shingleCol,
+      array_repeat(lit(Long.MaxValue), numHashes),
+      (acc, s) => zip_with(acc, sequence(lit(0), lit(numHashes - 1)),
+        (m, seed) => least(m, xxhash64(s, seed))),
+      acc => when(element_at(acc, 1) === lit(Long.MaxValue), lit(null))
+        .otherwise(transform(sequence(lit(0), lit(bands - 1)), b =>
+          xxhash64(concat_ws(",", slice(acc, b * r + 1, lit(r)))))))
+  }
 
   /** LSH banding: (id, band_idx, band_hash) — one row per band. */
   def lshBands(df: DataFrame, idCol: String, textCol: String, k: Int = 3,
       numHashes: Int = 32, bands: Int = 8): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
-    val r = numHashes / bands
-    val sig = minHashSignature(shingles(col(textCol), k), numHashes)
     df.filter(col(textCol).isNotNull && length(col(textCol)) > 0)
-      .select(col(idCol).as("id"), sig.as("sig"))
-      .filter(size(col("sig")) > 0 && !array_contains(transform(col("sig"),
-        x => x.isNull), true))
-      .select(col("id"), posexplode(
-        transform(sequence(lit(0), lit(bands - 1)), b =>
-          xxhash64(concat_ws(",", slice(col("sig"), b * r + 1, lit(r)))))))
+      .select(col(idCol).as("id"),
+        bandHashes(shingles(col(textCol), k), numHashes, bands).as("bh"))
+      .filter(col("bh").isNotNull)
+      .select(col("id"), posexplode(col("bh")))
       .withColumnRenamed("pos", "band_idx")
       .withColumnRenamed("col", "band_hash")
   }
@@ -120,6 +143,7 @@ object Dedup {
     val sigs = df.filter(col(textCol).isNotNull && length(col(textCol)) > 0)
       .select(col(idCol).as("id"),
         minHashSignature(shingles(col(textCol), k), numHashes).as("sig"))
+      .filter(col("sig").isNotNull)
     val cands = minHashCandidates(df, idCol, textCol, k, numHashes, bands, maxBucket)
     cands
       .join(sigs.select(col("id").as("id_a"), col("sig").as("sig_a")), Seq("id_a"))

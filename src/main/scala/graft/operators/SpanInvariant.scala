@@ -53,8 +53,18 @@ object SpanInvariant {
         lit("Number must be greater than or equal to 0")))
   }
 
-  /** `violations` array Column for a `spans` column (path prefix `spans`). */
-  def violationsCol(spans: Column): Column = {
+  /** `violations` array Column for a `spans` column (path prefix `spans`),
+    * guarded by the cheap predicate so passing rows never build the
+    * violation structs (see Validate.withViolations scaladoc).
+    */
+  def violationsCol(spans: Column): Column =
+    when(predCol(spans), array().cast(RuleCompiler.violArray))
+      .otherwise(violationsColUnguarded(spans))
+
+  /** Unguarded form (always constructs the arrays) — used by tests to check
+    * pred/violations agreement.
+    */
+  def violationsColUnguarded(spans: Column): Column = {
     val perSpan = flatten(transform(spans, (s, i) => {
       val checks = spanChecks(s).map { case (rule, pred, msg) =>
         val field = rule.takeWhile(_ != '.')
@@ -82,10 +92,21 @@ object SpanInvariant {
       .otherwise(concat(perSpan, orderViolRows))
   }
 
-  /** Boolean predicate form (no violation construction) — the cheap path for
-    * verdict-only runs: one `forall` + one `zip_with`, fully codegen'd.
+  /** Boolean predicate form (no violation construction) — the cheap path
+    * for verdict-only runs: a native codegen'd Catalyst expression
+    * ([[graft.plans.SpanInvariantPred]], one tight loop, zero intermediate
+    * arrays). The HOF form below ([[predColHof]]) is semantically identical
+    * and kept for cross-checking.
     */
   def predCol(spans: Column): Column = {
+    import org.apache.spark.sql.GraftShims
+    GraftShims.column(graft.plans.SpanInvariantPred(GraftShims.expression(spans)))
+  }
+
+  /** HOF formulation of the predicate (interpreted eval; reference
+    * semantics oracle for the native expression).
+    */
+  def predColHof(spans: Column): Column = {
     val perSpan = forall(spans, s =>
       spanChecks(s).map(_._2).map(p => coalesce(p, lit(false))).reduce(_ && _))
     val shifted = slice(spans, lit(2), greatest(size(spans) - 1, lit(0)))

@@ -163,29 +163,44 @@ object RuleCompiler {
     */
   def compile(rule: Rule, value: Column, dt: DataType,
       defs: Map[String, Rule] = Map.empty): Compiled =
-    compileAt(rule, value, dt, StaticPath(""), defs)
+    compileAt(rule, value, dt, StaticPath(""), defs, Set.empty)
 
+  /** `active` tracks $refs expanded at the CURRENT value position: a ref
+    * that recurses without descending into a child value can never
+    * terminate and is rejected (the reference detects the same condition at
+    * runtime via (ref, position) pairs, context.rs:219-236). Recursion that
+    * descends through properties/items is legitimate (e.g. the reference's
+    * own meta-schema) and terminates naturally because the static table
+    * schema has finite depth — descent resets `active`.
+    */
   def compileAt(rule: Rule, value: Column, dt: DataType, path: PathRef,
-      defs: Map[String, Rule]): Compiled = rule match {
+      defs: Map[String, Rule], active: Set[String]): Compiled = rule match {
     case Rule.Accept => Compiled(lit(true), emptyViols)
     case Rule.Reject =>
       combine(path, Seq(Chk(lit(true), lit(false), "false",
         lit("YamlSchema is `false`!"))), Nil) // yaml_schema.rs:183
     case Rule.Ref(name) =>
+      if (active.contains(name)) {
+        throw new IllegalArgumentException(s"Circular $$ref detected: $name")
+      }
       val target = defs.getOrElse(name,
         throw new IllegalArgumentException(s"Schema $name not found")) // yaml_schema.rs:733
-      compileAt(target, value, dt, path, defs)
-    case Rule.Check(kw) => compileKeywords(kw, value, dt, path, defs)
+      compileAt(target, value, dt, path, defs, active + name)
+    case Rule.Check(kw) => compileKeywords(kw, value, dt, path, defs, active)
   }
 
   // scalastyle:off method.length cyclomatic.complexity
   private def compileKeywords(kw: Keywords, v: Column, dt: DataType, path: PathRef,
-      defs: Map[String, Rule]): Compiled = {
+      defs: Map[String, Rule], active: Set[String]): Compiled = {
     val chks = Seq.newBuilder[Chk]
     val nested = Seq.newBuilder[Column]
     val extraPreds = Seq.newBuilder[Column]
+    // same-value sub-rule: keeps the active-$ref set (no descent)
     def sub(r: Rule, sv: Column, sdt: DataType, sp: PathRef): Compiled =
-      compileAt(r, sv, sdt, sp, defs)
+      compileAt(r, sv, sdt, sp, defs, active)
+    // descending sub-rule: new value position, active set resets
+    def subChild(r: Rule, sv: Column, sdt: DataType, sp: PathRef): Compiled =
+      compileAt(r, sv, sdt, sp, defs, Set.empty)
 
     // --- type (yaml_schema.rs:851-875) ---
     kw.types.foreach {
@@ -265,13 +280,16 @@ object RuleCompiler {
           chks += Chk(objAppl, present, "required",
             lit(s"Required property '$p' is missing!"))
         }
-        // properties (objects.rs:37-59): validates only present properties;
-        // sub-errors surface (loop at objects.rs:128-132)
+        // properties (objects.rs:37-59): validates only PRESENT properties
+        // (a null struct field models a missing key, which `required`
+        // reports; the sub-rule itself is vacuous on absent keys, matching
+        // JSON Schema); sub-errors surface (loop at objects.rs:128-132)
         kw.properties.foreach { case (name, r) =>
           fields.get(name).foreach { f =>
-            val c = sub(r, v.getField(name), f.dataType, path.child(name))
-            nested += when(objAppl, c.violations).otherwise(emptyViols)
-            extraPreds += (!objAppl || coalesce(c.pred, lit(false)))
+            val present = objAppl && v.getField(name).isNotNull
+            val c = subChild(r, v.getField(name), f.dataType, path.child(name))
+            nested += when(present, c.violations).otherwise(emptyViols)
+            extraPreds += (!present || coalesce(c.pred, lit(false)))
           }
         }
         // min/maxProperties (objects.rs:199-217): count present (non-null) keys
@@ -312,7 +330,7 @@ object RuleCompiler {
             lit(s"Required property '$p' is missing!"))
         }
         kw.properties.foreach { case (name, r) =>
-          val c = sub(r, element_at(v, name), valDt, path.child(name))
+          val c = subChild(r, element_at(v, name), valDt, path.child(name))
           val appl = objAppl && array_contains(map_keys(v), name)
           nested += when(appl, c.violations).otherwise(emptyViols)
           extraPreds += (!appl || coalesce(c.pred, lit(false)))
@@ -320,13 +338,13 @@ object RuleCompiler {
         // patternProperties (objects.rs:134-149)
         kw.patternProperties.foreach { case (re, r) =>
           val viol = flatten(transform(map_entries(v), e => {
-            val c = sub(r, e.getField("value"), valDt, path.childDyn(e.getField("key")))
+            val c = subChild(r, e.getField("value"), valDt, path.childDyn(e.getField("key")))
             when(e.getField("key").rlike(re), c.violations).otherwise(emptyViols)
           }))
           nested += when(objAppl, viol).otherwise(emptyViols)
           extraPreds += (!objAppl || coalesce(forall(map_entries(v), e =>
             !e.getField("key").rlike(re) ||
-              sub(r, e.getField("value"), valDt, path).pred), lit(false)))
+              subChild(r, e.getField("value"), valDt, path).pred), lit(false)))
         }
         // additionalProperties (objects.rs:64-90,153-167): applies to keys not
         // in `properties` and matching no patternProperties regex
@@ -351,24 +369,24 @@ object RuleCompiler {
             case r =>
               val viol = flatten(transform(map_entries(v), e => {
                 val k = e.getField("key")
-                val c = sub(r, e.getField("value"), valDt, path.childDyn(k))
+                val c = subChild(r, e.getField("value"), valDt, path.childDyn(k))
                 when(!isKnown(k), c.violations).otherwise(emptyViols)
               }))
               nested += when(objAppl, viol).otherwise(emptyViols)
               extraPreds += (!objAppl || coalesce(forall(map_entries(v), e =>
                 isKnown(e.getField("key")) ||
-                  sub(r, e.getField("value"), valDt, path).pred), lit(false)))
+                  subChild(r, e.getField("value"), valDt, path).pred), lit(false)))
           }
         }
         // propertyNames (objects.rs:169-178)
         kw.propertyNames.foreach { r =>
-          val bad = filter(map_keys(v), k => !sub(r, k, StringType, path).pred)
+          val bad = filter(map_keys(v), k => !subChild(r, k, StringType, path).pred)
           val viol = transform(bad, k => struct(
             path.col.as("path"), lit("propertyNames").as("rule"),
             concat(lit("Property name '"), k, lit("' is not valid!")).as("message")))
           nested += when(objAppl, viol).otherwise(emptyViols)
           extraPreds += (!objAppl || size(filter(map_keys(v),
-            k => !sub(r, k, StringType, path).pred)) === lit(0))
+            k => !subChild(r, k, StringType, path).pred)) === lit(0))
         }
         if (kw.minProperties.isDefined || kw.maxProperties.isDefined) {
           val cnt = size(map_keys(v))
@@ -407,7 +425,7 @@ object RuleCompiler {
         }
         // contains + min/maxContains (array.rs:190-222); default min=1
         kw.contains.foreach { r =>
-          val cnt = size(filter(v, x => sub(r, x, elemDt, path).pred))
+          val cnt = size(filter(v, x => subChild(r, x, elemDt, path).pred))
           val minC = kw.minContains.getOrElse(1)
           chks += Chk(arrAppl, cnt >= lit(minC), "minContains",
             concat(lit(s"Array must contain at least $minC item(s) matching the contains " +
@@ -418,7 +436,7 @@ object RuleCompiler {
         }
         // prefixItems (array.rs:225-259): positional sub-errors surface
         kw.prefixItems.zipWithIndex.foreach { case (r, i) =>
-          val c = sub(r, element_at(v, i + 1), elemDt, path.child(i.toString))
+          val c = subChild(r, element_at(v, i + 1), elemDt, path.child(i.toString))
           val applies = arrAppl && n > lit(i)
           nested += when(applies, c.violations).otherwise(emptyViols)
           extraPreds += (!applies || coalesce(c.pred, lit(false)))
@@ -431,13 +449,13 @@ object RuleCompiler {
           case r =>
             val skip = kw.prefixItems.length
             val tailViols = flatten(transform(v, (x, i) => {
-              val c = sub(r, x, elemDt, path.childDyn(i))
+              val c = subChild(r, x, elemDt, path.childDyn(i))
               if (skip == 0) c.violations
               else when(i >= lit(skip), c.violations).otherwise(emptyViols)
             }))
             val tailPred = forall(transform(v, (x, i) =>
               (if (skip == 0) lit(false) else i < lit(skip)) ||
-                sub(r, x, elemDt, path).pred), identity)
+                subChild(r, x, elemDt, path).pred), identity)
             nested += when(arrAppl, tailViols).otherwise(emptyViols)
             extraPreds += (!arrAppl || coalesce(tailPred, lit(false)))
         }

@@ -1,0 +1,191 @@
+package graft.rules
+
+import scala.jdk.CollectionConverters._
+
+/** YAML rule-file loader: YAML text → [[Rule]] tree + resolved `$defs`.
+  *
+  * The analogue of the reference's `loader.rs` + `RootSchema::try_from` +
+  * `Subschema::try_from` (`/root/reference/src/loader.rs:27-59`,
+  * `schemas/root_schema.rs:90-133`, `schemas/yaml_schema.rs:439-660`):
+  * rules are parsed and compiled once on the driver; regex/format validity
+  * can surface at load (fail-fast) rather than per row.
+  *
+  * `$ref` handling: local `#/$defs/name` refs resolve against the document's
+  * `$defs` (`root_schema.rs:64-88`); cycles are detected at load time by a
+  * DFS over the static rule graph — the runtime `(ref, position)` cycle
+  * tracking of `context.rs:219-236` is unnecessary when the table schema is
+  * static, because unbounded recursion can never terminate on finite-depth
+  * rows; message matches `features/references.feature:33`. External
+  * (file/HTTP) refs are out of scope in this zero-egress build (SURVEY.md
+  * §2.6).
+  */
+object RuleLoader {
+
+  final case class Loaded(root: Rule, defs: Map[String, Rule])
+
+  def loadString(yaml: String): Loaded = {
+    val parsed = new org.yaml.snakeyaml.Yaml().load[Any](yaml)
+    val defs = parsed match {
+      case m: java.util.Map[_, _] =>
+        m.asScala.collectFirst {
+          case (k, v: java.util.Map[_, _]) if s"$k" == "$defs" =>
+            v.asScala.map { case (name, sub) =>
+              s"#/$$defs/$name" -> toRule(sub)
+            }.toMap
+        }.getOrElse(Map.empty[String, Rule])
+      case _ => Map.empty[String, Rule]
+    }
+    val root = toRule(parsed)
+    detectCycles(root, defs)
+    Loaded(root, defs)
+  }
+
+  def loadFile(path: String): Loaded =
+    loadString(java.nio.file.Files.readString(java.nio.file.Paths.get(path)))
+
+  // --- cycle detection over the static rule graph ---
+
+  /** Refs reachable WITHOUT descending into a child value — only these can
+    * recurse unboundedly (recursion through properties/items descends into
+    * finite table structure and terminates; the reference's meta-schema is
+    * recursive in exactly that legitimate way).
+    */
+  private def refsOf(r: Rule): Seq[String] = r match {
+    case Rule.Ref(n) => Seq(n)
+    case Rule.Check(kw) =>
+      (kw.dependentSchemas.values ++ kw.allOf ++ kw.anyOf ++ kw.oneOf ++
+        kw.not ++ kw.ifRule ++ kw.thenRule ++ kw.elseRule)
+        .flatMap(refsOf).toSeq
+    case _ => Nil
+  }
+
+  private def detectCycles(root: Rule, defs: Map[String, Rule]): Unit = {
+    def visit(name: String, stack: List[String]): Unit = {
+      if (stack.contains(name)) {
+        throw new IllegalArgumentException(s"Circular $$ref detected: $name")
+      }
+      defs.get(name).foreach { target =>
+        refsOf(target).foreach(visit(_, name :: stack))
+      }
+    }
+    (refsOf(root) ++ defs.keys).distinct.foreach(visit(_, Nil))
+  }
+
+  // --- YAML node -> Rule ---
+
+  private def str(v: Any): String = String.valueOf(v)
+
+  private def toConst(v: Any): ConstVal = v match {
+    case null                  => ConstVal.VNull
+    case b: java.lang.Boolean  => ConstVal.VBool(b)
+    case i: java.lang.Integer  => ConstVal.VInt(i.longValue())
+    case l: java.lang.Long     => ConstVal.VInt(l)
+    case d: java.lang.Double   => ConstVal.VNum(d)
+    case f: java.lang.Float    => ConstVal.VNum(f.doubleValue())
+    case b: java.math.BigInteger => ConstVal.VInt(b.longValueExact())
+    case s: String             => ConstVal.VStr(s)
+    case other =>
+      throw new IllegalArgumentException(s"Unsupported const value: $other")
+  }
+
+  private def dbl(v: Any): Double = v match {
+    case n: Number => n.doubleValue()
+    case other => throw new IllegalArgumentException(s"Expected a number, got: $other")
+  }
+  private def int(v: Any): Int = v match {
+    case n: Number => n.intValue()
+    case other => throw new IllegalArgumentException(s"Expected an integer, got: $other")
+  }
+
+  def toRule(node: Any): Rule = node match {
+    case null => Rule.Accept // empty schema accepts everything
+    case b: java.lang.Boolean => if (b) Rule.Accept else Rule.Reject
+    case m: java.util.Map[_, _] =>
+      val kv = m.asScala.map { case (k, v) => str(k) -> v.asInstanceOf[Any] }.toMap
+      if (kv.isEmpty) Rule.Accept
+      else kv.get("$ref") match {
+        // $ref short-circuits sibling keywords (yaml_schema.rs:713-734)
+        case Some(refPath) => Rule.Ref(str(refPath))
+        case None => Rule.Check(toKeywords(kv))
+      }
+    case other =>
+      throw new IllegalArgumentException(s"Unsupported schema node: $other")
+  }
+
+  private def ruleMap(v: Any): Map[String, Rule] = v match {
+    case m: java.util.Map[_, _] =>
+      m.asScala.map { case (k, sub) => str(k) -> toRule(sub) }.toMap
+    case other => throw new IllegalArgumentException(s"Expected a mapping, got: $other")
+  }
+  private def ruleList(v: Any): List[Rule] = v match {
+    case l: java.util.List[_] => l.asScala.map(toRule(_)).toList
+    case other => throw new IllegalArgumentException(s"Expected a list, got: $other")
+  }
+  private def strList(v: Any): List[String] = v match {
+    case l: java.util.List[_] => l.asScala.map(str).toList
+    case other => throw new IllegalArgumentException(s"Expected a list, got: $other")
+  }
+
+  // scalastyle:off cyclomatic.complexity
+  private def toKeywords(kv: Map[String, Any]): Keywords = {
+    // type inference like the reference: omitted `type` with properties =>
+    // object; with string facets => string (yaml_schema.rs:606-621)
+    val types = kv.get("type").map {
+      case s: String            => List(s)
+      case l: java.util.List[_] => l.asScala.map(str).toList
+      case other => throw new IllegalArgumentException(s"Unsupported type: $other")
+    }
+    Keywords(
+      types = types,
+      const = kv.get("const").map(toConst),
+      enum_ = kv.get("enum").map {
+        case l: java.util.List[_] => l.asScala.map(v => toConst(v)).toList
+        case other => throw new IllegalArgumentException(s"Expected a list, got: $other")
+      },
+      minimum = kv.get("minimum").map(dbl),
+      maximum = kv.get("maximum").map(dbl),
+      exclusiveMinimum = kv.get("exclusiveMinimum").map(dbl),
+      exclusiveMaximum = kv.get("exclusiveMaximum").map(dbl),
+      multipleOf = kv.get("multipleOf").map(dbl),
+      minLength = kv.get("minLength").map(int),
+      maxLength = kv.get("maxLength").map(int),
+      pattern = kv.get("pattern").map { p =>
+        val s = str(p)
+        java.util.regex.Pattern.compile(s) // eager compile, fail at load
+        s
+      },
+      format = kv.get("format").map(str),
+      properties = kv.get("properties").map(ruleMap).getOrElse(Map.empty),
+      patternProperties = kv.get("patternProperties").map(ruleMap).getOrElse(Map.empty),
+      additionalProperties = kv.get("additionalProperties").map(toRule),
+      propertyNames = kv.get("propertyNames").map(toRule),
+      required = kv.get("required").map(strList).getOrElse(Nil),
+      minProperties = kv.get("minProperties").map(int),
+      maxProperties = kv.get("maxProperties").map(int),
+      dependentRequired = kv.get("dependentRequired").map {
+        case m: java.util.Map[_, _] =>
+          m.asScala.map { case (k, v) => str(k) -> strList(v) }.toMap
+        case other => throw new IllegalArgumentException(s"Expected a mapping, got: $other")
+      }.getOrElse(Map.empty),
+      dependentSchemas = kv.get("dependentSchemas").map(ruleMap).getOrElse(Map.empty),
+      items = kv.get("items").map(toRule),
+      prefixItems = kv.get("prefixItems").map(ruleList).getOrElse(Nil),
+      minItems = kv.get("minItems").map(int),
+      maxItems = kv.get("maxItems").map(int),
+      uniqueItems = kv.get("uniqueItems").exists {
+        case b: java.lang.Boolean => b
+        case _ => false
+      },
+      contains = kv.get("contains").map(toRule),
+      minContains = kv.get("minContains").map(int),
+      maxContains = kv.get("maxContains").map(int),
+      allOf = kv.get("allOf").map(ruleList).getOrElse(Nil),
+      anyOf = kv.get("anyOf").map(ruleList).getOrElse(Nil),
+      oneOf = kv.get("oneOf").map(ruleList).getOrElse(Nil),
+      not = kv.get("not").map(toRule),
+      ifRule = kv.get("if").map(toRule),
+      thenRule = kv.get("then").map(toRule),
+      elseRule = kv.get("else").map(toRule))
+  }
+  // scalastyle:on cyclomatic.complexity
+}

@@ -46,11 +46,28 @@ class SpanInvariantSpec extends SparkSpec {
       x._4 == "Number must be greater than or equal to 0"))
   }
 
-  test("predCol agrees with violationsCol emptiness") {
+  test("predCol agrees with violationsCol emptiness (unguarded form)") {
     val rows = df.select($"doc_id", SpanInvariant.predCol($"spans").as("p"),
-      (size(SpanInvariant.violationsCol($"spans")) === 0).as("v"))
+      (size(SpanInvariant.violationsColUnguarded($"spans")) === 0).as("v"))
       .as[(String, Boolean, Boolean)].collect()
     rows.foreach { case (id, p, v) => assert(p == v, s"doc $id: pred=$p violEmpty=$v") }
+  }
+
+  test("native SpanInvariantPred expression agrees with the HOF predicate") {
+    val dirty = DocsGen.docs(spark, DocsGen.Knobs(nDocs = 5000,
+      badKindPerMille = 20, badMediaRefPerMille = 20, badOrderPerMille = 20,
+      negOffsetPerMille = 10, nullDocIdPerMille = 5))
+    val mismatches = dirty.select(
+      SpanInvariant.predCol($"spans").as("native"),
+      SpanInvariant.predColHof($"spans").as("hof"))
+      .filter($"native" =!= $"hof").count()
+    assert(mismatches == 0)
+    // plus the hand-built edge docs incl. null spans and empty arrays
+    val edge = df.withColumn("spans",
+      when($"doc_id" === "g1", $"spans").otherwise($"spans"))
+    val m2 = edge.select(SpanInvariant.predCol($"spans").as("n"),
+      SpanInvariant.predColHof($"spans").as("h")).filter($"n" =!= $"h").count()
+    assert(m2 == 0)
   }
 
   test("generator: clean knobs yield zero violations; each knob injects its kind") {
