@@ -103,6 +103,10 @@ final case class Keywords(
     contains: Option[Rule] = None,
     minContains: Option[Int] = None,
     maxContains: Option[Int] = None,
+    // unevaluated* (yaml_schema.rs:921-1003) — compile-time evaluated-set
+    // lowering per SURVEY.md §2.5; Some(Rule.Reject) models `false`
+    unevaluatedProperties: Option[Rule] = None,
+    unevaluatedItems: Option[Rule] = None,
     // composition (schemas/{all,any,one}_of.rs, not.rs, if_then_else.rs)
     allOf: List[Rule] = Nil,
     anyOf: List[Rule] = Nil,

@@ -158,6 +158,72 @@ object RuleCompiler {
     case ConstVal.VStr(s)  => v.isNotNull && (if (dt == StringType) v === lit(s) else lit(false))
   }
 
+  /** Is map key `k` "evaluated" by `rule` at value `v` — the compile-time
+    * lowering of the reference's evaluated-name annotations
+    * (`annotations.rs:8-29`, merged on branch success per `any_of.rs:85-96`,
+    * `one_of.rs:100-126`, `if_then_else.rs:93-102`): with a static rule tree
+    * the per-branch key sets are known at compile time, so "evaluated" is a
+    * boolean Column over (k, branch predicates).
+    */
+  private def keyEvaluated(rule: Rule, k: Column, v: Column, dt: DataType,
+      defs: Map[String, Rule], active: Set[String]): Column = rule match {
+    case Rule.Accept | Rule.Reject => lit(false)
+    case Rule.Ref(name) =>
+      if (active.contains(name)) lit(false)
+      else keyEvaluated(defs(name), k, v, dt, defs, active + name)
+    case Rule.Check(kw) =>
+      val here = Seq(
+        if (kw.properties.isEmpty) lit(false)
+        else kw.properties.keys.map(p => k === lit(p)).reduce(_ || _),
+        kw.patternProperties.keys.map(re => k.rlike(re))
+          .reduceOption(_ || _).getOrElse(lit(false)),
+        // an additionalProperties schema evaluates every remaining key
+        lit(kw.additionalProperties.isDefined))
+      val pred = (r: Rule) => compileAt(r, v, dt, StaticPath(""), defs, active).pred
+      val branches =
+        kw.allOf.map(b => pred(b) && keyEvaluated(b, k, v, dt, defs, active)) ++
+        kw.anyOf.map(b => pred(b) && keyEvaluated(b, k, v, dt, defs, active)) ++
+        kw.oneOf.map(b => pred(b) && keyEvaluated(b, k, v, dt, defs, active)) ++
+        kw.ifRule.toSeq.flatMap { ifR =>
+          val ifPred = pred(ifR)
+          Seq(ifPred && keyEvaluated(ifR, k, v, dt, defs, active)) ++
+            kw.thenRule.map(t => ifPred && keyEvaluated(t, k, v, dt, defs, active)) ++
+            kw.elseRule.map(e => !ifPred && keyEvaluated(e, k, v, dt, defs, active))
+        }
+      (here ++ branches).reduce(_ || _)
+  }
+
+  /** Is array element (x, i) "covered" by `rule` — the compile-time lowering
+    * of the reference's array annotations (prefix coverage / contains
+    * matches / full items coverage, `annotations.rs:31-93`).
+    */
+  private def itemCovered(rule: Rule, x: Column, i: Column, elemDt: DataType,
+      v: Column, dt: DataType, defs: Map[String, Rule], active: Set[String]): Column =
+    rule match {
+      case Rule.Accept | Rule.Reject => lit(false)
+      case Rule.Ref(name) =>
+        if (active.contains(name)) lit(false)
+        else itemCovered(defs(name), x, i, elemDt, v, dt, defs, active + name)
+      case Rule.Check(kw) =>
+        val here = Seq(
+          lit(kw.items.isDefined), // items (incl. false) covers the tail
+          if (kw.prefixItems.isEmpty) lit(false) else i < lit(kw.prefixItems.length),
+          kw.contains.map(c =>
+            compileAt(c, x, elemDt, StaticPath(""), defs, active).pred)
+            .getOrElse(lit(false)))
+        val pred = (r: Rule) => compileAt(r, v, dt, StaticPath(""), defs, active).pred
+        val branches =
+          (kw.allOf ++ kw.anyOf ++ kw.oneOf).map(b =>
+            pred(b) && itemCovered(b, x, i, elemDt, v, dt, defs, active)) ++
+          kw.ifRule.toSeq.flatMap { ifR =>
+            val ifPred = pred(ifR)
+            Seq(ifPred && itemCovered(ifR, x, i, elemDt, v, dt, defs, active)) ++
+              kw.thenRule.map(t => ifPred && itemCovered(t, x, i, elemDt, v, dt, defs, active)) ++
+              kw.elseRule.map(e => !ifPred && itemCovered(e, x, i, elemDt, v, dt, defs, active))
+          }
+        (here ++ branches).reduce(_ || _)
+    }
+
   /** Entry point. `value` is the column holding the instance (sub)value of
     * static type `dt`; `defs` are resolved `$defs` bindings.
     */
@@ -395,6 +461,35 @@ object RuleCompiler {
           kw.maxProperties.foreach(n => chks += Chk(objAppl, cnt <= lit(n), "maxProperties",
             lit(s"Object has too many properties! Maximum is $n!")))
         }
+        // unevaluatedProperties (yaml_schema.rs:921-961): keys not evaluated
+        // here nor in any successful branch; `$schema` is always skipped
+        // (objects.rs:121-125)
+        kw.unevaluatedProperties.foreach { uRule =>
+          val self = Rule.Check(kw.copy(unevaluatedProperties = None))
+          val isEval: Column => Column = k =>
+            k === lit("$schema") || keyEvaluated(self, k, v, dt, defs, active)
+          uRule match {
+            case Rule.Reject =>
+              val bad = filter(map_keys(v), k => !isEval(k))
+              val viol = transform(bad, k => struct(
+                path.childDyn(k).col.as("path"),
+                lit("unevaluatedProperties").as("rule"),
+                concat(lit("Unevaluated property '"), k,
+                  lit("' is not allowed!")).as("message"))) // yaml_schema.rs:949-953
+              nested += when(objAppl, viol).otherwise(emptyViols)
+              extraPreds += (!objAppl || size(filter(map_keys(v), k => !isEval(k))) === lit(0))
+            case r =>
+              val viol = flatten(transform(map_entries(v), e => {
+                val k = e.getField("key")
+                val c = subChild(r, e.getField("value"), valDt, path.childDyn(k))
+                when(!isEval(k), c.violations).otherwise(emptyViols)
+              }))
+              nested += when(objAppl, viol).otherwise(emptyViols)
+              extraPreds += (!objAppl || coalesce(forall(map_entries(v), e =>
+                isEval(e.getField("key")) ||
+                  subChild(r, e.getField("value"), valDt, path).pred), lit(false)))
+          }
+        }
 
       case _ => // object keywords vacuous on non-object types
     }
@@ -458,6 +553,36 @@ object RuleCompiler {
                 subChild(r, x, elemDt, path).pred), identity)
             nested += when(arrAppl, tailViols).otherwise(emptyViols)
             extraPreds += (!arrAppl || coalesce(tailPred, lit(false)))
+        }
+        // unevaluatedItems (yaml_schema.rs:963-1003): indices covered by
+        // neither prefixItems/items/contains here nor in successful branches
+        kw.unevaluatedItems.foreach { uRule =>
+          val self = Rule.Check(kw.copy(unevaluatedItems = None))
+          val covered: (Column, Column) => Column = (x, i) =>
+            itemCovered(self, x, i, elemDt, v, dt, defs, active)
+          uRule match {
+            case Rule.Reject =>
+              val badIdx = filter(transform(v, (x, i) =>
+                when(covered(x, i), lit(null).cast("int")).otherwise(i)),
+                x => x.isNotNull)
+              val viol = transform(badIdx, i => struct(
+                path.childDyn(i).col.as("path"),
+                lit("unevaluatedItems").as("rule"),
+                concat(lit("Unevaluated array item at index "), i.cast(StringType),
+                  lit(" is not allowed!")).as("message"))) // yaml_schema.rs:981
+              nested += when(arrAppl, viol).otherwise(emptyViols)
+              extraPreds += (!arrAppl ||
+                coalesce(forall(transform(v, (x, i) => covered(x, i)), identity), lit(true)))
+            case r =>
+              val viol = flatten(transform(v, (x, i) => {
+                val c = subChild(r, x, elemDt, path.childDyn(i))
+                when(!covered(x, i), c.violations).otherwise(emptyViols)
+              }))
+              nested += when(arrAppl, viol).otherwise(emptyViols)
+              extraPreds += (!arrAppl ||
+                coalesce(forall(transform(v, (x, i) =>
+                  covered(x, i) || subChild(r, x, elemDt, path).pred), identity), lit(true)))
+          }
         }
       case _ => // array keywords vacuous on non-array types
     }

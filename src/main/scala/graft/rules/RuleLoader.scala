@@ -168,6 +168,8 @@ object RuleLoader {
         case other => throw new IllegalArgumentException(s"Expected a mapping, got: $other")
       }.getOrElse(Map.empty),
       dependentSchemas = kv.get("dependentSchemas").map(ruleMap).getOrElse(Map.empty),
+      unevaluatedProperties = kv.get("unevaluatedProperties").map(toRule),
+      unevaluatedItems = kv.get("unevaluatedItems").map(toRule),
       items = kv.get("items").map(toRule),
       prefixItems = kv.get("prefixItems").map(ruleList).getOrElse(Nil),
       minItems = kv.get("minItems").map(int),

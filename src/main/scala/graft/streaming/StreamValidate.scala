@@ -1,0 +1,61 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.operators.{SpanInvariant, Validate}
+import graft.rules.Rule
+
+/** Structured Streaming form of the validation pipeline.
+  *
+  * The reference is batch-only (one document per run, SURVEY.md §1.2
+  * "streams: not used"); this is the engine's forward path for continuously
+  * arriving document corpora: `readStream` (file source over the same
+  * parquet layout, or any source with the docs schema) → the identical
+  * compiled rule expressions (stateless projection — violations compile to
+  * pure per-row Columns, so the batch and streaming plans share the exact
+  * same expression trees) → either
+  *
+  *   - `violations`: append-mode flat violation rows (sink to parquet/kafka);
+  *   - `verdictsByWindow`: event-time-windowed per-partition verdicts with a
+  *     watermark (complete/update mode) — the streaming analogue of the
+  *     per-partition verdict aggregation.
+  *
+  * At scale: the per-row stage is stateless (no state store); only the
+  * windowed verdict aggregation keeps state, bounded by watermark ×
+  * #partitions.
+  */
+object StreamValidate {
+
+  /** Per-row violations + pass flag on a streaming docs DataFrame (must
+    * carry the standard docs schema). Stateless — usable in append mode.
+    */
+  def withViolations(docs: DataFrame, rule: Rule,
+      defs: Map[String, Rule] = Map.empty): DataFrame = {
+    // same compiled expressions as the batch path
+    val base = Validate.withViolations(docs, rule, defs)
+    base.withColumn("violations",
+      concat(col("violations"), SpanInvariant.violationsCol(col("spans"))))
+      .withColumn("pass", size(col("violations")) === 0)
+  }
+
+  /** Flat violation rows (append-able). */
+  def violations(docs: DataFrame, rule: Rule,
+      defs: Map[String, Rule] = Map.empty): DataFrame =
+    withViolations(docs, rule, defs)
+      .select(col("doc_id"), explode(col("violations")).as("v"))
+      .select(col("doc_id"), col("v.path").as("path"), col("v.rule").as("rule"),
+        col("v.message").as("message"))
+
+  /** Windowed per-partition verdicts over an event-time column. */
+  def verdictsByWindow(docs: DataFrame, rule: Rule, eventTime: String,
+      windowLen: String = "1 minute", watermark: String = "2 minutes",
+      defs: Map[String, Rule] = Map.empty): DataFrame =
+    withViolations(docs, rule, defs)
+      .withWatermark(eventTime, watermark)
+      .groupBy(window(col(eventTime), windowLen), col("part"))
+      .agg(
+        count(lit(1)).as("docs"),
+        sum(when(!col("pass"), 1L).otherwise(0L)).as("failed_docs"),
+        sum(size(col("violations")).cast("long")).as("violations"))
+      .withColumn("pass", col("failed_docs") === 0L)
+}

@@ -1,0 +1,62 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.rules.{Keywords, Rule}
+import graft.sources.DocsGen
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** Streaming smoke: the identical compiled rules over a file-source stream
+  * must produce the same violations as the batch path on the same data.
+  */
+class StreamValidateSpec extends SparkSpec {
+
+  private val rule = Rule.Check(Keywords(required = List("doc_id", "spans")))
+
+  test("file-source stream produces the same violations as batch") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream").toString
+    val docs = DocsGen.docs(spark, DocsGen.Knobs(nDocs = 2000, nParts = 4,
+      badKindPerMille = 20, badOrderPerMille = 10, nullDocIdPerMille = 5))
+    docs.write.mode("overwrite").parquet(s"$dir/in")
+
+    val batch = StreamValidate.violations(spark.read.parquet(s"$dir/in"), rule)
+      .orderBy("doc_id", "path", "rule").collect()
+
+    val streamIn = spark.readStream
+      .schema(docs.schema)
+      .parquet(s"$dir/in")
+    val q = StreamValidate.violations(streamIn, rule)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("stream_viols")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+    val streamed = spark.table("stream_viols")
+      .orderBy("doc_id", "path", "rule").collect()
+
+    assert(streamed.length == batch.length && streamed.sameElements(batch),
+      s"stream=${streamed.length} batch=${batch.length}")
+    assert(batch.nonEmpty)
+  }
+
+  test("windowed verdicts aggregate per (window, part) with watermark") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_w").toString
+    val docs = DocsGen.docs(spark, DocsGen.Knobs(nDocs = 1000, nParts = 2,
+      badOrderPerMille = 50))
+      .withColumn("ts", timestamp_seconds(lit(1700000000L) + pmod(xxhash64(col("doc_id")), lit(120L))))
+    docs.write.mode("overwrite").parquet(s"$dir/in")
+
+    val streamIn = spark.readStream.schema(spark.read.parquet(s"$dir/in").schema)
+      .parquet(s"$dir/in")
+    val q = StreamValidate.verdictsByWindow(streamIn, rule, "ts")
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("stream_verdicts")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+    val out = spark.table("stream_verdicts").collect()
+    assert(out.nonEmpty)
+    val totalDocs = out.map(_.getAs[Long]("docs")).sum
+    assert(totalDocs == 1000L, s"docs=$totalDocs")
+  }
+}
