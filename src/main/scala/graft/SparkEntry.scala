@@ -175,6 +175,64 @@ object SparkEntry {
         .select(col("doc_id"), col("v.message").as("message"))
         .orderBy("doc_id")
     }),
+    "v_const" -> ((s, dir) => {
+      val rule = Rule.Check(Keywords(properties = Map(
+        "o_orderstatus" -> Rule.Check(Keywords(const = Some(ConstVal.VStr("O")))))))
+      Validate.withViolations(t(s, dir, "orders"), rule)
+        .select(col("o_orderkey").cast("string").as("doc_id"), explode(col("violations")).as("v"))
+        .select(col("doc_id"), col("v.message").as("message"))
+        .orderBy("doc_id")
+    }),
+    "v_multiple_of" -> ((s, dir) => {
+      val rule = Rule.Check(Keywords(properties = Map(
+        "l_linenumber" -> Rule.Check(Keywords(multipleOf = Some(2))))))
+      val df = t(s, dir, "lineitem")
+        .select((col("l_orderkey") * 10 + col("l_linenumber")).cast("string").as("doc_id"),
+          col("l_linenumber"))
+      Validate.withViolations(df, rule)
+        .select(col("doc_id"), explode(col("violations")).as("v"))
+        .select(col("doc_id"), col("v.message").as("message"))
+        .orderBy("doc_id")
+    }),
+    "v_dependent_required" -> ((s, dir) => {
+      val df = t(s, dir, "documents")
+        .select(col("doc_id").cast("string").as("doc_id"),
+          when(col("lang") === "zh", lit(null)).otherwise(col("lang")).as("lang2"),
+          when(col("source") === "src3", lit(null)).otherwise(col("source")).as("source2"))
+      val rule = Rule.Check(Keywords(dependentRequired = Map("lang2" -> List("source2"))))
+      Validate.withViolations(df, rule)
+        .select(col("doc_id"), explode(col("violations")).as("v"))
+        .select(col("doc_id"), col("v.rule").as("rule"), col("v.message").as("message"))
+        .orderBy("doc_id")
+    }),
+    "v_min_items" -> ((s, dir) => {
+      val rule = Rule.Check(Keywords(properties = Map(
+        "spans" -> Rule.Check(Keywords(minItems = Some(3), maxItems = Some(6))))))
+      Validate.withViolations(derivedDocs(s, dir), rule)
+        .select(col("doc_id"), explode(col("violations")).as("v"))
+        .select(col("doc_id"), col("v.rule").as("rule"), col("v.message").as("message"))
+        .orderBy(col("doc_id").cast("long"), col("rule"))
+    }),
+    "v_unique_items" -> ((s, dir) => {
+      // uniqueItems over the span structs: per-doc duplicate count + verdict
+      val docs = derivedDocs(s, dir)
+      docs.select(col("doc_id"),
+        (size(col("spans")) - size(array_distinct(col("spans")))).cast("long").as("n_dups"),
+        (size(array_distinct(col("spans"))) === size(col("spans"))).as("unique_ok"))
+        .orderBy(col("doc_id").cast("long"))
+    }),
+    "v_contains" -> ((s, dir) => {
+      // contains: 1..4 media spans per doc (array.rs:190-222 semantics)
+      val rule = Rule.Check(Keywords(properties = Map(
+        "spans" -> Rule.Check(Keywords(
+          contains = Some(Rule.Check(Keywords(properties = Map(
+            "kind" -> Rule.Check(Keywords(const = Some(ConstVal.VStr("media")))))))),
+          minContains = Some(1), maxContains = Some(4))))))
+      Validate.withViolations(derivedDocs(s, dir), rule)
+        .select(col("doc_id"), explode(col("violations")).as("v"))
+        .select(col("doc_id"), col("v.rule").as("rule"), col("v.message").as("message"))
+        .orderBy(col("doc_id").cast("long"), col("rule"))
+    }),
     // ---------- north-rule span invariant over array<struct> HOFs ----------
     "v_span_invariant" -> ((s, dir) => {
       derivedDocs(s, dir)
@@ -411,6 +469,59 @@ object SparkEntry {
       """SELECT CAST(o_orderkey AS VARCHAR) AS doc_id,
         |  'Value matches schema in `not`' AS message
         |FROM orders WHERE o_orderstatus = 'F' ORDER BY doc_id""".stripMargin,
+    "v_const" ->
+      """SELECT CAST(o_orderkey AS VARCHAR) AS doc_id,
+        |  'Expected const: "O", but got: "' || o_orderstatus || '"' AS message
+        |FROM orders WHERE o_orderstatus != 'O' ORDER BY doc_id""".stripMargin,
+    "v_multiple_of" ->
+      """SELECT CAST(l_orderkey*10 + l_linenumber AS VARCHAR) AS doc_id,
+        |  'Number is not a multiple of 2!' AS message
+        |FROM lineitem WHERE l_linenumber % 2 != 0 ORDER BY doc_id""".stripMargin,
+    "v_dependent_required" ->
+      """SELECT CAST(doc_id AS VARCHAR) AS doc_id, 'dependentRequired' AS rule,
+        |  'Required property ''source2'' is missing!' AS message
+        |FROM documents WHERE lang != 'zh' AND source = 'src3'
+        |ORDER BY doc_id""".stripMargin,
+    "v_min_items" ->
+      """WITH n AS (SELECT l_orderkey, count(*) AS c FROM lineitem GROUP BY 1)
+        |SELECT * FROM (
+        |  SELECT CAST(l_orderkey AS VARCHAR) AS doc_id, 'minItems' AS rule,
+        |    'Array has too few items (minimum 3, found ' || c || ')' AS message
+        |  FROM n WHERE c < 3
+        |  UNION ALL
+        |  SELECT CAST(l_orderkey AS VARCHAR), 'maxItems',
+        |    'Array has too many items (maximum 6, found ' || c || ')'
+        |  FROM n WHERE c > 6)
+        |ORDER BY CAST(doc_id AS BIGINT), rule""".stripMargin,
+    "v_unique_items" ->
+      """WITH s AS (SELECT l_orderkey,
+        |  CASE WHEN l_returnflag = 'R' THEN 'media' ELSE 'text' END AS kind,
+        |  CASE WHEN l_returnflag = 'R' THEN '' ELSE l_linestatus END AS text,
+        |  CASE WHEN l_returnflag = 'R'
+        |    THEN 'm-' || lpad(CAST(l_partkey % 100000000 AS VARCHAR), 8, '0')
+        |    ELSE '' END AS media_ref,
+        |  CASE WHEN l_quantity > 45 THEN 0 ELSE l_linenumber*10 END AS off
+        |  FROM lineitem)
+        |SELECT CAST(l_orderkey AS VARCHAR) AS doc_id,
+        |  CAST(count(*) - count(DISTINCT (kind, text, media_ref, off)) AS BIGINT)
+        |    AS n_dups,
+        |  count(*) = count(DISTINCT (kind, text, media_ref, off)) AS unique_ok
+        |FROM s GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin,
+    "v_contains" ->
+      """WITH n AS (SELECT l_orderkey,
+        |  sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS m
+        |  FROM lineitem GROUP BY 1)
+        |SELECT * FROM (
+        |  SELECT CAST(l_orderkey AS VARCHAR) AS doc_id, 'minContains' AS rule,
+        |    'Array must contain at least 1 item(s) matching the contains schema, '
+        |      || 'but only ' || m || ' matched' AS message
+        |  FROM n WHERE m < 1
+        |  UNION ALL
+        |  SELECT CAST(l_orderkey AS VARCHAR), 'maxContains',
+        |    'Array must contain at most 4 item(s) matching the contains schema, but '
+        |      || m || ' matched'
+        |  FROM n WHERE m > 4)
+        |ORDER BY CAST(doc_id AS BIGINT), rule""".stripMargin,
     "v_span_invariant" ->
       """WITH spans AS (SELECT l_orderkey, l_linenumber,
         |  CASE WHEN l_quantity > 45 THEN 0 ELSE l_linenumber*10 END AS off,

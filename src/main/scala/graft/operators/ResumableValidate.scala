@@ -39,7 +39,8 @@ object ResumableValidate {
     */
   def run(spark: SparkSession, docs: DataFrame, rule: Rule, outDir: String,
       manifest: Seq[String] = Nil, failAfterParts: Int = Int.MaxValue,
-      partsPerBatch: Int = 8): RunReport = {
+      partsPerBatch: Int = 8, defs: Map[String, Rule] = Map.empty,
+      failFast: Boolean = false): RunReport = {
     val rh = ruleHash(rule)
     val done = CommitLog.completed(outDir)
     done.collectFirst { case (p, h) if h.nonEmpty && h != rh =>
@@ -74,7 +75,7 @@ object ResumableValidate {
         }
     }
 
-    val withV = Validate.withViolations(docs, rule)
+    val withV = Validate.withViolations(docs, rule, defs)
       .withColumn("violations",
         concat(col("violations"), SpanInvariant.violationsCol(col("spans"))))
       .withColumn("pass", size(col("violations")) === 0)
@@ -110,6 +111,11 @@ object ResumableValidate {
         executed = executed ++ take
         if (executed.size >= failAfterParts) {
           throw new RuntimeException(s"Injected failure after ${executed.size} parts")
+        }
+        // --fail-fast: stop at the first failing batch; commits for the
+        // batch are already written (checkpoint preserved, SURVEY.md §2.8)
+        if (failFast && metrics.values.exists(_._2 > 0)) {
+          return RunReport(executed, donePartsList)
         }
       }
     }

@@ -82,6 +82,18 @@ object CommitLog {
       }.toMap
   }
 
+  /** Sum of failed_docs over all committed partitions (the job verdict). */
+  def failedDocsTotal(dir: String): Long = {
+    val d = commitsDir(dir)
+    if (!Files.exists(d)) return 0L
+    Files.list(d).iterator().asScala
+      .filter(_.getFileName.toString.matches("part=\\d+\\.json"))
+      .map { p =>
+        "\"failed_docs\":(\\d+)".r.findFirstMatchIn(Files.readString(p))
+          .map(_.group(1).toLong).getOrElse(0L)
+      }.sum
+  }
+
   def clear(dir: String): Unit = {
     val d = commitsDir(dir)
     if (Files.exists(d)) {
