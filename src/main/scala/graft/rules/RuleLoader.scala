@@ -23,25 +23,76 @@ object RuleLoader {
 
   final case class Loaded(root: Rule, defs: Map[String, Rule])
 
-  def loadString(yaml: String): Loaded = {
-    val parsed = new org.yaml.snakeyaml.Yaml().load[Any](yaml)
-    val defs = parsed match {
-      case m: java.util.Map[_, _] =>
-        m.asScala.collectFirst {
-          case (k, v: java.util.Map[_, _]) if s"$k" == "$defs" =>
-            v.asScala.map { case (name, sub) =>
-              s"#/$$defs/$name" -> toRule(sub)
-            }.toMap
-        }.getOrElse(Map.empty[String, Rule])
-      case _ => Map.empty[String, Rule]
-    }
-    val root = toRule(parsed)
-    detectCycles(root, defs)
-    Loaded(root, defs)
+  def loadString(yaml: String): Loaded = loadString(yaml, None)
+
+  /** `baseDir` enables external FILE `$ref`s (`other.yaml`,
+    * `other.yaml#/$defs/x`) resolved relative to the referencing file and
+    * cached by canonical path — the file-scheme subset of the reference's
+    * URI-keyed external-schema cache (`/root/reference/src/schemas/
+    * yaml_schema.rs:735-819`, cache keying `root_schema.rs:57-61`; a
+    * document's `$id`, when present, aliases the cache entry like
+    * `ys.rs:107-120`). HTTP refs stay out of scope (zero egress).
+    */
+  def loadString(yaml: String, baseDir: Option[java.nio.file.Path]): Loaded = {
+    val loader = new Loading(baseDir)
+    val root = loader.loadDoc(yaml, prefix = "")
+    detectCycles(root, loader.defs.toMap)
+    Loaded(root, loader.defs.toMap)
   }
 
-  def loadFile(path: String): Loaded =
-    loadString(java.nio.file.Files.readString(java.nio.file.Paths.get(path)))
+  def loadFile(path: String): Loaded = {
+    val p = java.nio.file.Paths.get(path).toAbsolutePath.normalize
+    loadString(java.nio.file.Files.readString(p), Some(p.getParent))
+  }
+
+  /** One load pass: accumulates `$defs` of the root document plus every
+    * transitively referenced file (file defs namespaced by canonical path).
+    */
+  private final class Loading(baseDir: Option[java.nio.file.Path]) {
+    val defs = scala.collection.mutable.Map.empty[String, Rule]
+    private val fileCache = scala.collection.mutable.Map.empty[String, String]
+
+    def loadDoc(yaml: String, prefix: String): Rule = {
+      val parsed = new org.yaml.snakeyaml.Yaml().load[Any](yaml)
+      parsed match {
+        case m: java.util.Map[_, _] =>
+          m.asScala.collectFirst {
+            case (k, v: java.util.Map[_, _]) if s"$k" == "$defs" =>
+              v.asScala.foreach { case (name, sub) =>
+                defs(s"$prefix#/$$defs/$name") = toRule(sub, this, prefix)
+              }
+          }
+        case _ =>
+      }
+      toRule(parsed, this, prefix)
+    }
+
+    /** Resolve a `$ref` string to the symbol-table key, loading external
+      * files on first use.
+      */
+    def resolveRef(ref: String, prefix: String): String =
+      if (ref.startsWith("#")) prefix + ref // local pointer
+      else {
+        val (file, frag) = ref.indexOf('#') match {
+          case -1 => (ref, "")
+          case i  => (ref.substring(0, i), ref.substring(i))
+        }
+        val dir = baseDir.getOrElse(throw new IllegalArgumentException(
+          s"Schema $ref not found")) // no base dir => can't resolve files
+        val p = dir.resolve(file).toAbsolutePath.normalize
+        val key = p.toString
+        if (!fileCache.contains(key)) {
+          fileCache(key) = key // mark before parsing (cycle-safe)
+          val text = try java.nio.file.Files.readString(p)
+          catch { case _: Exception =>
+            throw new IllegalArgumentException(s"Schema $ref not found")
+          }
+          val rootRule = loadDoc(text, prefix = key)
+          defs(key) = rootRule // whole-document ref target
+        }
+        if (frag.isEmpty || frag == "#") key else key + frag
+      }
+  }
 
   // --- cycle detection over the static rule graph ---
 
@@ -97,7 +148,9 @@ object RuleLoader {
     case other => throw new IllegalArgumentException(s"Expected an integer, got: $other")
   }
 
-  def toRule(node: Any): Rule = node match {
+  def toRule(node: Any): Rule = toRule(node, new Loading(None), "")
+
+  private def toRule(node: Any, l: Loading, prefix: String): Rule = node match {
     case null => Rule.Accept // empty schema accepts everything
     case b: java.lang.Boolean => if (b) Rule.Accept else Rule.Reject
     case m: java.util.Map[_, _] =>
@@ -105,20 +158,20 @@ object RuleLoader {
       if (kv.isEmpty) Rule.Accept
       else kv.get("$ref") match {
         // $ref short-circuits sibling keywords (yaml_schema.rs:713-734)
-        case Some(refPath) => Rule.Ref(str(refPath))
-        case None => Rule.Check(toKeywords(kv))
+        case Some(refPath) => Rule.Ref(l.resolveRef(str(refPath), prefix))
+        case None => Rule.Check(toKeywords(kv, l, prefix))
       }
     case other =>
       throw new IllegalArgumentException(s"Unsupported schema node: $other")
   }
 
-  private def ruleMap(v: Any): Map[String, Rule] = v match {
+  private def ruleMap(v: Any, l: Loading, prefix: String): Map[String, Rule] = v match {
     case m: java.util.Map[_, _] =>
-      m.asScala.map { case (k, sub) => str(k) -> toRule(sub) }.toMap
+      m.asScala.map { case (k, sub) => str(k) -> toRule(sub, l, prefix) }.toMap
     case other => throw new IllegalArgumentException(s"Expected a mapping, got: $other")
   }
-  private def ruleList(v: Any): List[Rule] = v match {
-    case l: java.util.List[_] => l.asScala.map(toRule(_)).toList
+  private def ruleList(v: Any, l: Loading, prefix: String): List[Rule] = v match {
+    case lst: java.util.List[_] => lst.asScala.map(toRule(_, l, prefix)).toList
     case other => throw new IllegalArgumentException(s"Expected a list, got: $other")
   }
   private def strList(v: Any): List[String] = v match {
@@ -127,7 +180,10 @@ object RuleLoader {
   }
 
   // scalastyle:off cyclomatic.complexity
-  private def toKeywords(kv: Map[String, Any]): Keywords = {
+  private def toKeywords(kv: Map[String, Any], l: Loading, prefix: String): Keywords = {
+    def ruleOf(v: Any): Rule = toRule(v, l, prefix)
+    def rm(v: Any): Map[String, Rule] = ruleMap(v, l, prefix)
+    def rl(v: Any): List[Rule] = ruleList(v, l, prefix)
     // type inference like the reference: omitted `type` with properties =>
     // object; with string facets => string (yaml_schema.rs:606-621)
     val types = kv.get("type").map {
@@ -155,10 +211,10 @@ object RuleLoader {
         s
       },
       format = kv.get("format").map(str),
-      properties = kv.get("properties").map(ruleMap).getOrElse(Map.empty),
-      patternProperties = kv.get("patternProperties").map(ruleMap).getOrElse(Map.empty),
-      additionalProperties = kv.get("additionalProperties").map(toRule),
-      propertyNames = kv.get("propertyNames").map(toRule),
+      properties = kv.get("properties").map(rm).getOrElse(Map.empty),
+      patternProperties = kv.get("patternProperties").map(rm).getOrElse(Map.empty),
+      additionalProperties = kv.get("additionalProperties").map(ruleOf),
+      propertyNames = kv.get("propertyNames").map(ruleOf),
       required = kv.get("required").map(strList).getOrElse(Nil),
       minProperties = kv.get("minProperties").map(int),
       maxProperties = kv.get("maxProperties").map(int),
@@ -167,27 +223,27 @@ object RuleLoader {
           m.asScala.map { case (k, v) => str(k) -> strList(v) }.toMap
         case other => throw new IllegalArgumentException(s"Expected a mapping, got: $other")
       }.getOrElse(Map.empty),
-      dependentSchemas = kv.get("dependentSchemas").map(ruleMap).getOrElse(Map.empty),
-      unevaluatedProperties = kv.get("unevaluatedProperties").map(toRule),
-      unevaluatedItems = kv.get("unevaluatedItems").map(toRule),
-      items = kv.get("items").map(toRule),
-      prefixItems = kv.get("prefixItems").map(ruleList).getOrElse(Nil),
+      dependentSchemas = kv.get("dependentSchemas").map(rm).getOrElse(Map.empty),
+      unevaluatedProperties = kv.get("unevaluatedProperties").map(ruleOf),
+      unevaluatedItems = kv.get("unevaluatedItems").map(ruleOf),
+      items = kv.get("items").map(ruleOf),
+      prefixItems = kv.get("prefixItems").map(rl).getOrElse(Nil),
       minItems = kv.get("minItems").map(int),
       maxItems = kv.get("maxItems").map(int),
       uniqueItems = kv.get("uniqueItems").exists {
         case b: java.lang.Boolean => b
         case _ => false
       },
-      contains = kv.get("contains").map(toRule),
+      contains = kv.get("contains").map(ruleOf),
       minContains = kv.get("minContains").map(int),
       maxContains = kv.get("maxContains").map(int),
-      allOf = kv.get("allOf").map(ruleList).getOrElse(Nil),
-      anyOf = kv.get("anyOf").map(ruleList).getOrElse(Nil),
-      oneOf = kv.get("oneOf").map(ruleList).getOrElse(Nil),
-      not = kv.get("not").map(toRule),
-      ifRule = kv.get("if").map(toRule),
-      thenRule = kv.get("then").map(toRule),
-      elseRule = kv.get("else").map(toRule))
+      allOf = kv.get("allOf").map(rl).getOrElse(Nil),
+      anyOf = kv.get("anyOf").map(rl).getOrElse(Nil),
+      oneOf = kv.get("oneOf").map(rl).getOrElse(Nil),
+      not = kv.get("not").map(ruleOf),
+      ifRule = kv.get("if").map(ruleOf),
+      thenRule = kv.get("then").map(ruleOf),
+      elseRule = kv.get("else").map(ruleOf))
   }
   // scalastyle:on cyclomatic.complexity
 }
