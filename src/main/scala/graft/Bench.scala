@@ -96,10 +96,26 @@ object Bench {
       s.stop()
       ts.min
     }
-    val t8 = timedLevel(8, 3)
-    val t32 = timedLevel(32, 3)
+    // two N→4N pairs: 8→32 (full box; exposed to shared memory bandwidth +
+    // hypervisor steal) and 2→8. Levels are interleaved (A,B,A,B,...) so
+    // both sample the same background-noise regime; min over rounds.
+    def interleaved(levels: Seq[Int], rounds: Int): Map[Int, Double] = {
+      val acc = scala.collection.mutable.Map.empty[Int, Double]
+      (1 to rounds).foreach { _ =>
+        levels.foreach { n =>
+          val t = timedLevel(n, 1)
+          acc(n) = math.min(acc.getOrElse(n, Double.MaxValue), t)
+        }
+      }
+      acc.toMap
+    }
+    val mins = interleaved(Seq(8, 32, 2), rounds = 2)
+    val t8 = mins(8)
+    val t32 = mins(32)
+    val t2 = mins(2)
 
     val eff = t8 / (4.0 * t32)
+    val eff2to8 = t2 / (4.0 * t8)
     val dps32 = docs32 / t32
     val dps8 = docs32 / t8
 
@@ -113,7 +129,7 @@ object Bench {
     val total = results.map(_._2).sum
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
     println(
-      f"""{"metric":"validated docs/sec at local[32] (rules+span invariant+verdicts, $BenchDocs%d docs)","value":$dps32%.0f,"unit":"docs/sec","queries":$qs,"sf":"$sfDir","queries_total_sec":$total%.2f,"scaling":{"docs":$BenchDocs%d,"t_local8_sec":$t8%.2f,"t_local32_sec":$t32%.2f,"docs_per_sec_local8":$dps8%.0f,"docs_per_sec_local32":$dps32%.0f,"efficiency_8_to_32":$eff%.3f}}""")
+      f"""{"metric":"validated docs/sec at local[32] (rules+span invariant+verdicts, $BenchDocs%d docs)","value":$dps32%.0f,"unit":"docs/sec","queries":$qs,"sf":"$sfDir","queries_total_sec":$total%.2f,"scaling":{"docs":$BenchDocs%d,"t_local2_sec":$t2%.2f,"t_local8_sec":$t8%.2f,"t_local32_sec":$t32%.2f,"docs_per_sec_local8":$dps8%.0f,"docs_per_sec_local32":$dps32%.0f,"efficiency_8_to_32":$eff%.3f,"efficiency_2_to_8":$eff2to8%.3f}}""")
     spark.stop()
   }
 }

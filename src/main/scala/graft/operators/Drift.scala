@@ -88,4 +88,27 @@ object Drift {
     df.groupBy(col(partCol))
       .agg(percentile_approx(col(c).cast("double"), typedLit(probs), lit(accuracy))
         .as("quantiles"), count(lit(1)).as("rows"))
+
+  /** KS via mergeable KLL sketches (custom TypedImperativeAggregate,
+    * `graft.plans.KllSketchAgg`): one aggregation pass per side, then the
+    * statistic from the two serialized sketches — the resumable/incremental
+    * form (persisted per-partition sketch bytes union with `Kll.union`).
+    */
+  def ksSketch(a: DataFrame, b: DataFrame, c: String, k: Int = 200): Double = {
+    import graft.plans.Kll
+    def sketchOf(df: DataFrame): Array[Byte] =
+      df.filter(col(c).isNotNull)
+        .agg(Kll.sketchAgg(col(c).cast("double"), k).as("s"))
+        .collect()(0).getAs[Array[Byte]](0)
+    Kll.ks(sketchOf(a), sketchOf(b))
+  }
+
+  /** Per-`part` KLL sketch bytes — checkpointable next to the commit log. */
+  def partitionKllSketches(df: DataFrame, c: String, partCol: String = "part",
+      k: Int = 200): DataFrame = {
+    import graft.plans.Kll
+    df.groupBy(col(partCol))
+      .agg(Kll.sketchAgg(col(c).cast("double"), k).as("sketch"),
+        count(lit(1)).as("rows"))
+  }
 }
