@@ -55,15 +55,24 @@ object Dedup {
       .drop("rank")
   }
 
-  /** Word k-shingles of a normalized text column (array<string>). */
+  /** Word k-shingles of a normalized text column (array<string>).
+    *
+    * Built by zip_with-chaining the token array against its shifted copies —
+    * all shifts are ROW-level expressions. (The obvious
+    * `transform(sequence(...), i => slice(toks, i+1, k))` form re-evaluates
+    * the whole tokenization per element inside the lambda — interpreted HOFs
+    * have no CSE — and profiled ~30× slower.)
+    */
   def shingles(text: Column, k: Int = 3): Column = {
     val toks = split(lower(regexp_replace(trim(text), "\\s+", " ")), " ")
     val n = size(toks)
-    // n-k+1 shingles; each = k tokens joined (empty when too short)
-    filter(
-      transform(sequence(lit(0), greatest(n - k, lit(0))),
-        i => when(n >= k, concat_ws(" ", slice(toks, i + 1, lit(k))))),
-      s => s.isNotNull)
+    var acc: Column = toks
+    (1 until k).foreach { j =>
+      val shifted = slice(toks, lit(j + 1), greatest(n - j, lit(0)))
+      acc = zip_with(acc, shifted, (a, b) => concat(a, lit(" "), b))
+    }
+    // zip_with pads the tail with null-concats; keep the first n-k+1
+    slice(acc, lit(1), greatest(n - (k - 1), lit(0)))
   }
 
   /** MinHash signature (array<long>, length = numHashes) over shingles.
