@@ -14,6 +14,8 @@ object ConstVal {
   final case class VInt(i: Long) extends ConstVal
   final case class VNum(d: Double) extends ConstVal
   final case class VStr(s: String) extends ConstVal
+  final case class VArr(items: List[ConstVal]) extends ConstVal
+  final case class VObj(fields: Map[String, ConstVal]) extends ConstVal
 
   /** format_yaml_data rendering (`/root/reference/src/utils.rs:56-94`):
     * strings quoted, scalars plain.
@@ -24,6 +26,9 @@ object ConstVal {
     case VInt(i)  => i.toString
     case VNum(d)  => Num.fmt(d)
     case VStr(s)  => "\"" + s + "\""
+    case VArr(items) => items.map(render).mkString("[", ", ", "]") // utils.rs:91
+    case VObj(fs) => fs.map { case (k, v) => s"$k: ${render(v)}" }
+      .mkString("{ ", ", ", " }") // utils.rs:79
   }
 }
 

@@ -152,11 +152,43 @@ object RuleCompiler {
 
   private def constPred(c: ConstVal, dt: DataType, v: Column): Column = c match {
     case ConstVal.VNull    => v.isNull
-    case ConstVal.VBool(b) => v.isNotNull && v === lit(b)
+    case ConstVal.VBool(b) =>
+      v.isNotNull && (if (dt == BooleanType) v === lit(b) else lit(false))
     case ConstVal.VInt(i)  => v.isNotNull && (if (isNumeric(dt)) v === lit(i) else lit(false))
     case ConstVal.VNum(d)  => v.isNotNull && (if (isNumeric(dt)) v === lit(d) else lit(false))
     case ConstVal.VStr(s)  => v.isNotNull && (if (dt == StringType) v === lit(s) else lit(false))
+    // deep equality for composite consts (lib.rs:145-188)
+    case ConstVal.VArr(items) => dt match {
+      case ArrayType(et, _) =>
+        items.zipWithIndex
+          .map { case (cc, i) => constPred(cc, et, element_at(v, i + 1)) }
+          .foldLeft(v.isNotNull && size(v) === lit(items.size))(_ && _)
+      case _ => lit(false)
+    }
+    case ConstVal.VObj(fs) => dt match {
+      case st: StructType =>
+        val matches = fs.map { case (k, cc) =>
+          st.fields.find(_.name == k)
+            .map(f => constPred(cc, f.dataType, v.getField(k)))
+            .getOrElse(lit(false))
+        }.foldLeft(v.isNotNull)(_ && _)
+        // fields outside the const must be absent (null)
+        st.fields.filterNot(f => fs.contains(f.name))
+          .map(f => v.getField(f.name).isNull).foldLeft(matches)(_ && _)
+      case MapType(StringType, vt, _) =>
+        fs.map { case (k, cc) => constPred(cc, vt, element_at(v, k)) }
+          .foldLeft(v.isNotNull && size(map_keys(v)) === lit(fs.size))(_ && _)
+      case _ => lit(false)
+    }
   }
+
+  /** Annotations inherited from sibling in-place applicators of the parent
+    * schema (2020-12: unevaluated* sees keys/items evaluated by any
+    * successfully applied sibling branch — the reference's shared annotation
+    * carriers, annotations.rs + one_of.rs:100-126).
+    */
+  final case class Inh(key: Column => Column, item: (Column, Column) => Column)
+  object Inh { val empty: Inh = Inh(_ => lit(false), (_, _) => lit(false)) }
 
   /** Is map key `k` "evaluated" by `rule` at value `v` — the compile-time
     * lowering of the reference's evaluated-name annotations
@@ -229,7 +261,7 @@ object RuleCompiler {
     */
   def compile(rule: Rule, value: Column, dt: DataType,
       defs: Map[String, Rule] = Map.empty): Compiled =
-    compileAt(rule, value, dt, StaticPath(""), defs, Set.empty)
+    compileAt(rule, value, dt, StaticPath(""), defs, Set.empty, Inh.empty)
 
   /** `active` tracks $refs expanded at the CURRENT value position: a ref
     * that recurses without descending into a child value can never
@@ -240,7 +272,8 @@ object RuleCompiler {
     * schema has finite depth — descent resets `active`.
     */
   def compileAt(rule: Rule, value: Column, dt: DataType, path: PathRef,
-      defs: Map[String, Rule], active: Set[String]): Compiled = rule match {
+      defs: Map[String, Rule], active: Set[String], inh: Inh = Inh.empty)
+      : Compiled = rule match {
     case Rule.Accept => Compiled(lit(true), emptyViols)
     case Rule.Reject =>
       combine(path, Seq(Chk(lit(true), lit(false), "false",
@@ -251,22 +284,34 @@ object RuleCompiler {
       }
       val target = defs.getOrElse(name,
         throw new IllegalArgumentException(s"Schema $name not found")) // yaml_schema.rs:733
-      compileAt(target, value, dt, path, defs, active + name)
-    case Rule.Check(kw) => compileKeywords(kw, value, dt, path, defs, active)
+      compileAt(target, value, dt, path, defs, active + name, inh)
+    case Rule.Check(kw) => compileKeywords(kw, value, dt, path, defs, active, inh)
   }
 
   // scalastyle:off method.length cyclomatic.complexity
   private def compileKeywords(kw: Keywords, v: Column, dt: DataType, path: PathRef,
-      defs: Map[String, Rule], active: Set[String]): Compiled = {
+      defs: Map[String, Rule], active: Set[String], inh: Inh): Compiled = {
     val chks = Seq.newBuilder[Chk]
     val nested = Seq.newBuilder[Column]
     val extraPreds = Seq.newBuilder[Column]
+    // this level's own evaluated-set functions (unevaluated* excluded),
+    // passed to same-value branches so a branch's unevaluated* sees keys
+    // evaluated by its SIBLINGS (and the parent's inherited set)
+    lazy val selfNoUneval =
+      Rule.Check(kw.copy(unevaluatedProperties = None, unevaluatedItems = None))
+    val childInh = Inh(
+      key = k => inh.key(k) || keyEvaluated(selfNoUneval, k, v, dt, defs, active),
+      item = (x, i) => dt match {
+        case ArrayType(et, _) =>
+          inh.item(x, i) || itemCovered(selfNoUneval, x, i, et, v, dt, defs, active)
+        case _ => inh.item(x, i)
+      })
     // same-value sub-rule: keeps the active-$ref set (no descent)
     def sub(r: Rule, sv: Column, sdt: DataType, sp: PathRef): Compiled =
-      compileAt(r, sv, sdt, sp, defs, active)
-    // descending sub-rule: new value position, active set resets
+      compileAt(r, sv, sdt, sp, defs, active, childInh)
+    // descending sub-rule: new value position, active set + annotations reset
     def subChild(r: Rule, sv: Column, sdt: DataType, sp: PathRef): Compiled =
-      compileAt(r, sv, sdt, sp, defs, Set.empty)
+      compileAt(r, sv, sdt, sp, defs, Set.empty, Inh.empty)
 
     // --- type (yaml_schema.rs:851-875) ---
     kw.types.foreach {
@@ -385,8 +430,68 @@ object RuleCompiler {
           nested += when(objAppl && trig, c.violations).otherwise(emptyViols)
           extraPreds += (!(objAppl && trig) || coalesce(c.pred, lit(false)))
         }
-        // a closed StructType is additionalProperties:false by construction
-        // (SURVEY.md §2.3); patternProperties/propertyNames apply to maps below.
+        // open-object keywords against a struct: key names are STATIC, so
+        // pattern matching / evaluated-set membership resolves at compile
+        // time; only presence (field non-null) stays dynamic
+        val propNamesSet = kw.properties.keySet
+        def patMatches(name: String): Boolean = kw.patternProperties.keys.exists(re =>
+          java.util.regex.Pattern.compile(re).matcher(name).find())
+        kw.patternProperties.foreach { case (re, r) =>
+          val pat = java.util.regex.Pattern.compile(re)
+          st.fields.filter(f => pat.matcher(f.name).find()).foreach { f =>
+            val present = objAppl && v.getField(f.name).isNotNull
+            val c = subChild(r, v.getField(f.name), f.dataType, path.child(f.name))
+            nested += when(present, c.violations).otherwise(emptyViols)
+            extraPreds += (!present || coalesce(c.pred, lit(false)))
+          }
+        }
+        // additionalProperties (objects.rs:64-90): keys not in properties and
+        // matching no patternProperties regex
+        kw.additionalProperties.foreach { apRule =>
+          // `$schema` is always skipped in the property walk (objects.rs:121-125)
+          val extras = st.fields.filterNot(_.name == "$schema")
+            .filter(f => !propNamesSet.contains(f.name) && !patMatches(f.name))
+          apRule match {
+            case Rule.Reject => extras.foreach { f =>
+              chks += Chk(objAppl && v.getField(f.name).isNotNull, lit(false),
+                "additionalProperties",
+                lit(s"Additional property '${f.name}' is not allowed!")) // objects.rs:77-80
+            }
+            case r => extras.foreach { f =>
+              val present = objAppl && v.getField(f.name).isNotNull
+              val c = subChild(r, v.getField(f.name), f.dataType, path.child(f.name))
+              nested += when(present, c.violations).otherwise(emptyViols)
+              extraPreds += (!present || coalesce(c.pred, lit(false)))
+            }
+          }
+        }
+        // propertyNames (objects.rs:169-178): literal names, folds statically
+        kw.propertyNames.foreach { r =>
+          st.fields.filterNot(_.name == "$schema").foreach { f =>
+            val c = subChild(r, lit(f.name), StringType, path)
+            chks += Chk(objAppl && v.getField(f.name).isNotNull, c.pred, "propertyNames",
+              lit(s"Property name '${f.name}' is not valid!"))
+          }
+        }
+        // unevaluatedProperties (yaml_schema.rs:921-961) over static names;
+        // sibling-branch annotations arrive via `inh`
+        kw.unevaluatedProperties.foreach { uRule =>
+          val self = Rule.Check(kw.copy(unevaluatedProperties = None))
+          st.fields.filterNot(_.name == "$schema").foreach { f =>
+            val present = objAppl && v.getField(f.name).isNotNull
+            val evald = inh.key(lit(f.name)) ||
+              keyEvaluated(self, lit(f.name), v, dt, defs, active)
+            uRule match {
+              case Rule.Reject =>
+                chks += Chk(present && !evald, lit(false), "unevaluatedProperties",
+                  lit(s"Unevaluated property '${f.name}' is not allowed!"))
+              case r =>
+                val c = subChild(r, v.getField(f.name), f.dataType, path.child(f.name))
+                nested += when(present && !evald, c.violations).otherwise(emptyViols)
+                extraPreds += (!(present && !evald) || coalesce(c.pred, lit(false)))
+            }
+          }
+        }
 
       case MapType(StringType, valDt, _) =>
         val objAppl = v.isNotNull
@@ -421,7 +526,8 @@ object RuleCompiler {
               else propNames.map(p => k === lit(p)).reduce(_ || _)
             val inPatterns = kw.patternProperties.keys
               .map(re => k.rlike(re)).reduceOption(_ || _).getOrElse(lit(false))
-            inProps || inPatterns
+            // `$schema` is always skipped in the walk (objects.rs:121-125)
+            inProps || inPatterns || k === lit("$schema")
           }
           apRule match {
             case Rule.Reject =>
@@ -446,7 +552,8 @@ object RuleCompiler {
         }
         // propertyNames (objects.rs:169-178)
         kw.propertyNames.foreach { r =>
-          val bad = filter(map_keys(v), k => !subChild(r, k, StringType, path).pred)
+          val bad = filter(map_keys(v), k =>
+            k =!= lit("$schema") && !subChild(r, k, StringType, path).pred)
           val viol = transform(bad, k => struct(
             path.col.as("path"), lit("propertyNames").as("rule"),
             concat(lit("Property name '"), k, lit("' is not valid!")).as("message")))
@@ -467,7 +574,8 @@ object RuleCompiler {
         kw.unevaluatedProperties.foreach { uRule =>
           val self = Rule.Check(kw.copy(unevaluatedProperties = None))
           val isEval: Column => Column = k =>
-            k === lit("$schema") || keyEvaluated(self, k, v, dt, defs, active)
+            k === lit("$schema") || inh.key(k) ||
+              keyEvaluated(self, k, v, dt, defs, active)
           uRule match {
             case Rule.Reject =>
               val bad = filter(map_keys(v), k => !isEval(k))
@@ -559,7 +667,7 @@ object RuleCompiler {
         kw.unevaluatedItems.foreach { uRule =>
           val self = Rule.Check(kw.copy(unevaluatedItems = None))
           val covered: (Column, Column) => Column = (x, i) =>
-            itemCovered(self, x, i, elemDt, v, dt, defs, active)
+            inh.item(x, i) || itemCovered(self, x, i, elemDt, v, dt, defs, active)
           uRule match {
             case Rule.Reject =>
               val badIdx = filter(transform(v, (x, i) =>

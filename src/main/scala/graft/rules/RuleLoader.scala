@@ -135,6 +135,9 @@ object RuleLoader {
     case f: java.lang.Float    => ConstVal.VNum(f.doubleValue())
     case b: java.math.BigInteger => ConstVal.VInt(b.longValueExact())
     case s: String             => ConstVal.VStr(s)
+    case l: java.util.List[_]  => ConstVal.VArr(l.asScala.map(x => toConst(x)).toList)
+    case m: java.util.Map[_, _] =>
+      ConstVal.VObj(m.asScala.map { case (k, v) => str(k) -> toConst(v) }.toMap)
     case other =>
       throw new IllegalArgumentException(s"Unsupported const value: $other")
   }
@@ -186,9 +189,17 @@ object RuleLoader {
     def rl(v: Any): List[Rule] = ruleList(v, l, prefix)
     // type inference like the reference: omitted `type` with properties =>
     // object; with string facets => string (yaml_schema.rs:606-621)
+    val allowedTypes =
+      Set("string", "number", "integer", "object", "array", "boolean", "null")
+    def checkType(t: String): String =
+      if (allowedTypes.contains(t)) t
+      else throw new IllegalArgumentException(
+        "Unsupported type: Expected type: string, number, integer, object, " +
+          s"array, boolean, or null, but got: $t")
     val types = kv.get("type").map {
-      case s: String            => List(s)
-      case l: java.util.List[_] => l.asScala.map(str).toList
+      case null                 => List("null") // YAML `type: null` is a null scalar
+      case s: String            => List(checkType(s))
+      case l: java.util.List[_] => l.asScala.map(x => checkType(str(x))).toList
       case other => throw new IllegalArgumentException(s"Unsupported type: $other")
     }
     Keywords(
