@@ -347,6 +347,21 @@ object SparkEntry {
         .select(col("id"), round(col("cosine"), 2).as("cosine"))
         .orderBy(col("cosine").desc, col("id"))
     }),
+    "s_ann_ivf" -> ((s, dir) => {
+      // IVF probe: 8 deterministic centroids (first embeddings), probe the
+      // 2 nearest lists only (rows-only check)
+      val emb = t(s, dir, "embeddings")
+      val centroids: Seq[Seq[Double]] = emb.filter(col("vec_id") < 8)
+        .orderBy("vec_id").collect()
+        .map(r => Vector.tabulate(r.getSeq[Float](1).size)(i =>
+          r.getSeq[Float](1)(i).toDouble)).toVector
+      val q: Seq[Float] = emb.filter(col("vec_id") === 8L)
+        .select(col("embedding")).collect()(0).getSeq[Float](0)
+      Similarity.ivfTopK(emb.filter(col("vec_id") > 8L), "vec_id", "embedding",
+        centroids, q, k = 20, nProbe = 2)
+        .select(col("id"), round(col("cosine"), 2).as("cosine"))
+        .orderBy(col("cosine").desc, col("id"))
+    }),
     "s_cosine_neardup" -> ((s, dir) => {
       // embedding-cosine near-dup pairs via LSH buckets (rows-only check)
       Similarity.cosineNearDupPairs(t(s, dir, "embeddings"), "vec_id", "embedding",

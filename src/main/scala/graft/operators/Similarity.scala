@@ -132,6 +132,32 @@ object Similarity {
       .dropDuplicates("id_a", "id_b")
   }
 
+  /** IVF probe: rank centroids by similarity to the query on the driver,
+    * scan only rows assigned to the `nProbe` nearest lists, exact top-k
+    * within them. At scale the assignment is a write-time partition column,
+    * so the probe prunes partitions instead of filtering.
+    */
+  def ivfTopK(df: DataFrame, idCol: String, vecCol: String,
+      centroids: Seq[Seq[Double]], query: Seq[Float], k: Int,
+      nProbe: Int = 2): DataFrame = {
+    val qd = query.map(_.toDouble)
+    def dotS(a: Seq[Double], b: Seq[Double]): Double =
+      a.zip(b).map { case (x, y) => x * y }.sum
+    def cosS(a: Seq[Double], b: Seq[Double]): Double = {
+      val n = math.sqrt(dotS(a, a)) * math.sqrt(dotS(b, b))
+      if (n == 0) 0 else dotS(a, b) / n
+    }
+    val probeLists = centroids.zipWithIndex
+      .sortBy { case (c, _) => -cosS(c, qd) }.take(nProbe).map(_._2)
+    val assigned = ivfAssign(df, idCol, vecCol, centroids)
+    assigned
+      .filter(col("centroid").isin(probeLists: _*))
+      .select(col("id"),
+        cosine(transform(col("vec"), x => x.cast("double")), typedlit(qd)).as("cosine"))
+      .orderBy(col("cosine").desc, col("id"))
+      .limit(k)
+  }
+
   /** IVF-style partition assignment: nearest of `centroids` per vector —
     * the write-time clustering step of an IVF index. Centroids broadcast as
     * literals (small).
