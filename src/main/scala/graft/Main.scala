@@ -3,18 +3,28 @@ package graft
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import graft.operators.ResumableValidate
-import graft.rules.{Rule, RuleLoader}
+import graft.rules.RuleLoader
 import graft.sources.CommitLog
 
 /** spark-submit-able entry point — the distributed analogue of the
-  * reference CLI `ys -f schema.yaml instance.yaml [--fail-fast] [--json]`
-  * (`/root/reference/src/bin/ys.rs:18-96`):
+  * reference CLI `ys [-f schema.yaml]... instance.yaml [--fail-fast]
+  * [--json]` (`/root/reference/src/bin/ys.rs:18-96,122-243`):
   *
   * {{{
   * spark-submit --class graft.Main <jar> \
-  *   --rules rules.yaml --docs /path/to/docs_parquet --out /path/to/out \
-  *   [--fail-fast] [--parts-per-batch N]
+  *   --rules rules.yaml [--rules more.yaml]... \
+  *   --docs /path/to/docs_parquet --out /path/to/out \
+  *   [--fail-fast] [--json] [--parts-per-batch N] [--files-per-part N]
   * }}}
+  *
+  * `--rules` is repeatable like the reference's `-f` (`ys.rs:133-177`): the
+  * first file is the evaluation root; all files are preloaded for `$ref`
+  * resolution, keyed by canonical path and by their `$id` when declared.
+  * With NO `--rules`, the docs table's `$schema` column names the rules
+  * file (relative paths resolve against the docs table's parent directory),
+  * mirroring the reference's instance-level `$schema` discovery
+  * (`ys.rs:178-213`); if neither is present the run is an ERROR — silently
+  * validating nothing is never correct.
   *
   * Per-partition violations land under `out/`, one atomic commit JSON per
   * completed partition (resume: re-run the same command; completed
@@ -22,21 +32,37 @@ import graft.sources.CommitLog
   * documents pass, 1 = violations found (`ys.rs:215-243`), 2 = usage/load
   * error (the reference's non-validation failure channel, `ys.rs:50-68`).
   * `--fail-fast` stops at the first failing partition batch like the
-  * reference's sentinel-error short-circuit (`error.rs:30-31`).
+  * reference's sentinel-error short-circuit (`error.rs:30-31`). `--json`
+  * prints the violation rows as a JSON array on stdout (`ys.rs:54-68`
+  * shape, with doc_id/part standing in for the YAML line/col marker);
+  * `--json-limit` bounds the driver-side collect (default 10000 — the
+  * reference prints all, but a 100 TB corpus can emit billions of rows).
   */
 object Main {
 
-  private case class Args(rules: Option[String] = None, docs: String = "",
-      out: String = "", failFast: Boolean = false, partsPerBatch: Int = 8)
+  private case class Args(rules: List[String] = Nil, docs: String = "",
+      out: String = "", failFast: Boolean = false, json: Boolean = false,
+      jsonLimit: Int = 10000, partsPerBatch: Int = 8, filesPerPart: Int = 1)
 
   private def parse(argv: List[String], a: Args): Args = argv match {
     case Nil => a
-    case "--rules" :: v :: rest => parse(rest, a.copy(rules = Some(v)))
+    case "--rules" :: v :: rest => parse(rest, a.copy(rules = a.rules :+ v))
     case "--docs" :: v :: rest => parse(rest, a.copy(docs = v))
     case "--out" :: v :: rest => parse(rest, a.copy(out = v))
     case "--fail-fast" :: rest => parse(rest, a.copy(failFast = true))
+    case "--json" :: rest => parse(rest, a.copy(json = true))
+    case "--json-limit" :: v :: rest => parse(rest, a.copy(jsonLimit = v.toInt))
     case "--parts-per-batch" :: v :: rest => parse(rest, a.copy(partsPerBatch = v.toInt))
+    case "--files-per-part" :: v :: rest => parse(rest, a.copy(filesPerPart = v.toInt))
     case other :: _ => throw new IllegalArgumentException(s"Unknown argument: $other")
+  }
+
+  private def jesc(s: String): String = s.flatMap {
+    case '"' => "\\\""
+    case '\\' => "\\\\"
+    case '\n' => "\\n"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
   }
 
   def main(argv: Array[String]): Unit = {
@@ -45,7 +71,7 @@ object Main {
       require(a.docs.nonEmpty && a.out.nonEmpty, "--docs and --out are required")
       a
     } catch { case e: Exception =>
-      System.err.println(s"""{"error":"${e.getMessage}"}""") // ys.rs:50-68 channel
+      System.err.println(s"""{"error":"${jesc(e.getMessage)}"}""") // ys.rs:50-68 channel
       sys.exit(2)
     }
 
@@ -60,25 +86,59 @@ object Main {
     spark.sparkContext.setLogLevel("WARN")
 
     val exit = try {
-      val loaded = args.rules.map(RuleLoader.loadFile)
-        .getOrElse(RuleLoader.Loaded(Rule.Accept, Map.empty))
       val docs = spark.read.parquet(args.docs)
+      val loaded =
+        if (args.rules.nonEmpty) RuleLoader.loadFiles(args.rules)
+        else {
+          // instance-level $schema discovery (ys.rs:178-213): the docs
+          // table's `$schema` column must name exactly one rules file
+          if (!docs.schema.fieldNames.contains("$schema")) {
+            throw new IllegalArgumentException(
+              "No schema: pass --rules or add a string `$schema` column to the docs table")
+          }
+          val refs = docs.select(docs.col("$schema"))
+            .filter(docs.col("$schema").isNotNull).distinct().limit(2)
+            .collect().map(_.getString(0))
+          if (refs.isEmpty) {
+            throw new IllegalArgumentException(
+              "No schema: pass --rules or add a string `$schema` column to the docs table")
+          }
+          require(refs.length == 1,
+            s"docs table carries more than one distinct $$schema value")
+          val base = java.nio.file.Paths.get(args.docs).toAbsolutePath.getParent
+          RuleLoader.loadFile(base.resolve(refs(0)).normalize.toString)
+        }
       val manifest = docs.inputFiles.sorted.toSeq
       val report = ResumableValidate.run(spark, docs, loaded.root, args.out,
         manifest = manifest,
         failAfterParts = Int.MaxValue,
         partsPerBatch = args.partsPerBatch,
         defs = loaded.defs,
-        failFast = args.failFast)
+        failFast = args.failFast,
+        filesPerPart = args.filesPerPart)
       val commits = CommitLog.completed(args.out)
       val failedDocs = CommitLog.failedDocsTotal(args.out)
+      if (args.json && failedDocs > 0) {
+        // emit_validation_errors_json shape (ys.rs:54-68): one object per
+        // violation row, parquet coordinates instead of YAML markers
+        val rows = ResumableValidate.violations(spark, args.out)
+          .orderBy("part", "doc_id", "path", "rule", "message")
+          .limit(args.jsonLimit).collect()
+        println(rows.map { r =>
+          s"""{"part":${r.getAs[Int]("part")},""" +
+            s""""doc_id":"${jesc(String.valueOf(r.getAs[String]("doc_id")))}",""" +
+            s""""path":"${jesc(r.getAs[String]("path"))}",""" +
+            s""""rule":"${jesc(r.getAs[String]("rule"))}",""" +
+            s""""error":"${jesc(r.getAs[String]("message"))}"}"""
+        }.mkString("[", ",", "]"))
+      }
       System.err.println(
         s"[graft] partitions done=${report.partsDone.size} " +
           s"skipped=${report.partsSkipped.size} committed=${commits.size} " +
           s"failed_docs=$failedDocs")
       if (failedDocs > 0) 1 else 0
     } catch { case e: Exception =>
-      System.err.println(s"""{"error":"${e.getMessage}"}""")
+      System.err.println(s"""{"error":"${jesc(e.getMessage)}"}""")
       2
     } finally spark.stop()
     sys.exit(exit)

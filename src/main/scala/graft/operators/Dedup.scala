@@ -28,6 +28,27 @@ import org.apache.spark.sql.types._
   */
 object Dedup {
 
+  /** Drop rows in oversized buckets (> maxBucket members) without sorting.
+    *
+    * The count-over-Window alternative shuffles AND sorts the entire banded
+    * corpus (corpus × bands rows) just to annotate bucket sizes — at 100 TB
+    * that sort is the bottleneck of the whole dedup path. Here bucket sizes
+    * come from a map-side-combined `groupBy(keys).count` whose output is one
+    * row per DISTINCT bucket, filtered down to only the oversized ones
+    * (boilerplate buckets — rare by construction), then broadcast back as a
+    * left-anti join: no sort anywhere, one streaming pass over the banded
+    * rows. If the oversized-bucket list ever outgrew broadcast range,
+    * Spark's AQE falls back to a shuffle anti-join on its own.
+    */
+  private[operators] def dropOversizedBuckets(banded: DataFrame, keys: Seq[String],
+      maxBucket: Int): DataFrame = {
+    val oversized = banded.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("_bucket_size"))
+      .filter(col("_bucket_size") > maxBucket)
+      .drop("_bucket_size")
+    banded.join(broadcast(oversized), keys, "left_anti")
+  }
+
   /** Normalized content hash: lowercase, collapse whitespace, xxhash64 +
     * md5 (128-bit confirmation channel).
     */
@@ -130,12 +151,7 @@ object Dedup {
   def minHashCandidates(df: DataFrame, idCol: String, textCol: String, k: Int = 3,
       numHashes: Int = 32, bands: Int = 8, maxBucket: Int = 1000): DataFrame = {
     val b = lshBands(df, idCol, textCol, k, numHashes, bands)
-    val capped = b
-      .withColumn("bucket_size",
-        count(lit(1)).over(org.apache.spark.sql.expressions.Window
-          .partitionBy(col("band_idx"), col("band_hash"))))
-      .filter(col("bucket_size") <= maxBucket)
-      .drop("bucket_size")
+    val capped = dropOversizedBuckets(b, Seq("band_idx", "band_hash"), maxBucket)
     val l = capped.select(col("band_idx"), col("band_hash"), col("id").as("id_a"))
     val rr = capped.select(col("band_idx"), col("band_hash"), col("id").as("id_b"))
     l.join(rr, Seq("band_idx", "band_hash"))
@@ -189,22 +205,36 @@ object Dedup {
   /** Hamming distance between two long simhashes (bit_count of xor). */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
-  /** SimHash near-dup pairs: band the 64-bit signature into 4×16-bit keys
-    * (any pair within hamming distance 3 shares at least one exact band),
-    * join per band, verify with bit_count.
+  /** SimHash near-dup pairs: band the 64-bit signature into `maxHamming + 1`
+    * disjoint bit slices — the pigeonhole guarantee that any pair within
+    * hamming distance `maxHamming` shares at least one band UNCHANGED (its
+    * differing bits can spoil at most `maxHamming` of the `maxHamming + 1`
+    * bands) — join per band, verify with bit_count.
+    *
+    * The band count MUST derive from `maxHamming`; a fixed banding (e.g.
+    * 4×16 bits) only guarantees recall up to hamming 3 and silently drops
+    * farther pairs. More bands = coarser keys = bigger buckets, which is the
+    * inherent recall/cost tradeoff of banded simhash; `maxBucket` bounds the
+    * blow-up (capped buckets forfeit the guarantee for their members — at
+    * scale those are boilerplate clusters you'd dedup by exact hash anyway).
     */
   def simHashPairs(df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3, maxBucket: Int = 1000): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 31,
+      "maxHamming must be in [0, 31] (64-bit signature needs bands of >= 2 bits)")
+    val bands = maxHamming + 1
+    val width = 64 / bands // last band absorbs the 64 % bands remainder
+    def bandKey(sh: Column, j: Int): Column = {
+      val hi = if (j == bands - 1) 64 else (j + 1) * width
+      val mask = if (hi - j * width == 64) -1L else (1L << (hi - j * width)) - 1L
+      call_function("shiftright", sh, lit(j * width)).bitwiseAND(lit(mask))
+    }
     val sigs = df.filter(col(textCol).isNotNull && length(col(textCol)) > 0)
       .select(col(idCol).as("id"), simHash(col(textCol)).as("sh"))
     val banded = sigs.select(col("id"), col("sh"), posexplode(
-      transform(sequence(lit(0), lit(3)), b =>
-        call_function("shiftright", col("sh"), b * lit(16)).bitwiseAND(lit(0xffffL)))))
+      array((0 until bands).map(j => bandKey(col("sh"), j)): _*)))
       .withColumnRenamed("pos", "band_idx").withColumnRenamed("col", "band_key")
-    val capped = banded.withColumn("bucket_size",
-      count(lit(1)).over(org.apache.spark.sql.expressions.Window
-        .partitionBy(col("band_idx"), col("band_key"))))
-      .filter(col("bucket_size") <= maxBucket).drop("bucket_size")
+    val capped = dropOversizedBuckets(banded, Seq("band_idx", "band_key"), maxBucket)
     val l = capped.select(col("band_idx"), col("band_key"),
       col("id").as("id_a"), col("sh").as("sh_a"))
     val r = capped.select(col("band_idx"), col("band_key"),

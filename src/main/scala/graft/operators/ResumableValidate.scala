@@ -29,18 +29,40 @@ object ResumableValidate {
 
   final case class RunReport(partsDone: Seq[Int], partsSkipped: Seq[Int])
 
-  /** Stable hash of the rule set (refuses to resume across rule changes). */
-  def ruleHash(rule: Rule): String =
-    java.lang.Integer.toHexString(rule.toString.hashCode)
+  /** Stable hash of the rule set (refuses to resume across rule changes):
+    * SHA-256 over the canonical rendering (sorted map keys), full digest —
+    * a 32-bit `toString.hashCode` both collides and depends on Scala Map
+    * iteration order, either of which would let a resume silently mix
+    * outputs from different rule sets.
+    */
+  def ruleHash(rule: Rule): String = {
+    val d = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(Rule.canonical(rule).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    d.map(b => f"$b%02x").mkString
+  }
 
   /** Validate `docs` (must carry a `part` column) against `rule` + the span
     * invariant, checkpointing per part. `failAfterParts` kills the run after
     * N parts (test hook simulating a mid-run crash).
+    *
+    * `filesPerPart` (default 1 = byte-identical golden output: one sorted
+    * file per part) is the scale knob: at 100 TB raise it so each part
+    * writes with real parallelism — rows are assigned to files by a
+    * deterministic doc_id hash and each file stays internally sorted, so
+    * output remains row-identical and file-set-deterministic, just not
+    * single-file.
+    *
+    * `expectedParts`, when given, is the authoritative partition list (at
+    * scale: the table manifest): expected parts with ZERO rows still get a
+    * pass-verdict commit (docs=0, failed=0 — the reference emits a pass for
+    * an empty document too, engine.rs:51-57) instead of silently vanishing
+    * from the commit log.
     */
   def run(spark: SparkSession, docs: DataFrame, rule: Rule, outDir: String,
       manifest: Seq[String] = Nil, failAfterParts: Int = Int.MaxValue,
       partsPerBatch: Int = 8, defs: Map[String, Rule] = Map.empty,
-      failFast: Boolean = false): RunReport = {
+      failFast: Boolean = false, filesPerPart: Int = 1,
+      expectedParts: Option[Seq[Int]] = None): RunReport = {
     val rh = ruleHash(rule)
     val done = CommitLog.completed(outDir)
     done.collectFirst { case (p, h) if h.nonEmpty && h != rh =>
@@ -49,8 +71,11 @@ object ResumableValidate {
     }
     val snapshotId = java.lang.Integer.toHexString(manifest.mkString(",").hashCode)
 
-    val allParts = docs.select(col("part")).distinct()
-      .collect().map(_.getInt(0)).sorted.toSeq
+    val observedParts = docs.select(col("part")).distinct()
+      .collect().map(_.getInt(0)).toSet
+    val allParts = expectedParts
+      .map(ep => (ep.toSet ++ observedParts).toSeq)
+      .getOrElse(observedParts.toSeq).sorted
     val pending = allParts.filterNot(done.contains)
     val donePartsList = allParts.filter(done.contains)
 
@@ -86,11 +111,15 @@ object ResumableValidate {
         val take = batch.take(failAfterParts - executed.size)
         val t0 = System.nanoTime()
         val slice = withV.filter(col("part").isin(take: _*)).persist()
-        val viols = slice
+        val flat = slice
           .select(col("part"), col("doc_id"), explode(col("violations")).as("v"))
           .select(col("part"), col("doc_id"), col("v.path").as("path"),
             col("v.rule").as("rule"), col("v.message").as("message"))
-          .coalesce(1) // deterministic single sorted file per part (see scaladoc)
+        // filesPerPart=1: single sorted file per part (byte-identical
+        // goldens); >1: deterministic hash split for write parallelism
+        val viols = (if (filesPerPart <= 1) flat.coalesce(1)
+          else flat.repartition(take.size * filesPerPart, col("part"),
+            pmod(xxhash64(col("doc_id")), lit(filesPerPart.toLong))))
           .sortWithinPartitions("part", "doc_id", "path", "rule", "message")
         viols.write.mode("overwrite").partitionBy("part")
           .parquet(s"$outDir/violations_batch_${take.head}")

@@ -73,32 +73,57 @@ object Similarity {
     aggregate(planeBits, lit(0L), (acc, x) => acc.bitwiseOR(x))
   }
 
+  /** Driver-side twin of `planeComponent`: the same xxhash64 chain
+    * (seed 42, int fields folded left-to-right) evaluated in plain Scala via
+    * Spark's own `XXH64`, so query-side buckets cost zero Spark jobs and are
+    * bit-identical to the executor-side expression.
+    */
+  private def planeComponentScala(table: Int, plane: Int, dim: Int): Double = {
+    import org.apache.spark.sql.catalyst.expressions.XXH64
+    val h = XXH64.hashInt(dim, XXH64.hashInt(plane, XXH64.hashInt(table, 42L)))
+    val m = ((h % 2001L) + 2001L) % 2001L
+    (m.toDouble - 1000.0) / 1000.0
+  }
+
+  /** Driver-side bucket of one vector for one table (same left-to-right
+    * fold order as the `aggregate` HOF, so the FP sum is identical).
+    */
+  def lshBucketScala(vec: Seq[Double], nPlanes: Int, table: Int): Long = {
+    var acc = 0L
+    var p = 0
+    while (p < nPlanes) {
+      var proj = 0.0
+      var d = 0
+      while (d < vec.length) { proj += vec(d) * planeComponentScala(table, p, d); d += 1 }
+      if (proj >= 0) acc |= (1L << p)
+      p += 1
+    }
+    acc
+  }
+
   /** LSH-bucketed approximate top-k: only vectors sharing a bucket with the
     * query (in any of `nTables` tables) are scored. Returns the same schema
     * as bruteForceTopK.
+    *
+    * ONE scan: all `nTables` bucket expressions are evaluated in a single
+    * projection (candidate = any table matches), and the query's buckets are
+    * computed on the driver in plain Scala — the multi-scan form (one filter
+    * pass per table + nTables 1-row jobs) reads the corpus nTables times for
+    * the same answer.
     */
   def lshTopK(df: DataFrame, idCol: String, vecCol: String, query: Seq[Float],
       k: Int, nPlanes: Int = 12, nTables: Int = 4): DataFrame = {
     val dims = query.size
-    // query buckets computed with the exact same expression family via a
-    // 1-row job (keeps driver and executor hashing bit-identical)
-    val spark = df.sparkSession
-    val qvec = typedlit(query.map(_.toDouble))
-    val qBuckets: Seq[(Int, Long)] = (0 until nTables).map { t =>
-      val r = spark.range(1)
-        .select(lshBucket(qvec, dims, nPlanes, t).as("b")).collect()(0)
-      (t, r.getLong(0))
-    }
-    val candidates = (0 until nTables).map { t =>
-      val bucket = qBuckets.find(_._1 == t).get._2
-      df.filter(col(vecCol).isNotNull && size(col(vecCol)) === dims)
-        .filter(lshBucket(transform(col(vecCol), x => x.cast("double")),
-          dims, nPlanes, t) === lit(bucket))
-        .select(col(idCol).as("id"), col(vecCol).as("vec"))
-    }.reduce(_ unionAll _).dropDuplicates("id")
-    candidates
-      .select(col("id"),
-        cosine(transform(col("vec"), x => x.cast("double")), qvec).as("cosine"))
+    val qd = query.map(_.toDouble)
+    val qvec = typedlit(qd)
+    val matchesAnyTable = (0 until nTables).map { t =>
+      lshBucket(transform(col(vecCol), x => x.cast("double")), dims, nPlanes, t) ===
+        lit(lshBucketScala(qd, nPlanes, t))
+    }.reduce(_ || _)
+    df.filter(col(vecCol).isNotNull && size(col(vecCol)) === dims)
+      .filter(matchesAnyTable)
+      .select(col(idCol).as("id"),
+        cosine(transform(col(vecCol), x => x.cast("double")), qvec).as("cosine"))
       .orderBy(col("cosine").desc, col("id"))
       .limit(k)
   }
@@ -117,10 +142,9 @@ object Similarity {
       base.select(lit(t).as("tbl"),
         lshBucket(col("vec"), dims, nPlanes, t).as("bucket"), col("id"), col("vec"))
     }.reduce(_ unionAll _)
-    val capped = banded.withColumn("bucket_size",
-      count(lit(1)).over(org.apache.spark.sql.expressions.Window
-        .partitionBy(col("tbl"), col("bucket"))))
-      .filter(col("bucket_size") <= maxBucket).drop("bucket_size")
+    // oversized-bucket cap without a Window sort (see
+    // Dedup.dropOversizedBuckets scaladoc for the 100 TB rationale)
+    val capped = Dedup.dropOversizedBuckets(banded, Seq("tbl", "bucket"), maxBucket)
     val l = capped.select(col("tbl"), col("bucket"), col("id").as("id_a"),
       col("vec").as("vec_a"))
     val r = capped.select(col("tbl"), col("bucket"), col("id").as("id_b"),
@@ -132,28 +156,65 @@ object Similarity {
       .dropDuplicates("id_a", "id_b")
   }
 
-  /** IVF probe: rank centroids by similarity to the query on the driver,
-    * scan only rows assigned to the `nProbe` nearest lists, exact top-k
-    * within them. At scale the assignment is a write-time partition column,
-    * so the probe prunes partitions instead of filtering.
+  private def dotS(a: Seq[Double], b: Seq[Double]): Double =
+    a.zip(b).map { case (x, y) => x * y }.sum
+
+  private def cosS(a: Seq[Double], b: Seq[Double]): Double = {
+    val n = math.sqrt(dotS(a, a)) * math.sqrt(dotS(b, b))
+    if (n == 0) 0 else dotS(a, b) / n
+  }
+
+  /** The `nProbe` centroid ids nearest (by cosine) to the query — driver
+    * math, ties broken toward the lower centroid id.
+    */
+  def probeLists(centroids: Seq[Seq[Double]], query: Seq[Float],
+      nProbe: Int): Seq[Int] = {
+    val qd = query.map(_.toDouble)
+    centroids.zipWithIndex.sortBy { case (c, i) => (-cosS(c, qd), i) }
+      .take(nProbe).map(_._2)
+  }
+
+  /** Build the IVF index on disk: assignment persisted PARTITIONED BY the
+    * centroid id, so probes prune whole partitions at the source instead of
+    * scanning + filtering — at 100 TB the probe must read nProbe/k of the
+    * data, not all of it.
+    */
+  def ivfWriteIndex(df: DataFrame, idCol: String, vecCol: String,
+      centroids: Seq[Seq[Double]], path: String): Unit =
+    ivfAssign(df, idCol, vecCol, centroids)
+      .write.mode("overwrite").partitionBy("centroid").parquet(path)
+
+  /** IVF probe over a written index: reads ONLY the `nProbe` nearest lists
+    * (partition-pruned scan — `PartitionFilters` in the plan, zero rows read
+    * from other lists), exact top-k within them.
+    */
+  def ivfTopKIndexed(spark: org.apache.spark.sql.SparkSession, indexPath: String,
+      centroids: Seq[Seq[Double]], query: Seq[Float], k: Int,
+      nProbe: Int = 2): DataFrame = {
+    val lists = probeLists(centroids, query, nProbe)
+    spark.read.parquet(indexPath)
+      .filter(col("centroid").isin(lists.map(Integer.valueOf): _*))
+      .select(col("id"),
+        cosine(transform(col("vec"), x => x.cast("double")),
+          typedlit(query.map(_.toDouble))).as("cosine"))
+      .orderBy(col("cosine").desc, col("id"))
+      .limit(k)
+  }
+
+  /** IVF probe without a persisted index (ad-hoc form): assigns and filters
+    * in one pass. Prefer `ivfWriteIndex` + `ivfTopKIndexed` for repeated
+    * queries — this form re-computes the assignment on every probe.
     */
   def ivfTopK(df: DataFrame, idCol: String, vecCol: String,
       centroids: Seq[Seq[Double]], query: Seq[Float], k: Int,
       nProbe: Int = 2): DataFrame = {
-    val qd = query.map(_.toDouble)
-    def dotS(a: Seq[Double], b: Seq[Double]): Double =
-      a.zip(b).map { case (x, y) => x * y }.sum
-    def cosS(a: Seq[Double], b: Seq[Double]): Double = {
-      val n = math.sqrt(dotS(a, a)) * math.sqrt(dotS(b, b))
-      if (n == 0) 0 else dotS(a, b) / n
-    }
-    val probeLists = centroids.zipWithIndex
-      .sortBy { case (c, _) => -cosS(c, qd) }.take(nProbe).map(_._2)
+    val lists = probeLists(centroids, query, nProbe)
     val assigned = ivfAssign(df, idCol, vecCol, centroids)
     assigned
-      .filter(col("centroid").isin(probeLists: _*))
+      .filter(col("centroid").isin(lists: _*))
       .select(col("id"),
-        cosine(transform(col("vec"), x => x.cast("double")), typedlit(qd)).as("cosine"))
+        cosine(transform(col("vec"), x => x.cast("double")),
+          typedlit(query.map(_.toDouble))).as("cosine"))
       .orderBy(col("cosine").desc, col("id"))
       .limit(k)
   }

@@ -8,8 +8,10 @@ import org.apache.spark.sql.functions._
   * array.rs:176-187`), required by the north rule ("uniqueness: doc_id via
   * salted groupBy + two-phase dedup to handle skew").
   *
-  * Two-phase salted aggregation: phase 1 groups on `(hash(key) % salt, key)`
-  * and counts; phase 2 re-aggregates by `key` alone and filters `total > 1`.
+  * Two-phase salted aggregation: phase 1 groups on `(salt, key)` where the
+  * salt carries PER-ROW entropy (`xxhash64(key, spark_partition_id())`), so
+  * the same hot key lands in up to `salt` distinct phase-1 groups; phase 2
+  * re-aggregates by `key` alone and filters `total > 1`.
   *
   * Why the salt matters at 100 TB: Spark's hash aggregate already does
   * map-side partial aggregation, which collapses benign duplicates early —
@@ -20,6 +22,13 @@ import org.apache.spark.sql.functions._
   * phase-2 re-agg then sees at most `salt` rows per key. Phase 2's input is
   * bounded by (#distinct keys that appear in >0 salt buckets) ≤ phase-1
   * output, which is already tiny relative to the corpus.
+  *
+  * The salt MUST NOT be a pure function of the key (e.g.
+  * `hash(key) % salt`): that maps every occurrence of a hot key to the same
+  * shuffle partition and the "fan-out" never happens. Mixing in
+  * `spark_partition_id()` keeps the salt deterministic for a fixed input
+  * partitioning while giving a hot key spread across many map tasks up to
+  * `salt` distinct reduce groups (map tasks ≫ salt at scale).
   */
 object Uniqueness {
 
@@ -29,7 +38,8 @@ object Uniqueness {
   def duplicates(df: DataFrame, keyCol: String, salt: Int = 64): DataFrame = {
     val keyed = df.select(col(keyCol)).filter(col(keyCol).isNotNull)
     keyed
-      .groupBy(pmod(xxhash64(col(keyCol)), lit(salt.toLong)).as("_salt"), col(keyCol))
+      .groupBy(pmod(xxhash64(col(keyCol), spark_partition_id()), lit(salt.toLong))
+        .as("_salt"), col(keyCol))
       .agg(count(lit(1)).as("_partial"))
       .groupBy(col(keyCol))
       .agg(sum(col("_partial")).as("count"))

@@ -91,13 +91,17 @@ object Formats {
     case "time"      => v.rlike(timeRe)
     case "date-time" => v.rlike(dateTimeShape) && dateTimeUdf(v)
     case "duration"  => v.rlike(durationRe)
-    case "email"     => v.rlike(emailRe)
+    // idn-email validates with the plain email check (formats.rs:21)
+    case "email" | "idn-email" => v.rlike(emailRe)
     case "hostname"  => v.rlike(hostnameRe)
+    // idn-hostname always passes in the reference (formats.rs:23)
+    case "idn-hostname" => lit(true)
     case "ipv4"      => v.rlike(ipv4Re)
     case "ipv6"      => v.rlike(ipv6Re)
     case "uuid"      => v.rlike(uuidRe)
-    case "uri"          => uriUdf(v)
-    case "uri-reference" => uriRefUdf(v)
+    // iri / iri-reference validate as uri / uri-reference (formats.rs:28-29)
+    case "uri" | "iri"                     => uriUdf(v)
+    case "uri-reference" | "iri-reference" => uriRefUdf(v)
     case "uri-template"  => uriTemplateUdf(v)
     case "json-pointer"  => v.rlike(jsonPointerRe)
     case "relative-json-pointer" => v.rlike(relJsonPointerRe)

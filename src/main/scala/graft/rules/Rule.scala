@@ -68,6 +68,71 @@ object Rule {
     * (`yaml_schema.rs:705-898`).
     */
   final case class Check(kw: Keywords) extends Rule
+
+  /** Deterministic canonical rendering — map entries sorted by key, every
+    * keyword in a fixed order. The stable input for commit-log rule hashing
+    * (case-class `toString` depends on Scala Map iteration order, so two
+    * loads of the same YAML could hash differently — or two different rule
+    * sets could collide on a 32-bit hashCode).
+    */
+  def canonical(r: Rule): String = r match {
+    case Accept => "T"
+    case Reject => "F"
+    case Ref(n) => s"ref<$n>"
+    case Check(kw) =>
+      def rm(m: Map[String, Rule]): String = m.toSeq.sortBy(_._1)
+        .map { case (k, v) => s"$k=${canonical(v)}" }.mkString("{", ",", "}")
+      def ro(o: Option[Rule]): String = o.map(canonical).getOrElse("-")
+      def rl(l: List[Rule]): String = l.map(canonical).mkString("[", ",", "]")
+      def cv(c: ConstVal): String = c match {
+        case ConstVal.VObj(fs) => fs.toSeq.sortBy(_._1)
+          .map { case (k, v) => s"$k:${cv(v)}" }.mkString("{", ",", "}")
+        case ConstVal.VArr(is) => is.map(cv).mkString("[", ",", "]")
+        case ConstVal.VStr(s)  => "\"" + s + "\""
+        case other             => other.toString
+      }
+      Seq(
+        "ty=" + kw.types.map(_.mkString("|")).getOrElse("-"),
+        "const=" + kw.const.map(cv).getOrElse("-"),
+        "enum=" + kw.enum_.map(_.map(cv).mkString("|")).getOrElse("-"),
+        "min=" + kw.minimum.getOrElse("-"),
+        "max=" + kw.maximum.getOrElse("-"),
+        "xmin=" + kw.exclusiveMinimum.getOrElse("-"),
+        "xmax=" + kw.exclusiveMaximum.getOrElse("-"),
+        "mult=" + kw.multipleOf.getOrElse("-"),
+        "minLen=" + kw.minLength.getOrElse("-"),
+        "maxLen=" + kw.maxLength.getOrElse("-"),
+        "pat=" + kw.pattern.getOrElse("-"),
+        "fmt=" + kw.format.getOrElse("-"),
+        "props=" + rm(kw.properties),
+        "patProps=" + rm(kw.patternProperties),
+        "addProps=" + ro(kw.additionalProperties),
+        "propNames=" + ro(kw.propertyNames),
+        "req=" + kw.required.mkString("|"),
+        "minProps=" + kw.minProperties.getOrElse("-"),
+        "maxProps=" + kw.maxProperties.getOrElse("-"),
+        "depReq=" + kw.dependentRequired.toSeq.sortBy(_._1)
+          .map { case (k, v) => s"$k=${v.mkString("|")}" }.mkString("{", ",", "}"),
+        "depSch=" + rm(kw.dependentSchemas),
+        "items=" + ro(kw.items),
+        "prefix=" + rl(kw.prefixItems),
+        "minItems=" + kw.minItems.getOrElse("-"),
+        "maxItems=" + kw.maxItems.getOrElse("-"),
+        "uniq=" + kw.uniqueItems,
+        "contains=" + ro(kw.contains),
+        "minCont=" + kw.minContains.getOrElse("-"),
+        "maxCont=" + kw.maxContains.getOrElse("-"),
+        "unevalProps=" + ro(kw.unevaluatedProperties),
+        "unevalItems=" + ro(kw.unevaluatedItems),
+        "allOf=" + rl(kw.allOf),
+        "anyOf=" + rl(kw.anyOf),
+        "oneOf=" + rl(kw.oneOf),
+        "not=" + ro(kw.not),
+        "if=" + ro(kw.ifRule),
+        "then=" + ro(kw.thenRule),
+        "else=" + ro(kw.elseRule)
+      ).mkString("chk(", ";", ")")
+  }
 }
 
 /** All supported keywords of one subschema level (JSON Schema 2020-12

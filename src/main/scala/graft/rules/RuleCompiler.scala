@@ -160,8 +160,10 @@ object RuleCompiler {
     // deep equality for composite consts (lib.rs:145-188)
     case ConstVal.VArr(items) => dt match {
       case ArrayType(et, _) =>
+        // get/try_element_at, not element_at: ANSI element_at throws on a
+        // shorter array, and codegen CSE can hoist it past the size guard
         items.zipWithIndex
-          .map { case (cc, i) => constPred(cc, et, element_at(v, i + 1)) }
+          .map { case (cc, i) => constPred(cc, et, get(v, lit(i))) }
           .foldLeft(v.isNotNull && size(v) === lit(items.size))(_ && _)
       case _ => lit(false)
     }
@@ -176,7 +178,7 @@ object RuleCompiler {
         st.fields.filterNot(f => fs.contains(f.name))
           .map(f => v.getField(f.name).isNull).foldLeft(matches)(_ && _)
       case MapType(StringType, vt, _) =>
-        fs.map { case (k, cc) => constPred(cc, vt, element_at(v, k)) }
+        fs.map { case (k, cc) => constPred(cc, vt, try_element_at(v, lit(k))) }
           .foldLeft(v.isNotNull && size(map_keys(v)) === lit(fs.size))(_ && _)
       case _ => lit(false)
     }
@@ -212,10 +214,23 @@ object RuleCompiler {
         // an additionalProperties schema evaluates every remaining key
         lit(kw.additionalProperties.isDefined))
       val pred = (r: Rule) => compileAt(r, v, dt, StaticPath(""), defs, active).pred
+      // dependentSchemas branches validate against the PARENT context
+      // (objects.rs:242-248), so their evaluated-name annotations feed
+      // unevaluatedProperties like any other in-place applicator
+      val depTrigger = (trigger: String) => dt match {
+        case st: StructType =>
+          if (st.fieldNames.contains(trigger)) v.getField(trigger).isNotNull
+          else lit(false)
+        case MapType(StringType, _, _) => array_contains(map_keys(v), trigger)
+        case _ => lit(false)
+      }
       val branches =
         kw.allOf.map(b => pred(b) && keyEvaluated(b, k, v, dt, defs, active)) ++
         kw.anyOf.map(b => pred(b) && keyEvaluated(b, k, v, dt, defs, active)) ++
         kw.oneOf.map(b => pred(b) && keyEvaluated(b, k, v, dt, defs, active)) ++
+        kw.dependentSchemas.toSeq.map { case (trigger, r) =>
+          depTrigger(trigger) && pred(r) && keyEvaluated(r, k, v, dt, defs, active)
+        } ++
         kw.ifRule.toSeq.flatMap { ifR =>
           val ifPred = pred(ifR)
           Seq(ifPred && keyEvaluated(ifR, k, v, dt, defs, active)) ++
@@ -501,7 +516,7 @@ object RuleCompiler {
             lit(s"Required property '$p' is missing!"))
         }
         kw.properties.foreach { case (name, r) =>
-          val c = subChild(r, element_at(v, name), valDt, path.child(name))
+          val c = subChild(r, try_element_at(v, lit(name)), valDt, path.child(name))
           val appl = objAppl && array_contains(map_keys(v), name)
           nested += when(appl, c.violations).otherwise(emptyViols)
           extraPreds += (!appl || coalesce(c.pred, lit(false)))
@@ -558,8 +573,12 @@ object RuleCompiler {
             path.col.as("path"), lit("propertyNames").as("rule"),
             concat(lit("Property name '"), k, lit("' is not valid!")).as("message")))
           nested += when(objAppl, viol).otherwise(emptyViols)
+          // `$schema` is skipped in BOTH channels (objects.rs:121-125) —
+          // skipping it only in violations would let pred fail with an
+          // empty violation list
           extraPreds += (!objAppl || size(filter(map_keys(v),
-            k => !subChild(r, k, StringType, path).pred)) === lit(0))
+            k => k =!= lit("$schema") &&
+              !subChild(r, k, StringType, path).pred)) === lit(0))
         }
         if (kw.minProperties.isDefined || kw.maxProperties.isDefined) {
           val cnt = size(map_keys(v))
@@ -614,17 +633,24 @@ object RuleCompiler {
         kw.maxItems.foreach(m => chks += Chk(arrAppl, n <= lit(m), "maxItems",
           concat(lit(s"Array has too many items (maximum $m, found "), n.cast(StringType),
             lit(")"))))
-        // uniqueItems (array.rs:176-187): report 2nd+ occurrences
+        // uniqueItems (array.rs:176-187): report 2nd+ occurrences. Detection
+        // must be null-safe (`<=>`): `array_position` returns null for null
+        // elements, so [null, null] produced an empty violations array while
+        // the pred channel (array_distinct) said "duplicate" — the two
+        // channels now derive from the SAME dups expression so they always
+        // agree (the reference rejects duplicate nulls too: HashSet insert).
         if (kw.uniqueItems) {
           val indexed = transform(v, (x, i) => struct(x.as("x"), i.as("i")))
           val dups = filter(indexed, s =>
-            array_position(v, s.getField("x")) =!= s.getField("i").cast(LongType) + lit(1L))
+            exists(indexed, t =>
+              t.getField("i") < s.getField("i") &&
+                (t.getField("x") eqNullSafe s.getField("x"))))
           nested += when(arrAppl, transform(dups, s => struct(
             path.childDyn(s.getField("i")).col.as("path"),
             lit("uniqueItems").as("rule"),
             concat(lit("Duplicate array element: "),
               fmtValue(elemDt, s.getField("x"))).as("message")))).otherwise(emptyViols)
-          extraPreds += (!arrAppl || size(array_distinct(v)) === n)
+          extraPreds += (!arrAppl || size(dups) === lit(0))
         }
         // contains + min/maxContains (array.rs:190-222); default min=1
         kw.contains.foreach { r =>
@@ -637,9 +663,13 @@ object RuleCompiler {
             concat(lit(s"Array must contain at most $maxC item(s) matching the contains " +
               "schema, but "), cnt.cast(StringType), lit(" matched"))))
         }
-        // prefixItems (array.rs:225-259): positional sub-errors surface
+        // prefixItems (array.rs:225-259): positional sub-errors surface.
+        // `get` (0-based) is null on out-of-bounds — ANSI `element_at`
+        // throws, and codegen subexpression elimination can hoist it past
+        // the `applies` guard (observed: INVALID_ARRAY_INDEX_IN_ELEMENT_AT
+        // on the reference's Tuple-validation scenario)
         kw.prefixItems.zipWithIndex.foreach { case (r, i) =>
-          val c = subChild(r, element_at(v, i + 1), elemDt, path.child(i.toString))
+          val c = subChild(r, get(v, lit(i)), elemDt, path.child(i.toString))
           val applies = arrAppl && n > lit(i)
           nested += when(applies, c.violations).otherwise(emptyViols)
           extraPreds += (!applies || coalesce(c.pred, lit(false)))

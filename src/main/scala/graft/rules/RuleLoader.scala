@@ -40,9 +40,35 @@ object RuleLoader {
     Loaded(root, loader.defs.toMap)
   }
 
-  def loadFile(path: String): Loaded = {
-    val p = java.nio.file.Paths.get(path).toAbsolutePath.normalize
-    loadString(java.nio.file.Files.readString(p), Some(p.getParent))
+  def loadFile(path: String): Loaded = loadFiles(Seq(path))
+
+  /** Multi-schema preload (`ys.rs:133-177`): the FIRST path is the
+    * evaluation root; every path is preloaded keyed by canonical path and —
+    * when the document declares a top-level `$id` — by that id too
+    * (`ys.rs:107-120` cache-key aliasing), so `$ref: <id>` resolves across
+    * files regardless of load order.
+    */
+  def loadFiles(paths: Seq[String]): Loaded = {
+    require(paths.nonEmpty, "at least one rules file is required")
+    val canon = paths.map(p => java.nio.file.Paths.get(p).toAbsolutePath.normalize)
+    val loader = new Loading(Some(canon.head.getParent))
+    // pre-scan $id declarations first so refs resolve in any order
+    canon.foreach { p =>
+      val parsed = new org.yaml.snakeyaml.Yaml()
+        .load[Any](java.nio.file.Files.readString(p))
+      parsed match {
+        case m: java.util.Map[_, _] =>
+          m.asScala.collectFirst {
+            case (k, id: String) if s"$k" == "$id" => loader.registerId(id, p)
+          }
+        case _ =>
+      }
+      ()
+    }
+    canon.tail.foreach(loader.preloadFile)
+    val root = loader.loadDoc(java.nio.file.Files.readString(canon.head), prefix = "")
+    detectCycles(root, loader.defs.toMap)
+    Loaded(root, loader.defs.toMap)
   }
 
   /** One load pass: accumulates `$defs` of the root document plus every
@@ -51,6 +77,23 @@ object RuleLoader {
   private final class Loading(baseDir: Option[java.nio.file.Path]) {
     val defs = scala.collection.mutable.Map.empty[String, Rule]
     private val fileCache = scala.collection.mutable.Map.empty[String, String]
+    // `$id` -> canonical file path (multi-schema preload aliasing)
+    private val idAliases = scala.collection.mutable.Map.empty[String, java.nio.file.Path]
+
+    def registerId(id: String, path: java.nio.file.Path): Unit = idAliases(id) = path
+
+    /** Load a whole file as a ref target under its canonical-path key. */
+    def preloadFile(p: java.nio.file.Path): Unit = {
+      val key = p.toString
+      if (!fileCache.contains(key)) {
+        fileCache(key) = key
+        val text = try java.nio.file.Files.readString(p)
+        catch { case _: Exception =>
+          throw new IllegalArgumentException(s"Schema $key not found")
+        }
+        defs(key) = loadDoc(text, prefix = key)
+      }
+    }
 
     def loadDoc(yaml: String, prefix: String): Rule = {
       val parsed = new org.yaml.snakeyaml.Yaml().load[Any](yaml)
@@ -77,18 +120,27 @@ object RuleLoader {
           case -1 => (ref, "")
           case i  => (ref.substring(0, i), ref.substring(i))
         }
-        val dir = baseDir.getOrElse(throw new IllegalArgumentException(
-          s"Schema $ref not found")) // no base dir => can't resolve files
-        val p = dir.resolve(file).toAbsolutePath.normalize
-        val key = p.toString
-        if (!fileCache.contains(key)) {
-          fileCache(key) = key // mark before parsing (cycle-safe)
-          val text = try java.nio.file.Files.readString(p)
-          catch { case _: Exception =>
-            throw new IllegalArgumentException(s"Schema $ref not found")
-          }
-          val rootRule = loadDoc(text, prefix = key)
-          defs(key) = rootRule // whole-document ref target
+        // preloaded `$id` alias (bare or with a fragment into its $defs),
+        // else resolve as a file path relative to the referencing document
+        val key = idAliases.get(file) match {
+          case Some(p) =>
+            preloadFile(p)
+            p.toString
+          case None =>
+            val dir = baseDir.getOrElse(throw new IllegalArgumentException(
+              s"Schema $ref not found")) // no base dir => can't resolve files
+            val p = dir.resolve(file).toAbsolutePath.normalize
+            val k = p.toString
+            if (!fileCache.contains(k)) {
+              fileCache(k) = k // mark before parsing (cycle-safe)
+              val text = try java.nio.file.Files.readString(p)
+              catch { case _: Exception =>
+                throw new IllegalArgumentException(s"Schema $ref not found")
+              }
+              val rootRule = loadDoc(text, prefix = k)
+              defs(k) = rootRule // whole-document ref target
+            }
+            k
         }
         if (frag.isEmpty || frag == "#") key else key + frag
       }

@@ -38,6 +38,15 @@ object CommitLog {
 
   private def commitsDir(dir: String): Path = Paths.get(dir, "_commits")
 
+  /** `Files.list` holds a directory handle until closed — materialize the
+    * listing inside try/finally so long-running drivers polling many commit
+    * dirs don't leak FDs.
+    */
+  private def listDir(d: Path): Seq[Path] = {
+    val s = Files.list(d)
+    try s.iterator().asScala.toList finally s.close()
+  }
+
   def commitPath(dir: String, part: Int): Path =
     commitsDir(dir).resolve(s"part=$part.json")
 
@@ -71,7 +80,7 @@ object CommitLog {
   def completed(dir: String): Map[Int, String] = {
     val d = commitsDir(dir)
     if (!Files.exists(d)) return Map.empty
-    Files.list(d).iterator().asScala
+    listDir(d)
       .filter(_.getFileName.toString.matches("part=\\d+\\.json"))
       .map { p =>
         val part = p.getFileName.toString.stripPrefix("part=").stripSuffix(".json").toInt
@@ -86,7 +95,7 @@ object CommitLog {
   def failedDocsTotal(dir: String): Long = {
     val d = commitsDir(dir)
     if (!Files.exists(d)) return 0L
-    Files.list(d).iterator().asScala
+    listDir(d)
       .filter(_.getFileName.toString.matches("part=\\d+\\.json"))
       .map { p =>
         "\"failed_docs\":(\\d+)".r.findFirstMatchIn(Files.readString(p))
@@ -97,7 +106,7 @@ object CommitLog {
   def clear(dir: String): Unit = {
     val d = commitsDir(dir)
     if (Files.exists(d)) {
-      Files.list(d).iterator().asScala.toSeq.foreach(Files.deleteIfExists(_))
+      listDir(d).foreach(Files.deleteIfExists(_))
     }
   }
 }

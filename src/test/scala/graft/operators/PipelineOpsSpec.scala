@@ -51,6 +51,39 @@ class PipelineOpsSpec extends SparkSpec {
     assert(pairs.contains((1L, 5L)))
   }
 
+  test("simhash banding recall: pairs output == brute-force all-pairs at maxHamming=10") {
+    // a corpus with near-dup chains at varying edit distances: the banding
+    // must find EVERY pair within the hamming budget (pigeonhole guarantee:
+    // bands = maxHamming + 1) — a fixed 4x16 banding provably misses
+    // hamming 4..10 pairs whenever no 16-bit band survives
+    val texts = (0 until 150).map { i =>
+      val words = (0 until 30).map { w =>
+        if (w < i % 13) s"alt${i % 7}w$w" else s"base$w"
+      }
+      (i.toLong, words.mkString(" "))
+    }
+    val df = texts.toDF("doc_id", "text")
+    val maxH = 10
+    val got = Dedup.simHashPairs(df, "doc_id", "text", maxHamming = maxH)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // brute force over all pairs via the same signatures
+    val sigs = df.select(col("doc_id"), Dedup.simHash(col("text")).as("sh"))
+      .as[(Long, Long)].collect()
+    val want = (for {
+      (ia, sa) <- sigs; (ib, sb) <- sigs
+      if ia < ib && java.lang.Long.bitCount(sa ^ sb) <= maxH
+    } yield (ia, ib)).toSet
+    assert(want.nonEmpty, "corpus must contain pairs within the budget")
+    // there must be pairs in the 4..10 range — the regression the old
+    // fixed banding silently dropped
+    val far = (for {
+      (ia, sa) <- sigs; (ib, sb) <- sigs
+      if ia < ib && { val h = java.lang.Long.bitCount(sa ^ sb); h >= 4 && h <= maxH }
+    } yield (ia, ib)).toSet
+    assert(far.nonEmpty, "corpus must contain hamming 4..10 pairs")
+    assert(got == want, s"missing=${(want -- got).take(5)} extra=${(got -- want).take(5)}")
+  }
+
   test("ngram jaccard: exact=1.0, near-dup high, distinct low") {
     val pairs = Seq((1L, 5L), (1L, 2L), (1L, 3L)).toDF("id_a", "id_b")
     val j = Dedup.ngramJaccard(docs, pairs, "doc_id", "text", k = 2)

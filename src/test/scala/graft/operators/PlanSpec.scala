@@ -64,6 +64,71 @@ class PlanSpec extends SparkSpec {
       s"expected broadcast anti-join:\n$plan")
   }
 
+  test("dedup candidate plans have no Window and no Sort (bucket cap is agg+anti-join)") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b c d e f g"), (2L, "a b c d e f h"), (3L, "x y z w v u t"))
+      .toDF("doc_id", "text")
+    val plans = Seq(
+      planOf(Dedup.minHashCandidates(docs, "doc_id", "text")),
+      planOf(Dedup.simHashPairs(docs, "doc_id", "text", maxHamming = 3)),
+      planOf(Similarity.cosineNearDupPairs(
+        Seq((1L, Seq(1f, 0f)), (2L, Seq(0.9f, 0.1f))).toDF("vec_id", "embedding"),
+        "vec_id", "embedding", dims = 2)))
+    plans.foreach { p =>
+      // the bucket cap must not force a Window (full shuffle+sort of the
+      // banded corpus just to annotate bucket sizes); the join itself may
+      // legitimately be SMJ — that sort is Spark's join choice, not ours
+      assert(!p.contains("Window"), s"Window sort in candidate plan:\n$p")
+    }
+  }
+
+  test("lshTopK is a single scan (no union of per-table passes)") {
+    import spark.implicits._
+    val vecs = (0 until 50).map(i => (i.toLong, Seq.tabulate(8)(d =>
+      (((i * 31 + d) % 17) - 8).toFloat))).toDF("vec_id", "embedding")
+    val dir = Files.createTempDirectory("graft_lsh").toString
+    vecs.write.mode("overwrite").parquet(dir)
+    val onDisk = spark.read.parquet(dir)
+    val q = Seq.tabulate(8)(d => ((d % 17) - 8).toFloat)
+    val plan = planOf(Similarity.lshTopK(onDisk, "vec_id", "embedding", q, k = 5,
+      nPlanes = 4, nTables = 4))
+    assert(!plan.contains("Union"), s"multi-scan union in lshTopK plan:\n$plan")
+    assert("Scan parquet".r.findAllIn(plan).size == 1,
+      s"expected exactly one parquet scan:\n$plan")
+    // and the driver-side bucket math is bit-identical to the executor
+    // expression: the Spark-evaluated bucket of q equals lshBucketScala
+    val sparkBucket = spark.range(1).select(Similarity.lshBucket(
+      typedlit(q.map(_.toDouble)), 8, 4, 2).as("b")).collect()(0).getLong(0)
+    assert(sparkBucket == Similarity.lshBucketScala(q.map(_.toDouble), 4, 2))
+  }
+
+  test("IVF indexed probe prunes to the probed centroid partitions") {
+    import spark.implicits._
+    val vecs = (0 until 200).map { i =>
+      (i.toLong, Seq.tabulate(4)(d => (((i * 13 + d * 7) % 19) - 9).toFloat))
+    }.toDF("vec_id", "embedding")
+    val centroids: Seq[Seq[Double]] =
+      Seq(Seq(1.0, 0, 0, 0), Seq(0, 1.0, 0, 0), Seq(0, 0, 1.0, 0), Seq(0, 0, 0, 1.0))
+    val idx = Files.createTempDirectory("graft_ivf").toString
+    Similarity.ivfWriteIndex(vecs, "vec_id", "embedding", centroids, idx)
+    val q = Seq(1f, 0.2f, 0f, 0f)
+    val probe = Similarity.ivfTopKIndexed(spark, idx, centroids, q, k = 10, nProbe = 2)
+    val plan = planOf(probe)
+    assert(plan.contains("PartitionFilters") && plan.contains("centroid"),
+      s"no partition pruning on centroid:\n$plan")
+    // runtime evidence: only files under the probed lists are read
+    val lists = Similarity.probeLists(centroids, q, 2).toSet
+    val touched = spark.read.parquet(idx)
+      .filter(col("centroid").isin(lists.toSeq.map(Integer.valueOf): _*))
+      .select(input_file_name()).distinct().collect().map(_.getString(0))
+    assert(touched.forall(f => lists.exists(l => f.contains(s"centroid=$l"))))
+    // and the indexed probe returns the same rows as the ad-hoc probe
+    val adhoc = Similarity.ivfTopK(vecs, "vec_id", "embedding", centroids, q,
+      k = 10, nProbe = 2).collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val indexed = probe.collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(indexed.sameElements(adhoc))
+  }
+
   test("uniqueness two-phase agg has partial aggregation before the shuffle") {
     val docs = spark.read.parquet(docsPath)
     val plan = planOf(Uniqueness.duplicates(docs, "doc_id"))

@@ -50,6 +50,50 @@ class ResumableValidateSpec extends SparkSpec {
     assert(a.length > 0)
   }
 
+  test("filesPerPart > 1: same rows, more files per part, each internally sorted") {
+    val d1 = Files.createTempDirectory("graft_fp1").toString
+    val d4 = Files.createTempDirectory("graft_fp4").toString
+    ResumableValidate.run(spark, freshDocs, rule, d1, partsPerBatch = 6)
+    ResumableValidate.run(spark, freshDocs, rule, d4, partsPerBatch = 6, filesPerPart = 4)
+    val a = ResumableValidate.violations(spark, d1)
+      .orderBy("part", "doc_id", "path", "rule", "message").collect()
+    val b = ResumableValidate.violations(spark, d4)
+      .orderBy("part", "doc_id", "path", "rule", "message").collect()
+    assert(a.length > 0 && a.sameElements(b))
+    // parallel write really produced multiple files for at least one part
+    val batchDirs = new java.io.File(d4).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("violations_batch_"))
+    val maxFiles = batchDirs.flatMap(_.listFiles())
+      .filter(f => f.isDirectory && f.getName.startsWith("part="))
+      .map(_.listFiles().count(_.getName.endsWith(".parquet"))).max
+    assert(maxFiles > 1, s"expected >1 parquet file in some part, got max $maxFiles")
+  }
+
+  test("expected part with zero rows still gets a pass-verdict commit") {
+    val dir = Files.createTempDirectory("graft_empty").toString
+    // docs only populate parts 0..5; part 7 is expected but empty
+    ResumableValidate.run(spark, freshDocs, rule, dir, partsPerBatch = 8,
+      expectedParts = Some(0 to 7))
+    val commits = CommitLog.completed(dir)
+    assert(commits.keySet == (0 to 7).toSet, s"commits=${commits.keySet}")
+    val txt = Files.readString(CommitLog.commitPath(dir, 7))
+    assert(txt.contains("\"docs\":0") && txt.contains("\"failed_docs\":0"),
+      s"empty part must commit a pass verdict: $txt")
+  }
+
+  test("rule hash is a full SHA-256 of the canonical form, stable across loads") {
+    val h1 = ResumableValidate.ruleHash(rule)
+    assert(h1.matches("[0-9a-f]{64}"), s"not a sha256 hex digest: $h1")
+    // structurally equal rules built in different map orders hash equal
+    val a = Rule.Check(Keywords(properties = Map(
+      "x" -> Rule.Accept, "y" -> Rule.Reject, "z" -> Rule.Accept)))
+    val b = Rule.Check(Keywords(properties =
+      List("z" -> (Rule.Accept: Rule), "y" -> (Rule.Reject: Rule),
+        "x" -> (Rule.Accept: Rule)).toMap))
+    assert(ResumableValidate.ruleHash(a) == ResumableValidate.ruleHash(b))
+    assert(ResumableValidate.ruleHash(a) != h1)
+  }
+
   test("resume refuses a different rule set (rule hash mismatch)") {
     val dir = Files.createTempDirectory("graft_rh").toString
     ResumableValidate.run(spark, freshDocs, rule, dir, partsPerBatch = 6)

@@ -34,6 +34,24 @@ class SkewSpec extends SparkSpec {
     assert(dups.count() == expected && expected > 0)
   }
 
+  test("salt actually fans a hot key out over multiple phase-1 groups") {
+    // one pathological doc_id repeated across every input partition: the
+    // phase-1 (salt, key) grouping must produce >1 group for it — a
+    // key-derived salt (the bug this guards against) would produce exactly 1
+    val hot = spark.range(100000).repartition(16)
+      .select(lit("d-hot").as("doc_id"))
+    val phase1Groups = hot
+      .groupBy(pmod(xxhash64(col("doc_id"), spark_partition_id()), lit(16L))
+        .as("_salt"), col("doc_id"))
+      .count()
+    assert(phase1Groups.count() > 1,
+      "hot key collapsed to a single phase-1 group: salt has no per-row entropy")
+    // and end-to-end the duplicate is still reported exactly once, with the
+    // exact global multiplicity
+    val dups = Uniqueness.duplicates(hot, "doc_id", salt = 16).collect()
+    assert(dups.length == 1 && dups(0).getLong(1) == 100000L)
+  }
+
   test("hot-ref distribution really is skewed (generator knob sanity)") {
     val docs = DocsGen.docs(spark, DocsGen.Knobs(nDocs = 5000, nParts = 4, skew = 19))
     val top = docs.select(explode(col("spans")).as("s"))

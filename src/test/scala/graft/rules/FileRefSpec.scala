@@ -39,6 +39,35 @@ class FileRefSpec extends SparkSpec {
       Seq(("d1", "minimum"), ("d2", "allOf")))
   }
 
+  test("multi-schema preload: $ref by $id across preloaded files (ys.rs:133-177)") {
+    val dir = Files.createTempDirectory("graft_preload")
+    Files.writeString(dir.resolve("types.yaml"),
+      """$id: urn:graft:types
+        |$defs:
+        |  lang:
+        |    enum: [en, de, fr]
+        |""".stripMargin)
+    Files.writeString(dir.resolve("doc.yaml"),
+      """$id: urn:graft:doc
+        |type: object
+        |properties:
+        |  lang: { $ref: "urn:graft:types#/$defs/lang" }
+        |required: [lang]
+        |""".stripMargin)
+    Files.writeString(dir.resolve("root.yaml"),
+      "allOf:\n  - { $ref: \"urn:graft:doc\" }\n")
+    val loaded = RuleLoader.loadFiles(Seq(
+      dir.resolve("root.yaml").toString,
+      dir.resolve("doc.yaml").toString,
+      dir.resolve("types.yaml").toString))
+    val df = Seq(("d1", "en"), ("d2", "xx"), ("d3", null))
+      .toDF("doc_id", "lang")
+    val vs = Validate.violations(df, loaded.root, loaded.defs).collect().toSeq
+      .sortBy(v => (v.doc_id, v.rule))
+    assert(vs.map(v => (v.doc_id, v.rule)) ==
+      Seq(("d2", "allOf"), ("d3", "allOf")), vs.mkString("; "))
+  }
+
   test("missing file ref errors with the reference's message shape") {
     val dir = Files.createTempDirectory("graft_refs2")
     Files.writeString(dir.resolve("root.yaml"),

@@ -258,4 +258,23 @@ class RuleCompilerSpec extends SparkSpec {
       }
     }
   }
+
+  test("idn/iri format aliases validate as their base formats (formats.rs:21,28-29)") {
+    // (format, value, valid-per-reference)
+    val rows = Seq(
+      ("idn-email", "a.b+c@example.co", true),
+      ("idn-email", "not an email", false), // the old accept-all fallthrough hid this
+      ("iri", "https://example.com/a", true),
+      ("iri", "/relative/only", false),
+      ("iri-reference", "/relative/only", true),
+      ("iri-reference", "http://exa mple.com", false),
+      ("idn-hostname", "anything at all", true)) // reference: always true
+    rows.groupBy(_._1).foreach { case (fmt, group) =>
+      val df = group.zipWithIndex.map { case (r, i) => (s"d$i", r._2) }.toDF("doc_id", "s")
+      val rule = kw(Keywords(properties = Map("s" -> kw(Keywords(format = Some(fmt))))))
+      val got = Validate.violations(df, rule).collect().map(_.doc_id).toSet
+      val expected = group.zipWithIndex.filter(!_._1._3).map(p => s"d${p._2}").toSet
+      assert(got == expected, s"format=$fmt: got=$got expected=$expected")
+    }
+  }
 }
