@@ -292,10 +292,12 @@ object SparkEntry {
         .select(round(col("psi"), 6).as("psi"))
     }),
     "g_drift_ks" -> ((s, dir) => {
-      // KS over percentile_approx sketches (approximate — rows-only check)
+      // KS on a fixed 101-point grid over [0, 120000] — exactly reproducible
+      // (the percentile_approx-grid variant Drift.ks and the KLL-sketch path
+      // Drift.ksSketch stay as the adaptive/streaming forms, spec-tested)
       val li = t(s, dir, "lineitem")
-      Drift.ks(li.filter(col("l_returnflag") === "R"),
-        li.filter(col("l_returnflag") === "N"), "l_extendedprice")
+      Drift.ksFixedGrid(li.filter(col("l_returnflag") === "R"),
+        li.filter(col("l_returnflag") === "N"), "l_extendedprice", 0.0, 120000.0, 101)
         .select(round(col("ks"), 4).as("ks"))
     }),
     // ---------- dedup ----------
@@ -309,14 +311,23 @@ object SparkEntry {
         .orderBy("fingerprint")
     }),
     "d_dedup_minhash" -> ((s, dir) => {
-      // MinHash-LSH near-dup pairs (xxhash64 signatures — rows-only check)
-      Dedup.minHashPairs(t(s, dir, "documents"), "doc_id", "text",
+      // MinHash-LSH candidates + EXACT jaccard verify. Banding r=2 (16
+      // bands of 2 rows): this corpus's true pairs all sit at jaccard >=0.9
+      // (miss prob (1-0.81)^16 ~ 3e-12) while non-dup pairs sit <0.1
+      // (candidate prob ~1-(1-j^2)^16 < 15%), so the verified output equals
+      // the brute-force all-pairs answer and DuckDB can oracle it — without
+      // the r=1 near-all-pairs candidate blowup on templated text
+      Dedup.nearDupPairsExact(t(s, dir, "documents"), "doc_id", "text",
         k = 3, numHashes = 32, bands = 16, threshold = 0.5)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
         .orderBy("id_a", "id_b")
     }),
     "d_dedup_simhash" -> ((s, dir) => {
-      // SimHash near-dup pairs (rows-only check)
-      Dedup.simHashPairs(t(s, dir, "documents"), "doc_id", "text", maxHamming = 10)
+      // SimHash near-dup pairs at hamming <= 6 — banding derives from the
+      // radius (7 bands of ~9 bits: pigeonhole-complete recall); xxhash64
+      // signatures aren't DuckDB-expressible, so rows-only here; recall is
+      // brute-force-equality-tested in PipelineOpsSpec
+      Dedup.simHashPairs(t(s, dir, "documents"), "doc_id", "text", maxHamming = 6)
         .orderBy("id_a", "id_b")
     }),
     "d_ngram_jaccard" -> ((s, dir) => {
@@ -348,8 +359,9 @@ object SparkEntry {
         .orderBy(col("cosine").desc, col("id"))
     }),
     "s_ann_ivf" -> ((s, dir) => {
-      // IVF probe: 8 deterministic centroids (first embeddings), probe the
-      // 2 nearest lists only (rows-only check)
+      // IVF over a WRITTEN index: 8 deterministic centroids (first
+      // embeddings), assignment persisted partitioned by centroid, probe
+      // reads only the 2 nearest lists (partition-pruned scan)
       val emb = t(s, dir, "embeddings")
       val centroids: Seq[Seq[Double]] = emb.filter(col("vec_id") < 8)
         .orderBy("vec_id").collect()
@@ -357,14 +369,23 @@ object SparkEntry {
           r.getSeq[Float](1)(i).toDouble)).toVector
       val q: Seq[Float] = emb.filter(col("vec_id") === 8L)
         .select(col("embedding")).collect()(0).getSeq[Float](0)
-      Similarity.ivfTopK(emb.filter(col("vec_id") > 8L), "vec_id", "embedding",
-        centroids, q, k = 20, nProbe = 2)
+      val idx = s"${System.getProperty("java.io.tmpdir")}/graft_ivf_idx_${dir.hashCode}"
+      Similarity.ivfWriteIndex(emb.filter(col("vec_id") > 8L), "vec_id", "embedding",
+        centroids, idx)
+      Similarity.ivfTopKIndexed(s, idx, centroids, q, k = 20, nProbe = 2)
         .select(col("id"), round(col("cosine"), 2).as("cosine"))
         .orderBy(col("cosine").desc, col("id"))
     }),
     "s_cosine_neardup" -> ((s, dir) => {
-      // embedding-cosine near-dup pairs via LSH buckets (rows-only check)
-      Similarity.cosineNearDupPairs(t(s, dir, "embeddings"), "vec_id", "embedding",
+      // embedding-cosine near-dup pairs via LSH buckets over a corpus with
+      // INJECTED duplicates (vec_id % 20 == 0 re-appears as vec_id+100000):
+      // at threshold 0.9 only those pairs qualify (max natural off-diagonal
+      // cosine in this corpus is ~0.51), identical vectors share every LSH
+      // bucket, so recall is exact and DuckDB can oracle it by brute force
+      val emb = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      val corpus = emb.unionAll(emb.filter(pmod(col("vec_id"), lit(20L)) === 0L)
+        .select((col("vec_id") + 100000L).as("vec_id"), col("embedding")))
+      Similarity.cosineNearDupPairs(corpus, "vec_id", "embedding",
         dims = 64, threshold = 0.9, nPlanes = 8, nTables = 2)
         .select(col("id_a"), col("id_b"), round(col("cosine"), 2).as("cosine"))
         .orderBy("id_a", "id_b")
@@ -391,6 +412,32 @@ object SparkEntry {
       t(s, dir, "documents")
         .select(col("doc_id"), TextAnalysis.fingerprintMd5(col("text")).as("fingerprint"))
         .orderBy("doc_id")
+    }),
+    // ---------- event-stream operators (events table) ----------
+    "e_window_verdicts" -> ((s, dir) => {
+      // tumbling-window verdicts (batch twin of the streaming path):
+      // per (hour, event_type) event count + count failing `value <= 100`
+      Sessionize.windowVerdicts(t(s, dir, "events"), "ts", "event_type",
+        failPred = col("value") > 100.0, windowLen = "1 hour")
+        .select(date_format(col("window_start"), "yyyy-MM-dd HH:mm").as("w"),
+          col("event_type"), col("events"), col("failed"))
+        .orderBy("w", "event_type")
+    }),
+    "e_sessions" -> ((s, dir) => {
+      // gap-based sessionization (30 min): per-user session/event counts
+      Sessionize.sessionStats(t(s, dir, "events"), "user_id", "ts", gapMinutes = 30)
+        .orderBy("user_id")
+    }),
+    "e_json_props" -> ((s, dir) => {
+      // semi-structured extraction: props is a JSON string; k in [0,100),
+      // flag k >= 80 as out-of-policy per event_type
+      val ev = t(s, dir, "events")
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
+      ev.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("events"),
+          sum(when(col("k") >= 80, 1L).otherwise(0L)).as("k_out_of_policy"),
+          min(col("k")).as("k_min"), max(col("k")).as("k_max"))
+        .orderBy("event_type")
     }),
     // ---------- multimodal plumbing (stubbed codec — rows-only checks) ----------
     "m_media_meta" -> ((s, dir) => {
@@ -605,6 +652,65 @@ object SparkEntry {
         |tot AS (SELECT ca, cb, sum(ca) OVER () AS ta, sum(cb) OVER () AS tb FROM j),
         |pq AS (SELECT greatest(ca / ta, 1e-6) AS p, greatest(cb / tb, 1e-6) AS q FROM tot)
         |SELECT round(sum((p - q) * ln(p / q)), 6) AS psi FROM pq""".stripMargin,
+    "g_drift_ks" ->
+      """WITH pts AS (SELECT unnest(generate_series(0, 100)) AS i),
+        |grid AS (SELECT i, 0.0 + i * (120000.0 - 0.0) / 100 AS x FROM pts),
+        |na AS (SELECT count(*) AS n FROM lineitem
+        |       WHERE l_returnflag = 'R' AND l_extendedprice IS NOT NULL),
+        |nb AS (SELECT count(*) AS n FROM lineitem
+        |       WHERE l_returnflag = 'N' AND l_extendedprice IS NOT NULL),
+        |fa AS (SELECT g.i, CAST(sum(CASE WHEN l.l_extendedprice <= g.x
+        |         THEN 1 ELSE 0 END) AS DOUBLE) / (SELECT n FROM na) AS f
+        |       FROM grid g, lineitem l WHERE l.l_returnflag = 'R' GROUP BY g.i),
+        |fb AS (SELECT g.i, CAST(sum(CASE WHEN l.l_extendedprice <= g.x
+        |         THEN 1 ELSE 0 END) AS DOUBLE) / (SELECT n FROM nb) AS f
+        |       FROM grid g, lineitem l WHERE l.l_returnflag = 'N' GROUP BY g.i)
+        |SELECT round(max(abs(fa.f - fb.f)), 4) AS ks
+        |FROM fa JOIN fb ON fa.i = fb.i""".stripMargin,
+    "d_dedup_minhash" ->
+      """WITH toks AS (SELECT doc_id,
+        |    string_split(lower(regexp_replace(trim(text), '\s+', ' ', 'g')), ' ') AS t
+        |  FROM documents),
+        |sh AS (SELECT doc_id,
+        |    CASE WHEN len(t) >= 3 THEN list_distinct(list_transform(
+        |      generate_series(1, len(t) - 2), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+        |    ELSE CAST([] AS VARCHAR[]) END AS s
+        |  FROM toks),
+        |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) AS i,
+        |    CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS DOUBLE) AS u
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+        |SELECT id_a, id_b, round(CASE WHEN u = 0 THEN 0.0 ELSE i / u END, 4) AS jaccard
+        |FROM pairs WHERE (CASE WHEN u = 0 THEN 0.0 ELSE i / u END) >= 0.5
+        |ORDER BY id_a, id_b""".stripMargin,
+    "s_ann_ivf" ->
+      """WITH c AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cvec
+        |  FROM embeddings WHERE vec_id < 8),
+        |q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 8),
+        |assigned AS (SELECT e.vec_id AS id, CAST(e.embedding AS DOUBLE[]) AS vec,
+        |    (SELECT c.cid FROM c
+        |     ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.cvec) DESC,
+        |       c.cid DESC LIMIT 1) AS centroid
+        |  FROM embeddings e WHERE e.vec_id > 8),
+        |probe AS (SELECT cid FROM c
+        |  ORDER BY list_cosine_similarity(cvec, (SELECT qe FROM q)) DESC, cid LIMIT 2),
+        |top AS (SELECT id,
+        |    CAST(list_cosine_similarity(vec, (SELECT qe FROM q)) AS DOUBLE) AS cs
+        |  FROM assigned WHERE centroid IN (SELECT cid FROM probe)
+        |  ORDER BY cs DESC, id LIMIT 20)
+        |SELECT id, round(cs, 2) AS cosine FROM top
+        |ORDER BY round(cs, 2) DESC, id""".stripMargin,
+    "s_cosine_neardup" ->
+      """WITH corpus AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 100000, CAST(embedding AS DOUBLE[]) FROM embeddings
+        |  WHERE vec_id % 20 = 0),
+        |p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |    CAST(list_cosine_similarity(a.v, b.v) AS DOUBLE) AS cs
+        |  FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id)
+        |SELECT id_a, id_b, round(cs, 2) AS cosine FROM p WHERE cs >= 0.9
+        |ORDER BY id_a, id_b""".stripMargin,
     "d_dedup_exact" ->
       """SELECT md5(lower(regexp_replace(substr(text, 1, 12), '\s+', ' ', 'g')))
         |  AS fingerprint, CAST(count(*) AS BIGINT) AS dup_count
@@ -685,5 +791,30 @@ object SparkEntry {
     "t_fingerprint" ->
       """SELECT doc_id, md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g')))
         |  AS fingerprint
-        |FROM documents ORDER BY doc_id""".stripMargin)
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "e_window_verdicts" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M') AS w,
+        |  event_type,
+        |  CAST(count(*) AS BIGINT) AS events,
+        |  CAST(sum(CASE WHEN value > 100.0 THEN 1 ELSE 0 END) AS BIGINT) AS failed
+        |FROM events GROUP BY 1, 2 ORDER BY w, event_type""".stripMargin,
+    "e_sessions" ->
+      """WITH gaps AS (SELECT user_id, ts,
+        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+        |  FROM events),
+        |flags AS (SELECT user_id,
+        |    CASE WHEN prev IS NULL
+        |         OR epoch(ts) - epoch(prev) > 30 * 60 THEN 1 ELSE 0 END AS is_new
+        |  FROM gaps)
+        |SELECT user_id, CAST(sum(is_new) AS BIGINT) AS n_sessions,
+        |  CAST(count(*) AS BIGINT) AS n_events
+        |FROM flags GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "e_json_props" ->
+      """WITH ev AS (SELECT event_type,
+        |    CAST(json_extract_string(props, '$.k') AS INT) AS k FROM events)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS events,
+        |  CAST(sum(CASE WHEN k >= 80 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS k_out_of_policy,
+        |  min(k) AS k_min, max(k) AS k_max
+        |FROM ev GROUP BY event_type ORDER BY event_type""".stripMargin)
 }

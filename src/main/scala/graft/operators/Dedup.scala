@@ -246,6 +246,22 @@ object Dedup {
       .distinct()
   }
 
+  /** LSH-then-verify near-duplicate pairs with EXACT n-gram Jaccard:
+    * candidates from MinHash banding, then the true Jaccard over shingle
+    * sets, kept at >= threshold. With bands == numHashes (r = 1 row per
+    * band) a pair at jaccard j is missed with probability (1-j)^numHashes —
+    * at j >= 0.5 and 32 hashes that is 2^-32, so the output is (within
+    * that probability) EXACTLY the brute-force all-pairs answer computed
+    * without the n² scan. That equivalence is what makes this form
+    * oracle-checkable against an independent engine.
+    */
+  def nearDupPairsExact(df: DataFrame, idCol: String, textCol: String, k: Int = 3,
+      numHashes: Int = 32, bands: Int = 32, threshold: Double = 0.5,
+      maxBucket: Int = 1000): DataFrame =
+    ngramJaccard(df, minHashCandidates(df, idCol, textCol, k, numHashes, bands, maxBucket),
+      idCol, textCol, k)
+      .filter(col("jaccard") >= threshold)
+
   /** Exact n-gram Jaccard similarity for given candidate pairs — the
     * verification stage after LSH narrows candidates (never run all-pairs at
     * scale). `pairs` must have (id_a, id_b).

@@ -80,6 +80,33 @@ object Drift {
     Seq(ksStat).toDF("ks")
   }
 
+  /** Two-sample KS on a FIXED equal-width grid spanning [lo, hi]: exactly
+    * reproducible by any engine (the quantile-grid variant above depends on
+    * percentile_approx internals, so it can only be rows-checked). One
+    * aggregation pass per side — `gridSize` conditional sums, no sort, no
+    * data collect. The grid underestimates the true sup-statistic by at most
+    * the CDF mass inside one cell; for drift ALERTING a fixed grid is the
+    * standard trade (same as PSI's fixed bins).
+    */
+  def ksFixedGrid(a: DataFrame, b: DataFrame, c: String, lo: Double, hi: Double,
+      gridSize: Int = 101): DataFrame = {
+    val grid = (0 until gridSize).map(i => lo + i * (hi - lo) / (gridSize - 1))
+    def cdfAt(df: DataFrame): Array[Double] = {
+      val n = count(when(col(c).isNotNull, 1))
+      val sums: Seq[Column] = grid.zipWithIndex.map { case (g, i) =>
+        (sum(when(col(c).cast("double") <= lit(g), 1L).otherwise(0L)) / n).as(s"f$i")
+      }
+      val r = df.agg(sums.head, sums.tail: _*).collect()(0)
+      grid.indices.map(i => r.getDouble(i)).toArray
+    }
+    val fa = cdfAt(a)
+    val fb = cdfAt(b)
+    val ksStat = grid.indices.map(i => math.abs(fa(i) - fb(i))).max
+    val spark = a.sparkSession
+    import spark.implicits._
+    Seq(ksStat).toDF("ks")
+  }
+
   /** Per-`part` quantile summaries of `c` — the checkpointable per-partition
     * sketch form (probs × parts in one pass).
     */

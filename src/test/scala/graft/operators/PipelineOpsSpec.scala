@@ -165,6 +165,27 @@ class PipelineOpsSpec extends SparkSpec {
     assert(frames.count() == meta.count(_.mime.startsWith("video")))
   }
 
+  test("sessionization gap rule + tumbling window verdicts") {
+    val ev = Seq(
+      (1L, "2024-01-01 00:00:00", 5.0),
+      (1L, "2024-01-01 00:10:00", 150.0), // same session (10 min gap); fails value<=100
+      (1L, "2024-01-01 01:00:00", 7.0),   // new session (50 min gap), new hour window
+      (2L, "2024-01-01 00:00:00", 1.0))
+      .toDF("user_id", "ts0", "value")
+      .withColumn("ts", col("ts0").cast("timestamp")).drop("ts0")
+    val st = Sessionize.sessionStats(ev, "user_id", "ts", gapMinutes = 30)
+      .orderBy("user_id").collect()
+    assert(st(0).getLong(1) == 2L && st(0).getLong(2) == 3L) // user 1: 2 sessions, 3 events
+    assert(st(1).getLong(1) == 1L && st(1).getLong(2) == 1L)
+    val wv = Sessionize.windowVerdicts(
+      ev.withColumn("event_type", lit("click")), "ts", "event_type",
+      failPred = col("value") > 100.0, windowLen = "1 hour")
+      .orderBy("window_start").collect()
+    assert(wv.length == 2)
+    assert(wv(0).getLong(2) == 3L && wv(0).getLong(3) == 1L) // hour 0: 3 events, 1 failed
+    assert(wv(1).getLong(2) == 1L && wv(1).getLong(3) == 0L)
+  }
+
   test("uniqueness: salted two-phase finds exactly the injected duplicates") {
     val df = (1 to 1000).map(i => Tuple1(s"k${i % 700}")).toDF("doc_id")
     // keys k1..k300 appear twice (1000 rows, 700 distinct)
