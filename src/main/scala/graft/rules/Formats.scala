@@ -7,11 +7,12 @@ import org.apache.spark.sql.functions._
   *
   * Mirrors the reference's dispatcher + 19 named formats
   * (`/root/reference/src/validation/formats.rs:14-274`); unknown formats pass
-  * (`formats.rs:35`). Regex-expressible formats compile to `rlike` (stays in
-  * whole-stage codegen); the four genuinely procedural ones (calendar-valid
-  * dates, URIs, uri-template brace matching, regex validity) use scalar UDFs
-  * applied only after a cheap regex pre-filter so the UDF runs on the rare
-  * shape-matching values, not every row.
+  * (`formats.rs:35`). Regex-expressible formats compile to `rlike`, and
+  * calendar validity (leap years etc.) is pure Column arithmetic — both stay
+  * inside whole-stage codegen. Only the genuinely procedural validators
+  * (URI parsing, uri-template brace matching, regex compilation) remain
+  * scalar UDFs, each behind a cheap regex pre-guard where one exists so the
+  * UDF runs on shape-plausible values, not every row.
   */
 object Formats {
 
@@ -49,16 +50,28 @@ object Formats {
   // formats.rs:249-268
   private val relJsonPointerRe = "^(0|[1-9][0-9]*)(#|(/([^/~]|~[01])*)*)$"
 
-  /** Calendar validity incl. leap years (`formats.rs:92-113`). */
-  private def isValidDateStr(s: String): Boolean =
-    try { java.time.LocalDate.parse(s, java.time.format.DateTimeFormatter.ISO_LOCAL_DATE); true }
-    catch { case _: Exception => false }
-
-  private val dateUdf = udf((s: String) => s != null && isValidDateStr(s))
-  private val dateTimeUdf = udf { (s: String) =>
-    s != null && isValidDateStr(s.substring(0, 10))
+  /** Calendar validity incl. leap years (`formats.rs:92-113`) as pure
+    * Column arithmetic — stays inside whole-stage codegen (no UDF). Only
+    * meaningful on values already matching the `\d{4}-\d{2}-\d{2}` shape;
+    * `try_cast` keeps stray evaluation (codegen CSE can hoist past the
+    * shape guard) from throwing under ANSI.
+    */
+  private def calendarValid(v: Column): Column = {
+    val y = substring(v, 1, 4).try_cast("int")
+    val m = substring(v, 6, 2).try_cast("int")
+    val d = substring(v, 9, 2).try_cast("int")
+    val leap = (pmod(y, lit(4)) === 0 && pmod(y, lit(100)) =!= 0) ||
+      pmod(y, lit(400)) === 0
+    val daysInMonth = when(m.isin(1, 3, 5, 7, 8, 10, 12), 31)
+      .when(m.isin(4, 6, 9, 11), 30)
+      .when(m === 2, when(leap, 29).otherwise(28))
+      .otherwise(0)
+    m >= 1 && m <= 12 && d >= 1 && d <= daysInMonth
   }
-  // formats.rs:175-177 — uri must be absolute (has scheme)
+
+  // formats.rs:175-177 — uri must be absolute (has scheme); the rlike
+  // scheme pre-guard keeps the UDF off rows that can't possibly pass
+  private val uriSchemeShape = "^[A-Za-z][A-Za-z0-9+.-]*:"
   private val uriUdf = udf { (s: String) =>
     s != null && (try { val u = new java.net.URI(s); u.isAbsolute } catch { case _: Exception => false })
   }
@@ -87,9 +100,9 @@ object Formats {
     * Unknown names accept everything (`formats.rs:35`).
     */
   def pred(name: String, v: Column): Column = name match {
-    case "date"      => v.rlike(dateShape) && dateUdf(v)
+    case "date"      => v.rlike(dateShape) && calendarValid(v)
     case "time"      => v.rlike(timeRe)
-    case "date-time" => v.rlike(dateTimeShape) && dateTimeUdf(v)
+    case "date-time" => v.rlike(dateTimeShape) && calendarValid(substring(v, 1, 10))
     case "duration"  => v.rlike(durationRe)
     // idn-email validates with the plain email check (formats.rs:21)
     case "email" | "idn-email" => v.rlike(emailRe)
@@ -100,7 +113,7 @@ object Formats {
     case "ipv6"      => v.rlike(ipv6Re)
     case "uuid"      => v.rlike(uuidRe)
     // iri / iri-reference validate as uri / uri-reference (formats.rs:28-29)
-    case "uri" | "iri"                     => uriUdf(v)
+    case "uri" | "iri"                     => v.rlike(uriSchemeShape) && uriUdf(v)
     case "uri-reference" | "iri-reference" => uriRefUdf(v)
     case "uri-template"  => uriTemplateUdf(v)
     case "json-pointer"  => v.rlike(jsonPointerRe)
