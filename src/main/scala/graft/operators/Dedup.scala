@@ -181,10 +181,20 @@ object Dedup {
       .select("id_a", "id_b", "est_jaccard")
   }
 
-  /** 64-bit SimHash over whitespace tokens: per-bit weighted vote, all in
-    * one `aggregate` HOF (no UDF).
+  /** 64-bit SimHash over whitespace tokens via the native codegen
+    * expression (`graft.plans.SimHash64`): one tight loop per row instead
+    * of an interpreted 64-wide `zip_with` per token.
     */
   def simHash(text: Column): Column = {
+    import org.apache.spark.sql.GraftShims
+    val toks = split(lower(regexp_replace(trim(text), "\\s+", " ")), " ")
+    GraftShims.column(graft.plans.SimHash64(GraftShims.expression(toks)))
+  }
+
+  /** The HOF formulation of [[simHash]] — kept as the bit-identical
+    * cross-check of the native expression (asserted in PipelineOpsSpec).
+    */
+  def simHashHof(text: Column): Column = {
     val toks = split(lower(regexp_replace(trim(text), "\\s+", " ")), " ")
     // votes: array of 64 counters; each token adds +1/-1 per bit of its hash
     val votes = aggregate(

@@ -40,6 +40,17 @@ class PipelineOpsSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
   }
 
+  test("native SimHash64 expression is bit-identical to the HOF formulation") {
+    val texts = (0 until 300).map(i =>
+      (i.toLong, (0 until (i % 40)).map(w => s"w${(i * 7 + w) % 53}").mkString(" ")))
+      .toDF("doc_id", "text")
+    val mismatches = texts
+      .select(Dedup.simHash(col("text")).as("native"),
+        Dedup.simHashHof(col("text")).as("hof"))
+      .filter(col("native") =!= col("hof")).count()
+    assert(mismatches == 0L)
+  }
+
   test("simhash: identical texts distance 0; near-dup small; distinct large") {
     val sh = docs.select(col("doc_id"), Dedup.simHash(col("text")).as("sh"))
       .as[(Long, Long)].collect().toMap
