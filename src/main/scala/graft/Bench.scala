@@ -124,16 +124,23 @@ object Bench {
   private def spinCalibration(width: Int): (Double, Double) = {
     val javaBin = System.getProperty("java.home") + "/bin/java"
     val cp = System.getProperty("java.class.path")
-    val cmd = Seq("nice", "-n", "-10", "taskset", "-c", s"0-${width - 1}",
-      javaBin, "-Xmx8g", "-cp", cp, "graft.SpinProbe", width.toString)
-    val pb = new ProcessBuilder(cmd: _*)
-    pb.redirectError(ProcessBuilder.Redirect.DISCARD)
-    val proc = pb.start()
-    val out = new String(proc.getInputStream.readAllBytes(),
-      java.nio.charset.StandardCharsets.UTF_8)
-    proc.waitFor()
+    def launch(prefix: Seq[String]): String = {
+      val cmd = prefix ++ Seq("taskset", "-c", s"0-${width - 1}",
+        javaBin, "-Xmx8g", "-cp", cp, "graft.SpinProbe", width.toString)
+      val pb = new ProcessBuilder(cmd: _*)
+      pb.redirectError(ProcessBuilder.Redirect.DISCARD)
+      val proc = pb.start()
+      val out = new String(proc.getInputStream.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8)
+      proc.waitFor()
+      out
+    }
+    val out = {
+      val o = launch(Seq("nice", "-n", "-10"))
+      if (o.contains("median_alu_ops")) o else launch(Nil)
+    }
     def grab(k: String): Double = s""""$k":([0-9]+)""".r.findFirstMatchIn(out)
-      .map(_.group(1).toDouble).getOrElse(Double.NaN)
+      .map(_.group(1).toDouble).getOrElse(0.0) // 0.0, not NaN: NaN breaks JSON
     (grab("median_alu_ops"), grab("median_mem_ops"))
   }
 
@@ -161,26 +168,30 @@ object Bench {
       runs: Int): Double = {
     val javaBin = System.getProperty("java.home") + "/bin/java"
     val cp = System.getProperty("java.class.path")
-    // nice -n -10: the measurement must win against incidental background
-    // activity on the pinned cores (narrow levels are % -sensitive to it)
-    val cmd = Seq("nice", "-n", "-10", "taskset", "-c", s"0-${threads - 1}",
-      javaBin) ++ addOpens ++ Seq(
+    val javaArgs = addOpens ++ Seq(
       "-Xmx24g", "-XX:+UseParallelGC",
       "-Dspark.ui.enabled=false", "-Dspark.sql.session.timeZone=UTC",
       "-cp", cp, "graft.BenchLevel",
       threads.toString, docsPath, warmups.toString, runs.toString)
-    val pb = new ProcessBuilder(cmd: _*)
-    // Spark floods stderr with startup logs; an unfdrained pipe would fill
-    // and deadlock the child — discard it
-    pb.redirectError(ProcessBuilder.Redirect.DISCARD)
-    val proc = pb.start()
-    val out = new String(proc.getInputStream.readAllBytes(),
-      java.nio.charset.StandardCharsets.UTF_8)
-    proc.waitFor()
-    "\"min_sec\":([0-9.]+)".r.findFirstMatchIn(out)
-      .map(_.group(1).toDouble)
+    def launch(prefix: Seq[String]): Option[Double] = {
+      val pb = new ProcessBuilder((prefix ++ Seq(javaBin) ++ javaArgs): _*)
+      // Spark floods stderr with startup logs; an undrained pipe would fill
+      // and deadlock the child — discard it
+      pb.redirectError(ProcessBuilder.Redirect.DISCARD)
+      val proc = pb.start()
+      val out = new String(proc.getInputStream.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8)
+      proc.waitFor()
+      "\"min_sec\":([0-9.]+)".r.findFirstMatchIn(out).map(_.group(1).toDouble)
+    }
+    // nice -n -10: the measurement must win against incidental background
+    // activity on the pinned cores (narrow levels are %-sensitive to it).
+    // Fall back to plain taskset if raising priority isn't permitted.
+    val pin = Seq("taskset", "-c", s"0-${threads - 1}")
+    launch(Seq("nice", "-n", "-10") ++ pin)
+      .orElse(launch(pin))
       .getOrElse(throw new IllegalStateException(
-        s"BenchLevel($threads) produced no min_sec: $out"))
+        s"BenchLevel($threads) produced no min_sec under taskset"))
   }
 
   /** Fallback when taskset is unavailable: in-process local[N] (the pre-pin
@@ -249,9 +260,10 @@ object Bench {
 
     // box ceiling of each pair: ALU (clocks) and memory-stream (bandwidth)
     val cal = if (pinned) levels.map(n => n -> spinCalibration(n)).toMap
-      else levels.map(n => n -> ((Double.NaN, Double.NaN))).toMap
-    val ceil4to16 = cal(16)._2 / cal(4)._2
-    val ceil8to32 = cal(32)._2 / cal(8)._2
+      else levels.map(n => n -> ((0.0, 0.0))).toMap
+    def ratio(num: Double, den: Double): Double = if (den > 0) num / den else 0.0
+    val ceil4to16 = ratio(cal(16)._2, cal(4)._2)
+    val ceil8to32 = ratio(cal(32)._2, cal(8)._2)
 
     // --- per-query timings (driver contract) ---
     val spark = session(cpus.toInt)
