@@ -105,7 +105,20 @@ object Main {
           }
           require(refs.length == 1,
             s"docs table carries more than one distinct $$schema value")
-          val base = java.nio.file.Paths.get(args.docs).toAbsolutePath.getParent
+          // relative $schema paths resolve against the docs table's parent
+          // dir — only meaningful for local paths (rules files are read via
+          // local I/O); a remote scheme (hdfs://, s3a://) must use --rules
+          val schemeRe = "^([a-zA-Z][a-zA-Z0-9+.-]*)://".r
+          val base = schemeRe.findFirstMatchIn(args.docs) match {
+            case Some(m) if m.group(1) != "file" =>
+              throw new IllegalArgumentException(
+                s"instance-level $$schema discovery requires a local docs path " +
+                  s"(got scheme ${m.group(1)}://); pass --rules explicitly")
+            case Some(_) =>
+              java.nio.file.Paths.get(new java.net.URI(args.docs)).toAbsolutePath.getParent
+            case None =>
+              java.nio.file.Paths.get(args.docs).toAbsolutePath.getParent
+          }
           RuleLoader.loadFile(base.resolve(refs(0)).normalize.toString)
         }
       val manifest = docs.inputFiles.sorted.toSeq
@@ -116,8 +129,9 @@ object Main {
         defs = loaded.defs,
         failFast = args.failFast,
         filesPerPart = args.filesPerPart)
-      val commits = CommitLog.completed(args.out)
-      val failedDocs = CommitLog.failedDocsTotal(args.out)
+      val hconf = spark.sparkContext.hadoopConfiguration
+      val commits = CommitLog.completed(args.out, hconf)
+      val failedDocs = CommitLog.failedDocsTotal(args.out, hconf)
       if (args.json && failedDocs > 0) {
         // emit_validation_errors_json shape (ys.rs:54-68): one object per
         // violation row, parquet coordinates instead of YAML markers

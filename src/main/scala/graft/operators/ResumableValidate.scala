@@ -1,5 +1,6 @@
 package graft.operators
 
+import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.rules.Rule
@@ -9,13 +10,26 @@ import graft.sources.CommitLog
   * incomplete partition with identical output").
   *
   * A run validates the docs table one `part` at a time; after each part's
-  * violations land in `outDir/violations/part=<p>/`, an atomic commit JSON
-  * (metrics + rule hash + snapshot-id surrogate + input manifest) is written.
+  * violations land in `outDir/violations_batch_<b>/part=<p>/`, an atomic
+  * commit JSON (metrics + rule hash + snapshot-id surrogate + input manifest
+  * + the batch dir name + optional per-partition sketch bytes) is written.
   * A restart reads the commit log, skips committed parts — the `part`
   * filter prunes at the source when the input is partitioned on `part` —
   * and reproduces byte-identical output for the remainder:
   * violations are sorted within each part and written as a single file per
   * part, so file bytes are a pure function of (input partition, rule set).
+  *
+  * All filesystem access (commit log, crash-hygiene sweep, violation
+  * read-back) goes through `org.apache.hadoop.fs.FileSystem`, so the whole
+  * resumable path runs against `file://`, HDFS, or S3A unchanged — a
+  * cluster driver pointing outDir at an object store gets the same
+  * protocol (rename atomicity caveats documented in [[CommitLog]]).
+  *
+  * Readers only consume committed (part, batch) pairs: each commit records
+  * the batch dir its violations were written to, so a crash between a
+  * batch's parquet write and its commit loop can never surface duplicate
+  * rows on re-run — the re-run writes those parts into a NEW batch dir and
+  * the old batch's rows for them are never read (and are swept on restart).
   *
   * Scale notes: "one Spark job per partition" is the commit granularity of
   * the checkpoint protocol, not a parallelism limit — each per-part job
@@ -41,6 +55,10 @@ object ResumableValidate {
     d.map(b => f"$b%02x").mkString
   }
 
+  /** Sketch keys persisted with each commit when `withSketches = true`. */
+  val HllDocIdKey = "hll_doc_id"
+  val KllNSpansKey = "kll_n_spans"
+
   /** Validate `docs` (must carry a `part` column) against `rule` + the span
     * invariant, checkpointing per part. `failAfterParts` kills the run after
     * N parts (test hook simulating a mid-run crash).
@@ -57,14 +75,23 @@ object ResumableValidate {
     * pass-verdict commit (docs=0, failed=0 — the reference emits a pass for
     * an empty document too, engine.rs:51-57) instead of silently vanishing
     * from the commit log.
+    *
+    * `withSketches = true` additionally aggregates, per part and in the SAME
+    * pass as the verdict metrics, an HLL sketch of `doc_id` and a KLL sketch
+    * of `size(spans)`, persisting the bytes in the commit JSON — so
+    * cardinality and drift state resume incrementally with validation
+    * (merge with [[mergedDocIdSketch]] / [[mergedNSpansSketch]], no re-scan
+    * of committed parts).
     */
   def run(spark: SparkSession, docs: DataFrame, rule: Rule, outDir: String,
       manifest: Seq[String] = Nil, failAfterParts: Int = Int.MaxValue,
       partsPerBatch: Int = 8, defs: Map[String, Rule] = Map.empty,
       failFast: Boolean = false, filesPerPart: Int = 1,
-      expectedParts: Option[Seq[Int]] = None): RunReport = {
+      expectedParts: Option[Seq[Int]] = None,
+      withSketches: Boolean = false): RunReport = {
+    val conf = spark.sparkContext.hadoopConfiguration
     val rh = ruleHash(rule)
-    val done = CommitLog.completed(outDir)
+    val done = CommitLog.completed(outDir, conf)
     done.collectFirst { case (p, h) if h.nonEmpty && h != rh =>
       throw new IllegalStateException(
         s"Commit log at $outDir was written with rule hash $h, current is $rh")
@@ -81,21 +108,20 @@ object ResumableValidate {
 
     // crash hygiene: a kill between a batch's parquet write and its commit
     // rows leaves orphaned part dirs — remove any part dir without a commit
-    // so re-runs can't double-count (the commit file is the source of truth)
-    val base = new java.io.File(outDir)
-    if (base.exists()) {
-      base.listFiles().filter(f => f.isDirectory && f.getName.startsWith("violations_batch_"))
+    // so the on-disk state stays a pure function of the commit log (readers
+    // already ignore uncommitted (part, batch) pairs; the sweep keeps dead
+    // bytes from accumulating across repeated crashes)
+    val basePath = new Path(outDir)
+    val fs = basePath.getFileSystem(conf)
+    if (fs.exists(basePath)) {
+      fs.listStatus(basePath).toSeq
+        .filter(st => st.isDirectory && st.getPath.getName.startsWith("violations_batch_"))
         .foreach { b =>
-          b.listFiles().filter(f => f.isDirectory && f.getName.startsWith("part="))
+          fs.listStatus(b.getPath).toSeq
+            .filter(st => st.isDirectory && st.getPath.getName.startsWith("part="))
             .foreach { pd =>
-              val p = pd.getName.stripPrefix("part=").toInt
-              if (!done.contains(p)) {
-                def rm(f: java.io.File): Unit = {
-                  if (f.isDirectory) f.listFiles().foreach(rm)
-                  f.delete(): Unit
-                }
-                rm(pd)
-              }
+              val p = pd.getPath.getName.stripPrefix("part=").toInt
+              if (!done.contains(p)) fs.delete(pd.getPath, true): Unit
             }
         }
     }
@@ -110,6 +136,7 @@ object ResumableValidate {
       if (executed.size < failAfterParts) {
         val take = batch.take(failAfterParts - executed.size)
         val t0 = System.nanoTime()
+        val batchName = s"violations_batch_${take.head}"
         val slice = withV.filter(col("part").isin(take: _*)).persist()
         val flat = slice
           .select(col("part"), col("doc_id"), explode(col("violations")).as("v"))
@@ -122,19 +149,33 @@ object ResumableValidate {
             pmod(xxhash64(col("doc_id")), lit(filesPerPart.toLong))))
           .sortWithinPartitions("part", "doc_id", "path", "rule", "message")
         viols.write.mode("overwrite").partitionBy("part")
-          .parquet(s"$outDir/violations_batch_${take.head}")
-        // per-part metrics for the commit rows
-        val metrics = slice.groupBy(col("part"))
-          .agg(count(lit(1)).as("docs"),
-            sum(when(!col("pass"), 1L).otherwise(0L)).as("failed"),
-            sum(size(col("violations")).cast("long")).as("nv"))
-          .collect().map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
-          .toMap
+          .parquet(s"$outDir/$batchName")
+        // per-part metrics (+ optional sketches) for the commit rows —
+        // one aggregation pass over the persisted slice
+        val baseAggs = Seq(
+          count(lit(1)).as("docs"),
+          sum(when(!col("pass"), 1L).otherwise(0L)).as("failed"),
+          sum(size(col("violations")).cast("long")).as("nv"))
+        val aggs = if (withSketches) baseAggs ++ Seq(
+          hll_sketch_agg(col("doc_id").cast("string")).as("hll"),
+          graft.plans.Kll.sketchAgg(size(col("spans")).cast("double")).as("kll"))
+        else baseAggs
+        val metricRows = slice.groupBy(col("part"))
+          .agg(aggs.head, aggs.tail: _*).collect()
+        val metrics = metricRows.map { r =>
+          val sk = if (withSketches) Map(
+            HllDocIdKey -> r.getAs[Array[Byte]]("hll"),
+            KllNSpansKey -> r.getAs[Array[Byte]]("kll"))
+          else Map.empty[String, Array[Byte]]
+          r.getInt(0) -> ((r.getAs[Long]("docs"), r.getAs[Long]("failed"),
+            r.getAs[Long]("nv"), sk))
+        }.toMap
         val wallMs = (System.nanoTime() - t0) / 1000000
         take.foreach { p =>
-          val (d, f, v) = metrics.getOrElse(p, (0L, 0L, 0L))
+          val (d, f, v, sk) =
+            metrics.getOrElse(p, (0L, 0L, 0L, Map.empty[String, Array[Byte]]))
           CommitLog.write(outDir, CommitLog.Commit(p, d, f, v, rh, snapshotId,
-            manifest, wallMs))
+            manifest, wallMs, batch = batchName, sketches = sk), conf)
         }
         slice.unpersist()
         executed = executed ++ take
@@ -151,13 +192,53 @@ object ResumableValidate {
     RunReport(executed, donePartsList)
   }
 
-  /** Read back all committed violations (union of the per-batch outputs). */
+  /** Read back committed violations: only (part, batch) pairs recorded in
+    * the commit log are consumed, so rows from a batch that crashed before
+    * its commits (and whose parts were re-run into a later batch) are never
+    * double-counted.
+    */
   def violations(spark: SparkSession, outDir: String): DataFrame = {
-    val dirs = new java.io.File(outDir).listFiles()
-      .filter(f => f.isDirectory && f.getName.startsWith("violations_batch_"))
-      .filter(_.listFiles().exists(f => f.isDirectory && f.getName.startsWith("part=")))
-      .map(_.getAbsolutePath)
-    require(dirs.nonEmpty, s"no committed violations under $outDir")
-    dirs.map(spark.read.parquet(_)).reduce(_ unionByName _)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val byBatch = CommitLog.committedBatches(outDir, conf)
+      .filter(_._2.nonEmpty)
+      .groupBy(_._2).view.mapValues(_.keys.toSeq).toMap
+    val basePath = new Path(outDir)
+    val fs = basePath.getFileSystem(conf)
+    val dfs = byBatch.toSeq.sortBy(_._1).flatMap { case (batchName, parts) =>
+      val bp = new Path(basePath, batchName)
+      val hasParts = fs.exists(bp) && fs.listStatus(bp)
+        .exists(st => st.isDirectory && st.getPath.getName.startsWith("part="))
+      if (hasParts)
+        Some(spark.read.parquet(bp.toString)
+          .filter(col("part").isin(parts: _*)))
+      else None
+    }
+    require(dfs.nonEmpty, s"no committed violations under $outDir")
+    dfs.reduce(_ unionByName _)
+  }
+
+  /** Merged doc_id HLL sketch over all committed parts (requires the run to
+    * have used `withSketches = true`) — returns the distinct estimate.
+    * Union happens in Spark (`hll_union_agg`) over the persisted bytes:
+    * no re-scan of any committed data.
+    */
+  def mergedDocIdEstimate(spark: SparkSession, outDir: String): Long = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val bytes = CommitLog.sketches(outDir, conf).values
+      .flatMap(_.get(HllDocIdKey)).toSeq
+    require(bytes.nonEmpty, s"no $HllDocIdKey sketches committed under $outDir")
+    import spark.implicits._
+    bytes.toDF("sketch")
+      .agg(hll_sketch_estimate(hll_union_agg(col("sketch"))).as("est"))
+      .collect()(0).getLong(0)
+  }
+
+  /** Merged KLL sketch of size(spans) over all committed parts. */
+  def mergedNSpansSketch(spark: SparkSession, outDir: String): Array[Byte] = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val bytes = CommitLog.sketches(outDir, conf).values
+      .flatMap(_.get(KllNSpansKey)).toSeq
+    require(bytes.nonEmpty, s"no $KllNSpansKey sketches committed under $outDir")
+    graft.plans.Kll.union(bytes)
   }
 }

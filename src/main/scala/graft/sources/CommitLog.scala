@@ -1,28 +1,36 @@
 package graft.sources
 
-import java.nio.file.{Files, Path, Paths, StandardCopyOption}
-import scala.jdk.CollectionConverters._
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
+import java.nio.charset.StandardCharsets
 
 /** Per-partition commit log — the resumability substrate required by the
   * north rule ("each partition's validation state, lineage (snapshot-id,
   * file manifest) and metrics are checkpointed to a commit log so a killed
   * job restarts at the last incomplete partition with identical output").
   *
-  * Layout (mirrors the shape of a table-format commit log, one atomic file
-  * per committed unit — works on any filesystem with atomic rename; on
-  * object stores the rename is a copy+delete but the marker-file protocol
-  * still gives at-most-once visibility):
+  * All I/O goes through `org.apache.hadoop.fs.FileSystem`, so the log runs
+  * unchanged against local paths (`file://` or bare), HDFS, or S3A — the
+  * scheme of the supplied dir picks the filesystem. Layout (mirrors the
+  * shape of a table-format commit log, one atomic file per committed unit —
+  * atomic rename on HDFS/local; on object stores the rename is a copy+delete
+  * but the marker-file protocol still gives at-most-once visibility):
   *
   * {{{
   * <dir>/_commits/part=<p>.json   -- one JSON per completed partition
-  * <dir>/violations/part=<p>/     -- that partition's violation rows
+  * <dir>/violations_batch_<b>/part=<p>/ -- that partition's violation rows
   * }}}
   *
   * The JSON carries: partition id, row/verdict metrics, the rule-set hash
   * (resume refuses to mix rule versions), a snapshot id surrogate (hash of
-  * the input manifest), and the input file manifest itself. There is no
-  * Iceberg runtime in this sandbox (SURVEY.md §7); the log supplies the
-  * snapshot/manifest lineage an Iceberg snapshot would.
+  * the input manifest), the input file manifest itself, the batch dir the
+  * partition's violations were written to (so readers only consume
+  * committed (part, batch) pairs and a crash between a batch write and its
+  * commits can never surface duplicate rows), and optional per-partition
+  * sketch bytes (KLL / HLL) so drift and cardinality resume incrementally
+  * with validation. There is no Iceberg runtime in this sandbox
+  * (SURVEY.md §7); the log supplies the snapshot/manifest lineage an
+  * Iceberg snapshot would.
   */
 object CommitLog {
 
@@ -34,21 +42,23 @@ object CommitLog {
       ruleHash: String,
       snapshotId: String,
       manifest: Seq[String],
-      wallMs: Long)
+      wallMs: Long,
+      batch: String = "",
+      sketches: Map[String, Array[Byte]] = Map.empty)
 
-  private def commitsDir(dir: String): Path = Paths.get(dir, "_commits")
-
-  /** `Files.list` holds a directory handle until closed — materialize the
-    * listing inside try/finally so long-running drivers polling many commit
-    * dirs don't leak FDs.
-    */
-  private def listDir(d: Path): Seq[Path] = {
-    val s = Files.list(d)
-    try s.iterator().asScala.toList finally s.close()
+  /** Resolve the filesystem for a dir string (bare paths = local FS). */
+  private def fsFor(dir: String, conf: Configuration): (FileSystem, Path) = {
+    val p = new Path(dir)
+    (p.getFileSystem(conf), p)
   }
 
-  def commitPath(dir: String, part: Int): Path =
-    commitsDir(dir).resolve(s"part=$part.json")
+  private def commitsDir(base: Path): Path = new Path(base, "_commits")
+
+  def commitPath(dir: String, part: Int,
+      conf: Configuration = new Configuration()): Path = {
+    val (_, base) = fsFor(dir, conf)
+    new Path(commitsDir(base), s"part=$part.json")
+  }
 
   private def esc(s: String): String =
     s.flatMap {
@@ -59,54 +69,103 @@ object CommitLog {
       case c => c.toString
     }
 
+  private def b64(b: Array[Byte]): String =
+    java.util.Base64.getEncoder.encodeToString(b)
+
   /** Atomic write: temp file + rename, so a concurrent/killed writer never
-    * leaves a half-visible commit.
+    * leaves a half-visible commit. `FileSystem.rename` won't clobber an
+    * existing destination on every FS, so an existing commit file (re-run
+    * of an already-committed part) is deleted first — commit content is a
+    * pure function of (part, input, rules), so the replace is idempotent.
     */
-  def write(dir: String, c: Commit): Unit = {
-    Files.createDirectories(commitsDir(dir))
+  def write(dir: String, c: Commit,
+      conf: Configuration = new Configuration()): Unit = {
+    val (fs, base) = fsFor(dir, conf)
+    val cd = commitsDir(base)
+    fs.mkdirs(cd)
+    val sketchJson =
+      if (c.sketches.isEmpty) ""
+      else c.sketches.toSeq.sortBy(_._1)
+        .map { case (k, v) => "\"" + esc(k) + "\":\"" + b64(v) + "\"" }
+        .mkString(",\"sketches\":{", ",", "}")
     val json =
       s"""{"part":${c.part},"docs":${c.docs},"failed_docs":${c.failedDocs},
          |"violations":${c.violations},"rule_hash":"${esc(c.ruleHash)}",
          |"snapshot_id":"${esc(c.snapshotId)}",
          |"manifest":[${c.manifest.map(m => "\"" + esc(m) + "\"").mkString(",")}],
+         |"batch":"${esc(c.batch)}"$sketchJson,
          |"wall_ms":${c.wallMs}}""".stripMargin.replace("\n", "")
-    val tmp = Files.createTempFile(commitsDir(dir), s"part-${c.part}", ".tmp")
-    Files.writeString(tmp, json)
-    Files.move(tmp, commitPath(dir, c.part), StandardCopyOption.ATOMIC_MOVE,
-      StandardCopyOption.REPLACE_EXISTING)
+    val tmp = new Path(cd, s"part-${c.part}-${java.util.UUID.randomUUID()}.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(json.getBytes(StandardCharsets.UTF_8)) finally out.close()
+    val dst = new Path(cd, s"part=${c.part}.json")
+    if (fs.exists(dst)) fs.delete(dst, false)
+    if (!fs.rename(tmp, dst)) {
+      fs.delete(tmp, false)
+      throw new java.io.IOException(s"commit rename failed for $dst")
+    }
   }
+
+  private def readCommitFiles(dir: String, conf: Configuration): Seq[(Int, String)] = {
+    val (fs, base) = fsFor(dir, conf)
+    val cd = commitsDir(base)
+    if (!fs.exists(cd)) return Nil
+    fs.listStatus(cd).toSeq
+      .filter(_.getPath.getName.matches("part=\\d+\\.json"))
+      .map { st =>
+        val part = st.getPath.getName.stripPrefix("part=").stripSuffix(".json").toInt
+        val in = fs.open(st.getPath)
+        val txt = try {
+          val buf = new java.io.ByteArrayOutputStream()
+          val arr = new Array[Byte](8192)
+          var n = in.read(arr)
+          while (n >= 0) { buf.write(arr, 0, n); n = in.read(arr) }
+          new String(buf.toByteArray, StandardCharsets.UTF_8)
+        } finally in.close()
+        part -> txt
+      }
+  }
+
+  private def field(txt: String, name: String): Option[String] =
+    ("\"" + name + "\":\"([^\"]*)\"").r.findFirstMatchIn(txt).map(_.group(1))
 
   /** Completed partitions (+ their recorded rule hash for mismatch checks). */
-  def completed(dir: String): Map[Int, String] = {
-    val d = commitsDir(dir)
-    if (!Files.exists(d)) return Map.empty
-    listDir(d)
-      .filter(_.getFileName.toString.matches("part=\\d+\\.json"))
-      .map { p =>
-        val part = p.getFileName.toString.stripPrefix("part=").stripSuffix(".json").toInt
-        val txt = Files.readString(p)
-        val hash = "\"rule_hash\":\"([^\"]*)\"".r.findFirstMatchIn(txt)
-          .map(_.group(1)).getOrElse("")
-        part -> hash
+  def completed(dir: String,
+      conf: Configuration = new Configuration()): Map[Int, String] =
+    readCommitFiles(dir, conf)
+      .map { case (p, txt) => p -> field(txt, "rule_hash").getOrElse("") }
+      .toMap
+
+  /** part -> batch dir name it was committed under ("" for pre-batch logs). */
+  def committedBatches(dir: String,
+      conf: Configuration = new Configuration()): Map[Int, String] =
+    readCommitFiles(dir, conf)
+      .map { case (p, txt) => p -> field(txt, "batch").getOrElse("") }
+      .toMap
+
+  /** part -> named sketch bytes persisted with the commit (may be empty). */
+  def sketches(dir: String,
+      conf: Configuration = new Configuration()): Map[Int, Map[String, Array[Byte]]] =
+    readCommitFiles(dir, conf).map { case (p, txt) =>
+      val m = "\"sketches\":\\{([^}]*)\\}".r.findFirstMatchIn(txt)
+        .map(_.group(1)).getOrElse("")
+      val entries = "\"([^\"]+)\":\"([^\"]*)\"".r.findAllMatchIn(m).map { mm =>
+        mm.group(1) -> java.util.Base64.getDecoder.decode(mm.group(2))
       }.toMap
-  }
+      p -> entries
+    }.toMap
 
   /** Sum of failed_docs over all committed partitions (the job verdict). */
-  def failedDocsTotal(dir: String): Long = {
-    val d = commitsDir(dir)
-    if (!Files.exists(d)) return 0L
-    listDir(d)
-      .filter(_.getFileName.toString.matches("part=\\d+\\.json"))
-      .map { p =>
-        "\"failed_docs\":(\\d+)".r.findFirstMatchIn(Files.readString(p))
-          .map(_.group(1).toLong).getOrElse(0L)
-      }.sum
-  }
+  def failedDocsTotal(dir: String,
+      conf: Configuration = new Configuration()): Long =
+    readCommitFiles(dir, conf).map { case (_, txt) =>
+      "\"failed_docs\":(\\d+)".r.findFirstMatchIn(txt)
+        .map(_.group(1).toLong).getOrElse(0L)
+    }.sum
 
-  def clear(dir: String): Unit = {
-    val d = commitsDir(dir)
-    if (Files.exists(d)) {
-      listDir(d).foreach(Files.deleteIfExists(_))
-    }
+  def clear(dir: String, conf: Configuration = new Configuration()): Unit = {
+    val (fs, base) = fsFor(dir, conf)
+    val cd = commitsDir(base)
+    if (fs.exists(cd)) fs.delete(cd, true): Unit
   }
 }

@@ -13,6 +13,15 @@ class ResumableValidateSpec extends SparkSpec {
 
   private val rule = Rule.Check(Keywords(required = List("doc_id", "spans")))
 
+  /** Read a commit JSON through the Hadoop FS API (the log's native I/O). */
+  private def readCommit(dir: String, part: Int): String = {
+    val p = CommitLog.commitPath(dir, part)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(p)
+    try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+    finally in.close()
+  }
+
   private def freshDocs = DocsGen.docs(spark, DocsGen.Knobs(
     nDocs = 3000, nParts = 6, badKindPerMille = 20, badOrderPerMille = 10,
     nullDocIdPerMille = 5))
@@ -76,7 +85,7 @@ class ResumableValidateSpec extends SparkSpec {
       expectedParts = Some(0 to 7))
     val commits = CommitLog.completed(dir)
     assert(commits.keySet == (0 to 7).toSet, s"commits=${commits.keySet}")
-    val txt = Files.readString(CommitLog.commitPath(dir, 7))
+    val txt = readCommit(dir, 7)
     assert(txt.contains("\"docs\":0") && txt.contains("\"failed_docs\":0"),
       s"empty part must commit a pass verdict: $txt")
   }
@@ -108,8 +117,74 @@ class ResumableValidateSpec extends SparkSpec {
     val dir = Files.createTempDirectory("graft_lin").toString
     ResumableValidate.run(spark, freshDocs, rule, dir,
       manifest = Seq("file_a.parquet", "file_b.parquet"), partsPerBatch = 6)
-    val txt = Files.readString(CommitLog.commitPath(dir, 0))
+    val txt = readCommit(dir, 0)
     assert(txt.contains("\"snapshot_id\":\"") && txt.contains("file_a.parquet"))
     assert(txt.contains("\"docs\":") && txt.contains("\"wall_ms\":"))
+    assert(txt.contains("\"batch\":\"violations_batch_"),
+      s"commit must record its batch dir: $txt")
+  }
+
+  test("commit log runs against an explicit file:// URI (Hadoop FileSystem path)") {
+    val dir = "file://" + Files.createTempDirectory("graft_uri").toString
+    val r = ResumableValidate.run(spark, freshDocs, rule, dir, partsPerBatch = 6)
+    assert(r.partsDone.size == 6)
+    assert(CommitLog.completed(dir).size == 6)
+    val v = ResumableValidate.violations(spark, dir)
+    assert(v.count() > 0)
+  }
+
+  test("resumable path does no direct java.io/nio file I/O (Hadoop FS only)") {
+    for (f <- Seq("src/main/scala/graft/sources/CommitLog.scala",
+        "src/main/scala/graft/operators/ResumableValidate.scala")) {
+      val src = new String(Files.readAllBytes(java.nio.file.Paths.get(f)))
+      assert(!src.contains("java.nio.file"), s"$f still imports java.nio.file")
+      assert(!src.contains("java.io.File"), s"$f still uses java.io.File")
+    }
+  }
+
+  test("crash between batch write and commits: resume never duplicates violations") {
+    val cleanDir = Files.createTempDirectory("graft_dup_clean").toString
+    val dir = Files.createTempDirectory("graft_dup").toString
+    ResumableValidate.run(spark, freshDocs, rule, cleanDir, partsPerBatch = 3)
+    ResumableValidate.run(spark, freshDocs, rule, dir, partsPerBatch = 3)
+    // simulate the crash window: batch parquet landed but part 4's commit
+    // did not — delete the commit, leaving orphan rows in the old batch dir
+    val cp = CommitLog.commitPath(dir, 4)
+    val fs = cp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.delete(cp, false))
+    // re-run: part 4 goes into a NEW batch; reader must not see it twice
+    val r = ResumableValidate.run(spark, freshDocs, rule, dir, partsPerBatch = 3)
+    assert(r.partsDone == Seq(4) && r.partsSkipped.size == 5)
+    val a = ResumableValidate.violations(spark, cleanDir)
+      .orderBy("part", "doc_id", "path", "rule", "message").collect()
+    val b = ResumableValidate.violations(spark, dir)
+      .orderBy("part", "doc_id", "path", "rule", "message").collect()
+    assert(a.length == b.length && a.sameElements(b),
+      s"clean=${a.length} rows, resumed=${b.length} rows (duplicates leaked?)")
+  }
+
+  test("per-part sketches persist with commits; restarted run's merged sketch equals single-run") {
+    val cleanDir = Files.createTempDirectory("graft_sk_clean").toString
+    val crashDir = Files.createTempDirectory("graft_sk_crash").toString
+    ResumableValidate.run(spark, freshDocs, rule, cleanDir,
+      partsPerBatch = 2, withSketches = true)
+    intercept[RuntimeException] {
+      ResumableValidate.run(spark, freshDocs, rule, crashDir,
+        partsPerBatch = 2, failAfterParts = 2, withSketches = true)
+    }
+    ResumableValidate.run(spark, freshDocs, rule, crashDir,
+      partsPerBatch = 2, withSketches = true)
+    // HLL: merged cardinality identical (sketch union is exact wrt merge order)
+    val estClean = ResumableValidate.mergedDocIdEstimate(spark, cleanDir)
+    val estCrash = ResumableValidate.mergedDocIdEstimate(spark, crashDir)
+    assert(estClean == estCrash, s"clean=$estClean resumed=$estCrash")
+    assert(estClean > 2500, s"estimate implausibly low: $estClean")
+    // KLL: merged quantiles identical
+    import graft.plans.Kll
+    val qc = Kll.quantiles(ResumableValidate.mergedNSpansSketch(spark, cleanDir),
+      Seq(0.1, 0.5, 0.9))
+    val qx = Kll.quantiles(ResumableValidate.mergedNSpansSketch(spark, crashDir),
+      Seq(0.1, 0.5, 0.9))
+    assert(qc == qx, s"clean=$qc resumed=$qx")
   }
 }
