@@ -35,10 +35,13 @@ object Dedup {
     * that sort is the bottleneck of the whole dedup path. Here bucket sizes
     * come from a map-side-combined `groupBy(keys).count` whose output is one
     * row per DISTINCT bucket, filtered down to only the oversized ones
-    * (boilerplate buckets — rare by construction), then broadcast back as a
-    * left-anti join: no sort anywhere, one streaming pass over the banded
-    * rows. If the oversized-bucket list ever outgrew broadcast range,
-    * Spark's AQE falls back to a shuffle anti-join on its own.
+    * (boilerplate buckets — rare by construction), then anti-joined back.
+    * No explicit broadcast() hint: Spark honors a hint REGARDLESS of size,
+    * so a heavily-templated corpus whose oversized set outgrew the 8 GB
+    * broadcast hard limit would OOM the driver instead of falling back.
+    * Left to the planner, the anti-join broadcasts while the set is under
+    * autoBroadcastJoinThreshold (sort-free) and AQE demotes it to a shuffle
+    * join when runtime stats say otherwise — degraded, never dead.
     */
   private[operators] def dropOversizedBuckets(banded: DataFrame, keys: Seq[String],
       maxBucket: Int): DataFrame = {
@@ -46,7 +49,7 @@ object Dedup {
       .agg(count(lit(1)).as("_bucket_size"))
       .filter(col("_bucket_size") > maxBucket)
       .drop("_bucket_size")
-    banded.join(broadcast(oversized), keys, "left_anti")
+    banded.join(oversized, keys, "left_anti")
   }
 
   /** Normalized content hash: lowercase, collapse whitespace, xxhash64 +
@@ -66,14 +69,19 @@ object Dedup {
 
   /** Exact-dup group membership: (id, content_hash, keep) where keep marks
     * the canonical (min id) representative — the "drop the rest" plan.
+    *
+    * Sort-free: a `row_number` Window would shuffle AND sort every
+    * (id, hash) row just to mark the min-id representative; instead the
+    * keeper ids come from a map-side-combined `groupBy(hash).agg(min(id))`
+    * (one row per distinct hash) joined back — two narrow shuffles on the
+    * same key, no sort anywhere.
     */
   def exactMembers(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val hashed = df.select(col(idCol).as("id"), contentHash(col(textCol)).as("content_hash"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("content_hash")).orderBy(col("id"))
-    hashed.withColumn("rank", row_number().over(w))
-      .withColumn("keep", col("rank") === 1)
-      .drop("rank")
+    val keepers = hashed.groupBy(col("content_hash"))
+      .agg(min(col("id")).as("_keep_id"))
+    hashed.join(keepers, Seq("content_hash"))
+      .select(col("id"), col("content_hash"), (col("id") === col("_keep_id")).as("keep"))
   }
 
   /** Word k-shingles of a normalized text column (array<string>).

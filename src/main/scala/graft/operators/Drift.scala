@@ -56,13 +56,17 @@ object Drift {
     */
   def ks(a: DataFrame, b: DataFrame, c: String, gridSize: Int = 101,
       accuracy: Int = 10000): DataFrame = {
+    require(gridSize >= 2, s"ks: gridSize must be >= 2, got $gridSize")
     val probs = (0 to gridSize - 1).map(i => i.toDouble / (gridSize - 1))
-    val grid: Array[Double] = a.select(col(c).cast("double").as("v"))
+    val gridRow = a.select(col(c).cast("double").as("v"))
       .unionAll(b.select(col(c).cast("double").as("v")))
       .filter(col("v").isNotNull)
       .agg(percentile_approx(col("v"),
         typedLit(probs), lit(accuracy)).as("qs"))
-      .collect()(0).getSeq[Double](0).toArray
+      .collect()(0)
+    require(!gridRow.isNullAt(0),
+      s"ks: no non-null rows in column '$c' on either side")
+    val grid: Array[Double] = gridRow.getSeq[Double](0).toArray
 
     def cdfAt(df: DataFrame): Array[Double] = {
       val n = count(when(col(c).isNotNull, 1))
@@ -90,17 +94,23 @@ object Drift {
     */
   def ksFixedGrid(a: DataFrame, b: DataFrame, c: String, lo: Double, hi: Double,
       gridSize: Int = 101): DataFrame = {
+    require(gridSize >= 2, s"ksFixedGrid: gridSize must be >= 2, got $gridSize")
     val grid = (0 until gridSize).map(i => lo + i * (hi - lo) / (gridSize - 1))
-    def cdfAt(df: DataFrame): Array[Double] = {
+    def cdfAt(df: DataFrame, side: String): Array[Double] = {
       val n = count(when(col(c).isNotNull, 1))
       val sums: Seq[Column] = grid.zipWithIndex.map { case (g, i) =>
         (sum(when(col(c).cast("double") <= lit(g), 1L).otherwise(0L)) / n).as(s"f$i")
       }
-      val r = df.agg(sums.head, sums.tail: _*).collect()(0)
+      val r = df.agg((sums :+ n.as("_n")).head, (sums :+ n.as("_n")).tail: _*)
+        .collect()(0)
+      // zero non-null rows makes every ratio null — a misconfigured slice
+      // must fail diagnosably, not NPE inside Row.getDouble
+      require(r.getLong(gridSize) > 0,
+        s"ksFixedGrid: no non-null rows in column '$c' on side '$side'")
       grid.indices.map(i => r.getDouble(i)).toArray
     }
-    val fa = cdfAt(a)
-    val fb = cdfAt(b)
+    val fa = cdfAt(a, "a")
+    val fb = cdfAt(b, "b")
     val ksStat = grid.indices.map(i => math.abs(fa(i) - fb(i))).max
     val spark = a.sparkSession
     import spark.implicits._

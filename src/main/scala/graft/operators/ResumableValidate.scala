@@ -233,11 +233,15 @@ object ResumableValidate {
       .collect()(0).getLong(0)
   }
 
-  /** Merged KLL sketch of size(spans) over all committed parts. */
+  /** Merged KLL sketch of size(spans) over all committed parts. Merge runs
+    * in part order — KLL compaction is sensitive to merge order, so a fixed
+    * order keeps the merged sketch reproducible for a given set of
+    * per-part sketches.
+    */
   def mergedNSpansSketch(spark: SparkSession, outDir: String): Array[Byte] = {
     val conf = spark.sparkContext.hadoopConfiguration
-    val bytes = CommitLog.sketches(outDir, conf).values
-      .flatMap(_.get(KllNSpansKey)).toSeq
+    val bytes = CommitLog.sketches(outDir, conf).toSeq.sortBy(_._1)
+      .flatMap(_._2.get(KllNSpansKey))
     require(bytes.nonEmpty, s"no $KllNSpansKey sketches committed under $outDir")
     graft.plans.Kll.union(bytes)
   }

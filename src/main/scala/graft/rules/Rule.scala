@@ -74,21 +74,34 @@ object Rule {
     * (case-class `toString` depends on Scala Map iteration order, so two
     * loads of the same YAML could hash differently — or two different rule
     * sets could collide on a 32-bit hashCode).
+    *
+    * Every user-supplied string (pattern, format, map keys, required names,
+    * const/enum strings, $ref names) renders QUOTED with `"` and `\\`
+    * escaped, so no crafted value can collide with the `-` absent-sentinel
+    * or smuggle a delimiter — distinct rule trees always render (and hash)
+    * distinctly.
     */
-  def canonical(r: Rule): String = r match {
+  def canonical(r: Rule): String = {
+    def q(s: String): String =
+      "\"" + s.flatMap {
+        case '"' => "\\\""
+        case '\\' => "\\\\"
+        case c => c.toString
+      } + "\""
+    r match {
     case Accept => "T"
     case Reject => "F"
-    case Ref(n) => s"ref<$n>"
+    case Ref(n) => s"ref<${q(n)}>"
     case Check(kw) =>
       def rm(m: Map[String, Rule]): String = m.toSeq.sortBy(_._1)
-        .map { case (k, v) => s"$k=${canonical(v)}" }.mkString("{", ",", "}")
+        .map { case (k, v) => s"${q(k)}=${canonical(v)}" }.mkString("{", ",", "}")
       def ro(o: Option[Rule]): String = o.map(canonical).getOrElse("-")
       def rl(l: List[Rule]): String = l.map(canonical).mkString("[", ",", "]")
       def cv(c: ConstVal): String = c match {
         case ConstVal.VObj(fs) => fs.toSeq.sortBy(_._1)
-          .map { case (k, v) => s"$k:${cv(v)}" }.mkString("{", ",", "}")
+          .map { case (k, v) => s"${q(k)}:${cv(v)}" }.mkString("{", ",", "}")
         case ConstVal.VArr(is) => is.map(cv).mkString("[", ",", "]")
-        case ConstVal.VStr(s)  => "\"" + s + "\""
+        case ConstVal.VStr(s)  => q(s)
         case other             => other.toString
       }
       Seq(
@@ -102,17 +115,18 @@ object Rule {
         "mult=" + kw.multipleOf.getOrElse("-"),
         "minLen=" + kw.minLength.getOrElse("-"),
         "maxLen=" + kw.maxLength.getOrElse("-"),
-        "pat=" + kw.pattern.getOrElse("-"),
-        "fmt=" + kw.format.getOrElse("-"),
+        "pat=" + kw.pattern.map(q).getOrElse("-"),
+        "fmt=" + kw.format.map(q).getOrElse("-"),
         "props=" + rm(kw.properties),
         "patProps=" + rm(kw.patternProperties),
         "addProps=" + ro(kw.additionalProperties),
         "propNames=" + ro(kw.propertyNames),
-        "req=" + kw.required.mkString("|"),
+        "req=" + kw.required.map(q).mkString("|"),
         "minProps=" + kw.minProperties.getOrElse("-"),
         "maxProps=" + kw.maxProperties.getOrElse("-"),
         "depReq=" + kw.dependentRequired.toSeq.sortBy(_._1)
-          .map { case (k, v) => s"$k=${v.mkString("|")}" }.mkString("{", ",", "}"),
+          .map { case (k, v) => s"${q(k)}=${v.map(q).mkString("|")}" }
+          .mkString("{", ",", "}"),
         "depSch=" + rm(kw.dependentSchemas),
         "items=" + ro(kw.items),
         "prefix=" + rl(kw.prefixItems),
@@ -132,6 +146,7 @@ object Rule {
         "then=" + ro(kw.thenRule),
         "else=" + ro(kw.elseRule)
       ).mkString("chk(", ";", ")")
+    }
   }
 }
 

@@ -82,6 +82,19 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("exactMembers marks representatives without a Window (groupBy min + join)") {
+    import spark.implicits._
+    val docs = Seq((3L, "same text"), (1L, "same text"), (2L, "other"))
+      .toDF("doc_id", "text")
+    val members = Dedup.exactMembers(docs, "doc_id", "text")
+    val p = planOf(members)
+    assert(!p.contains("Window"), s"Window in exactMembers plan:\n$p")
+    val rows = members.orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getBoolean(2)))
+    assert(rows.sameElements(Array((1L, true), (2L, true), (3L, false))),
+      s"min-id representative marking wrong: ${rows.mkString(",")}")
+  }
+
   test("lshTopK is a single scan (no union of per-table passes)") {
     import spark.implicits._
     val vecs = (0 until 50).map(i => (i.toLong, Seq.tabulate(8)(d =>
