@@ -66,6 +66,20 @@ object SparkEntry {
       .orderBy("part")
   }
 
+  /** Trained IVF coarse centroids for `dir`'s embeddings corpus —
+    * deterministic spherical k-means ([[Similarity.trainCentroids]]), cached
+    * per dir so queries(), the bench, and oracle resolution train once per
+    * JVM. Trained on the indexed corpus (vec_id > 8; 0..8 serve as query
+    * vectors), k=8 lists over the 64-dim embeddings.
+    */
+  private val ivfCentroidCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[Seq[Double]]]()
+  def ivfCentroids(s: SparkSession, dir: String): Seq[Seq[Double]] =
+    ivfCentroidCache.computeIfAbsent(dir, _ =>
+      Similarity.trainCentroids(
+        t(s, dir, "embeddings").filter(col("vec_id") > 8L), "embedding",
+        k = 8, dims = 64, iters = 3))
+
   private val langEnum = List("en", "de", "fr", "es").map(ConstVal.VStr(_))
 
   // marker lists as SQL literals for the oracle
@@ -359,14 +373,13 @@ object SparkEntry {
         .orderBy(col("cosine").desc, col("id"))
     }),
     "s_ann_ivf" -> ((s, dir) => {
-      // IVF over a WRITTEN index: 8 deterministic centroids (first
-      // embeddings), assignment persisted partitioned by centroid, probe
-      // reads only the 2 nearest lists (partition-pruned scan)
+      // IVF over a WRITTEN index: 8 TRAINED centroids (deterministic
+      // k-means over the indexed corpus), assignment persisted partitioned
+      // by centroid, probe reads only the 2 nearest lists (partition-pruned
+      // scan). The oracle replays the same argmax over the trained
+      // centroids passed in as literals (resolved in oracleSqlResolved).
       val emb = t(s, dir, "embeddings")
-      val centroids: Seq[Seq[Double]] = emb.filter(col("vec_id") < 8)
-        .orderBy("vec_id").collect()
-        .map(r => Vector.tabulate(r.getSeq[Float](1).size)(i =>
-          r.getSeq[Float](1)(i).toDouble)).toVector
+      val centroids = ivfCentroids(s, dir)
       val q: Seq[Float] = emb.filter(col("vec_id") === 8L)
         .select(col("embedding")).collect()(0).getSeq[Float](0)
       val idx = s"${System.getProperty("java.io.tmpdir")}/graft_ivf_idx_${dir.hashCode}"
@@ -684,8 +697,7 @@ object SparkEntry {
         |FROM pairs WHERE (CASE WHEN u = 0 THEN 0.0 ELSE i / u END) >= 0.5
         |ORDER BY id_a, id_b""".stripMargin,
     "s_ann_ivf" ->
-      """WITH c AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cvec
-        |  FROM embeddings WHERE vec_id < 8),
+      """WITH c(cid, cvec) AS (VALUES __IVF_CENTROIDS__),
         |q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 8),
         |assigned AS (SELECT e.vec_id AS id, CAST(e.embedding AS DOUBLE[]) AS vec,
         |    (SELECT c.cid FROM c
@@ -817,4 +829,17 @@ object SparkEntry {
         |    AS k_out_of_policy,
         |  min(k) AS k_min, max(k) AS k_max
         |FROM ev GROUP BY event_type ORDER BY event_type""".stripMargin)
+
+  /** [[oracleSql]] with runtime-computed literals substituted: the trained
+    * IVF centroids are rendered into the `__IVF_CENTROIDS__` placeholder as
+    * a DuckDB VALUES list, so the oracle replays the exact argmax assignment
+    * over the exact trained quantizer (full-precision Double round-trip).
+    * Verify dumps THIS map; the raw [[oracleSql]] keeps the placeholder.
+    */
+  def oracleSqlResolved(s: SparkSession, dir: String): Map[String, String] = {
+    val lits = ivfCentroids(s, dir).zipWithIndex.map { case (c, i) =>
+      s"($i, [${c.mkString(", ")}]::DOUBLE[])"
+    }.mkString(", ")
+    oracleSql.map { case (k, v) => k -> v.replace("__IVF_CENTROIDS__", lits) }
+  }
 }

@@ -219,6 +219,91 @@ object Similarity {
       .limit(k)
   }
 
+  /** Deterministic spherical k-means (Lloyd) over the embedding column —
+    * the IVF coarse-quantizer trainer. Untrained centroids (e.g. "first k
+    * corpus vectors") make probe recall arbitrary and the inverted lists
+    * skewed; a few Lloyd rounds balance the lists so a probe reads
+    * ~nProbe/k of the data at any scale.
+    *
+    * Everything is deterministic and cluster-reproducible:
+    *   - seeds = farthest-point (maxmin-cosine) greedy selection over a
+    *     driver-side sample: the `sampleN` vectors with the smallest
+    *     `xxhash64(vec)` (a pseudo-random but seedless, order-independent
+    *     sample — one TakeOrderedAndProject, no full sort), then k spread
+    *     seeds picked greedily in plain Scala. Pure hash seeding can land
+    *     every seed in one dense cluster and Lloyd then converges to a
+    *     collapsed local optimum; maxmin can't;
+    *   - assignment = argmax cosine with ties toward the higher centroid id
+    *     (same `greatest(struct(sim, cid))` lowering as [[ivfAssign]]);
+    *   - update = one map-side-combined `groupBy(cid)` pass computing all
+    *     `dims` per-dimension means as separate avg aggregates (dims agg
+    *     columns, k result rows — no explode, no dims× shuffle), then
+    *     L2-normalized (spherical k-means: the mean direction);
+    *   - an emptied cluster keeps its previous centroid.
+    *
+    * Cost: `iters + 1` scans of (vec) — at 100 TB you'd train on a sampled
+    * slice (`df.sample`) since the quantizer only needs the density shape;
+    * the full corpus is never shuffled, only k×dims doubles hit the driver.
+    */
+  def trainCentroids(df: DataFrame, vecCol: String, k: Int, dims: Int,
+      iters: Int = 3, sampleN: Int = 1024): Seq[Seq[Double]] = {
+    require(k >= 1 && dims >= 1 && iters >= 0)
+    val base = df.filter(col(vecCol).isNotNull && size(col(vecCol)) === dims)
+      .select(transform(col(vecCol), x => x.cast("double")).as("vec"))
+    val sample: IndexedSeq[Seq[Double]] = base
+      .orderBy(xxhash64(col("vec")))
+      .limit(math.max(k, sampleN)).collect()
+      .map(_.getSeq[Double](0).toIndexedSeq).toIndexedSeq
+    require(sample.nonEmpty, "trainCentroids: no usable vectors")
+    // farthest-point greedy: start from the smallest-hash vector, then
+    // repeatedly add the sample vector with the LOWEST max-cosine to the
+    // seeds picked so far (ties toward the earlier sample index)
+    val seedIdx = scala.collection.mutable.ArrayBuffer(0)
+    while (seedIdx.size < math.min(k, sample.size)) {
+      var bestI = -1
+      var bestScore = Double.MaxValue
+      var i = 0
+      while (i < sample.size) {
+        if (!seedIdx.contains(i)) {
+          val maxSim = seedIdx.map(j => cosS(sample(j), sample(i))).max
+          if (maxSim < bestScore) { bestScore = maxSim; bestI = i }
+        }
+        i += 1
+      }
+      seedIdx += bestI
+    }
+    var centroids: Seq[Seq[Double]] = seedIdx.map(sample(_)).toIndexedSeq
+    for (_ <- 0 until iters) {
+      val scored = centroids.zipWithIndex.map { case (c, i) =>
+        struct(cosine(col("vec"), typedlit(c)).as("sim"), lit(i).as("cid"))
+      }
+      val assigned = base.select(col("vec"),
+        greatest(scored: _*).getField("cid").as("cid"))
+      val aggs = (0 until dims).map(d =>
+        avg(get(col("vec"), lit(d))).as(s"m$d"))
+      val rows = assigned.groupBy(col("cid")).agg(aggs.head, aggs.tail: _*)
+        .collect()
+      val means = rows.map { r =>
+        r.getInt(0) -> (0 until dims).map(d => r.getDouble(d + 1))
+      }.toMap
+      centroids = centroids.zipWithIndex.map { case (old, i) =>
+        means.get(i).map { m =>
+          val n = math.sqrt(m.map(x => x * x).sum)
+          if (n == 0) old else m.map(_ / n): Seq[Double]
+        }.getOrElse(old)
+      }
+    }
+    centroids
+  }
+
+  /** Inverted-list sizes for a centroid set — the balance diagnostic
+    * (k rows: centroid -> member count).
+    */
+  def listSizes(df: DataFrame, idCol: String, vecCol: String,
+      centroids: Seq[Seq[Double]]): DataFrame =
+    ivfAssign(df, idCol, vecCol, centroids)
+      .groupBy(col("centroid")).agg(count(lit(1)).as("n"))
+
   /** IVF-style partition assignment: nearest of `centroids` per vector —
     * the write-time clustering step of an IVF index. Centroids broadcast as
     * literals (small).

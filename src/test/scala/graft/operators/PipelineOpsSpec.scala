@@ -226,4 +226,38 @@ class PipelineOpsSpec extends SparkSpec {
     val dangling = RefIntegrity.dangling(docs, catalog).collect()
     assert(dangling.length == 1 && dangling(0).getString(1) == "d2")
   }
+
+  test("IVF k-means training balances inverted lists where first-k seeding cannot") {
+    // 4 clusters of 100 vectors around orthogonal directions — ORDERED so
+    // the first k vectors all sit in cluster 0 (the adversarial case for
+    // "first k corpus vectors" centroids)
+    val vecs = (0 until 400).map { i =>
+      val c = i / 100
+      val v = Array.tabulate(8) { d =>
+        val jitter = (((i * 31 + d * 7) % 11) - 5) / 50.0f
+        (if (d == c * 2) 1.0f else 0.0f) + jitter
+      }.toSeq
+      (i.toLong, v)
+    }.toDF("vec_id", "embedding")
+    val trained = Similarity.trainCentroids(vecs, "embedding", k = 4, dims = 8,
+      iters = 4)
+    val sizes = Similarity.listSizes(vecs, "vec_id", "embedding", trained)
+      .collect().map(_.getLong(1)).sorted
+    assert(sizes.length == 4 && sizes.sum == 400, s"sizes=${sizes.mkString(",")}")
+    assert(sizes.max <= 3 * sizes.min,
+      s"trained lists unbalanced: ${sizes.mkString(",")}")
+    // untrained first-k centroids: all 4 in cluster 0 -> one cluster's
+    // members split 4 ways, the other 300 vectors pile onto whichever seed
+    // is nearest — the imbalance the trainer exists to fix
+    val firstK = vecs.orderBy("vec_id").limit(4).collect()
+      .map(_.getSeq[Float](1).map(_.toDouble).toSeq).toSeq
+    val untrained = Similarity.listSizes(vecs, "vec_id", "embedding", firstK)
+      .collect().map(_.getLong(1)).sorted
+    assert(untrained.max > 3 * untrained.min,
+      s"adversarial corpus unexpectedly balanced for first-k: ${untrained.mkString(",")}")
+    // determinism: retraining yields the identical quantizer
+    val again = Similarity.trainCentroids(vecs, "embedding", k = 4, dims = 8,
+      iters = 4)
+    assert(trained == again)
+  }
 }
