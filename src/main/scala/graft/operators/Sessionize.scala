@@ -13,10 +13,13 @@ import org.apache.spark.sql.functions._
   * `streaming/StreamValidate.windowedVerdicts`.
   *
   * Scale notes:
-  *   - sessionization partitions by USER and sorts within user only — the
-  *     per-user event list is small, so this is the one legitimate Window
-  *     use (the semantics ARE per-user ordering); skewed power-users are
-  *     bounded by the gap rule itself (sessions don't span users).
+  *   - sessionization needs per-user ordering, but a Window partitioned by
+  *     user alone is UNBOUNDED: one bot emitting 10^8 events becomes a
+  *     single task's sort. The Window here partitions by (user, day) —
+  *     bounded by one user-day — and sessions are stitched across day
+  *     edges with a second Window over the per-(user, day) SUMMARY (one
+  *     row per user-day, thousands of rows per user-year, never raw
+  *     events). Output is identical to the single-Window form.
   *   - tumbling windows lower to `window()` = a groupBy on
   *     floor(ts/slide) — map-side combined, no sort.
   */
@@ -25,21 +28,57 @@ object Sessionize {
   /** Gap-based sessionization: a user's event starts a NEW session when it
     * is more than `gapMinutes` after their previous event. Adds
     * `session_index` (0-based per user).
+    *
+    * Hot-user-safe plan (see object scaladoc): the event-level Window sorts
+    * within (user, day) buckets only; a per-bucket summary (first/last ts,
+    * local session count) is stitched with a tiny Window over user and
+    * joined back, shifting each bucket's local indices to global ones.
+    * A bucket whose first event is within the gap of the previous bucket's
+    * last event CONTINUES that session (its local session 0 merges), so
+    * day edges never split or renumber sessions.
     */
   def withSessions(df: DataFrame, userCol: String, tsCol: String,
       gapMinutes: Int = 30): DataFrame = {
-    val byUser = Window.partitionBy(col(userCol)).orderBy(col(tsCol))
-    val prev = lag(col(tsCol), 1).over(byUser)
+    val bucket = date_trunc("DAY", col(tsCol))
+    val byBucket = Window.partitionBy(col(userCol), bucket).orderBy(col(tsCol))
+    val prev = lag(col(tsCol), 1).over(byBucket)
     // interval comparison works for both TIMESTAMP and TIMESTAMP_NTZ (a
     // cast-to-long epoch diff is rejected for NTZ under ANSI)
-    val isNew = when(prev.isNull ||
-      col(tsCol) > prev + expr(s"INTERVAL $gapMinutes MINUTES"), 1L)
+    val gap = expr(s"INTERVAL $gapMinutes MINUTES")
+    val isNewLocal = when(prev.isNull || col(tsCol) > prev + gap, 1L)
       .otherwise(0L)
-    df.withColumn("_new_session", isNew)
+    val withLocal = df
+      .withColumn("_bucket", bucket)
+      .withColumn("_new_local", isNewLocal)
+      .withColumn("_local_idx",
+        sum(col("_new_local")).over(
+          Window.partitionBy(col(userCol), col("_bucket")).orderBy(col(tsCol))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)) - 1L)
+
+    // per-(user, day) summary: ONE row per bucket — the only thing the
+    // cross-bucket Window ever sorts
+    val summary = withLocal.groupBy(col(userCol), col("_bucket"))
+      .agg(min(col(tsCol)).as("_first_ts"), max(col(tsCol)).as("_last_ts"),
+        sum(col("_new_local")).as("_n_local"))
+    val byUser = Window.partitionBy(col(userCol)).orderBy(col("_bucket"))
+    val prevLast = lag(col("_last_ts"), 1).over(byUser)
+    val stitched = summary
+      .withColumn("_stitch",
+        when(prevLast.isNotNull && col("_first_ts") <= prevLast + gap, 1L)
+          .otherwise(0L))
+      // sessions this bucket ADDS globally (a stitched first session merges
+      // into the previous bucket's last session)
+      .withColumn("_contrib", col("_n_local") - col("_stitch"))
+      .withColumn("_cum_before",
+        coalesce(sum(col("_contrib")).over(
+          byUser.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col(userCol), col("_bucket"), col("_stitch"), col("_cum_before"))
+
+    withLocal
+      .join(stitched, Seq(userCol, "_bucket"))
       .withColumn("session_index",
-        sum(col("_new_session")).over(
-          byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)) - 1L)
-      .drop("_new_session")
+        col("_cum_before") - col("_stitch") + col("_local_idx"))
+      .drop("_bucket", "_new_local", "_local_idx", "_stitch", "_cum_before")
   }
 
   /** Per-user session stats: sessions, events, events per session. */

@@ -227,6 +227,56 @@ class PipelineOpsSpec extends SparkSpec {
     assert(dangling.length == 1 && dangling(0).getString(1) == "d2")
   }
 
+  test("sessionization: day-bucketed Window matches single-Window semantics incl. midnight stitch") {
+    val ts = Seq(
+      // u1: one session crossing midnight (every gap <= 30 min)...
+      ("u1", "2026-01-01 23:40:00"), ("u1", "2026-01-01 23:59:00"),
+      ("u1", "2026-01-02 00:10:00"), ("u1", "2026-01-02 00:35:00"),
+      // ...then a fresh session after a 3h gap, same day
+      ("u1", "2026-01-02 03:40:00"),
+      // u2: two sessions split EXACTLY at the day edge (gap > 30 min)
+      ("u2", "2026-01-03 23:00:00"), ("u2", "2026-01-04 00:30:00"),
+      ("u2", "2026-01-04 00:40:00"))
+      .toDF("user_id", "t").select(col("user_id"), to_timestamp(col("t")).as("ts"))
+    // naive single-Window reference (the unbounded-partition formulation)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"))
+    val prev = lag(col("ts"), 1).over(w)
+    val isNew = when(prev.isNull ||
+      col("ts") > prev + expr("INTERVAL 30 MINUTES"), 1L).otherwise(0L)
+    val naive = ts.withColumn("ref_idx", sum(isNew).over(
+        w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)) - 1L)
+    val got = Sessionize.withSessions(ts, "user_id", "ts")
+      .join(naive, Seq("user_id", "ts"))
+    assert(got.filter(col("session_index") =!= col("ref_idx")).count() == 0,
+      got.orderBy("user_id", "ts").collect().mkString("\n"))
+    // midnight crossing really stitched: u1 has 2 sessions, u2 has 2
+    val stats = Sessionize.sessionStats(ts, "user_id", "ts")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(stats == Map("u1" -> 2L, "u2" -> 2L), s"$stats")
+  }
+
+  test("sessionization bounds a hot user: event Window partitions by (user, day)") {
+    // one bot, 20k events a minute apart with a single 2h gap injected —
+    // spans ~14 day buckets, so no single task ever sorts the whole user
+    val bot = spark.range(20000).select(
+      lit("bot").as("user_id"),
+      expr("timestampadd(MINUTE, CAST(id AS INT) + CASE WHEN id >= 10000 " +
+        "THEN 120 ELSE 0 END, TIMESTAMP '2026-01-01 00:00:00')").as("ts"))
+    val stats = Sessionize.sessionStats(bot, "user_id", "ts").collect()
+    assert(stats.length == 1 && stats(0).getLong(1) == 2L &&
+      stats(0).getLong(2) == 20000L,
+      s"expected 2 sessions / 20000 events, got ${stats.mkString}")
+    // the plan's event-level Window must partition by the day bucket, not
+    // by user alone (the per-user Window only ever sees summary rows)
+    val plan = Sessionize.withSessions(bot, "user_id", "ts")
+      .queryExecution.executedPlan.toString
+    val windowNodes = plan.linesIterator.filter(_.contains("Window ")).toList
+    assert(windowNodes.exists(_.contains("_bucket")),
+      s"no day-bucketed Window in plan:\n$plan")
+  }
+
   test("IVF k-means training balances inverted lists where first-k seeding cannot") {
     // 4 clusters of 100 vectors around orthogonal directions — ORDERED so
     // the first k vectors all sit in cluster 0 (the adversarial case for
