@@ -463,17 +463,30 @@ object SparkEntry {
         .select(col("media_ref"), size(col("frame_indices")).as("n_sampled"))
         .orderBy("media_ref")
     }),
-    // ---------- generated north-rule corpus (self-contained — rows-only) ----------
+    // ---------- generated north-rule corpus ----------
     "gen_validate" -> ((s, dir) => {
+      // the generated corpus is WRITTEN to parquet first and validated from
+      // disk, so the oracle recomputes verdicts over the exact same bytes
+      // (the generator feeds every scale claim — it must be oracle-checked,
+      // not just rows-counted)
       val docs = DocsGen.docs(s, DocsGen.Knobs(nDocs = 20000, nParts = 16,
         badKindPerMille = 10, badMediaRefPerMille = 10, badOrderPerMille = 10,
         negOffsetPerMille = 5, nullDocIdPerMille = 2, dupPerMille = 5))
-      docs.withColumn("violations", SpanInvariant.violationsCol(col("spans")))
+      val path = genDocsPath(dir)
+      docs.write.mode("overwrite").parquet(path)
+      s.read.parquet(path)
+        .withColumn("violations", SpanInvariant.violationsCol(col("spans")))
         .groupBy(col("part"))
         .agg(count(lit(1)).as("docs"),
           sum(when(size(col("violations")) > 0, 1L).otherwise(0L)).as("failed_docs"))
         .orderBy("part")
     }))
+
+  /** Where gen_validate materializes its generated corpus (shared with the
+    * oracle resolver so DuckDB reads the same files).
+    */
+  def genDocsPath(dir: String): String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_gen_docs_${dir.hashCode}"
 
   /** DuckDB-runnable oracle SQL (ANSI-ish, DuckDB 1.0 dialect) for every
     * SQL-expressible query above. Omitted entries get the driver's weaker
@@ -828,7 +841,27 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN k >= 80 THEN 1 ELSE 0 END) AS BIGINT)
         |    AS k_out_of_policy,
         |  min(k) AS k_min, max(k) AS k_max
-        |FROM ev GROUP BY event_type ORDER BY event_type""".stripMargin)
+        |FROM ev GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // verdicts over the WRITTEN generated corpus — DuckDB replays the span
+    // invariant (same five per-span checks + strict offset order as
+    // SpanInvariant.spanChecks) over the exact parquet gen_validate wrote
+    "gen_validate" ->
+      """WITH d AS (SELECT part, spans FROM '__GEN_DOCS_PATH__/*.parquet'),
+        |per AS (SELECT part,
+        |  (spans IS NULL
+        |   OR len(list_filter(spans, s -> NOT coalesce(
+        |        s.kind IN ('text', 'media')
+        |        AND ((s.kind = 'media') = (coalesce(s.media_ref, '') <> ''))
+        |        AND (coalesce(s.media_ref, '') = ''
+        |             OR regexp_matches(s.media_ref, '^m-[0-9a-f]{8}$'))
+        |        AND (s.kind <> 'text' OR (s.text IS NOT NULL AND s.text <> ''))
+        |        AND (s."offset" IS NOT NULL AND s."offset" >= 0), false))) > 0
+        |   OR coalesce(list_bool_or(list_transform(generate_series(2, len(spans)),
+        |        i -> spans[i]."offset" <= spans[i-1]."offset")), false)
+        |  ) AS failed FROM d)
+        |SELECT part, CAST(count(*) AS BIGINT) AS docs,
+        |  CAST(sum(CASE WHEN failed THEN 1 ELSE 0 END) AS BIGINT) AS failed_docs
+        |FROM per GROUP BY part ORDER BY part""".stripMargin)
 
   /** [[oracleSql]] with runtime-computed literals substituted: the trained
     * IVF centroids are rendered into the `__IVF_CENTROIDS__` placeholder as
@@ -840,6 +873,9 @@ object SparkEntry {
     val lits = ivfCentroids(s, dir).zipWithIndex.map { case (c, i) =>
       s"($i, [${c.mkString(", ")}]::DOUBLE[])"
     }.mkString(", ")
-    oracleSql.map { case (k, v) => k -> v.replace("__IVF_CENTROIDS__", lits) }
+    oracleSql.map { case (k, v) =>
+      k -> v.replace("__IVF_CENTROIDS__", lits)
+        .replace("__GEN_DOCS_PATH__", genDocsPath(dir))
+    }
   }
 }
