@@ -452,10 +452,18 @@ object SparkEntry {
           min(col("k")).as("k_min"), max(col("k")).as("k_max"))
         .orderBy("event_type")
     }),
-    // ---------- multimodal plumbing (stubbed codec — rows-only checks) ----------
+    // ---------- multimodal plumbing ----------
     "m_media_meta" -> ((s, dir) => {
+      // REAL header parsing (PNG IHDR / WAV fmt+data): the synthetic corpus
+      // encodes id-derived dimensions into genuine headers, Spark recovers
+      // them from the BYTES, and the oracle recomputes them from the id
+      // formula — a mismatch anywhere in build→write→parse fails the hash.
+      // Video rows (the declared demuxer stub) stay under the rows-only
+      // m_frame_sample check.
       val media = Multimodal.syntheticMedia(s, 2000)
-      Multimodal.probeMeta(media).toDF().orderBy("media_ref")
+      Multimodal.probeMeta(media).toDF()
+        .filter(!col("mime").startsWith("video"))
+        .orderBy("media_ref")
     }),
     "m_frame_sample" -> ((s, dir) => {
       val meta = Multimodal.probeMeta(Multimodal.syntheticMedia(s, 2000)).toDF()
@@ -842,6 +850,23 @@ object SparkEntry {
         |    AS k_out_of_policy,
         |  min(k) AS k_min, max(k) AS k_max
         |FROM ev GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // header-probe parity: Spark parses real PNG/WAV header BYTES; the
+    // oracle recomputes the same values from the id formula the synthetic
+    // builder encoded (round-trip check over the whole probe chain)
+    "m_media_meta" ->
+      """WITH ids AS (SELECT range AS id FROM range(0, 2000) WHERE range % 3 <> 2)
+        |SELECT printf('m-%08x', id) AS media_ref,
+        |  CASE WHEN id % 3 = 0 THEN 'image/png' ELSE 'audio/wav' END AS mime,
+        |  CAST(CASE WHEN id % 3 = 0 THEN 33 ELSE 44 END AS BIGINT) AS bytes,
+        |  CAST(CASE WHEN id % 3 = 0 THEN 16 + id % 1920 ELSE 0 END AS INT) AS width,
+        |  CAST(CASE WHEN id % 3 = 0 THEN 16 + (id // 7) % 1080 ELSE 0 END AS INT)
+        |    AS height,
+        |  CAST(CASE WHEN id % 3 = 0 THEN 1 ELSE 100 + id % 1000 END AS INT)
+        |    AS nframes,
+        |  CAST(CASE WHEN id % 3 = 0 THEN 0 ELSE 8000 + (id % 8) * 1000 END AS INT)
+        |    AS sample_rate,
+        |  CAST(CASE WHEN id % 3 = 0 THEN 0 ELSE 1 + id % 2 END AS INT) AS channels
+        |FROM ids ORDER BY media_ref""".stripMargin,
     // verdicts over the WRITTEN generated corpus — DuckDB replays the span
     // invariant (same five per-span checks + strict offset order as
     // SpanInvariant.spanChecks) over the exact parquet gen_validate wrote

@@ -5,10 +5,13 @@ import org.apache.spark.sql.functions._
 
 /** Multimodal column plumbing: image/audio/video as opaque `binary` columns
   * with typed metadata. The Spark-side contract (schema, partitioning, batch
-  * shape, null handling) is real and tested; the actual codec calls are
-  * STUBBED with a deterministic fake (this container has no image/audio
-  * libraries) — swap `FakeCodec` for a real decoder (javacv / a JNI codec)
-  * without touching the pipeline shape.
+  * shape, null handling) is real and tested, and the PROBE stage is a real
+  * pure-JVM header parser ([[HeaderCodec]]): PNG IHDR width/height, JPEG SOF
+  * dimensions, WAV fmt/data sample-rate/channels/frame-count — no external
+  * codec libraries needed. Only the video stage remains a declared stub
+  * ([[FakeCodec]] — container frame counts need a demuxer this container
+  * doesn't ship); swap it for a real decoder (javacv / JNI) without touching
+  * the pipeline shape.
   *
   * Design notes for 100 TB of media:
   *   - media bytes live in their own column; metadata-only queries never
@@ -22,13 +25,113 @@ import org.apache.spark.sql.functions._
 object Multimodal {
 
   final case class MediaRow(media_ref: String, mime: String, content: Array[Byte])
+
+  /** Typed probe result. Field population by modality:
+    * images — width/height from the header, nframes = 1;
+    * audio  — sample_rate/channels/nframes (sample frames) from the header;
+    * video  — width/height/nframes from the (stub) demuxer.
+    * Absent fields are 0.
+    */
   final case class MediaMeta(media_ref: String, mime: String, bytes: Long,
-      width: Int, height: Int, nframes: Int)
+      width: Int, height: Int, nframes: Int, sample_rate: Int, channels: Int)
   final case class MediaFeature(media_ref: String, dim: Int, feature: Array[Float])
 
-  /** STUB codec: deterministic pseudo-decode derived from content bytes.
-    * ??? in spirit — replace with a real decoder; everything downstream
-    * only sees the typed result.
+  /** Real pure-JVM header parsing — dispatches on magic bytes, not the mime
+    * string (a mislabeled file reports what it IS).
+    */
+  object HeaderCodec {
+    private def beInt(b: Array[Byte], o: Int): Int =
+      ((b(o) & 0xff) << 24) | ((b(o + 1) & 0xff) << 16) |
+        ((b(o + 2) & 0xff) << 8) | (b(o + 3) & 0xff)
+    private def beShort(b: Array[Byte], o: Int): Int =
+      ((b(o) & 0xff) << 8) | (b(o + 1) & 0xff)
+    private def leInt(b: Array[Byte], o: Int): Int =
+      (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8) |
+        ((b(o + 2) & 0xff) << 16) | ((b(o + 3) & 0xff) << 24)
+    private def leShort(b: Array[Byte], o: Int): Int =
+      (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
+    private def ascii(b: Array[Byte], o: Int, s: String): Boolean =
+      b.length >= o + s.length && s.indices.forall(i => b(o + i) == s.charAt(i).toByte)
+
+    def isPng(b: Array[Byte]): Boolean =
+      b.length >= 24 && (b(0) & 0xff) == 0x89 && ascii(b, 1, "PNG") &&
+        ascii(b, 12, "IHDR")
+    def isJpeg(b: Array[Byte]): Boolean =
+      b.length >= 4 && (b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8
+    def isWav(b: Array[Byte]): Boolean =
+      b.length >= 12 && ascii(b, 0, "RIFF") && ascii(b, 8, "WAVE")
+
+    /** PNG: IHDR is mandated to be the first chunk — width/height are the
+      * big-endian ints at bytes 16..23.
+      */
+    def probePng(b: Array[Byte]): Option[(Int, Int)] =
+      if (isPng(b)) Some((beInt(b, 16), beInt(b, 20))) else None
+
+    /** JPEG: walk the marker stream to the first SOFn frame header
+      * (C0..CF except C4/C8/CC); height/width are the big-endian shorts at
+      * +5/+7 of the segment.
+      */
+    def probeJpeg(b: Array[Byte]): Option[(Int, Int)] = {
+      if (!isJpeg(b)) return None
+      var i = 2
+      while (i + 9 < b.length) {
+        if ((b(i) & 0xff) != 0xff) return None // desynced marker stream
+        val m = b(i + 1) & 0xff
+        if (m >= 0xc0 && m <= 0xcf && m != 0xc4 && m != 0xc8 && m != 0xcc) {
+          return Some((beShort(b, i + 7), beShort(b, i + 5)))
+        }
+        if (m == 0xd8 || (m >= 0xd0 && m <= 0xd9)) i += 2 // bare markers
+        else i += 2 + beShort(b, i + 2)
+      }
+      None
+    }
+
+    /** WAV: scan RIFF chunks for `fmt ` (channels LE16 at +2, sample rate
+      * LE32 at +4, block align LE16 at +12) and `data` (payload size →
+      * sample frames = size / blockAlign). Returns
+      * (sampleRate, channels, sampleFrames).
+      */
+    def probeWav(b: Array[Byte]): Option[(Int, Int, Int)] = {
+      if (!isWav(b)) return None
+      var i = 12
+      var rate = -1; var ch = -1; var align = -1; var dataSize = -1
+      while (i + 8 <= b.length && (rate < 0 || dataSize < 0)) {
+        val size = leInt(b, i + 4)
+        if (ascii(b, i, "fmt ") && i + 8 + 16 <= b.length) {
+          ch = leShort(b, i + 10)
+          rate = leInt(b, i + 12)
+          align = leShort(b, i + 20)
+        } else if (ascii(b, i, "data")) {
+          dataSize = size
+        }
+        i += 8 + size + (size & 1) // chunks are word-aligned
+      }
+      if (rate > 0 && ch > 0 && align > 0 && dataSize >= 0)
+        Some((rate, ch, dataSize / align))
+      else None
+    }
+
+    /** Full probe → MediaMeta fields (width, height, nframes, sampleRate,
+      * channels). Video falls through to the declared [[FakeCodec]] stub.
+      */
+    def probe(mime: String, content: Array[Byte]): (Int, Int, Int, Int, Int) = {
+      if (content == null) return (0, 0, 0, 0, 0)
+      probePng(content).map { case (w, h) => (w, h, 1, 0, 0) }
+        .orElse(probeJpeg(content).map { case (w, h) => (w, h, 1, 0, 0) })
+        .orElse(probeWav(content).map { case (r, c, f) => (0, 0, f, r, c) })
+        .getOrElse {
+          if (mime.startsWith("video")) {
+            val (w, h, f) = FakeCodec.probe(mime, content)
+            (w, h, f, 0, 0)
+          } else (0, 0, 0, 0, 0)
+        }
+    }
+  }
+
+  /** STUB demuxer for video only (PNG/JPEG/WAV are really parsed by
+    * [[HeaderCodec]]): deterministic pseudo-decode derived from content
+    * bytes. ??? in spirit — replace with a real demuxer; everything
+    * downstream only sees the typed result.
     */
   object FakeCodec {
     def probe(mime: String, content: Array[Byte]): (Int, Int, Int) = {
@@ -53,31 +156,91 @@ object Multimodal {
     }
   }
 
-  /** Deterministic synthetic media table (content derived from the ref). */
-  def syntheticMedia(spark: SparkSession, n: Long): DataFrame =
-    spark.range(n).select(
-      concat(lit("m-"), lpad(lower(hex(col("id"))), 8, "0")).as("media_ref"),
-      when(pmod(col("id"), lit(3)) === 0, "image/png")
-        .when(pmod(col("id"), lit(3)) === 1, "audio/ogg")
-        .otherwise("video/mp4").as("mime"),
-      // opaque payload: sha-derived bytes, size varies deterministically
-      repeat(sha2(col("id").cast("string"), 256), (pmod(col("id"), lit(8)) + 1).cast("int"))
-        .cast("binary").as("content"))
+  /** Builders for REAL media headers (used by the synthetic corpus and the
+    * specs, so probe results are value-checkable against the numbers the
+    * bytes actually encode).
+    */
+  object HeaderBytes {
+    def png(width: Int, height: Int): Array[Byte] = {
+      val out = java.nio.ByteBuffer.allocate(33)
+      out.put(Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte))
+      out.putInt(13).put("IHDR".getBytes("US-ASCII"))
+      out.putInt(width).putInt(height)
+      out.put(8.toByte).put(6.toByte).put(0.toByte).put(0.toByte).put(0.toByte)
+      out.putInt(0) // CRC not validated by the probe
+      out.array()
+    }
+    def jpeg(width: Int, height: Int): Array[Byte] = {
+      val out = java.nio.ByteBuffer.allocate(2 + 18 + 2 + 11)
+      out.put(Array(0xff, 0xd8).map(_.toByte))
+      // APP0/JFIF segment (probe must skip it)
+      out.put(Array(0xff, 0xe0).map(_.toByte)).putShort(16.toShort)
+        .put("JFIF".getBytes("US-ASCII")).put(new Array[Byte](10))
+      // SOF0
+      out.put(Array(0xff, 0xc0).map(_.toByte)).putShort(11.toShort)
+        .put(8.toByte).putShort(height.toShort).putShort(width.toShort)
+        .put(1.toByte).put(new Array[Byte](3))
+      out.array()
+    }
+    def wav(sampleRate: Int, channels: Int, sampleFrames: Int): Array[Byte] = {
+      val blockAlign = channels * 2 // 16-bit PCM
+      val out = java.nio.ByteBuffer.allocate(44)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      out.put("RIFF".getBytes("US-ASCII")).putInt(36)
+        .put("WAVE".getBytes("US-ASCII"))
+      out.put("fmt ".getBytes("US-ASCII")).putInt(16)
+        .putShort(1.toShort).putShort(channels.toShort).putInt(sampleRate)
+        .putInt(sampleRate * blockAlign).putShort(blockAlign.toShort)
+        .putShort(16.toShort)
+      // header-only fixture: data chunk declares its payload size but the
+      // samples are not materialized (the probe never reads past the header)
+      out.put("data".getBytes("US-ASCII")).putInt(sampleFrames * blockAlign)
+      out.array()
+    }
+  }
+
+  /** Deterministic synthetic media table — PNG and WAV rows carry REAL
+    * headers encoding id-derived dimensions (so the probe is
+    * value-checkable); video rows stay opaque payloads for the stub.
+    */
+  def syntheticMedia(spark: SparkSession, n: Long): DataFrame = {
+    import spark.implicits._
+    spark.range(n).map { id =>
+      val ref = "m-" + ("%08x".format(id))
+      (id % 3) match {
+        case 0 =>
+          val w = 16 + (id % 1920).toInt
+          val h = 16 + ((id / 7) % 1080).toInt
+          (ref, "image/png", HeaderBytes.png(w, h))
+        case 1 =>
+          val rate = 8000 + (id % 8).toInt * 1000
+          val ch = 1 + (id % 2).toInt
+          val frames = 100 + (id % 1000).toInt
+          (ref, "audio/wav", HeaderBytes.wav(rate, ch, frames))
+        case _ =>
+          val payload = java.security.MessageDigest.getInstance("SHA-256")
+            .digest(id.toString.getBytes("US-ASCII"))
+          (ref, "video/mp4",
+            Array.fill(((id % 8) + 1).toInt)(payload).flatten)
+      }
+    }.toDF("media_ref", "mime", "content")
+  }
 
   /** Decode/probe stage: binary → typed metadata, one codec init per
-    * partition. The batch shape (Iterator-in/Iterator-out) is the real
-    * contract; only FakeCodec is a stand-in.
+    * partition. PNG/JPEG/WAV headers are really parsed; video goes through
+    * the declared stub.
     */
   def probeMeta(media: DataFrame): Dataset[MediaMeta] = {
     val spark = media.sparkSession
     import spark.implicits._
     media.select(col("media_ref"), col("mime"), col("content")).as[MediaRow]
       .mapPartitions { rows =>
-        // real impl: initialize the codec once here
+        // a real video demuxer would initialize once here
         rows.map { r =>
-          val (w, h, f) = FakeCodec.probe(r.mime, r.content)
+          val (w, h, f, sr, ch) = HeaderCodec.probe(r.mime, r.content)
           MediaMeta(r.media_ref, r.mime,
-            if (r.content == null) 0L else r.content.length.toLong, w, h, f)
+            if (r.content == null) 0L else r.content.length.toLong,
+            w, h, f, sr, ch)
         }
       }
   }

@@ -166,7 +166,22 @@ class PipelineOpsSpec extends SparkSpec {
     val media = Multimodal.syntheticMedia(spark, 50)
     val meta = Multimodal.probeMeta(media).collect()
     assert(meta.length == 50)
-    assert(meta.forall(m => m.width >= 16 && m.height >= 16 && m.nframes >= 1))
+    // PNG/WAV rows carry REAL headers — the probe must recover the exact
+    // id-derived values the builder encoded
+    def idOf(ref: String): Long = java.lang.Long.parseLong(ref.stripPrefix("m-"), 16)
+    val pngs = meta.filter(_.mime == "image/png")
+    assert(pngs.nonEmpty && pngs.forall { m =>
+      val id = idOf(m.media_ref)
+      m.width == 16 + (id % 1920).toInt && m.height == 16 + ((id / 7) % 1080).toInt &&
+        m.nframes == 1 && m.sample_rate == 0 && m.channels == 0
+    }, pngs.mkString("\n"))
+    val wavs = meta.filter(_.mime == "audio/wav")
+    assert(wavs.nonEmpty && wavs.forall { m =>
+      val id = idOf(m.media_ref)
+      m.sample_rate == 8000 + (id % 8).toInt * 1000 &&
+        m.channels == 1 + (id % 2).toInt &&
+        m.nframes == 100 + (id % 1000).toInt && m.width == 0
+    }, wavs.mkString("\n"))
     assert(meta.filter(_.mime.startsWith("video")).forall(_.nframes >= 1))
     val meta2 = Multimodal.probeMeta(media).collect()
     assert(meta.sortBy(_.media_ref).sameElements(meta2.sortBy(_.media_ref)))
@@ -174,6 +189,24 @@ class PipelineOpsSpec extends SparkSpec {
     assert(feats.forall(_.feature.length == 8))
     val frames = Multimodal.sampleFrames(Multimodal.probeMeta(media).toDF(), stride = 10)
     assert(frames.count() == meta.count(_.mime.startsWith("video")))
+  }
+
+  test("header codec parses hand-built PNG/JPEG/WAV bytes exactly") {
+    import Multimodal.{HeaderBytes, HeaderCodec}
+    assert(HeaderCodec.probePng(HeaderBytes.png(640, 480)).contains((640, 480)))
+    // JPEG probe must skip the APP0 segment to reach SOF0
+    assert(HeaderCodec.probeJpeg(HeaderBytes.jpeg(1024, 768)).contains((1024, 768)))
+    assert(HeaderCodec.probeWav(HeaderBytes.wav(44100, 2, 12345))
+      .contains((44100, 2, 12345)))
+    // dispatch is on magic bytes, not the (possibly lying) mime string
+    assert(HeaderCodec.probe("application/octet-stream", HeaderBytes.png(33, 44))
+      == ((33, 44, 1, 0, 0)))
+    assert(HeaderCodec.probe("image/png", HeaderBytes.wav(8000, 1, 7))
+      == ((0, 0, 7, 8000, 1)))
+    // truncated / garbage bytes fail soft (zeros), never throw
+    assert(HeaderCodec.probePng(Array[Byte](1, 2, 3)).isEmpty)
+    assert(HeaderCodec.probe("image/png", Array[Byte](0x89.toByte)) == ((0, 0, 0, 0, 0)))
+    assert(HeaderCodec.probe("image/png", null) == ((0, 0, 0, 0, 0)))
   }
 
   test("sessionization gap rule + tumbling window verdicts") {
