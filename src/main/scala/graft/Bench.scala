@@ -266,16 +266,36 @@ object Bench {
     val ceil8to32 = ratio(cal(32)._2, cal(8)._2)
 
     // --- per-query timings (driver contract) ---
+    // min of `queryRepeats` INTERLEAVED rounds: a single pass conflates a
+    // query's cost with whatever JIT/page-cache/GC state it happened to run
+    // under, which made cross-round per-query deltas noise; interleaving
+    // keeps every query sampling the same background regime and the min
+    // strips one-off stalls. s_ann_ivf is additionally timed split into
+    // build (train + write index) vs probe (the serving-path number).
+    val queryRepeats = sys.env.getOrElse("SPARK_GRAFT_QUERY_REPEATS", "3").toInt
     val spark = session(cpus.toInt)
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
-      name -> (System.nanoTime() - t0) / 1e9
+    var ivfIdx: String = null
+    val timed: Seq[(String, () => Unit)] =
+      SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+        name -> (() => { fn(spark, sfDir).count(): Unit })
+      } ++ Seq(
+        "s_ann_ivf_build" -> (() => { ivfIdx = SparkEntry.ivfBuildIndex(spark, sfDir) }),
+        "s_ann_ivf_probe" -> (() => { SparkEntry.ivfProbe(spark, sfDir, ivfIdx).count(): Unit }))
+    val best = scala.collection.mutable.LinkedHashMap[String, Double](
+      timed.map(_._1 -> Double.MaxValue): _*)
+    (1 to queryRepeats).foreach { _ =>
+      timed.foreach { case (name, thunk) =>
+        val t0 = System.nanoTime()
+        try thunk() catch { case _: Throwable => () }
+        val t = (System.nanoTime() - t0) / 1e9
+        best(name) = math.min(best(name), t)
+      }
     }
+    val results = best.toSeq
     val total = results.map(_._2).sum
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
     println(
-      f"""{"metric":"validated docs/sec at 32 pinned cores (rules+span invariant+verdicts, $BenchDocs%d docs)","value":$dps32%.0f,"unit":"docs/sec","queries":$qs,"sf":"$sfDir","queries_total_sec":$total%.2f,"scaling":{"docs":$BenchDocs%d,"pinned_cores":$pinned%b,"t_4core_sec":$t4%.2f,"t_8core_sec":$t8%.2f,"t_16core_sec":$t16%.2f,"t_32core_sec":$t32%.2f,"docs_per_sec_4core":${docsTotal / t4}%.0f,"docs_per_sec_16core":${docsTotal / t16}%.0f,"docs_per_sec_32core":$dps32%.0f,"efficiency_4_to_16":$eff4to16%.3f,"efficiency_8_to_32":$eff8to32%.3f,"efficiency":$effBest%.3f,"alu_ops_per_core":{"w4":${cal(4)._1}%.0f,"w8":${cal(8)._1}%.0f,"w16":${cal(16)._1}%.0f,"w32":${cal(32)._1}%.0f},"memstream_ops_per_core":{"w4":${cal(4)._2}%.0f,"w8":${cal(8)._2}%.0f,"w16":${cal(16)._2}%.0f,"w32":${cal(32)._2}%.0f},"mem_ceiling_4_to_16":$ceil4to16%.3f,"mem_ceiling_8_to_32":$ceil8to32%.3f,"max_steal_frac_seen":{"w4":${stealSeen.getOrElse(4, 0.0)}%.4f,"w8":${stealSeen.getOrElse(8, 0.0)}%.4f,"w16":${stealSeen.getOrElse(16, 0.0)}%.4f,"w32":${stealSeen.getOrElse(32, 0.0)}%.4f}}}""")
+      f"""{"metric":"validated docs/sec at 32 pinned cores (rules+span invariant+verdicts, $BenchDocs%d docs)","value":$dps32%.0f,"unit":"docs/sec","queries":$qs,"sf":"$sfDir","query_repeats":$queryRepeats%d,"queries_total_sec":$total%.2f,"scaling":{"docs":$BenchDocs%d,"pinned_cores":$pinned%b,"t_4core_sec":$t4%.2f,"t_8core_sec":$t8%.2f,"t_16core_sec":$t16%.2f,"t_32core_sec":$t32%.2f,"docs_per_sec_4core":${docsTotal / t4}%.0f,"docs_per_sec_16core":${docsTotal / t16}%.0f,"docs_per_sec_32core":$dps32%.0f,"efficiency_4_to_16":$eff4to16%.3f,"efficiency_8_to_32":$eff8to32%.3f,"efficiency":$effBest%.3f,"alu_ops_per_core":{"w4":${cal(4)._1}%.0f,"w8":${cal(8)._1}%.0f,"w16":${cal(16)._1}%.0f,"w32":${cal(32)._1}%.0f},"memstream_ops_per_core":{"w4":${cal(4)._2}%.0f,"w8":${cal(8)._2}%.0f,"w16":${cal(16)._2}%.0f,"w32":${cal(32)._2}%.0f},"mem_ceiling_4_to_16":$ceil4to16%.3f,"mem_ceiling_8_to_32":$ceil8to32%.3f,"max_steal_frac_seen":{"w4":${stealSeen.getOrElse(4, 0.0)}%.4f,"w8":${stealSeen.getOrElse(8, 0.0)}%.4f,"w16":${stealSeen.getOrElse(16, 0.0)}%.4f,"w32":${stealSeen.getOrElse(32, 0.0)}%.4f}}}""")
     spark.stop()
   }
 }
@@ -335,6 +355,24 @@ object SpinProbe {
     def median(a: java.util.concurrent.atomic.AtomicLongArray): Long =
       (0 until width).map(a.get).sorted.apply(width / 2)
     println(s"""{"width":$width,"median_alu_ops":${median(alu)},"median_mem_ops":${median(mem)}}""")
+  }
+}
+
+/** Ad-hoc per-query timing (regression chasing without the full scaling
+  * ladder): `runMain graft.QueryTime <sfDir> <query>...` — min of 3 runs
+  * each, same session config as the bench's per-query section.
+  */
+object QueryTime {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args(0)
+    val names = args.drop(1).toSeq
+    val spark = Bench.session(sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt)
+    names.foreach { n =>
+      val fn = SparkEntry.queries(n)
+      val ts = (1 to 3).map(_ => Bench.time(fn(spark, sfDir).count())._2)
+      println(f"""{"query":"$n","min_sec":${ts.min}%.3f,"runs":[${ts.map(t => f"$t%.3f").mkString(",")}]}""")
+    }
+    spark.stop()
   }
 }
 

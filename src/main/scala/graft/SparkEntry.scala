@@ -378,16 +378,10 @@ object SparkEntry {
       // by centroid, probe reads only the 2 nearest lists (partition-pruned
       // scan). The oracle replays the same argmax over the trained
       // centroids passed in as literals (resolved in oracleSqlResolved).
-      val emb = t(s, dir, "embeddings")
-      val centroids = ivfCentroids(s, dir)
-      val q: Seq[Float] = emb.filter(col("vec_id") === 8L)
-        .select(col("embedding")).collect()(0).getSeq[Float](0)
-      val idx = s"${System.getProperty("java.io.tmpdir")}/graft_ivf_idx_${dir.hashCode}"
-      Similarity.ivfWriteIndex(emb.filter(col("vec_id") > 8L), "vec_id", "embedding",
-        centroids, idx)
-      Similarity.ivfTopKIndexed(s, idx, centroids, q, k = 20, nProbe = 2)
-        .select(col("id"), round(col("cosine"), 2).as("cosine"))
-        .orderBy(col("cosine").desc, col("id"))
+      // Build and probe are separate phases (the bench times them apart:
+      // the probe is the serving-path number).
+      val idx = ivfBuildIndex(s, dir)
+      ivfProbe(s, dir, idx)
     }),
     "s_cosine_neardup" -> ((s, dir) => {
       // embedding-cosine near-dup pairs via LSH buckets over a corpus with
@@ -495,6 +489,26 @@ object SparkEntry {
     */
   def genDocsPath(dir: String): String =
     s"${System.getProperty("java.io.tmpdir")}/graft_gen_docs_${dir.hashCode}"
+
+  /** IVF BUILD phase: train the quantizer (cached per dir) and write the
+    * centroid-partitioned index; returns the index path.
+    */
+  def ivfBuildIndex(s: SparkSession, dir: String): String = {
+    val emb = t(s, dir, "embeddings")
+    val idx = s"${System.getProperty("java.io.tmpdir")}/graft_ivf_idx_${dir.hashCode}"
+    Similarity.ivfWriteIndex(emb.filter(col("vec_id") > 8L), "vec_id", "embedding",
+      ivfCentroids(s, dir), idx)
+    idx
+  }
+
+  /** IVF PROBE phase: partition-pruned top-k over a built index. */
+  def ivfProbe(s: SparkSession, dir: String, idx: String): DataFrame = {
+    val q: Seq[Float] = t(s, dir, "embeddings").filter(col("vec_id") === 8L)
+      .select(col("embedding")).collect()(0).getSeq[Float](0)
+    Similarity.ivfTopKIndexed(s, idx, ivfCentroids(s, dir), q, k = 20, nProbe = 2)
+      .select(col("id"), round(col("cosine"), 2).as("cosine"))
+      .orderBy(col("cosine").desc, col("id"))
+  }
 
   /** DuckDB-runnable oracle SQL (ANSI-ish, DuckDB 1.0 dialect) for every
     * SQL-expressible query above. Omitted entries get the driver's weaker

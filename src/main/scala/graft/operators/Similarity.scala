@@ -52,25 +52,32 @@ object Similarity {
       .orderBy(col("cosine").desc, col("id"))
       .limit(k)
 
-  /** Deterministic pseudo-random hyperplane component: a reproducible
-    * ±1-ish value for (table, plane, dim) — derived from xxhash64, so the
-    * "random" planes are identical on every executor and every run.
-    */
-  private def planeComponent(table: Int, plane: Column, dim: Column): Column =
-    (pmod(xxhash64(lit(table), plane, dim), lit(2001L)).cast("double") - 1000.0) / 1000.0
-
   /** Sign-bit LSH signature of a vector for one hash table: a `nPlanes`-bit
     * bucket id (long).
+    *
+    * The hyperplane components are DATA-INDEPENDENT pseudo-random constants
+    * (xxhash64 of (table, plane, dim) — see [[planeComponentScala]]), so
+    * they're computed once on the driver and folded into the plan as a
+    * literal nPlanes×dims matrix. The executor does pure multiply-adds —
+    * the previous formulation re-derived every component with a per-element
+    * xxhash64 call inside the HOF lambda (nTables×nPlanes×dims hashes per
+    * ROW; BENCH r2 flagged the 2× regression). Same accumulation order, so
+    * buckets stay bit-identical to [[lshBucketScala]].
     */
   def lshBucket(vec: Column, dims: Int, nPlanes: Int, table: Int): Column = {
-    val planeBits = transform(sequence(lit(0), lit(nPlanes - 1)), p => {
-      val proj = aggregate(
-        zip_with(vec, sequence(lit(0), lit(dims - 1)), (x, d) =>
-          x.cast("double") * planeComponent(table, p, d)),
-        lit(0.0d), (acc, z) => acc + z)
-      when(proj >= 0, call_function("shiftleft", lit(1L), p)).otherwise(lit(0L))
-    })
-    aggregate(planeBits, lit(0L), (acc, x) => acc.bitwiseOR(x))
+    val m: Seq[Seq[Double]] = (0 until nPlanes).map(p =>
+      (0 until dims).map(d => planeComponentScala(table, p, d)))
+    val planes = typedlit(m)
+    aggregate(
+      sequence(lit(0), lit(nPlanes - 1)), lit(0L),
+      (acc, p) => {
+        val proj = aggregate(
+          zip_with(vec, element_at(planes, p.cast("int") + 1),
+            (x, c) => x.cast("double") * c),
+          lit(0.0d), (a, z) => a + z)
+        acc.bitwiseOR(
+          when(proj >= 0, call_function("shiftleft", lit(1L), p)).otherwise(lit(0L)))
+      })
   }
 
   /** Driver-side twin of `planeComponent`: the same xxhash64 chain

@@ -50,24 +50,17 @@ object Formats {
   // formats.rs:249-268
   private val relJsonPointerRe = "^(0|[1-9][0-9]*)(#|(/([^/~]|~[01])*)*)$"
 
-  /** Calendar validity incl. leap years (`formats.rs:92-113`) as pure
-    * Column arithmetic — stays inside whole-stage codegen (no UDF). Only
-    * meaningful on values already matching the `\d{4}-\d{2}-\d{2}` shape;
-    * `try_cast` keeps stray evaluation (codegen CSE can hoist past the
-    * shape guard) from throwing under ANSI.
+  /** Calendar validity incl. leap years (`formats.rs:92-113`): one native
+    * STRICT date parse (`try_to_timestamp` → null on Feb 30, month 13,
+    * non-leap Feb 29; proleptic year 0000 accepted like the arithmetic
+    * form). A single intrinsic parse beats the previous 3×substring +
+    * try_cast + leap-arithmetic column tree (BENCH r2 flagged the 2×
+    * regression), never throws under ANSI, and stays codegen'd. Callers
+    * must pre-guard with the `\d{4}-\d{2}-\d{2}` shape regex — the parser
+    * alone would also accept shapes the reference rejects.
     */
-  private def calendarValid(v: Column): Column = {
-    val y = substring(v, 1, 4).try_cast("int")
-    val m = substring(v, 6, 2).try_cast("int")
-    val d = substring(v, 9, 2).try_cast("int")
-    val leap = (pmod(y, lit(4)) === 0 && pmod(y, lit(100)) =!= 0) ||
-      pmod(y, lit(400)) === 0
-    val daysInMonth = when(m.isin(1, 3, 5, 7, 8, 10, 12), 31)
-      .when(m.isin(4, 6, 9, 11), 30)
-      .when(m === 2, when(leap, 29).otherwise(28))
-      .otherwise(0)
-    m >= 1 && m <= 12 && d >= 1 && d <= daysInMonth
-  }
+  private def calendarValid(v: Column): Column =
+    try_to_timestamp(v, lit("yyyy-MM-dd")).isNotNull
 
   // formats.rs:175-177 — uri must be absolute (has scheme); the rlike
   // scheme pre-guard keeps the UDF off rows that can't possibly pass
