@@ -363,7 +363,10 @@ object SparkEntry {
         .orderBy("id")
     }),
     "s_ann_lsh" -> ((s, dir) => {
-      // LSH-bucketed ANN (deterministic hyperplanes — rows-only check)
+      // LSH-bucketed ANN. The hyperplanes are deterministic double
+      // literals, so the oracle replays the exact bucketing from the same
+      // plane matrix (injected via oracleSqlResolved) — same fold order,
+      // bit-identical buckets, hash-checkable output.
       val emb = t(s, dir, "embeddings")
       val q: Seq[Float] = emb.filter(col("vec_id") === 0L)
         .select(col("embedding")).collect()(0).getSeq[Float](0)
@@ -864,6 +867,32 @@ object SparkEntry {
         |    AS k_out_of_policy,
         |  min(k) AS k_min, max(k) AS k_max
         |FROM ev GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // LSH replay: the plane matrix is injected as literals; buckets are
+    // bit-identical because both engines fold the same doubles in the same
+    // order (list_reduce is left-to-right like Spark's aggregate HOF)
+    "s_ann_lsh" ->
+      """WITH p(tbl, pl, comps) AS (VALUES __LSH_PLANES__),
+        |q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings
+        |      WHERE vec_id = 0),
+        |qb AS (SELECT p.tbl,
+        |    SUM(CASE WHEN list_reduce(list_transform(generate_series(1, 64),
+        |        i -> q.qe[i] * p.comps[i]), (a, b) -> a + b) >= 0
+        |      THEN (1::BIGINT << p.pl) ELSE 0 END) AS bucket
+        |  FROM p, q GROUP BY p.tbl),
+        |vb AS (SELECT e.vec_id, p.tbl,
+        |    SUM(CASE WHEN list_reduce(list_transform(generate_series(1, 64),
+        |        i -> CAST(e.embedding[i] AS DOUBLE) * p.comps[i]), (a, b) -> a + b) >= 0
+        |      THEN (1::BIGINT << p.pl) ELSE 0 END) AS bucket
+        |  FROM embeddings e, p WHERE e.vec_id <> 0 GROUP BY e.vec_id, p.tbl),
+        |cand AS (SELECT DISTINCT vb.vec_id FROM vb
+        |  JOIN qb ON vb.tbl = qb.tbl AND vb.bucket = qb.bucket),
+        |top AS (SELECT c.vec_id AS id,
+        |    CAST(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qe)
+        |      AS DOUBLE) AS cs
+        |  FROM cand c JOIN embeddings e ON e.vec_id = c.vec_id, q
+        |  ORDER BY cs DESC, id LIMIT 50)
+        |SELECT id, round(cs, 2) AS cosine FROM top
+        |ORDER BY round(cs, 2) DESC, id""".stripMargin,
     // header-probe parity: Spark parses real PNG/WAV header BYTES; the
     // oracle recomputes the same values from the id formula the synthetic
     // builder encoded (round-trip check over the whole probe chain)
@@ -912,8 +941,15 @@ object SparkEntry {
     val lits = ivfCentroids(s, dir).zipWithIndex.map { case (c, i) =>
       s"($i, [${c.mkString(", ")}]::DOUBLE[])"
     }.mkString(", ")
+    // the s_ann_lsh plane matrix (nTables=4, nPlanes=8, dims=64 — must
+    // match the queries() call) as (tbl, plane, comps) literal rows
+    val planes = (for { tbl <- 0 until 4; pl <- 0 until 8 } yield {
+      val comps = (0 until 64).map(d => Similarity.planeComponentScala(tbl, pl, d))
+      s"($tbl, $pl, [${comps.mkString(", ")}]::DOUBLE[])"
+    }).mkString(", ")
     oracleSql.map { case (k, v) =>
       k -> v.replace("__IVF_CENTROIDS__", lits)
+        .replace("__LSH_PLANES__", planes)
         .replace("__GEN_DOCS_PATH__", genDocsPath(dir))
     }
   }

@@ -85,7 +85,7 @@ object Similarity {
     * Spark's own `XXH64`, so query-side buckets cost zero Spark jobs and are
     * bit-identical to the executor-side expression.
     */
-  private def planeComponentScala(table: Int, plane: Int, dim: Int): Double = {
+  private[graft] def planeComponentScala(table: Int, plane: Int, dim: Int): Double = {
     import org.apache.spark.sql.catalyst.expressions.XXH64
     val h = XXH64.hashInt(dim, XXH64.hashInt(plane, XXH64.hashInt(table, 42L)))
     val m = ((h % 2001L) + 2001L) % 2001L
