@@ -423,6 +423,24 @@ object SparkEntry {
         .select(col("doc_id"), TextAnalysis.fingerprintMd5(col("text")).as("fingerprint"))
         .orderBy("doc_id")
     }),
+    "t_top_tokens" -> ((s, dir) => {
+      TextAnalysis.topTokens(t(s, dir, "documents"), "text", 20)
+    }),
+    // ---------- deterministic sampling / curation ----------
+    "p_sample" -> ((s, dir) => {
+      Sampling.sample(t(s, dir, "documents"), "doc_id", 0.25)
+        .select(col("doc_id")).orderBy("doc_id")
+    }),
+    "p_stratified" -> ((s, dir) => {
+      Sampling.stratified(t(s, dir, "documents"), "doc_id", "lang",
+        Map("en" -> 0.1, "de" -> 0.5))
+        .select(col("doc_id"), col("lang")).orderBy("doc_id")
+    }),
+    "p_reservoir" -> ((s, dir) => {
+      Sampling.reservoirPerGroup(t(s, dir, "documents"), "doc_id", "lang", k = 5)
+        .select(col("lang"), col("doc_id"), col("sample_rank"))
+        .orderBy("lang", "sample_rank")
+    }),
     // ---------- event-stream operators (events table) ----------
     "e_window_verdicts" -> ((s, dir) => {
       // tumbling-window verdicts (batch twin of the streaming path):
@@ -867,6 +885,35 @@ object SparkEntry {
         |    AS k_out_of_policy,
         |  min(k) AS k_min, max(k) AS k_max
         |FROM ev GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // deterministic hash sampling: both engines compute md5 of the id and
+    // compare the first 8 hex chars against the same literal threshold
+    "p_sample" ->
+      """SELECT doc_id FROM documents
+        |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '40000000'
+        |ORDER BY doc_id""".stripMargin,
+    "p_stratified" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) <
+        |  CASE WHEN lang = 'en' THEN '19999999'
+        |       WHEN lang = 'de' THEN '80000000'
+        |       ELSE 'ffffffff' END
+        |ORDER BY doc_id""".stripMargin,
+    "p_reservoir" ->
+      """WITH ranked AS (SELECT lang, doc_id,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY substr(md5(CAST(doc_id AS VARCHAR)), 1, 8), doc_id)
+        |      AS sample_rank
+        |  FROM documents)
+        |SELECT lang, doc_id, CAST(sample_rank AS INT) AS sample_rank
+        |FROM ranked WHERE sample_rank <= 5
+        |ORDER BY lang, sample_rank""".stripMargin,
+    "t_top_tokens" ->
+      """WITH w AS (SELECT unnest(string_split_regex(
+        |    lower(regexp_replace(trim(text), '[^\p{L}\p{N}\s]', ' ', 'g')),
+        |    '\s+')) AS token FROM documents)
+        |SELECT token, CAST(count(*) AS BIGINT) AS occurrences
+        |FROM w WHERE token <> ''
+        |GROUP BY token ORDER BY occurrences DESC, token LIMIT 20""".stripMargin,
     // LSH replay: the plane matrix is injected as literals; buckets are
     // bit-identical because both engines fold the same doubles in the same
     // order (list_reduce is left-to-right like Spark's aggregate HOF)

@@ -1,0 +1,78 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling for dataset curation — the selection operators a
+  * training-data pipeline runs before/after dedup and quality filtering.
+  * No reference analogue (single-document validator); corpus-level
+  * capability like Dedup/Similarity.
+  *
+  * All sampling is HASH-deterministic (md5 of the id), never `rand()`:
+  * the same row set is selected on every run, every cluster size, and any
+  * engine (md5 is universal, so an independent engine can re-derive the
+  * exact sample — the property that makes these operators oracle-checkable
+  * AND makes samples reproducible for experiment lineage).
+  *
+  * Scale notes:
+  *   - [[sample]] / [[stratified]] are pure per-row filters — no shuffle,
+  *     fully pushed into the scan stage, trivially 100 TB-safe;
+  *   - [[reservoirPerGroup]] needs per-group top-k by hash; it uses
+  *     `row_number` over (group, hash) + `<= k`, which Spark ≥ 3.5 lowers
+  *     to `WindowGroupLimit` — each partition keeps only k rows per group
+  *     BEFORE the shuffle (a map-side top-k, not a full per-group sort of
+  *     all rows), so a hot group costs k per upstream partition, not its
+  *     full cardinality.
+  */
+object Sampling {
+
+  /** Uniform selection pseudo-randomness: the first 8 hex chars of
+    * md5(id). Lowercase-hex strings compare identically everywhere, so the
+    * threshold is a plain string comparison.
+    */
+  private def hashKey(id: Column): Column =
+    substring(md5(id.cast("string")), 1, 8)
+
+  /** `fraction` of [0,1] as an 8-hex-digit threshold: rows whose hash key
+    * sorts below it are kept. 2^32 buckets — granularity 2.3e-10.
+    */
+  private[operators] def thresholdHex(fraction: Double): String = {
+    require(fraction >= 0.0 && fraction <= 1.0, s"fraction out of range: $fraction")
+    val t = math.min((fraction * 4294967296.0).toLong, 4294967295L)
+    f"$t%08x"
+  }
+
+  /** Deterministic uniform sample: keeps ~`fraction` of rows, selected by
+    * id hash (stable across runs/partitionings — NOT Spark's `sample()`,
+    * which is seed- and partition-layout-dependent).
+    */
+  def sample(df: DataFrame, idCol: String, fraction: Double): DataFrame =
+    df.filter(hashKey(col(idCol)) < lit(thresholdHex(fraction)))
+
+  /** Stratified sample: a different fraction per stratum value (e.g.
+    * downsample boilerplate languages, keep all rare ones). Strata absent
+    * from the map get `defaultFraction`. The per-stratum threshold folds to
+    * a literal CASE — still a pure scan-stage filter.
+    */
+  def stratified(df: DataFrame, idCol: String, strataCol: String,
+      fractions: Map[String, Double], defaultFraction: Double = 1.0): DataFrame = {
+    val thr = fractions.toSeq.sortBy(_._1).foldLeft(lit(thresholdHex(defaultFraction))) {
+      case (acc, (stratum, f)) =>
+        when(col(strataCol) === lit(stratum), lit(thresholdHex(f))).otherwise(acc)
+    }
+    df.filter(hashKey(col(idCol)) < thr)
+  }
+
+  /** Deterministic reservoir of `k` rows per group: the k smallest id
+    * hashes within each group (a uniform-without-replacement sample, fixed
+    * forever). Adds `sample_rank` (1-based).
+    */
+  def reservoirPerGroup(df: DataFrame, idCol: String, groupCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol)).orderBy(hashKey(col(idCol)), col(idCol))
+    df.withColumn("sample_rank", row_number().over(w))
+      .filter(col("sample_rank") <= k)
+  }
+}

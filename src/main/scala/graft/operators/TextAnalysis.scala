@@ -45,6 +45,20 @@ object TextAnalysis {
   def tokenCountWs(text: Column): Column =
     when(length(trim(text)) === 0, 0).otherwise(size(split(trim(text), "\\s+")))
 
+  /** Corpus-level top-k token frequencies (vocabulary head — the standard
+    * first look at a new corpus, and the input to stopword/boilerplate
+    * lists). `explode` → map-side-combined `groupBy(token)` (the shuffle
+    * carries one row per DISTINCT token per partition, not per occurrence)
+    * → `TakeOrderedAndProject` for the top k (no full sort). Deterministic
+    * ties: count desc, then token asc.
+    */
+  def topTokens(df: DataFrame, textCol: String, k: Int): DataFrame =
+    df.select(explode(toks(col(textCol))).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy(col("token")).agg(count(lit(1)).as("occurrences"))
+      .orderBy(col("occurrences").desc, col("token"))
+      .limit(k)
+
   /** BPE-ish token count: GPT-2-style pre-tokenizer regex pieces
     * (word / number / punctuation runs with leading-space affinity).
     */

@@ -310,6 +310,51 @@ class PipelineOpsSpec extends SparkSpec {
       s"no day-bucketed Window in plan:\n$plan")
   }
 
+  test("deterministic sampling: fraction, stability, strata, per-group reservoir") {
+    val ids = spark.range(10000).select(col("id").as("doc_id"),
+      when(pmod(col("id"), lit(4)) === 0, "en").otherwise("de").as("lang"))
+    // threshold rendering
+    assert(Sampling.thresholdHex(0.25) == "40000000")
+    assert(Sampling.thresholdHex(0.0) == "00000000")
+    // uniform: within 3% of the asked fraction, and bit-stable across runs
+    val s1 = Sampling.sample(ids, "doc_id", 0.25).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(math.abs(s1.size - 2500) < 75, s"got ${s1.size}")
+    val s2 = Sampling.sample(ids, "doc_id", 0.25).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(s1 == s2)
+    // stratified: per-stratum fractions respected
+    val st = Sampling.stratified(ids, "doc_id", "lang", Map("en" -> 0.5, "de" -> 0.1))
+    val byLang = st.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(math.abs(byLang("en") - 1250) < 70, s"$byLang") // 2500 en * 0.5
+    assert(math.abs(byLang("de") - 750) < 70, s"$byLang")  // 7500 de * 0.1
+    // a sampled row's membership never depends on the rest of the corpus
+    val subset = Sampling.sample(ids.filter(col("doc_id") < 5000), "doc_id", 0.25)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(subset == s1.filter(_ < 5000))
+    // reservoir: exactly k per group, stable, and rank is 1..k
+    val res = Sampling.reservoirPerGroup(ids, "doc_id", "lang", k = 7)
+    val counts = res.groupBy("lang").count().collect().map(_.getLong(1))
+    assert(counts.forall(_ == 7L))
+    val res2 = Sampling.reservoirPerGroup(ids, "doc_id", "lang", k = 7)
+      .orderBy("lang", "sample_rank").collect()
+    assert(res.orderBy("lang", "sample_rank").collect().sameElements(res2))
+    // rank+filter lowers to a group-limit (map-side top-k), not a full sort
+    // of every group
+    val plan = res.queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), s"no WindowGroupLimit:\n$plan")
+  }
+
+  test("topTokens: exact head of the token frequency table, deterministic ties") {
+    val df = Seq("the cat and the dog", "the dog, the dog!", "und der Hund")
+      .toDF("text")
+    val top = TextAnalysis.topTokens(df, "text", 3).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(top.sameElements(Array(("the", 4L), ("dog", 3L), ("and", 1L))),
+      top.mkString(","))
+  }
+
   test("IVF k-means training balances inverted lists where first-k seeding cannot") {
     // 4 clusters of 100 vectors around orthogonal directions — ORDERED so
     // the first k vectors all sit in cluster 0 (the adversarial case for
