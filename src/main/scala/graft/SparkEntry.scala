@@ -352,6 +352,18 @@ object SparkEntry {
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
         .orderBy("id_a")
     }),
+    "d_contamination" -> ((s, dir) => {
+      // benchmark-contamination: every 50th doc doubles as a "benchmark
+      // item"; which corpus docs contain ≥50% of its 3-shingles
+      val docs = t(s, dir, "documents")
+      val probes = docs.filter(pmod(col("doc_id"), lit(50L)) === 0L)
+        .select(col("doc_id").as("probe_id"), col("text").as("probe_text"))
+      Dedup.contaminationAgainst(docs, "doc_id", "text",
+          probes, "probe_id", "probe_text", k = 3, minContainment = 0.5)
+        .select(col("doc_id"), col("probe_id"),
+          round(col("containment"), 4).as("containment"))
+        .orderBy("doc_id", "probe_id")
+    }),
     // ---------- similarity search ----------
     "s_ann_cosine" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
@@ -885,6 +897,22 @@ object SparkEntry {
         |    AS k_out_of_policy,
         |  min(k) AS k_min, max(k) AS k_max
         |FROM ev GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "d_contamination" ->
+      """WITH toks AS (SELECT doc_id,
+        |    string_split(lower(regexp_replace(trim(text), '\s+', ' ', 'g')), ' ') AS t
+        |  FROM documents),
+        |sh AS (SELECT doc_id,
+        |    CASE WHEN len(t) >= 3 THEN list_distinct(list_transform(
+        |      generate_series(1, len(t) - 2), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+        |    ELSE CAST([] AS VARCHAR[]) END AS s
+        |  FROM toks),
+        |pr AS (SELECT doc_id AS probe_id, s AS ps FROM sh
+        |  WHERE doc_id % 50 = 0 AND len(s) > 0),
+        |pairs AS (SELECT d.doc_id, p.probe_id,
+        |    CAST(len(list_intersect(d.s, p.ps)) AS DOUBLE) / len(p.ps) AS c
+        |  FROM sh d, pr p WHERE len(list_intersect(d.s, p.ps)) > 0)
+        |SELECT doc_id, probe_id, round(c, 4) AS containment
+        |FROM pairs WHERE c >= 0.5 ORDER BY doc_id, probe_id""".stripMargin,
     // deterministic hash sampling: both engines compute md5 of the id and
     // compare the first 8 hex chars against the same literal threshold
     "p_sample" ->

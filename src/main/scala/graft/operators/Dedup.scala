@@ -280,6 +280,37 @@ object Dedup {
       idCol, textCol, k)
       .filter(col("jaccard") >= threshold)
 
+  /** Benchmark-contamination check: per-document shingle containment
+    * against a (small) probe corpus — "which training docs contain
+    * benchmark item Y". For every (doc, probe) pair sharing at least one
+    * k-shingle: containment = |shingles(probe) ∩ shingles(doc)| /
+    * |shingles(probe)|, kept at ≥ `minContainment`.
+    *
+    * Scale shape: probes explode to (shingle → probe) — the SMALL side,
+    * broadcast by the planner; docs explode to (shingle → doc) in one
+    * streaming pass; the join keys on the shingle, so candidate mass is
+    * proportional to genuinely shared shingles, never |docs| × |probes|.
+    * Probes with zero shingles (< k tokens) are excluded (undefined
+    * containment).
+    */
+  def contaminationAgainst(docs: DataFrame, idCol: String, textCol: String,
+      probes: DataFrame, probeIdCol: String, probeTextCol: String,
+      k: Int = 3, minContainment: Double = 0.5): DataFrame = {
+    val dSh = docs.select(col(idCol).as("doc_id"),
+      explode(array_distinct(shingles(col(textCol), k))).as("sh"))
+    val pShingles = probes.select(col(probeIdCol).as("probe_id"),
+      array_distinct(shingles(col(probeTextCol), k)).as("ps"))
+      .filter(size(col("ps")) > 0)
+    val pSh = pShingles.select(col("probe_id"), size(col("ps")).as("probe_shingles"),
+      explode(col("ps")).as("sh"))
+    dSh.join(pSh, Seq("sh"))
+      .groupBy(col("doc_id"), col("probe_id"), col("probe_shingles"))
+      .agg(count(lit(1)).as("matches"))
+      .select(col("doc_id"), col("probe_id"),
+        (col("matches").cast("double") / col("probe_shingles")).as("containment"))
+      .filter(col("containment") >= minContainment)
+  }
+
   /** Exact n-gram Jaccard similarity for given candidate pairs — the
     * verification stage after LSH narrows candidates (never run all-pairs at
     * scale). `pairs` must have (id_a, id_b).

@@ -58,4 +58,23 @@ object StreamValidate {
         sum(when(!col("pass"), 1L).otherwise(0L)).as("failed_docs"),
         sum(size(col("violations")).cast("long")).as("violations"))
       .withColumn("pass", col("failed_docs") === 0L)
+
+  /** Streaming exact dedup on the content hash within a watermark horizon:
+    * the streaming twin of `Dedup.exact` for continuously arriving docs
+    * (re-sends, at-least-once upstream sources). Emits only the FIRST
+    * arrival of each distinct content per horizon; duplicates are dropped.
+    *
+    * `dropDuplicatesWithinWatermark` (not plain `dropDuplicates`): a global
+    * streaming distinct's state grows without bound — the watermark bounds
+    * state to (distinct contents seen within the horizon), which is the
+    * right contract for re-send suppression at 10^12-doc scale. Exact
+    * cross-horizon dedup belongs to the batch pass (Dedup.exact).
+    */
+  def dedupStream(docs: DataFrame, textCol: String, eventTime: String,
+      watermark: String = "10 minutes"): DataFrame =
+    docs
+      .withColumn("content_hash",
+        graft.operators.Dedup.contentHash(col(textCol)))
+      .withWatermark(eventTime, watermark)
+      .dropDuplicatesWithinWatermark("content_hash")
 }

@@ -310,6 +310,29 @@ class PipelineOpsSpec extends SparkSpec {
       s"no day-bucketed Window in plan:\n$plan")
   }
 
+  test("contamination: probe shingle containment finds embedding docs only") {
+    // probe = a 6-token benchmark item; doc 10 contains it verbatim,
+    // doc 11 contains half of it, docs 3/4 share nothing
+    val probe = "over the lazy dog and runs"
+    val probes = Seq((100L, probe)).toDF("probe_id", "probe_text")
+    val corpus = Seq(
+      (10L, base),                              // contains the probe verbatim
+      (11L, "over the lazy dog sleeps deeply"), // shares a prefix only
+      (3L, distinct1), (4L, distinct2))
+      .toDF("doc_id", "text")
+    val out = Dedup.contaminationAgainst(corpus, "doc_id", "text",
+      probes, "probe_id", "probe_text", k = 3, minContainment = 0.0)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(out(10L) == 1.0, s"$out")
+    assert(out.contains(11L) && out(11L) > 0 && out(11L) < 1.0, s"$out")
+    assert(!out.contains(3L) && !out.contains(4L), s"$out")
+    // threshold filters the partial match
+    val strict = Dedup.contaminationAgainst(corpus, "doc_id", "text",
+      probes, "probe_id", "probe_text", k = 3, minContainment = 0.9)
+      .collect().map(_.getLong(0)).toSet
+    assert(strict == Set(10L))
+  }
+
   test("deterministic sampling: fraction, stability, strata, per-group reservoir") {
     val ids = spark.range(10000).select(col("id").as("doc_id"),
       when(pmod(col("id"), lit(4)) === 0, "en").otherwise("de").as("lang"))

@@ -59,4 +59,32 @@ class StreamValidateSpec extends SparkSpec {
     val totalDocs = out.map(_.getAs[Long]("docs")).sum
     assert(totalDocs == 1000L, s"docs=$totalDocs")
   }
+
+  test("streaming dedup drops re-sent content within the watermark horizon") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_d").toString
+    // 3 distinct contents, each sent 1-3 times within a few seconds; case/
+    // whitespace variants must collapse too (contentHash normalizes)
+    Seq(
+      (1L, "alpha beta gamma", 0L), (2L, "alpha  BETA gamma", 3L),
+      (3L, "delta epsilon", 1L), (4L, "delta epsilon", 2L),
+      (5L, "zeta", 4L), (6L, "alpha beta gamma", 5L))
+      .toDF("doc_id", "text", "off")
+      .withColumn("ts", timestamp_seconds(lit(1700000000L) + col("off")))
+      .drop("off")
+      .write.mode("overwrite").parquet(s"$dir/in")
+    val streamIn = spark.readStream
+      .schema(spark.read.parquet(s"$dir/in").schema).parquet(s"$dir/in")
+    val q = StreamValidate.dedupStream(streamIn, "text", "ts")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("stream_dedup")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+    val out = spark.table("stream_dedup").collect()
+    // exactly one survivor per distinct normalized content
+    assert(out.length == 3, out.mkString(","))
+    val hashes = out.map(_.getAs[Long]("content_hash")).toSet
+    assert(hashes.size == 3)
+  }
 }
