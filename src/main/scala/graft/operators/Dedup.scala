@@ -92,8 +92,14 @@ object Dedup {
     * the whole tokenization per element inside the lambda — interpreted HOFs
     * have no CSE — and profiled ~30× slower.)
     */
+  /** Normalized whitespace tokens — the shared tokenization of [[shingles]]
+    * and the native [[graft.plans.MinHashBands]] kernel.
+    */
+  private[graft] def normTokens(text: Column): Column =
+    split(lower(regexp_replace(trim(text), "\\s+", " ")), " ")
+
   def shingles(text: Column, k: Int = 3): Column = {
-    val toks = split(lower(regexp_replace(trim(text), "\\s+", " ")), " ")
+    val toks = normTokens(text)
     val n = size(toks)
     var acc: Column = toks
     (1 until k).foreach { j =>
@@ -139,13 +145,21 @@ object Dedup {
           xxhash64(concat_ws(",", slice(acc, b * r + 1, lit(r)))))))
   }
 
-  /** LSH banding: (id, band_idx, band_hash) — one row per band. */
+  /** LSH banding: (id, band_idx, band_hash) — one row per band. The band
+    * hashes come from the native [[graft.plans.MinHashBands]] kernel (one
+    * string hash per shingle + cheap integer mixes per slot — bit-identical
+    * to the HOF [[bandHashes]]∘[[shingles]] pipeline, which re-hashed the
+    * full shingle string once per signature slot and dominated the dedup
+    * wall).
+    */
   def lshBands(df: DataFrame, idCol: String, textCol: String, k: Int = 3,
       numHashes: Int = 32, bands: Int = 8): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
+    import org.apache.spark.sql.GraftShims
+    val bh = GraftShims.column(graft.plans.MinHashBands(
+      GraftShims.expression(normTokens(col(textCol))), k, numHashes, bands))
     df.filter(col(textCol).isNotNull && length(col(textCol)) > 0)
-      .select(col(idCol).as("id"),
-        bandHashes(shingles(col(textCol), k), numHashes, bands).as("bh"))
+      .select(col(idCol).as("id"), bh.as("bh"))
       .filter(col("bh").isNotNull)
       .select(col("id"), posexplode(col("bh")))
       .withColumnRenamed("pos", "band_idx")

@@ -310,6 +310,25 @@ class PipelineOpsSpec extends SparkSpec {
       s"no day-bucketed Window in plan:\n$plan")
   }
 
+  test("native MinHashBands expression is bit-identical to the HOF formulation") {
+    import org.apache.spark.sql.GraftShims
+    val corpus = docs.unionAll(Seq((6L, "one"), (7L, "two words"),
+      (8L, "now three tokens")).toDF("doc_id", "text"))
+    val native = corpus.select(col("doc_id"), GraftShims.column(
+      graft.plans.MinHashBands(GraftShims.expression(
+        Dedup.normTokens(col("text"))), 3, 32, 16)).as("b"))
+      .orderBy("doc_id").collect()
+      .map(r => if (r.isNullAt(1)) null else r.getSeq[Long](1))
+    val hof = corpus.select(col("doc_id"),
+      Dedup.bandHashes(Dedup.shingles(col("text"), 3), 32, 16).as("b"))
+      .orderBy("doc_id").collect()
+      .map(r => if (r.isNullAt(1)) null else r.getSeq[Long](1))
+    assert(native.length == hof.length)
+    native.zip(hof).foreach { case (n, h) => assert(n == h, s"$n != $h") }
+    // short docs (< k tokens) are null in BOTH formulations
+    assert(native(5) == null && native(6) == null && native(7) != null)
+  }
+
   test("contamination: probe shingle containment finds embedding docs only") {
     // probe = a 6-token benchmark item; doc 10 contains it verbatim,
     // doc 11 contains half of it, docs 3/4 share nothing
