@@ -309,9 +309,11 @@ object SparkEntry {
       // KS on a fixed 101-point grid over [0, 120000] — exactly reproducible
       // (the percentile_approx-grid variant Drift.ks and the KLL-sketch path
       // Drift.ksSketch stay as the adaptive/streaming forms, spec-tested)
-      val li = t(s, dir, "lineitem")
-      Drift.ksFixedGrid(li.filter(col("l_returnflag") === "R"),
-        li.filter(col("l_returnflag") === "N"), "l_extendedprice", 0.0, 120000.0, 101)
+      // both slices come from ONE scan/aggregation of lineitem (the
+      // two-sided form; statistic identical to the two-filter form)
+      Drift.ksFixedGridTwoSided(t(s, dir, "lineitem"), "l_extendedprice",
+        col("l_returnflag") === "R", col("l_returnflag") === "N",
+        0.0, 120000.0, 101)
         .select(round(col("ks"), 4).as("ks"))
     }),
     // ---------- dedup ----------

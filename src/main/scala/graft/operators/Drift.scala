@@ -126,6 +126,40 @@ object Drift {
       .agg(percentile_approx(col(c).cast("double"), typedLit(probs), lit(accuracy))
         .as("quantiles"), count(lit(1)).as("rows"))
 
+  /** [[ksFixedGrid]] when both samples are SLICES OF THE SAME SOURCE
+    * (predA/predB over one table — the common drift shape "this week vs
+    * last week of the same fact table"): both CDFs come from ONE
+    * aggregation pass over one scan, instead of two scans of the shared
+    * parquet. Counts (and therefore the statistic) are identical to
+    * `ksFixedGrid(df.filter(predA), df.filter(predB), ...)` — the per-cell
+    * ratios divide the same longs in double arithmetic either way.
+    */
+  def ksFixedGridTwoSided(df: DataFrame, c: String, predA: Column, predB: Column,
+      lo: Double, hi: Double, gridSize: Int = 101): DataFrame = {
+    require(gridSize >= 2, s"ksFixedGridTwoSided: gridSize must be >= 2, got $gridSize")
+    val grid = (0 until gridSize).map(i => lo + i * (hi - lo) / (gridSize - 1))
+    val x = col(c).cast("double")
+    val nn = col(c).isNotNull
+    def sums(p: Column, tag: String): Seq[Column] = grid.zipWithIndex.map {
+      case (g, i) =>
+        sum(when(p && nn && x <= lit(g), 1L).otherwise(0L)).as(s"$tag$i")
+    }
+    val aggs = sums(predA, "a") ++ sums(predB, "b") ++ Seq(
+      count(when(predA && nn, 1)).as("_na"),
+      count(when(predB && nn, 1)).as("_nb"))
+    val r = df.agg(aggs.head, aggs.tail: _*).collect()(0)
+    val na = r.getLong(2 * gridSize)
+    val nb = r.getLong(2 * gridSize + 1)
+    require(na > 0, s"ksFixedGridTwoSided: no non-null rows in '$c' on side 'a'")
+    require(nb > 0, s"ksFixedGridTwoSided: no non-null rows in '$c' on side 'b'")
+    val ksStat = (0 until gridSize).map { i =>
+      math.abs(r.getLong(i).toDouble / na - r.getLong(gridSize + i).toDouble / nb)
+    }.max
+    val spark = df.sparkSession
+    import spark.implicits._
+    Seq(ksStat).toDF("ks")
+  }
+
   /** KS via mergeable KLL sketches (custom TypedImperativeAggregate,
     * `graft.plans.KllSketchAgg`): one aggregation pass per side, then the
     * statistic from the two serialized sketches — the resumable/incremental

@@ -27,7 +27,22 @@ object Similarity {
   def norm(a: Column): Column =
     sqrt(aggregate(transform(a, x => x * x), lit(0.0d), (acc, z) => acc + z))
 
+  /** Cosine similarity — the native codegen kernel
+    * ([[graft.plans.CosineSim]]): one fused loop per evaluation instead of
+    * four interpreted HOF passes. Runs per candidate PAIR in near-dup
+    * verification and per (row, centroid) in IVF assignment, so it is the
+    * similarity subsystem's hottest expression.
+    */
   def cosine(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.GraftShims
+    GraftShims.column(graft.plans.CosineSim(
+      GraftShims.expression(a), GraftShims.expression(b)))
+  }
+
+  /** HOF formulation of [[cosine]] — kept as the bit-identical semantics
+    * cross-check of the native kernel (asserted in PipelineOpsSpec).
+    */
+  def cosineHof(a: Column, b: Column): Column = {
     val d = dot(a, b)
     val n = norm(a) * norm(b)
     when(n === 0.0, 0.0).otherwise(d / n)

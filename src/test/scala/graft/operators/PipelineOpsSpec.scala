@@ -310,6 +310,39 @@ class PipelineOpsSpec extends SparkSpec {
       s"no day-bucketed Window in plan:\n$plan")
   }
 
+  test("native CosineSim is bit-identical to the HOF cosine") {
+    val pairs = Seq(
+      (Seq(1.0, 2.0, 3.0), Seq(1.0, 2.0, 3.0)),   // identical
+      (Seq(1.0, 0.0, 0.0), Seq(0.0, 1.0, 0.0)),   // orthogonal
+      (Seq(0.0, 0.0, 0.0), Seq(1.0, 2.0, 3.0)),   // zero norm -> 0.0
+      (Seq(0.3, -0.7, 0.11), Seq(-0.13, 0.5, 29.0)),
+      (Seq(1.0, 2.0), Seq(1.0, 2.0, 3.0)))        // length mismatch -> null
+      .toDF("a", "b")
+    val out = pairs.select(
+      Similarity.cosine(col("a"), col("b")).as("native"),
+      Similarity.cosineHof(col("a"), col("b")).as("hof")).collect()
+    out.foreach { r =>
+      assert(r.isNullAt(0) == r.isNullAt(1), s"$r")
+      if (!r.isNullAt(0))
+        assert(r.getDouble(0) == r.getDouble(1), s"$r") // EXACT, not approx
+    }
+    assert(out(4).isNullAt(0))
+    assert(out(2).getDouble(0) == 0.0)
+  }
+
+  test("two-sided fixed-grid KS equals the two-filter form exactly") {
+    val df = spark.range(5000).select(col("id"),
+      (col("id") % 2 === 0).as("isA"),
+      (pmod(xxhash64(col("id")), lit(1000L)).cast("double") +
+        when(col("id") % 2 === 0, 0.0).otherwise(200.0)).as("v"))
+    val two = Drift.ksFixedGridTwoSided(df, "v", col("isA"), !col("isA"),
+      0.0, 1200.0, 51).collect()(0).getDouble(0)
+    val sep = Drift.ksFixedGrid(df.filter(col("isA")), df.filter(!col("isA")),
+      "v", 0.0, 1200.0, 51).collect()(0).getDouble(0)
+    assert(two == sep, s"two-sided=$two separate=$sep")
+    assert(two > 0.1) // the +200 shift is a real drift signal
+  }
+
   test("native MinHashBands expression is bit-identical to the HOF formulation") {
     import org.apache.spark.sql.GraftShims
     val corpus = docs.unionAll(Seq((6L, "one"), (7L, "two words"),
