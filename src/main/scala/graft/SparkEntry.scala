@@ -440,6 +440,37 @@ object SparkEntry {
     "t_top_tokens" -> ((s, dir) => {
       TextAnalysis.topTokens(t(s, dir, "documents"), "text", 20)
     }),
+    "t_repetition" -> ((s, dir) => {
+      TextAnalysis.repetitionSignals(t(s, dir, "documents"), "doc_id", "text")
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
+    }),
+    "t_pii" -> ((s, dir) => {
+      // the synthetic corpus carries no PII, so both engines inject the
+      // SAME deterministic PII snippets (derived from doc_id) and must
+      // then agree on detection counts and the redacted text
+      val aug = concat(col("text"),
+        when(col("doc_id") % 5 === 0, concat(lit(" reach me at user"),
+          col("doc_id").cast("string"), lit("@mail.example.com"))).otherwise(lit("")),
+        when(col("doc_id") % 7 === 0, concat(lit(" host 10."),
+          (col("doc_id") % 250).cast("string"), lit(".0.1 up"))).otherwise(lit("")),
+        when(col("doc_id") % 11 === 0, concat(lit(" call +1415550"),
+          lpad((col("doc_id") % 10000).cast("string"), 4, "0"))).otherwise(lit("")))
+      val (em, ip, ph) = TextAnalysis.piiCounts(aug)
+      t(s, dir, "documents").select(col("doc_id"),
+        em.as("n_emails"), ip.as("n_ips"), ph.as("n_phones"),
+        TextAnalysis.redactPii(aug).as("redacted"))
+        .orderBy("doc_id")
+    }),
+    "d_dup_clusters" -> ((s, dir) => {
+      // transitive closure of the verified near-dup pairs: every doc in a
+      // dup cluster gets the cluster's min doc_id + a keep flag for the
+      // canonical representative
+      DupClusters.clusters(Dedup.nearDupPairsExact(t(s, dir, "documents"),
+          "doc_id", "text", k = 3, numHashes = 32, bands = 16, threshold = 0.5))
+        .select(col("id").as("doc_id"), col("cluster_id"), col("keep"))
+        .orderBy("doc_id")
+    }),
     // ---------- deterministic sampling / curation ----------
     "p_sample" -> ((s, dir) => {
       Sampling.sample(t(s, dir, "documents"), "doc_id", 0.25)
@@ -449,6 +480,13 @@ object SparkEntry {
       Sampling.stratified(t(s, dir, "documents"), "doc_id", "lang",
         Map("en" -> 0.1, "de" -> 0.5))
         .select(col("doc_id"), col("lang")).orderBy("doc_id")
+    }),
+    "p_upsample" -> ((s, dir) => {
+      // mixture re-weighting: 2.25 epochs of 'en', half of 'de', 1x rest
+      Sampling.upsample(t(s, dir, "documents"), "doc_id", "lang",
+        Map("en" -> 2.25, "de" -> 0.5))
+        .select(col("doc_id"), col("epoch").cast("int").as("epoch"))
+        .orderBy("doc_id", "epoch")
     }),
     "p_reservoir" -> ((s, dir) => {
       Sampling.reservoirPerGroup(t(s, dir, "documents"), "doc_id", "lang", k = 5)
@@ -928,6 +966,17 @@ object SparkEntry {
         |       WHEN lang = 'de' THEN '80000000'
         |       ELSE 'ffffffff' END
         |ORDER BY doc_id""".stripMargin,
+    "p_upsample" ->
+      s"""WITH w AS (SELECT doc_id,
+        |    CASE WHEN lang = 'de' THEN 0 WHEN lang = 'en' THEN 2 ELSE 1 END
+        |      + CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) <
+        |          CASE WHEN lang = 'de' THEN '${Sampling.thresholdHex(0.5)}'
+        |               WHEN lang = 'en' THEN '${Sampling.thresholdHex(0.25)}'
+        |               ELSE '${Sampling.thresholdHex(0.0)}' END
+        |        THEN 1 ELSE 0 END AS n
+        |  FROM documents)
+        |SELECT doc_id, CAST(unnest(generate_series(0, n - 1)) AS INT) AS epoch
+        |FROM w WHERE n > 0 ORDER BY doc_id, epoch""".stripMargin,
     "p_reservoir" ->
       """WITH ranked AS (SELECT lang, doc_id,
         |    row_number() OVER (PARTITION BY lang
@@ -944,6 +993,70 @@ object SparkEntry {
         |SELECT token, CAST(count(*) AS BIGINT) AS occurrences
         |FROM w WHERE token <> ''
         |GROUP BY token ORDER BY occurrences DESC, token LIMIT 20""".stripMargin,
+    "t_repetition" ->
+      """WITH toks AS (SELECT doc_id,
+        |    list_filter(string_split(lower(text), ' '), t -> len(t) > 0) AS t
+        |  FROM documents),
+        |tok AS (SELECT doc_id, unnest(t) AS w FROM toks),
+        |tc AS (SELECT doc_id, w, count(*) AS c FROM tok GROUP BY 1, 2),
+        |t1 AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n,
+        |    CAST(count(*) AS BIGINT) AS d, CAST(max(c) AS BIGINT) AS m
+        |  FROM tc GROUP BY 1),
+        |bg AS (SELECT doc_id, unnest(list_transform(
+        |    generate_series(1, len(t) - 1), i -> t[i] || ' ' || t[i+1])) AS b
+        |  FROM toks WHERE len(t) >= 2),
+        |bc AS (SELECT doc_id, b, count(*) AS c FROM bg GROUP BY 1, 2),
+        |b1 AS (SELECT doc_id, CAST(max(c) AS BIGINT) AS mb FROM bc GROUP BY 1)
+        |SELECT t1.doc_id, n AS n_tokens,
+        |  CAST(d AS DOUBLE) / n AS distinct_token_frac,
+        |  CAST(m AS DOUBLE) / n AS top_token_frac,
+        |  CASE WHEN n >= 2 THEN CAST(mb AS DOUBLE) / (n - 1) ELSE 0.0 END
+        |    AS top_bigram_frac
+        |FROM t1 LEFT JOIN b1 ON t1.doc_id = b1.doc_id
+        |WHERE n > 0 ORDER BY t1.doc_id""".stripMargin,
+    "t_pii" ->
+      s"""WITH aug AS (SELECT doc_id, text
+        |  || CASE WHEN doc_id % 5 = 0 THEN ' reach me at user'
+        |       || CAST(doc_id AS VARCHAR) || '@mail.example.com' ELSE '' END
+        |  || CASE WHEN doc_id % 7 = 0 THEN ' host 10.'
+        |       || CAST(doc_id % 250 AS VARCHAR) || '.0.1 up' ELSE '' END
+        |  || CASE WHEN doc_id % 11 = 0 THEN ' call +1415550'
+        |       || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END AS a
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(a, '${TextAnalysis.EmailRe}')) AS BIGINT)
+        |    AS n_emails,
+        |  CAST(len(regexp_extract_all(a, '${TextAnalysis.Ipv4Re}')) AS BIGINT)
+        |    AS n_ips,
+        |  CAST(len(regexp_extract_all(a, '${TextAnalysis.PhoneRe}')) AS BIGINT)
+        |    AS n_phones,
+        |  regexp_replace(regexp_replace(regexp_replace(a,
+        |    '${TextAnalysis.EmailRe}', '[EMAIL]', 'g'),
+        |    '${TextAnalysis.Ipv4Re}', '[IP]', 'g'),
+        |    '${TextAnalysis.PhoneRe}', '[PHONE]', 'g') AS redacted
+        |FROM aug ORDER BY doc_id""".stripMargin,
+    "d_dup_clusters" ->
+      """WITH RECURSIVE toks AS (SELECT doc_id,
+        |    string_split(lower(regexp_replace(trim(text), '\s+', ' ', 'g')), ' ') AS t
+        |  FROM documents),
+        |sh AS (SELECT doc_id,
+        |    CASE WHEN len(t) >= 3 THEN list_distinct(list_transform(
+        |      generate_series(1, len(t) - 2), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+        |    ELSE CAST([] AS VARCHAR[]) END AS s
+        |  FROM toks),
+        |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE (CASE WHEN len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) = 0
+        |    THEN 0.0 ELSE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+        |      / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) END) >= 0.5),
+        |edges AS (SELECT id_a AS x, id_b AS y FROM pairs
+        |  UNION SELECT id_b AS x, id_a AS y FROM pairs),
+        |reach(x, y) AS (
+        |  SELECT s.x AS x, s.x AS y FROM (SELECT DISTINCT x FROM edges) s
+        |  UNION
+        |  SELECT e.x, r.y FROM edges e JOIN reach r ON e.y = r.x)
+        |SELECT x AS doc_id, min(y) AS cluster_id, (x = min(y)) AS keep
+        |FROM reach GROUP BY x ORDER BY doc_id""".stripMargin,
     // LSH replay: the plane matrix is injected as literals; buckets are
     // bit-identical because both engines fold the same doubles in the same
     // order (list_reduce is left-to-right like Spark's aggregate HOF)

@@ -1,0 +1,88 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Duplicate-cluster assignment: connected components over the undirected
+  * pair graph produced by [[Dedup]] / [[Similarity]] candidate+verify
+  * stages. Near-dup pairs only relate documents two at a time; a real
+  * dedup pipeline must then pick ONE representative per transitive
+  * cluster (a~b, b~c => keep one of {a,b,c}) — this operator closes that
+  * gap, going beyond the single-document reference engine (its engine
+  * validates one document per run, engine.rs:24-66; cluster semantics
+  * have no analogue there and follow the public MapReduce
+  * connected-components literature instead).
+  *
+  * Algorithm: min-label propagation. Every vertex starts as its own
+  * component; each round every vertex takes the min of its own label and
+  * its neighbors' labels; fixpoint = component-min everywhere. Rounds
+  * needed = graph diameter, and near-dup graphs are almost-cliques
+  * (members of one cluster share LSH buckets pairwise), so 2-3 rounds
+  * close most corpora — the O(log n) large-star/small-star variant
+  * (Kiveris et al., "Connected Components in MapReduce and Beyond") only
+  * pays off on long-chain graphs, which dedup thresholds >= 0.5 cannot
+  * produce in practice (similarity is near-transitive at that level).
+  *
+  * 100 TB design:
+  *  - each round is two shuffles (edge-label join + min agg), both keyed
+  *    and map-side combined; no sorts, no windows, no driver data;
+  *  - the symmetric edge list is persisted once (MEMORY_AND_DISK) and
+  *    reused every round — at pair-graph scale (|pairs| << |docs|, since
+  *    only near-dups appear) this is the small relation of the job;
+  *  - `localCheckpoint` after every round truncates lineage — without it
+  *    the iterated-join plan grows exponentially and the optimizer
+  *    re-plans the whole history each round;
+  *  - convergence is detected with a `changed` count on the materialized
+  *    checkpoint (one cheap job over cached partitions, not a recompute).
+  */
+object DupClusters {
+
+  /** Connected components of the undirected graph given as an edge list.
+    * Returns one row per distinct vertex: (id, comp) with `comp` = min
+    * vertex id of the component. Vertices not mentioned in `edges` do not
+    * appear (singletons are trivially their own component).
+    */
+  def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
+      maxIter: Int = 25): DataFrame = {
+    val sym = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .union(edges.select(col(dstCol).as("src"), col(srcCol).as("dst")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = sym.select(col("src").as("id")).distinct()
+      .withColumn("comp", col("id"))
+      .localCheckpoint()
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIter) {
+      // min neighbor label per vertex, then fold into the current label
+      val nbrMin = sym
+        .join(labels.select(col("id").as("src"), col("comp")), "src")
+        .groupBy(col("dst").as("nid")).agg(min("comp").as("nbr_min"))
+      val next = labels.join(nbrMin, col("id") === col("nid"), "left")
+        .select(col("id"),
+          least(col("comp"), coalesce(col("nbr_min"), col("comp"))).as("comp"),
+          (col("nbr_min") < col("comp")).as("chg"))
+        .localCheckpoint()
+      changed = next.filter(col("chg")).count()
+      labels = next.select("id", "comp")
+      iter += 1
+    }
+    sym.unpersist()
+    require(changed == 0,
+      s"connectedComponents did not converge in $maxIter rounds — " +
+        "graph diameter exceeds maxIter (raise it, or switch to the " +
+        "large-star/small-star variant for long-chain graphs)")
+    labels
+  }
+
+  /** Cluster membership from a near-dup pair list (id_a, id_b, ...):
+    * (id, cluster_id, keep) where cluster_id is the component-min id and
+    * `keep` marks the canonical representative — the same keep-min-id
+    * policy as [[Dedup.exactMembers]], now transitive across pairs.
+    */
+  def clusters(pairs: DataFrame, idA: String = "id_a", idB: String = "id_b",
+      maxIter: Int = 25): DataFrame =
+    connectedComponents(pairs, idA, idB, maxIter)
+      .select(col("id"), col("comp").as("cluster_id"),
+        (col("id") === col("comp")).as("keep"))
+}

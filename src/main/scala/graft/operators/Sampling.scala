@@ -36,7 +36,7 @@ object Sampling {
   /** `fraction` of [0,1] as an 8-hex-digit threshold: rows whose hash key
     * sorts below it are kept. 2^32 buckets — granularity 2.3e-10.
     */
-  private[operators] def thresholdHex(fraction: Double): String = {
+  private[graft] def thresholdHex(fraction: Double): String = {
     require(fraction >= 0.0 && fraction <= 1.0, s"fraction out of range: $fraction")
     val t = math.min((fraction * 4294967296.0).toLong, 4294967295L)
     f"$t%08x"
@@ -61,6 +61,36 @@ object Sampling {
         when(col(strataCol) === lit(stratum), lit(thresholdHex(f))).otherwise(acc)
     }
     df.filter(hashKey(col(idCol)) < thr)
+  }
+
+  /** Deterministic mixture upsampling: repeat each row `weight(stratum)`
+    * times — the source/domain re-weighting step of a training-data mix
+    * (e.g. 2.25 epochs of curated text, 0.5 of crawl). Integer part =
+    * unconditional copies; fractional part = one extra copy for the rows
+    * whose id hash falls under the fraction's threshold (the same
+    * deterministic coin as [[sample]], so the SAME rows get the extra
+    * epoch on every run/engine). Output adds `epoch` (0-based copy index)
+    * so downstream shuffles can decorrelate copies.
+    *
+    * Scale: weights fold to a literal CASE; the explode happens in the
+    * scan stage (no shuffle, no driver state); output size = sum of
+    * weights × stratum sizes, exactly as requested.
+    */
+  def upsample(df: DataFrame, idCol: String, strataCol: String,
+      weights: Map[String, Double], defaultWeight: Double = 1.0): DataFrame = {
+    require((weights.values ++ Seq(defaultWeight)).forall(w => w >= 0 && w <= 100),
+      s"upsample weights must be in [0,100]: $weights / $defaultWeight")
+    def copiesFor(w: Double): Column =
+      lit(math.floor(w).toInt) +
+        when(hashKey(col(idCol)) < lit(thresholdHex(w - math.floor(w))), 1).otherwise(0)
+    val copies = weights.toSeq.sortBy(_._1).foldLeft(copiesFor(defaultWeight)) {
+      case (acc, (stratum, w)) =>
+        when(col(strataCol) === lit(stratum), copiesFor(w)).otherwise(acc)
+    }
+    df.withColumn("n_copies", copies)
+      .filter(col("n_copies") > 0) // sequence(0, -1) would count DOWN
+      .withColumn("epoch", explode(sequence(lit(0), col("n_copies") - 1)))
+      .drop("n_copies")
   }
 
   /** Deterministic reservoir of `k` rows per group: the k smallest id

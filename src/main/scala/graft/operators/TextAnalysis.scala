@@ -106,6 +106,88 @@ object TextAnalysis {
         ch => when(length(ch) > 0, ascii(ch)).otherwise(0)),
       lit(0L), (acc, c) => pmod(acc * lit(31L) + c.cast("long"), lit(RollingMod)))
 
+  // ------------------------------------------------------------------
+  // Repetition signals (Gopher-style repetitiousness filters)
+  // ------------------------------------------------------------------
+
+  /** Max run length in a SORTED array = max element frequency, computed as
+    * one `aggregate` fold per row — per-row O(n log n), zero shuffle (the
+    * explode→groupBy formulation of "most common token" shuffles one row
+    * per token OCCURRENCE; this keeps the whole corpus scan narrow).
+    */
+  private def maxRunSorted(sortedArr: Column): Column =
+    aggregate(sortedArr,
+      struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
+      (acc, x) => {
+        val run = when(x === acc.getField("prev"), acc.getField("run") + 1L)
+          .otherwise(lit(1L))
+        struct(x.as("prev"), run.as("run"),
+          greatest(acc.getField("best"), run).as("best"))
+      },
+      acc => acc.getField("best"))
+
+  /** Per-document word-repetition signals — the cheap repetitiousness
+    * filters from the public Gopher/MassiveText recipe (fraction of
+    * duplicated tokens / most-common-n-gram mass): rows with low
+    * `distinct_token_frac` or high `top_token_frac`/`top_bigram_frac` are
+    * boilerplate or degenerate generations. Tokenization is a plain
+    * single-space split (portable to any SQL engine for oracle checks).
+    * Documents with zero tokens are dropped (ratios undefined).
+    *
+    * Output: (id, n_tokens, distinct_token_frac, top_token_frac,
+    * top_bigram_frac) — all fractions exact integer ratios in double
+    * arithmetic, so any engine reproduces them bit-identically.
+    */
+  def repetitionSignals(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tk = filter(split(lower(col(textCol)), " "), t => length(t) > 0)
+    val n = size(tk).cast("long")
+    val bigrams = when(n >= 2, transform(sequence(lit(0), n.cast("int") - 2),
+      i => concat_ws(" ", get(tk, i), get(tk, i + 1))))
+      .otherwise(array().cast("array<string>"))
+    df.select(col(idCol).as("id"), tk.as("tk"), n.as("n"), bigrams.as("bg"))
+      .filter(col("n") > 0)
+      .select(col("id"), col("n").as("n_tokens"),
+        (size(array_distinct(col("tk"))).cast("double") / col("n"))
+          .as("distinct_token_frac"),
+        (maxRunSorted(array_sort(col("tk"))).cast("double") / col("n"))
+          .as("top_token_frac"),
+        when(col("n") >= 2,
+          maxRunSorted(array_sort(col("bg"))).cast("double") / (col("n") - 1))
+          .otherwise(0.0).as("top_bigram_frac"))
+  }
+
+  // ------------------------------------------------------------------
+  // PII detection / redaction
+  // ------------------------------------------------------------------
+
+  /** PII patterns — the regex subset shared by Java (Spark codegen) and
+    * RE2-family engines (no lookaround, no backrefs), so detection counts
+    * and redactions reproduce in any oracle engine.
+    */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Re = "\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b"
+  val PhoneRe = "\\+[0-9]{7,15}"
+
+  /** Per-category PII hit counts (emails, IPv4 literals, E.164-style
+    * phone numbers) — pure `regexp_count` codegen, one scan.
+    */
+  def piiCounts(text: Column): (Column, Column, Column) =
+    (regexp_count(text, lit(EmailRe)).cast("long"),
+      regexp_count(text, lit(Ipv4Re)).cast("long"),
+      regexp_count(text, lit(PhoneRe)).cast("long"))
+
+  /** Redact PII in place with typed placeholders. Order matters and is
+    * fixed: emails first (their local part may contain `+digits`, which
+    * the phone pattern would otherwise chew), then IPs, then phones —
+    * no earlier replacement introduces characters a later pattern matches.
+    */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, EmailRe, "[EMAIL]"),
+        Ipv4Re, "[IP]"),
+      PhoneRe, "[PHONE]")
+
   /** One-pass text profile of a corpus. */
   def profile(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(

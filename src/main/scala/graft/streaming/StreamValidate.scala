@@ -77,4 +77,32 @@ object StreamValidate {
         graft.operators.Dedup.contentHash(col(textCol)))
       .withWatermark(eventTime, watermark)
       .dropDuplicatesWithinWatermark("content_hash")
+
+  /** Streaming gap sessionization — the streaming twin of
+    * `Sessionize.sessionStats`, on Spark's native `session_window`
+    * (merging session state per (user, window), finalized by the
+    * watermark; no custom `flatMapGroupsWithState` needed). State is
+    * bounded by (open sessions within the watermark horizon) — a hot
+    * user holds ONE merged session row, not its event backlog, so the
+    * unbounded-user problem the batch path solves with day-bucketing
+    * does not arise here.
+    *
+    * Boundary note: `session_window` extends a session over the half-open
+    * interval [event, event + gap), so an event arriving EXACTLY at
+    * gap distance starts a new session; the batch form (`ts > prev + gap`)
+    * keeps it. Sub-second event times make the distinction unobservable
+    * in practice, but exact-boundary corpora will differ by that edge.
+    */
+  def sessionsStream(events: DataFrame, userCol: String = "user_id",
+      eventTime: String = "ts", gapMinutes: Int = 30,
+      watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark(eventTime, watermark)
+      .groupBy(col(userCol),
+        session_window(col(eventTime), s"$gapMinutes minutes"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col(eventTime)).as("first_ts"),
+        max(col(eventTime)).as("last_ts"))
+      .select(col(userCol), col("session_window.start").as("session_start"),
+        col("n_events"), col("first_ts"), col("last_ts"))
 }

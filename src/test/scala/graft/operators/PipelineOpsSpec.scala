@@ -310,6 +310,54 @@ class PipelineOpsSpec extends SparkSpec {
       s"no day-bucketed Window in plan:\n$plan")
   }
 
+  test("connected components assign cluster-min labels across transitive pairs") {
+    // components: {1,2,3} via chain 1-2, 2-3 (diameter 2); {10,11}; and a
+    // long path 20-21-...-27 (diameter 7) to exercise multi-round convergence
+    val chain = (20L until 27L).map(i => (i, i + 1))
+    val edges = (Seq((1L, 2L), (2L, 3L), (10L, 11L)) ++ chain).toDF("id_a", "id_b")
+    val got = DupClusters.clusters(edges).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    val want = Set((1L, 1L, true), (2L, 1L, false), (3L, 1L, false),
+      (10L, 10L, true), (11L, 10L, false)) ++
+      (20L to 27L).map(i => (i, 20L, i == 20L))
+    assert(got == want, s"got $got")
+  }
+
+  test("connected components fail loudly when maxIter is too small") {
+    val path = (0L until 10L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    intercept[IllegalArgumentException] {
+      DupClusters.connectedComponents(path, "id_a", "id_b", maxIter = 2).collect()
+    }
+  }
+
+  test("repetition signals: exact fractions on hand-checked docs") {
+    val rdocs = Seq(
+      (1L, "a a a a"),               // 4 tokens, 1 distinct, top bigram "a a" x3
+      (2L, "x y x y x"),             // 5 tokens, 2 distinct, bigrams: "x y"x2,"y x"x2
+      (3L, "one two three four")     // all distinct
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.repetitionSignals(rdocs, "doc_id", "text")
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+    assert(got(0) == ((1L, 4L, 0.25, 1.0, 1.0)))
+    assert(got(1) == ((2L, 5L, 0.4, 0.6, 0.5)))
+    assert(got(2) == ((3L, 4L, 1.0, 0.25, 1.0 / 3)))
+  }
+
+  test("PII counts and redaction on crafted text") {
+    val pdocs = Seq(
+      (1L, "mail bob.smith+x@corp.example.org or admin@a.io, host 192.168.0.1 call +4915112345678"),
+      (2L, "no pii here at all")).toDF("doc_id", "text")
+    val (em, ip, ph) = TextAnalysis.piiCounts(col("text"))
+    val got = pdocs.select(col("doc_id"), em, ip, ph,
+      TextAnalysis.redactPii(col("text"))).orderBy("doc_id").collect()
+    assert(got(0).getLong(1) == 2 && got(0).getLong(2) == 1 && got(0).getLong(3) == 1)
+    assert(got(0).getString(4) ==
+      "mail [EMAIL] or [EMAIL], host [IP] call [PHONE]")
+    assert(got(1).getLong(1) == 0 && got(1).getLong(2) == 0 && got(1).getLong(3) == 0)
+    assert(got(1).getString(4) == "no pii here at all")
+  }
+
   test("native CosineSim is bit-identical to the HOF cosine") {
     val pairs = Seq(
       (Seq(1.0, 2.0, 3.0), Seq(1.0, 2.0, 3.0)),   // identical
@@ -419,6 +467,30 @@ class PipelineOpsSpec extends SparkSpec {
     // of every group
     val plan = res.queryExecution.executedPlan.toString
     assert(plan.contains("WindowGroupLimit"), s"no WindowGroupLimit:\n$plan")
+  }
+
+  test("mixture upsampling: per-stratum epoch counts, deterministic extra copy") {
+    val ids = spark.range(8000).select(col("id").as("doc_id"),
+      when(pmod(col("id"), lit(2)) === 0, "en").otherwise("de").as("lang"))
+    val up = Sampling.upsample(ids, "doc_id", "lang", Map("en" -> 2.25, "de" -> 0.5))
+    val perDoc = up.groupBy("doc_id", "lang").count().collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val en = perDoc.filter(_._2 == "en")
+    val de = perDoc.filter(_._2 == "de")
+    // en: every doc 2 or 3 copies, ~25% get the third
+    assert(en.length == 4000 && en.forall(d => d._3 == 2 || d._3 == 3))
+    val en3 = en.count(_._3 == 3)
+    assert(math.abs(en3 - 1000) < 100, s"en3=$en3")
+    // de: ~half the docs appear (exactly once), the rest are dropped
+    assert(de.forall(_._3 == 1) && math.abs(de.length - 2000) < 120, s"de=${de.length}")
+    // the extra-copy coin is the SAME coin as sample(fraction)
+    val coin = Sampling.sample(ids.filter(col("lang") === "de"), "doc_id", 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(de.map(_._1).toSet == coin)
+    // epochs are 0..n-1
+    val epochs = up.filter(col("doc_id") === en.filter(_._3 == 3).head._1)
+      .select("epoch").collect().map(_.getInt(0)).sorted
+    assert(epochs.sameElements(Array(0, 1, 2)))
   }
 
   test("topTokens: exact head of the token frequency table, deterministic ties") {

@@ -87,4 +87,43 @@ class StreamValidateSpec extends SparkSpec {
     val hashes = out.map(_.getAs[Long]("content_hash")).toSet
     assert(hashes.size == 3)
   }
+
+  test("streaming session_window sessions equal the batch sessionization") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_s").toString
+    // user 1: two sessions (65-min gap); user 2: one 3-event session.
+    // user 99 is a far-future sentinel: append mode only emits sessions
+    // the WATERMARK has passed, so the sentinel (plus a tight 1 s delay)
+    // pushes the final watermark beyond every real session's close.
+    val t0 = 1700000000L
+    Seq(
+      (1L, t0), (1L, t0 + 600), (1L, t0 + 600 + 65 * 60), // gap 65 min
+      (2L, t0 + 30), (2L, t0 + 90), (2L, t0 + 1500),
+      (99L, t0 + 7200))
+      .toDF("user_id", "sec")
+      .withColumn("ts", timestamp_seconds(col("sec"))).drop("sec")
+      .write.mode("overwrite").parquet(s"$dir/in")
+
+    val streamIn = spark.readStream
+      .schema(spark.read.parquet(s"$dir/in").schema).parquet(s"$dir/in")
+    val q = StreamValidate.sessionsStream(streamIn, watermark = "1 second")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("stream_sessions")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+    val got = spark.table("stream_sessions")
+      .filter(col("user_id") < 99L)
+      .select("user_id", "n_events")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .sortBy(x => (x._1, x._2))
+    assert(got.sameElements(Array((1L, 1L), (1L, 2L), (2L, 3L))), got.mkString(","))
+
+    // batch twin agrees on sessions-per-user
+    val batch = graft.operators.Sessionize.sessionStats(
+      spark.read.parquet(s"$dir/in").filter(col("user_id") < 99L), "user_id", "ts")
+      .select("user_id", "n_sessions").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    assert(batch.sameElements(Array((1L, 2L), (2L, 1L))), batch.mkString(","))
+  }
 }
