@@ -308,10 +308,11 @@ object SparkEntry {
     "g_drift_ks" -> ((s, dir) => {
       // KS on a fixed 101-point grid over [0, 120000] — exactly reproducible
       // (the percentile_approx-grid variant Drift.ks and the KLL-sketch path
-      // Drift.ksSketch stay as the adaptive/streaming forms, spec-tested)
-      // both slices come from ONE scan/aggregation of lineitem (the
-      // two-sided form; statistic identical to the two-filter form)
-      Drift.ksFixedGridTwoSided(t(s, dir, "lineitem"), "l_extendedprice",
+      // Drift.ksSketch stay as the adaptive/streaming forms, spec-tested).
+      // BINNED form: O(1) cell assignment per row + one narrow groupBy,
+      // instead of 2×101 conditional sums per row; statistic identical to
+      // the two-sided/two-filter forms (spec-asserted)
+      Drift.ksFixedGridBinned(t(s, dir, "lineitem"), "l_extendedprice",
         col("l_returnflag") === "R", col("l_returnflag") === "N",
         0.0, 120000.0, 101)
         .select(round(col("ks"), 4).as("ks"))
@@ -774,20 +775,29 @@ object SparkEntry {
         |pq AS (SELECT greatest(ca / ta, 1e-6) AS p, greatest(cb / tb, 1e-6) AS q FROM tot)
         |SELECT round(sum((p - q) * ln(p / q)), 6) AS psi FROM pq""".stripMargin,
     "g_drift_ks" ->
-      """WITH pts AS (SELECT unnest(generate_series(0, 100)) AS i),
-        |grid AS (SELECT i, 0.0 + i * (120000.0 - 0.0) / 100 AS x FROM pts),
-        |na AS (SELECT count(*) AS n FROM lineitem
-        |       WHERE l_returnflag = 'R' AND l_extendedprice IS NOT NULL),
-        |nb AS (SELECT count(*) AS n FROM lineitem
-        |       WHERE l_returnflag = 'N' AND l_extendedprice IS NOT NULL),
-        |fa AS (SELECT g.i, CAST(sum(CASE WHEN l.l_extendedprice <= g.x
-        |         THEN 1 ELSE 0 END) AS DOUBLE) / (SELECT n FROM na) AS f
-        |       FROM grid g, lineitem l WHERE l.l_returnflag = 'R' GROUP BY g.i),
-        |fb AS (SELECT g.i, CAST(sum(CASE WHEN l.l_extendedprice <= g.x
-        |         THEN 1 ELSE 0 END) AS DOUBLE) / (SELECT n FROM nb) AS f
-        |       FROM grid g, lineitem l WHERE l.l_returnflag = 'N' GROUP BY g.i)
-        |SELECT round(max(abs(fa.f - fb.f)), 4) AS ks
-        |FROM fa JOIN fb ON fa.i = fb.i""".stripMargin,
+      """WITH b AS (SELECT l_returnflag AS f,
+        |    CASE WHEN CAST(l_extendedprice AS DOUBLE) > 120000.0 THEN NULL
+        |         ELSE least(greatest(CAST(ceil(
+        |           (CAST(l_extendedprice AS DOUBLE) - 0.0) / 1200.0) AS INT), 0), 100)
+        |    END AS cell
+        |  FROM lineitem
+        |  WHERE l_returnflag IN ('R', 'N') AND l_extendedprice IS NOT NULL),
+        |cnt AS (SELECT cell,
+        |    sum(CASE WHEN f = 'R' THEN 1 ELSE 0 END) AS ca,
+        |    sum(CASE WHEN f = 'N' THEN 1 ELSE 0 END) AS cb
+        |  FROM b GROUP BY cell),
+        |tot AS (SELECT sum(ca) AS na, sum(cb) AS nb FROM cnt),
+        |pts AS (SELECT unnest(generate_series(0, 100)) AS i),
+        |cum AS (SELECT p.i,
+        |    (SELECT coalesce(sum(ca), 0) FROM cnt
+        |     WHERE cell IS NOT NULL AND cell <= p.i) AS cca,
+        |    (SELECT coalesce(sum(cb), 0) FROM cnt
+        |     WHERE cell IS NOT NULL AND cell <= p.i) AS ccb
+        |  FROM pts p)
+        |SELECT round(max(abs(
+        |    CAST(cca AS DOUBLE) / (SELECT na FROM tot)
+        |  - CAST(ccb AS DOUBLE) / (SELECT nb FROM tot))), 4) AS ks
+        |FROM cum""".stripMargin,
     "d_dedup_minhash" ->
       """WITH toks AS (SELECT doc_id,
         |    string_split(lower(regexp_replace(trim(text), '\s+', ' ', 'g')), ' ') AS t

@@ -126,6 +126,59 @@ object Drift {
       .agg(percentile_approx(col(c).cast("double"), typedLit(probs), lit(accuracy))
         .as("quantiles"), count(lit(1)).as("rows"))
 
+  /** The SCALE form of the fixed-grid KS: instead of `gridSize`
+    * conditional sums evaluated per row (O(grid) per row — the two-sided
+    * form's per-row cost), each row is assigned its grid CELL in O(1)
+    * (`ceil((x-lo)/step)` clamped; null for x > hi — beyond every grid
+    * point, so it counts only in the denominator), the cells are counted
+    * with one map-side-combined groupBy (≤ gridSize+1 groups), and the
+    * two CDFs are cumulative sums over that tiny result on the driver.
+    * One scan, one narrow shuffle of ≤ (gridSize+1) rows per partition.
+    *
+    * Statistic: identical to [[ksFixedGridTwoSided]] whenever
+    * `ceil((x-lo)/step)` agrees with the `x <= g_i` comparisons — i.e.
+    * always, except for x within one double ulp of a grid point where the
+    * division rounds across the integer (impossible for fixed-decimal
+    * data on an integral step, and any oracle engine replaying the same
+    * formula agrees bit-for-bit regardless).
+    */
+  def ksFixedGridBinned(df: DataFrame, c: String, predA: Column, predB: Column,
+      lo: Double, hi: Double, gridSize: Int = 101): DataFrame = {
+    require(gridSize >= 2, s"ksFixedGridBinned: gridSize must be >= 2, got $gridSize")
+    require(hi > lo, s"ksFixedGridBinned: need hi > lo, got [$lo, $hi]")
+    val x = col(c).cast("double")
+    val step = (hi - lo) / (gridSize - 1)
+    val cell = when(x > lit(hi), lit(null))
+      .otherwise(least(greatest(ceil((x - lit(lo)) / lit(step)).cast("int"),
+        lit(0)), lit(gridSize - 1)))
+    val rows = df.filter((predA || predB) && x.isNotNull)
+      .groupBy(cell.as("cell"))
+      .agg(sum(when(predA, 1L).otherwise(0L)).as("ca"),
+        sum(when(predB, 1L).otherwise(0L)).as("cb"))
+      .collect()
+    val na = rows.map(_.getLong(1)).sum
+    val nb = rows.map(_.getLong(2)).sum
+    require(na > 0, s"ksFixedGridBinned: no non-null rows in '$c' on side 'a'")
+    require(nb > 0, s"ksFixedGridBinned: no non-null rows in '$c' on side 'b'")
+    val binA = new Array[Long](gridSize)
+    val binB = new Array[Long](gridSize)
+    rows.foreach { r =>
+      if (!r.isNullAt(0)) {
+        binA(r.getInt(0)) += r.getLong(1)
+        binB(r.getInt(0)) += r.getLong(2)
+      }
+    }
+    var (cumA, cumB, ksStat) = (0L, 0L, 0.0)
+    (0 until gridSize).foreach { i =>
+      cumA += binA(i); cumB += binB(i)
+      ksStat = math.max(ksStat,
+        math.abs(cumA.toDouble / na - cumB.toDouble / nb))
+    }
+    val spark = df.sparkSession
+    import spark.implicits._
+    Seq(ksStat).toDF("ks")
+  }
+
   /** [[ksFixedGrid]] when both samples are SLICES OF THE SAME SOURCE
     * (predA/predB over one table — the common drift shape "this week vs
     * last week of the same fact table"): both CDFs come from ONE

@@ -58,11 +58,13 @@ object DupClusters {
       val nbrMin = sym
         .join(labels.select(col("id").as("src"), col("comp")), "src")
         .groupBy(col("dst").as("nid")).agg(min("comp").as("nbr_min"))
+      // lazy checkpoint: the convergence count below is the materializing
+      // action (eager would spend an extra job per round)
       val next = labels.join(nbrMin, col("id") === col("nid"), "left")
         .select(col("id"),
           least(col("comp"), coalesce(col("nbr_min"), col("comp"))).as("comp"),
           (col("nbr_min") < col("comp")).as("chg"))
-        .localCheckpoint()
+        .localCheckpoint(false)
       changed = next.filter(col("chg")).count()
       labels = next.select("id", "comp")
       iter += 1

@@ -389,6 +389,17 @@ class PipelineOpsSpec extends SparkSpec {
       "v", 0.0, 1200.0, 51).collect()(0).getDouble(0)
     assert(two == sep, s"two-sided=$two separate=$sep")
     assert(two > 0.1) // the +200 shift is a real drift signal
+    // the binned (O(1)-per-row) form computes the SAME statistic — incl.
+    // values exactly ON grid points (v is integral, step 24.0 / 22.0) and,
+    // at hi=1100, values ABOVE hi (count in n, land in no cell)
+    val binned = Drift.ksFixedGridBinned(df, "v", col("isA"), !col("isA"),
+      0.0, 1200.0, 51).collect()(0).getDouble(0)
+    assert(binned == two, s"binned=$binned two-sided=$two")
+    val two1100 = Drift.ksFixedGridTwoSided(df, "v", col("isA"), !col("isA"),
+      0.0, 1100.0, 51).collect()(0).getDouble(0)
+    val bin1100 = Drift.ksFixedGridBinned(df, "v", col("isA"), !col("isA"),
+      0.0, 1100.0, 51).collect()(0).getDouble(0)
+    assert(bin1100 == two1100, s"binned=$bin1100 two-sided=$two1100")
   }
 
   test("native MinHashBands expression is bit-identical to the HOF formulation") {
