@@ -347,6 +347,16 @@ object SparkEntry {
       Dedup.simHashPairs(t(s, dir, "documents"), "doc_id", "text", maxHamming = 6)
         .orderBy("id_a", "id_b")
     }),
+    "d_simhash_portable" -> ((s, dir) => {
+      // the portable rolling-hash twin IS value-checkable: DuckDB replays
+      // token hashing, bit votes and packing exactly — this pins the whole
+      // simhash construction that d_dedup_simhash can only rows-check
+      t(s, dir, "documents")
+        .filter(size(filter(split(lower(col("text")), " "),
+          t_ => length(t_) > 0)) > 0)
+        .select(col("doc_id"), Dedup.simHashPortable(col("text")).as("sig"))
+        .orderBy("doc_id")
+    }),
     "d_ngram_jaccard" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       val pairs = docs.filter(pmod(col("doc_id"), lit(2L)) === 0L)
@@ -1045,6 +1055,28 @@ object SparkEntry {
         |    '${TextAnalysis.Ipv4Re}', '[IP]', 'g'),
         |    '${TextAnalysis.PhoneRe}', '[PHONE]', 'g') AS redacted
         |FROM aug ORDER BY doc_id""".stripMargin,
+    "d_simhash_portable" ->
+      s"""WITH toks AS (SELECT doc_id,
+        |    list_filter(string_split(lower(text), ' '), t -> len(t) > 0) AS t
+        |  FROM documents WHERE len(list_filter(string_split(lower(text), ' '),
+        |    t -> len(t) > 0)) > 0),
+        |th AS (SELECT doc_id, unnest(t) AS w FROM toks),
+        |h AS (SELECT doc_id, list_reduce(
+        |    list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(list_filter(string_split(w, ''), c -> len(c) > 0),
+        |        c -> CAST(ascii(c) AS BIGINT))),
+        |    (a, b) -> (a * 31 + b) % 251799813685119) AS hv
+        |  FROM th),
+        |bits AS (SELECT doc_id,
+        |    ${(0 until 48).map(j =>
+             s"sum(CASE WHEN (hv >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS b$j")
+             .mkString(",\n        |    ")}
+        |  FROM h GROUP BY doc_id)
+        |SELECT doc_id,
+        |  ${(0 until 48).map(j =>
+           s"(CASE WHEN b$j > 0 THEN CAST(${1L << j} AS BIGINT) ELSE 0 END)")
+           .mkString("\n        |  + ")} AS sig
+        |FROM bits ORDER BY doc_id""".stripMargin,
     "d_dup_clusters" ->
       """WITH RECURSIVE toks AS (SELECT doc_id,
         |    string_split(lower(regexp_replace(trim(text), '\s+', ' ', 'g')), ' ') AS t

@@ -234,6 +234,36 @@ object Dedup {
       lit(0L), (acc, x) => acc.bitwiseOR(x))
   }
 
+  /** PORTABLE 48-bit SimHash twin: same vote construction as [[simHash]]
+    * but the per-token hash is a base-31 polynomial rolling hash mod a
+    * 48-bit prime-ish constant — pure integer arithmetic any engine
+    * reproduces exactly (xxhash64 is Spark-internal, which is why
+    * [[simHash]]'s signatures can only be rows-checked by an external
+    * oracle; THIS form is the value-checkable one, pinning the whole
+    * vote/threshold/bit-packing pipeline bit-for-bit). The native
+    * [[simHash]] stays the fast path; the portable twin is for oracle
+    * verification and cross-engine reproducibility, and shares its bit
+    * convention (vote > 0 → bit set).
+    */
+  val PortableBits = 48
+  private val RollingMod48 = 251799813685119L // < 2^48 so acc*31+c < 2^53
+  def simHashPortable(text: Column): Column = {
+    val toks = filter(split(lower(text), " "), t => length(t) > 0)
+    val hashes = transform(toks, w =>
+      aggregate(
+        transform(filter(split(w, ""), ch => length(ch) > 0),
+          ch => ascii(ch).cast("long")),
+        lit(0L), (acc, c) => pmod(acc * lit(31L) + c, lit(RollingMod48))))
+    // one vote-sum per bit over the (tiny) per-row hash array; oracle-duty
+    // clarity over single-pass cleverness — the hot path is simHash
+    val bits = (0 until PortableBits).map { j =>
+      val vote = aggregate(hashes, lit(0L), (acc, h) =>
+        acc + when(shiftright(h, j).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L))
+      when(vote > 0, lit(1L << j)).otherwise(lit(0L))
+    }
+    bits.reduce(_ + _)
+  }
+
   /** Hamming distance between two long simhashes (bit_count of xor). */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 

@@ -358,6 +358,17 @@ class PipelineOpsSpec extends SparkSpec {
     assert(got(1).getString(4) == "no pii here at all")
   }
 
+  test("portable simhash twin: exact dup identical, near-dup closer than distinct") {
+    val sigs = docs.select(col("doc_id"),
+      Dedup.simHashPortable(col("text")).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sigs(1L) == sigs(5L)) // exact duplicate -> identical signature
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(sigs(a) ^ sigs(b))
+    assert(ham(1L, 2L) < ham(1L, 3L) && ham(1L, 2L) < ham(1L, 4L),
+      s"near=${ham(1L, 2L)} d3=${ham(1L, 3L)} d4=${ham(1L, 4L)}")
+    assert(sigs.values.forall(s => s >= 0 && s < (1L << 48)))
+  }
+
   test("native CosineSim is bit-identical to the HOF cosine") {
     val pairs = Seq(
       (Seq(1.0, 2.0, 3.0), Seq(1.0, 2.0, 3.0)),   // identical
