@@ -150,4 +150,23 @@ class PlanSpec extends SparkSpec {
     val firstAgg = plan.indexOf("HashAggregate")
     assert(firstAgg >= 0, s"no hash aggregate:\n$plan")
   }
+
+  test("per-row text signals and upsampling stay in the scan stage (no Exchange)") {
+    val docs = spark.range(1000).select(col("id").as("doc_id"),
+      concat(lit("some words here repeated words "), col("id").cast("string")).as("text"),
+      when(col("id") % 2 === 0, "en").otherwise("de").as("lang"))
+    // repetition signals: per-row folds, zero shuffle
+    val rep = TextAnalysis.repetitionSignals(docs, "doc_id", "text")
+    assert(!planOf(rep).contains("Exchange"), s"shuffle in repetition:\n${planOf(rep)}")
+    // PII counts + redaction: pure regexp codegen, zero shuffle
+    val (em, ip, ph) = TextAnalysis.piiCounts(col("text"))
+    val pii = docs.select(col("doc_id"), em, ip, ph,
+      TextAnalysis.redactPii(col("text")))
+    assert(!planOf(pii).contains("Exchange"), s"shuffle in pii:\n${planOf(pii)}")
+    // mixture upsampling: literal CASE + explode in the scan stage
+    val up = Sampling.upsample(docs, "doc_id", "lang", Map("en" -> 2.25, "de" -> 0.5))
+    val upPlan = planOf(up)
+    assert(!upPlan.contains("Exchange"), s"shuffle in upsample:\n$upPlan")
+    assert(upPlan.contains("Generate"), s"no explode in upsample plan:\n$upPlan")
+  }
 }
