@@ -532,15 +532,13 @@ object SparkEntry {
     }),
     // ---------- multimodal plumbing ----------
     "m_media_meta" -> ((s, dir) => {
-      // REAL header parsing (PNG IHDR / WAV fmt+data): the synthetic corpus
-      // encodes id-derived dimensions into genuine headers, Spark recovers
-      // them from the BYTES, and the oracle recomputes them from the id
-      // formula — a mismatch anywhere in build→write→parse fails the hash.
-      // Video rows (the declared demuxer stub) stay under the rows-only
-      // m_frame_sample check.
+      // REAL header parsing (PNG IHDR / WAV fmt+data / MP4 tkhd+stts): the
+      // synthetic corpus encodes id-derived dimensions into genuine
+      // headers, Spark recovers them from the BYTES, and the oracle
+      // recomputes them from the id formula — a mismatch anywhere in
+      // build→write→parse fails the hash. All three mimes value-checked.
       val media = Multimodal.syntheticMedia(s, 2000)
       Multimodal.probeMeta(media).toDF()
-        .filter(!col("mime").startsWith("video"))
         .orderBy("media_ref")
     }),
     "m_frame_sample" -> ((s, dir) => {
@@ -1129,18 +1127,28 @@ object SparkEntry {
     // oracle recomputes the same values from the id formula the synthetic
     // builder encoded (round-trip check over the whole probe chain)
     "m_media_meta" ->
-      """WITH ids AS (SELECT range AS id FROM range(0, 2000) WHERE range % 3 <> 2)
+      """WITH ids AS (SELECT range AS id FROM range(0, 2000))
         |SELECT printf('m-%08x', id) AS media_ref,
-        |  CASE WHEN id % 3 = 0 THEN 'image/png' ELSE 'audio/wav' END AS mime,
-        |  CAST(CASE WHEN id % 3 = 0 THEN 33 ELSE 44 END AS BIGINT) AS bytes,
-        |  CAST(CASE WHEN id % 3 = 0 THEN 16 + id % 1920 ELSE 0 END AS INT) AS width,
-        |  CAST(CASE WHEN id % 3 = 0 THEN 16 + (id // 7) % 1080 ELSE 0 END AS INT)
+        |  CASE WHEN id % 3 = 0 THEN 'image/png'
+        |       WHEN id % 3 = 1 THEN 'audio/wav' ELSE 'video/mp4' END AS mime,
+        |  CAST(CASE WHEN id % 3 = 0 THEN 33
+        |       WHEN id % 3 = 1 THEN 44 ELSE 280 END AS BIGINT) AS bytes,
+        |  CAST(CASE WHEN id % 3 = 0 THEN 16 + id % 1920
+        |       WHEN id % 3 = 1 THEN 0 ELSE 16 + id % 640 END AS INT) AS width,
+        |  CAST(CASE WHEN id % 3 = 0 THEN 16 + (id // 7) % 1080
+        |       WHEN id % 3 = 1 THEN 0 ELSE 16 + (id // 3) % 480 END AS INT)
         |    AS height,
-        |  CAST(CASE WHEN id % 3 = 0 THEN 1 ELSE 100 + id % 1000 END AS INT)
-        |    AS nframes,
-        |  CAST(CASE WHEN id % 3 = 0 THEN 0 ELSE 8000 + (id % 8) * 1000 END AS INT)
+        |  CAST(CASE WHEN id % 3 = 0 THEN 1
+        |       WHEN id % 3 = 1 THEN 100 + id % 1000
+        |       ELSE 1 + id % 300 END AS INT) AS nframes,
+        |  CAST(CASE WHEN id % 3 = 1 THEN 8000 + (id % 8) * 1000 ELSE 0 END AS INT)
         |    AS sample_rate,
-        |  CAST(CASE WHEN id % 3 = 0 THEN 0 ELSE 1 + id % 2 END AS INT) AS channels
+        |  CAST(CASE WHEN id % 3 = 1 THEN 1 + id % 2 ELSE 0 END AS INT) AS channels
+        |FROM ids ORDER BY media_ref""".stripMargin,
+    "m_frame_sample" ->
+      """WITH ids AS (SELECT range AS id FROM range(0, 2000) WHERE range % 3 = 2)
+        |SELECT printf('m-%08x', id) AS media_ref,
+        |  CAST((id % 300) // 50 + 1 AS INT) AS n_sampled
         |FROM ids ORDER BY media_ref""".stripMargin,
     // verdicts over the WRITTEN generated corpus — DuckDB replays the span
     // invariant (same five per-span checks + strict offset order as

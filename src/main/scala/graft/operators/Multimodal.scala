@@ -111,14 +111,61 @@ object Multimodal {
       else None
     }
 
+    def isMp4(b: Array[Byte]): Boolean =
+      b.length >= 12 && ascii(b, 4, "ftyp")
+
+    /** MP4/ISO-BMFF container walk — REAL parsing, no codec libs: boxes
+      * are (size:int32be, type:4cc, payload); `tkhd` carries track
+      * width/height as 16.16 fixed point at payload offsets 76/80 (v0);
+      * `stts` entries are (sample_count, sample_delta) pairs whose count
+      * sum is the EXACT frame count. Returns (width, height, frames) from
+      * the first sized track. Only frame DECODING would need a codec;
+      * container metadata does not.
+      */
+    def probeMp4(b: Array[Byte]): Option[(Int, Int, Int)] = {
+      if (!isMp4(b)) return None
+      var w = 0; var h = 0; var frames = 0
+      def walk(start: Int, end: Int): Unit = {
+        var i = start
+        var ok = true
+        while (ok && i + 8 <= end) {
+          val size = beInt(b, i)
+          if (size < 8 || i + size > end) ok = false
+          else {
+            def is(s: String) = ascii(b, i + 4, s)
+            if (is("moov") || is("trak") || is("mdia") || is("minf") || is("stbl"))
+              walk(i + 8, i + size)
+            else if (is("tkhd") && size >= 92 && b(i + 8) == 0) {
+              val tw = beInt(b, i + 8 + 76) >>> 16
+              val th = beInt(b, i + 8 + 80) >>> 16
+              if (tw > 0 && th > 0 && w == 0) { w = tw; h = th }
+            } else if (is("stts") && size >= 16) {
+              val n = beInt(b, i + 12)
+              var j = 0; var acc = 0
+              while (j < n && i + 16 + j * 8 + 4 <= i + size) {
+                acc += beInt(b, i + 16 + j * 8); j += 1
+              }
+              if (frames == 0) frames = acc
+            }
+            i += size
+          }
+        }
+      }
+      walk(0, b.length)
+      if (w > 0 && h > 0) Some((w, h, frames)) else None
+    }
+
     /** Full probe → MediaMeta fields (width, height, nframes, sampleRate,
-      * channels). Video falls through to the declared [[FakeCodec]] stub.
+      * channels). PNG/JPEG/WAV/MP4 are really parsed; only video content
+      * with an unparseable container falls through to the declared
+      * [[FakeCodec]] stub.
       */
     def probe(mime: String, content: Array[Byte]): (Int, Int, Int, Int, Int) = {
       if (content == null) return (0, 0, 0, 0, 0)
       probePng(content).map { case (w, h) => (w, h, 1, 0, 0) }
         .orElse(probeJpeg(content).map { case (w, h) => (w, h, 1, 0, 0) })
         .orElse(probeWav(content).map { case (r, c, f) => (0, 0, f, r, c) })
+        .orElse(probeMp4(content).map { case (w, h, f) => (w, h, f, 0, 0) })
         .getOrElse {
           if (mime.startsWith("video")) {
             val (w, h, f) = FakeCodec.probe(mime, content)
@@ -197,11 +244,50 @@ object Multimodal {
       out.put("data".getBytes("US-ASCII")).putInt(sampleFrames * blockAlign)
       out.array()
     }
+    /** Minimal-but-valid ISO-BMFF: ftyp + moov{mvhd, trak{tkhd,
+      * mdia{minf{stbl{stts}}}}} — 280 bytes; tkhd carries width/height
+      * (16.16 fixed), stts one (frames, delta) entry.
+      */
+    def mp4(width: Int, height: Int, frames: Int): Array[Byte] = {
+      val out = java.nio.ByteBuffer.allocate(280)
+      def box(size: Int, tpe: String): Unit = {
+        out.putInt(size); out.put(tpe.getBytes("US-ASCII"))
+      }
+      box(16, "ftyp"); out.put("isom".getBytes("US-ASCII")).putInt(0)
+      box(264, "moov")
+      box(108, "mvhd")
+      out.putInt(0) // version 0 + flags
+        .putInt(0).putInt(0) // ctime, mtime
+        .putInt(600).putInt(frames * 25) // timescale, duration
+        .putInt(0x00010000).putShort(0x0100.toShort) // rate 1.0, volume 1.0
+        .put(new Array[Byte](10)) // reserved
+      putUnityMatrix(out)
+      out.put(new Array[Byte](24)).putInt(2) // predefined, next track id
+      box(148, "trak")
+      box(92, "tkhd")
+      out.putInt(0) // version 0 + flags
+        .putInt(0).putInt(0).putInt(1).putInt(0) // ctime, mtime, track, rsvd
+        .putInt(frames * 25).put(new Array[Byte](8)) // duration, reserved
+        .putShort(0.toShort).putShort(0.toShort) // layer, alt group
+        .putShort(0.toShort).putShort(0.toShort) // volume, reserved
+      putUnityMatrix(out)
+      out.putInt(width << 16).putInt(height << 16) // 16.16 fixed point
+      box(48, "mdia"); box(40, "minf"); box(32, "stbl")
+      box(24, "stts")
+      out.putInt(0).putInt(1) // version+flags, entry count
+        .putInt(frames).putInt(25) // sample count, sample delta
+      out.array()
+    }
+    private def putUnityMatrix(out: java.nio.ByteBuffer): Unit = {
+      out.putInt(0x00010000).putInt(0).putInt(0)
+        .putInt(0).putInt(0x00010000).putInt(0)
+        .putInt(0).putInt(0).putInt(0x40000000)
+    }
   }
 
-  /** Deterministic synthetic media table — PNG and WAV rows carry REAL
-    * headers encoding id-derived dimensions (so the probe is
-    * value-checkable); video rows stay opaque payloads for the stub.
+  /** Deterministic synthetic media table — PNG, WAV and MP4 rows all
+    * carry REAL headers encoding id-derived dimensions/frame counts, so
+    * every probe result is value-checkable against the id formula.
     */
   def syntheticMedia(spark: SparkSession, n: Long): DataFrame = {
     import spark.implicits._
@@ -218,10 +304,10 @@ object Multimodal {
           val frames = 100 + (id % 1000).toInt
           (ref, "audio/wav", HeaderBytes.wav(rate, ch, frames))
         case _ =>
-          val payload = java.security.MessageDigest.getInstance("SHA-256")
-            .digest(id.toString.getBytes("US-ASCII"))
-          (ref, "video/mp4",
-            Array.fill(((id % 8) + 1).toInt)(payload).flatten)
+          val w = 16 + (id % 640).toInt
+          val h = 16 + ((id / 3) % 480).toInt
+          val frames = 1 + (id % 300).toInt
+          (ref, "video/mp4", HeaderBytes.mp4(w, h, frames))
       }
     }.toDF("media_ref", "mime", "content")
   }

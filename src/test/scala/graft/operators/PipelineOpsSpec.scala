@@ -182,7 +182,13 @@ class PipelineOpsSpec extends SparkSpec {
         m.channels == 1 + (id % 2).toInt &&
         m.nframes == 100 + (id % 1000).toInt && m.width == 0
     }, wavs.mkString("\n"))
-    assert(meta.filter(_.mime.startsWith("video")).forall(_.nframes >= 1))
+    // MP4 rows carry REAL container headers too — tkhd dims + stts frames
+    val vids = meta.filter(_.mime.startsWith("video"))
+    assert(vids.nonEmpty && vids.forall { m =>
+      val id = idOf(m.media_ref)
+      m.width == 16 + (id % 640).toInt && m.height == 16 + ((id / 3) % 480).toInt &&
+        m.nframes == 1 + (id % 300).toInt && m.sample_rate == 0
+    }, vids.mkString("\n"))
     val meta2 = Multimodal.probeMeta(media).collect()
     assert(meta.sortBy(_.media_ref).sameElements(meta2.sortBy(_.media_ref)))
     val feats = Multimodal.extractFeatures(media, dim = 8).collect()
@@ -203,6 +209,14 @@ class PipelineOpsSpec extends SparkSpec {
       == ((33, 44, 1, 0, 0)))
     assert(HeaderCodec.probe("image/png", HeaderBytes.wav(8000, 1, 7))
       == ((0, 0, 7, 8000, 1)))
+    // MP4: box walk recovers tkhd dims and the stts frame-count sum
+    assert(HeaderCodec.probeMp4(HeaderBytes.mp4(1280, 720, 240))
+      .contains((1280, 720, 240)))
+    assert(HeaderCodec.probe("video/mp4", HeaderBytes.mp4(320, 240, 7))
+      == ((320, 240, 7, 0, 0)))
+    assert(HeaderCodec.probeMp4(HeaderBytes.png(64, 64)).isEmpty)
+    // truncated mp4 fails soft
+    assert(HeaderCodec.probeMp4(HeaderBytes.mp4(320, 240, 7).take(40)).isEmpty)
     // truncated / garbage bytes fail soft (zeros), never throw
     assert(HeaderCodec.probePng(Array[Byte](1, 2, 3)).isEmpty)
     assert(HeaderCodec.probe("image/png", Array[Byte](0x89.toByte)) == ((0, 0, 0, 0, 0)))
