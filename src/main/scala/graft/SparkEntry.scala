@@ -456,6 +456,12 @@ object SparkEntry {
         .withColumnRenamed("id", "doc_id")
         .orderBy("doc_id")
     }),
+    "t_chunks" -> ((s, dir) => {
+      TextAnalysis.chunk(t(s, dir, "documents"), "doc_id", "text",
+        chunkTokens = 20, overlap = 5)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id", "chunk_idx")
+    }),
     "t_pii" -> ((s, dir) => {
       // the synthetic corpus carries no PII, so both engines inject the
       // SAME deterministic PII snippets (derived from doc_id) and must
@@ -1032,6 +1038,22 @@ object SparkEntry {
         |    AS top_bigram_frac
         |FROM t1 LEFT JOIN b1 ON t1.doc_id = b1.doc_id
         |WHERE n > 0 ORDER BY t1.doc_id""".stripMargin,
+    "t_chunks" ->
+      """WITH toks AS (SELECT doc_id,
+        |    list_filter(string_split(text, ' '), t -> len(t) > 0) AS t
+        |  FROM documents),
+        |nn AS (SELECT doc_id, t, len(t) AS n,
+        |    CASE WHEN len(t) <= 20 THEN 1
+        |         ELSE CAST(ceil((len(t) - 5) / 15.0) AS INT) END AS nc
+        |  FROM toks WHERE len(t) > 0),
+        |ch AS (SELECT doc_id, t, n,
+        |    CAST(unnest(generate_series(0, nc - 1)) AS INT) AS chunk_idx
+        |  FROM nn)
+        |SELECT doc_id, chunk_idx,
+        |  CAST(least(20, n - chunk_idx * 15) AS BIGINT) AS n_tokens,
+        |  array_to_string(list_slice(t, chunk_idx * 15 + 1,
+        |    least(chunk_idx * 15 + 20, n)), ' ') AS chunk_text
+        |FROM ch ORDER BY doc_id, chunk_idx""".stripMargin,
     "t_pii" ->
       s"""WITH aug AS (SELECT doc_id, text
         |  || CASE WHEN doc_id % 5 = 0 THEN ' reach me at user'

@@ -157,6 +157,40 @@ object TextAnalysis {
   }
 
   // ------------------------------------------------------------------
+  // Context-window chunking
+  // ------------------------------------------------------------------
+
+  /** Split each document into fixed-size token windows with `overlap`
+    * shared tokens between consecutive chunks — the context-window prep
+    * step before packing/tokenization in a training pipeline. A document
+    * with n ≤ chunkTokens yields one chunk; otherwise
+    * ceil((n − overlap) / (chunkTokens − overlap)) chunks, the last one
+    * possibly short. Scan-stage only (explode of a per-row sequence — no
+    * shuffle, no state); deterministic, so any engine replays it exactly.
+    *
+    * Output: (id, chunk_idx, n_tokens, chunk_text).
+    */
+  def chunk(df: DataFrame, idCol: String, textCol: String,
+      chunkTokens: Int, overlap: Int): DataFrame = {
+    require(chunkTokens >= 1 && overlap >= 0 && overlap < chunkTokens,
+      s"need 0 <= overlap < chunkTokens, got overlap=$overlap chunk=$chunkTokens")
+    val step = chunkTokens - overlap
+    val tk = filter(split(col(textCol), " "), t => length(t) > 0)
+    val n = size(tk)
+    val nChunks = when(n <= chunkTokens, lit(1))
+      .otherwise(ceil((n - lit(overlap)).cast("double") / step).cast("int"))
+    df.select(col(idCol).as("id"), tk.as("tk"), n.as("n"), nChunks.as("nc"))
+      .filter(col("n") > 0)
+      .withColumn("chunk_idx", explode(sequence(lit(0), col("nc") - 1)))
+      .select(col("id"), col("chunk_idx"),
+        least(lit(chunkTokens), col("n") - col("chunk_idx") * step)
+          .cast("long").as("n_tokens"),
+        concat_ws(" ",
+          slice(col("tk"), col("chunk_idx") * step + 1, lit(chunkTokens)))
+          .as("chunk_text"))
+  }
+
+  // ------------------------------------------------------------------
   // PII detection / redaction
   // ------------------------------------------------------------------
 

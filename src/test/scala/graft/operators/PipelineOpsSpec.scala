@@ -358,6 +358,26 @@ class PipelineOpsSpec extends SparkSpec {
     assert(got(2) == ((3L, 4L, 1.0, 0.25, 1.0 / 3)))
   }
 
+  test("chunking: windows, overlap, short-doc and exact-fit edges") {
+    val cdocs = Seq(
+      (1L, (1 to 36).map(i => s"w$i").mkString(" ")), // 3 chunks, last short
+      (2L, "a b c"),                                  // short doc: 1 chunk
+      (3L, (1 to 20).map(i => s"w$i").mkString(" "))  // exact fit: 1 chunk
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.chunk(cdocs, "doc_id", "text",
+      chunkTokens = 20, overlap = 5)
+      .orderBy("id", "chunk_idx").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getString(3)))
+    assert(out.length == 5, out.mkString("\n"))
+    val d1 = out.filter(_._1 == 1L)
+    assert(d1.map(_._3).sameElements(Array(20L, 20L, 6L)))
+    assert(d1(0)._4.startsWith("w1 ") && d1(0)._4.endsWith(" w20"))
+    assert(d1(1)._4.startsWith("w16 ") && d1(1)._4.endsWith(" w35")) // 5-token overlap
+    assert(d1(2)._4 == "w31 w32 w33 w34 w35 w36")
+    assert(out.filter(_._1 == 2L).head == ((2L, 0, 3L, "a b c")))
+    assert(out.filter(_._1 == 3L).map(_._3).sameElements(Array(20L)))
+  }
+
   test("PII counts and redaction on crafted text") {
     val pdocs = Seq(
       (1L, "mail bob.smith+x@corp.example.org or admin@a.io, host 192.168.0.1 call +4915112345678"),
