@@ -505,6 +505,14 @@ object SparkEntry {
         .select(col("doc_id"), col("epoch").cast("int").as("epoch"))
         .orderBy("doc_id", "epoch")
     }),
+    "p_curate" -> ((s, dir) => {
+      // the composed five-stage curation pipeline: lang + quality +
+      // repetition gates -> exact dedup (keep min id) -> 50% hash sample
+      Curation.curate(t(s, dir, "documents"), "doc_id", "text",
+        langs = Set("en"), minQuality = 0.5, minDistinctFrac = 0.3,
+        sampleFraction = 0.5)
+        .orderBy("doc_id")
+    }),
     "p_reservoir" -> ((s, dir) => {
       Sampling.reservoirPerGroup(t(s, dir, "documents"), "doc_id", "lang", k = 5)
         .select(col("lang"), col("doc_id"), col("sample_rank"))
@@ -1001,6 +1009,64 @@ object SparkEntry {
         |  FROM documents)
         |SELECT doc_id, CAST(unnest(generate_series(0, n - 1)) AS INT) AS epoch
         |FROM w WHERE n > 0 ORDER BY doc_id, epoch""".stripMargin,
+    // the curation oracle composes the ALREADY-PROVEN t_lang_id and
+    // t_quality CTEs with the repetition/dedup/sample formulas
+    "p_curate" ->
+      s"""WITH ltoks AS (SELECT doc_id, string_split_regex(
+        |    lower(regexp_replace(trim(text), '[^\\p{L}\\p{N}\\s]', ' ', 'g')), '\\s+') AS tk
+        |  FROM documents),
+        |h AS (SELECT doc_id,
+        |  len(list_filter(tk, x -> x IN (${sqlList(TextAnalysis.markers("en"))}))) AS h_en,
+        |  len(list_filter(tk, x -> x IN (${sqlList(TextAnalysis.markers("de"))}))) AS h_de,
+        |  len(list_filter(tk, x -> x IN (${sqlList(TextAnalysis.markers("fr"))}))) AS h_fr,
+        |  len(list_filter(tk, x -> x IN (${sqlList(TextAnalysis.markers("es"))}))) AS h_es
+        |  FROM ltoks),
+        |lang AS (SELECT doc_id,
+        |  CASE WHEN greatest(h_en, h_de, h_fr, h_es) = 0 THEN 'und'
+        |       WHEN h_fr >= h_es AND h_fr >= h_en AND h_fr >= h_de THEN 'fr'
+        |       WHEN h_es >= h_en AND h_es >= h_de THEN 'es'
+        |       WHEN h_en >= h_de THEN 'en'
+        |       ELSE 'de' END AS lang_id
+        |  FROM h),
+        |qc AS (SELECT doc_id,
+        |  CAST(length(text) AS DOUBLE) AS n,
+        |  CAST(length(regexp_replace(text, '[^\\p{L}]', '', 'g')) AS DOUBLE) AS alpha,
+        |  CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE) AS punct,
+        |  CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+        |    ELSE len(string_split_regex(trim(text), '\\s+')) END AS DOUBLE) AS words,
+        |  CAST(len(list_filter(string_split_regex(
+        |    lower(regexp_replace(trim(text), '[^\\p{L}\\p{N}\\s]', ' ', 'g')), '\\s+'),
+        |    x -> x IN (${sqlList(TextAnalysis.markers.values.flatten.toSeq)})))
+        |    AS DOUBLE) AS stop
+        |  FROM documents),
+        |q AS (SELECT doc_id, round(
+        |  (CASE WHEN n >= 200 AND n <= 20000 THEN 1.0 WHEN n >= 50 THEN 0.5 ELSE 0.1 END)
+        |    * 0.25
+        |  + (CASE WHEN n > 0 THEN alpha / n ELSE 0.0 END) * 0.25
+        |  + (CASE WHEN n > 0 AND punct / n <= 0.1 THEN 1.0 ELSE 0.4 END) * 0.15
+        |  + (CASE WHEN words > 0 AND stop / words >= 0.05 THEN 1.0 ELSE 0.3 END) * 0.2
+        |  + (CASE WHEN (CASE WHEN words > 0 THEN alpha / words ELSE 0.0 END) >= 3
+        |          AND (CASE WHEN words > 0 THEN alpha / words ELSE 0.0 END) <= 12
+        |          THEN 1.0 ELSE 0.4 END) * 0.15, 4) AS quality
+        |  FROM qc),
+        |rep AS (SELECT doc_id,
+        |    CAST(len(list_distinct(t)) AS DOUBLE) / len(t) AS df
+        |  FROM (SELECT doc_id,
+        |      list_filter(string_split(lower(text), ' '), x -> len(x) > 0) AS t
+        |    FROM documents) WHERE len(t) > 0),
+        |g AS (SELECT d.doc_id, lang.lang_id, q.quality,
+        |    md5(lower(regexp_replace(trim(d.text), '\\s+', ' ', 'g'))) AS f
+        |  FROM documents d
+        |  JOIN lang ON d.doc_id = lang.doc_id
+        |  JOIN q ON d.doc_id = q.doc_id
+        |  JOIN rep ON d.doc_id = rep.doc_id
+        |  WHERE lang.lang_id IN ('en') AND q.quality >= 0.5 AND rep.df >= 0.3),
+        |keep AS (SELECT f, min(doc_id) AS kid FROM g GROUP BY f)
+        |SELECT g.doc_id, g.lang_id, g.quality
+        |FROM g JOIN keep ON g.f = keep.f AND g.doc_id = keep.kid
+        |WHERE substr(md5(CAST(g.doc_id AS VARCHAR)), 1, 8)
+        |  < '${Sampling.thresholdHex(0.5)}'
+        |ORDER BY g.doc_id""".stripMargin,
     "p_reservoir" ->
       """WITH ranked AS (SELECT lang, doc_id,
         |    row_number() OVER (PARTITION BY lang

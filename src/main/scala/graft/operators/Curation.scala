@@ -1,0 +1,53 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** End-to-end corpus curation: the composed pipeline a training-data run
+  * actually executes, built entirely from this engine's operators —
+  *
+  *   1. language gate ([[TextAnalysis.langId]]),
+  *   2. quality gate ([[TextAnalysis.qualityScore]]),
+  *   3. repetition gate (distinct-token fraction, the cheapest Gopher
+  *      signal),
+  *   4. exact dedup with keep-min-id representatives
+  *      ([[TextAnalysis.fingerprintMd5]] + groupBy min),
+  *   5. deterministic hash downsampling ([[Sampling.sample]]).
+  *
+  * Exists as one operator because composition is where pipelines go wrong
+  * at scale (a gate AFTER dedup dedups rows it then throws away; sampling
+  * BEFORE dedup biases the keep choice) — this pins the canonical order:
+  * cheap per-row gates first (scan-stage, shuffle-free, shrink the data),
+  * then the one dedup shuffle over survivors only, then the free sample
+  * filter. Every stage is deterministic, so the full five-stage output is
+  * DuckDB-oracle-checkable (p_curate).
+  */
+object Curation {
+
+  /** Returns the curated rows: (id, lang_id, quality) for every kept doc.
+    * `sampleFraction` applies AFTER dedup (sampling representatives, not
+    * raw rows).
+    */
+  def curate(df: DataFrame, idCol: String, textCol: String,
+      langs: Set[String], minQuality: Double, minDistinctFrac: Double,
+      sampleFraction: Double): DataFrame = {
+    require(langs.nonEmpty && minQuality >= 0 && minDistinctFrac >= 0)
+    val text = col(textCol)
+    val tk = filter(split(lower(text), " "), t => length(t) > 0)
+    val gated = df
+      .withColumn("lang_id", TextAnalysis.langId(text))
+      .withColumn("quality", TextAnalysis.qualityScore(text))
+      .withColumn("_df",
+        size(array_distinct(tk)).cast("double") / size(tk))
+      .filter(size(tk) > 0 && col("lang_id").isin(langs.toSeq: _*) &&
+        col("quality") >= minQuality && col("_df") >= minDistinctFrac)
+      .withColumn("_fp", TextAnalysis.fingerprintMd5(text))
+    // keep-min-id per exact fingerprint — over gate SURVIVORS only (the
+    // only shuffle in the pipeline runs on already-shrunk data)
+    val keep = gated.groupBy(col("_fp")).agg(min(col(idCol)).as("_keep_id"))
+    val deduped = gated.join(keep, Seq("_fp"))
+      .filter(col(idCol) === col("_keep_id"))
+      .select(col(idCol), col("lang_id"), col("quality"))
+    Sampling.sample(deduped, idCol, sampleFraction)
+  }
+}

@@ -358,6 +358,27 @@ class PipelineOpsSpec extends SparkSpec {
     assert(got(2) == ((3L, 4L, 1.0, 0.25, 1.0 / 3)))
   }
 
+  test("curation pipeline: gates, dedup keep-min, deterministic sample compose") {
+    val corpus = docs.unionAll(Seq(
+      (6L, "a a a a a"),                                // repetition gate drops
+      (7L, "der die und das ist nicht ein mit der die") // language gate drops
+    ).toDF("doc_id", "text"))
+    val all = Curation.curate(corpus, "doc_id", "text",
+      langs = Set("en"), minQuality = 0.0, minDistinctFrac = 0.5,
+      sampleFraction = 1.0)
+      .select("doc_id").as[Long].collect().toSet
+    // 5 is the exact dup of 1 (keep-min drops it); 6/7 gated out
+    assert(all == Set(1L, 2L, 3L, 4L), s"got $all")
+    // downsampling is the SAME deterministic coin as Sampling.sample
+    val sampled = Curation.curate(corpus, "doc_id", "text",
+      langs = Set("en"), minQuality = 0.0, minDistinctFrac = 0.5,
+      sampleFraction = 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    val coin = Sampling.sample(corpus.filter(col("doc_id").isin(1L, 2L, 3L, 4L)),
+      "doc_id", 0.5).select("doc_id").as[Long].collect().toSet
+    assert(sampled == coin, s"sampled=$sampled coin=$coin")
+  }
+
   test("chunking: windows, overlap, short-doc and exact-fit edges") {
     val cdocs = Seq(
       (1L, (1 to 36).map(i => s"w$i").mkString(" ")), // 3 chunks, last short
