@@ -456,6 +456,11 @@ object SparkEntry {
         .withColumnRenamed("id", "doc_id")
         .orderBy("doc_id")
     }),
+    "t_tfidf" -> ((s, dir) => {
+      TextAnalysis.tfidfTop(t(s, dir, "documents"), "doc_id", "text", k = 3)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id", "rank")
+    }),
     "t_chunks" -> ((s, dir) => {
       TextAnalysis.chunk(t(s, dir, "documents"), "doc_id", "text",
         chunkTokens = 20, overlap = 5)
@@ -1104,6 +1109,20 @@ object SparkEntry {
         |    AS top_bigram_frac
         |FROM t1 LEFT JOIN b1 ON t1.doc_id = b1.doc_id
         |WHERE n > 0 ORDER BY t1.doc_id""".stripMargin,
+    "t_tfidf" ->
+      """WITH tok AS (SELECT doc_id, unnest(
+        |    list_filter(string_split(lower(text), ' '), t -> len(t) > 0)) AS token
+        |  FROM documents),
+        |tf AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+        |  FROM tok GROUP BY 1, 2),
+        |dfreq AS (SELECT token, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+        |ranked AS (SELECT tf.doc_id, tf.token, tf.tf, dfreq.df,
+        |    CAST(tf.tf AS DOUBLE) / dfreq.df AS score,
+        |    row_number() OVER (PARTITION BY tf.doc_id
+        |      ORDER BY CAST(tf.tf AS DOUBLE) / dfreq.df DESC, tf.token) AS rank
+        |  FROM tf JOIN dfreq ON tf.token = dfreq.token)
+        |SELECT doc_id, token, tf, df, score, CAST(rank AS INT) AS rank
+        |FROM ranked WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
     "t_chunks" ->
       """WITH toks AS (SELECT doc_id,
         |    list_filter(string_split(text, ' '), t -> len(t) > 0) AS t

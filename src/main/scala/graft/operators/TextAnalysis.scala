@@ -157,6 +157,42 @@ object TextAnalysis {
   }
 
   // ------------------------------------------------------------------
+  // Distinctive terms (tf over document frequency)
+  // ------------------------------------------------------------------
+
+  /** Top-k most DISTINCTIVE tokens per document: rank by `tf / df`
+    * (term frequency over corpus document frequency). Same intent as
+    * tf-idf; the rational score is chosen deliberately — with tf and df
+    * integers bounded by corpus size, distinct scores differ by at least
+    * 1/(df_max²), far above double ulp, and the division of identical
+    * ints is bit-identical on every engine, so the RANKING (not just the
+    * values) reproduces exactly cross-engine. An ln-based idf does not
+    * have that property (libm last-ulp differences can flip near-ties).
+    *
+    * Plan shape: tf = explode → map-side-combined groupBy (doc, token);
+    * df = the same distinct pairs re-aggregated by token (vocabulary-
+    * sized — broadcastable at any realistic vocab; at 100 TB both sides
+    * are token-keyed, so the planner's shuffle join co-locates for free);
+    * top-k via row_number ≤ k, which Spark lowers to WindowGroupLimit
+    * (map-side top-k, no full per-group sort).
+    */
+  def tfidfTop(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+    require(k >= 1)
+    val tok = df.select(col(idCol).as("id"),
+      explode(filter(split(lower(col(textCol)), " "), t => length(t) > 0)).as("token"))
+    val tf = tok.groupBy("id", "token").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id"))
+      .orderBy((col("tf").cast("double") / col("df")).desc, col("token"))
+    tf.join(dfreq, "token")
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("id"), col("token"), col("tf"), col("df"),
+        (col("tf").cast("double") / col("df")).as("score"), col("rank"))
+  }
+
+  // ------------------------------------------------------------------
   // Context-window chunking
   // ------------------------------------------------------------------
 

@@ -379,6 +379,24 @@ class PipelineOpsSpec extends SparkSpec {
     assert(sampled == coin, s"sampled=$sampled coin=$coin")
   }
 
+  test("tf/df distinctive terms: scores, ranking, ties by token") {
+    val tdocs = Seq(
+      (1L, "apple banana banana"),
+      (2L, "apple cherry"),
+      (3L, "banana date date date")).toDF("doc_id", "text")
+    val out = TextAnalysis.tfidfTop(tdocs, "doc_id", "text", k = 2)
+      .orderBy("id", "rank").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+    assert(out.length == 6)
+    assert(out(0) == ((1L, "banana", 2L, 2L, 1.0))) // tf 2 / df 2
+    assert(out(1) == ((1L, "apple", 1L, 2L, 0.5)))
+    assert(out(2) == ((2L, "cherry", 1L, 1L, 1.0)))
+    assert(out(3) == ((2L, "apple", 1L, 2L, 0.5)))
+    assert(out(4) == ((3L, "date", 3L, 1L, 3.0)))
+    assert(out(5) == ((3L, "banana", 1L, 2L, 0.5)))
+  }
+
   test("chunking: windows, overlap, short-doc and exact-fit edges") {
     val cdocs = Seq(
       (1L, (1 to 36).map(i => s"w$i").mkString(" ")), // 3 chunks, last short
