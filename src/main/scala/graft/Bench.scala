@@ -279,7 +279,10 @@ object Bench {
       SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
         name -> (() => { fn(spark, sfDir).count(): Unit })
       } ++ Seq(
-        "s_ann_ivf_build" -> (() => { ivfIdx = SparkEntry.ivfBuildIndex(spark, sfDir) }),
+        "s_ann_ivf_build" -> (() => {
+          SparkEntry.ivfCacheClear(sfDir) // time train + write, not a cache hit
+          ivfIdx = SparkEntry.ivfBuildIndex(spark, sfDir)
+        }),
         "s_ann_ivf_probe" -> (() => { SparkEntry.ivfProbe(spark, sfDir, ivfIdx).count(): Unit }))
     val best = scala.collection.mutable.LinkedHashMap[String, Double](
       timed.map(_._1 -> Double.MaxValue): _*)

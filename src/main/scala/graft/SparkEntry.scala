@@ -79,6 +79,11 @@ object SparkEntry {
       Similarity.trainCentroids(
         t(s, dir, "embeddings").filter(col("vec_id") > 8L), "embedding",
         k = 8, dims = 64, iters = 3))
+  /** Drop the cached quantizer so a bench timing of "build" really
+    * includes training (min-of-repeats would otherwise select a
+    * cache-hit round and report only the index write).
+    */
+  def ivfCacheClear(dir: String): Unit = ivfCentroidCache.remove(dir)
 
   private val langEnum = List("en", "de", "fr", "es").map(ConstVal.VStr(_))
 

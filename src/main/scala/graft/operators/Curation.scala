@@ -33,13 +33,17 @@ object Curation {
       sampleFraction: Double): DataFrame = {
     require(langs.nonEmpty && minQuality >= 0 && minDistinctFrac >= 0)
     val text = col(textCol)
-    val tk = filter(split(lower(text), " "), t => length(t) > 0)
+    // materialize the token array ONCE: interpreted HOFs get no
+    // common-subexpression elimination, so referencing the filter(split())
+    // expression three times would re-tokenize every row three times
+    // (the ~30x-per-lambda cost Dedup.shingles documents)
     val gated = df
+      .withColumn("_tk", filter(split(lower(text), " "), t => length(t) > 0))
       .withColumn("lang_id", TextAnalysis.langId(text))
       .withColumn("quality", TextAnalysis.qualityScore(text))
       .withColumn("_df",
-        size(array_distinct(tk)).cast("double") / size(tk))
-      .filter(size(tk) > 0 && col("lang_id").isin(langs.toSeq: _*) &&
+        size(array_distinct(col("_tk"))).cast("double") / size(col("_tk")))
+      .filter(size(col("_tk")) > 0 && col("lang_id").isin(langs.toSeq: _*) &&
         col("quality") >= minQuality && col("_df") >= minDistinctFrac)
       .withColumn("_fp", TextAnalysis.fingerprintMd5(text))
     // keep-min-id per exact fingerprint — over gate SURVIVORS only (the

@@ -75,13 +75,22 @@ object Dedup {
     * keeper ids come from a map-side-combined `groupBy(hash).agg(min(id))`
     * (one row per distinct hash) joined back — two narrow shuffles on the
     * same key, no sort anywhere.
+    *
+    * `keep` is computed null-safely (`<=>`), so it is always a boolean:
+    * a null-id row in a group with non-null ids gets keep = false (it is
+    * in the delete list, never silently skipped), and rows TIED on the
+    * representative id (duplicate ids, or an all-null-id group) each get
+    * keep = true — id ties are indistinguishable rows in (id, hash)
+    * space; run [[Uniqueness]] first if ids must be unique.
     */
   def exactMembers(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val hashed = df.select(col(idCol).as("id"), contentHash(col(textCol)).as("content_hash"))
     val keepers = hashed.groupBy(col("content_hash"))
       .agg(min(col("id")).as("_keep_id"))
     hashed.join(keepers, Seq("content_hash"))
-      .select(col("id"), col("content_hash"), (col("id") === col("_keep_id")).as("keep"))
+      .select(col("id"), col("content_hash"),
+        when(col("_keep_id").isNull, col("id").isNull) // all-null-id group
+          .otherwise(col("id") <=> col("_keep_id")).as("keep"))
   }
 
   /** Word k-shingles of a normalized text column (array<string>).

@@ -77,10 +77,11 @@ object Multimodal {
       while (i + 9 < b.length) {
         if ((b(i) & 0xff) != 0xff) return None // desynced marker stream
         val m = b(i + 1) & 0xff
-        if (m >= 0xc0 && m <= 0xcf && m != 0xc4 && m != 0xc8 && m != 0xcc) {
+        if (m == 0xff) i += 1 // 0xFF fill bytes before a marker are legal
+        else if (m >= 0xc0 && m <= 0xcf && m != 0xc4 && m != 0xc8 && m != 0xcc) {
           return Some((beShort(b, i + 7), beShort(b, i + 5)))
         }
-        if (m == 0xd8 || (m >= 0xd0 && m <= 0xd9)) i += 2 // bare markers
+        else if (m == 0xd8 || (m >= 0xd0 && m <= 0xd9)) i += 2 // bare markers
         else i += 2 + beShort(b, i + 2)
       }
       None
@@ -97,6 +98,7 @@ object Multimodal {
       var rate = -1; var ch = -1; var align = -1; var dataSize = -1
       while (i + 8 <= b.length && (rate < 0 || dataSize < 0)) {
         val size = leInt(b, i + 4)
+        if (size < 0) return None // corrupt size field: never walk backwards
         if (ascii(b, i, "fmt ") && i + 8 + 16 <= b.length) {
           ch = leShort(b, i + 10)
           rate = leInt(b, i + 12)
@@ -125,7 +127,10 @@ object Multimodal {
     def probeMp4(b: Array[Byte]): Option[(Int, Int, Int)] = {
       if (!isMp4(b)) return None
       var w = 0; var h = 0; var frames = 0
-      def walk(start: Int, end: Int): Unit = {
+      // real container trees are ~5 deep; the bound keeps adversarial
+      // nested-box bytes from overflowing the stack (fail-soft contract)
+      def walk(start: Int, end: Int, depth: Int = 0): Unit = {
+        if (depth > 16) return
         var i = start
         var ok = true
         while (ok && i + 8 <= end) {
@@ -134,7 +139,7 @@ object Multimodal {
           else {
             def is(s: String) = ascii(b, i + 4, s)
             if (is("moov") || is("trak") || is("mdia") || is("minf") || is("stbl"))
-              walk(i + 8, i + size)
+              walk(i + 8, i + size, depth + 1)
             else if (is("tkhd") && size >= 92 && b(i + 8) == 0) {
               val tw = beInt(b, i + 8 + 76) >>> 16
               val th = beInt(b, i + 8 + 80) >>> 16

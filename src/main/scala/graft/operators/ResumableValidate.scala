@@ -199,12 +199,17 @@ object ResumableValidate {
     */
   def violations(spark: SparkSession, outDir: String): DataFrame = {
     val conf = spark.sparkContext.hadoopConfiguration
-    val byBatch = CommitLog.committedBatches(outDir, conf)
+    val allCommits = CommitLog.committedBatches(outDir, conf)
+    val byBatch = allCommits
       .filter(_._2.nonEmpty)
       .groupBy(_._2).view.mapValues(_.keys.toSeq).toMap
+    // commits written before the batch field existed carry no batch name;
+    // fall back to the legacy read for those parts (union every batch dir
+    // — pre-batch-field logs had no crash-orphan dirs to double-count)
+    val legacyParts = allCommits.collect { case (p, b) if b.isEmpty => p }.toSeq
     val basePath = new Path(outDir)
     val fs = basePath.getFileSystem(conf)
-    val dfs = byBatch.toSeq.sortBy(_._1).flatMap { case (batchName, parts) =>
+    def batchDf(batchName: String, parts: Seq[Int]): Option[DataFrame] = {
       val bp = new Path(basePath, batchName)
       val hasParts = fs.exists(bp) && fs.listStatus(bp)
         .exists(st => st.isDirectory && st.getPath.getName.startsWith("part="))
@@ -213,6 +218,17 @@ object ResumableValidate {
           .filter(col("part").isin(parts: _*)))
       else None
     }
+    val legacyDfs = if (legacyParts.isEmpty) Seq.empty
+      else {
+        val batchDirs = fs.listStatus(basePath).toSeq
+          .filter(st => st.isDirectory &&
+            st.getPath.getName.startsWith("violations_batch_"))
+          .map(_.getPath.getName).sorted
+        batchDirs.flatMap(b => batchDf(b, legacyParts))
+      }
+    val dfs = byBatch.toSeq.sortBy(_._1).flatMap { case (batchName, parts) =>
+      batchDf(batchName, parts)
+    } ++ legacyDfs
     require(dfs.nonEmpty, s"no committed violations under $outDir")
     dfs.reduce(_ unionByName _)
   }

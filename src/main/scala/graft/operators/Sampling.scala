@@ -38,8 +38,15 @@ object Sampling {
     */
   private[graft] def thresholdHex(fraction: Double): String = {
     require(fraction >= 0.0 && fraction <= 1.0, s"fraction out of range: $fraction")
-    val t = math.min((fraction * 4294967296.0).toLong, 4294967295L)
-    f"$t%08x"
+    // fraction 1.0 means KEEP ALL: 'g' sorts above every lowercase-hex
+    // prefix, so `hashKey < 'g'` is vacuously true — clamping to
+    // 'ffffffff' instead would silently drop the ~2^-32 of rows whose
+    // hash prefix is exactly ffffffff
+    if (fraction >= 1.0) "g"
+    else {
+      val t = (fraction * 4294967296.0).toLong
+      f"$t%08x"
+    }
   }
 
   /** Deterministic uniform sample: keeps ~`fraction` of rows, selected by

@@ -178,6 +178,13 @@ object Similarity {
       .dropDuplicates("id_a", "id_b")
   }
 
+  /** `greatest` over struct scores that also works for a single candidate
+    * (Spark's GREATEST requires >= 2 arguments — k = 1 quantizers and
+    * single-vector corpora are legal inputs here).
+    */
+  private def greatest1(scored: Seq[Column]): Column =
+    if (scored.length == 1) scored.head else greatest(scored: _*)
+
   private def dotS(a: Seq[Double], b: Seq[Double]): Double =
     a.zip(b).map { case (x, y) => x * y }.sum
 
@@ -300,7 +307,7 @@ object Similarity {
         struct(cosine(col("vec"), typedlit(c)).as("sim"), lit(i).as("cid"))
       }
       val assigned = base.select(col("vec"),
-        greatest(scored: _*).getField("cid").as("cid"))
+        greatest1(scored).getField("cid").as("cid"))
       val aggs = (0 until dims).map(d =>
         avg(get(col("vec"), lit(d))).as(s"m$d"))
       val rows = assigned.groupBy(col("cid")).agg(aggs.head, aggs.tail: _*)
@@ -338,6 +345,6 @@ object Similarity {
     }
     df.filter(col(vecCol).isNotNull)
       .select(col(idCol).as("id"), col(vecCol).as("vec"),
-        greatest(scored: _*).getField("cid").as("centroid"))
+        greatest1(scored).getField("cid").as("centroid"))
   }
 }

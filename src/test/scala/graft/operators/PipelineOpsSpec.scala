@@ -30,6 +30,44 @@ class PipelineOpsSpec extends SparkSpec {
     assert(members.toSet == Set(5L))
   }
 
+  test("exactMembers: null ids and id ties always get a boolean keep") {
+    val nd = Seq(
+      (Option(1L), "same text"), (Option(5L), "same text"),
+      (Option.empty[Long], "same text"),          // null id in a mixed group
+      (Option.empty[Long], "only nulls"), (Option.empty[Long], "only nulls"),
+      (Option(7L), "tied"), (Option(7L), "tied")  // duplicate min id
+    ).toDF("doc_id", "text")
+    val out = Dedup.exactMembers(nd, "doc_id", "text").collect()
+    assert(out.forall(!_.isNullAt(2)), "keep must never be NULL")
+    val mixed = out.filter(r => !r.isNullAt(0) && r.getLong(0) == 1L)
+    assert(mixed.forall(_.getBoolean(2)))
+    // the null-id duplicate of "same text" is in the DELETE list
+    val nullRows = out.filter(_.isNullAt(0))
+    val mixedNull = nullRows.filter(_.getBoolean(2) == false)
+    assert(mixedNull.length == 1, out.mkString("\n"))
+    // an all-null-id group keeps its (indistinguishable) rows
+    assert(nullRows.count(_.getBoolean(2)) == 2)
+    // tied min ids: both marked keep (indistinguishable in (id, hash))
+    val tied = out.filter(r => !r.isNullAt(0) && r.getLong(0) == 7L)
+    assert(tied.length == 2 && tied.forall(_.getBoolean(2)))
+  }
+
+  test("sample fraction 1.0 keeps every row (no ffffffff edge loss)") {
+    assert(Sampling.thresholdHex(1.0) == "g")
+    val ids = spark.range(1000).select(col("id").as("doc_id"))
+    assert(Sampling.sample(ids, "doc_id", 1.0).count() == 1000)
+  }
+
+  test("IVF training and assignment accept k = 1") {
+    val vecs = spark.range(20).select(col("id").as("vec_id"),
+      transform(sequence(lit(0), lit(7)),
+        d => ((col("id") + d) % 5).cast("float")).as("embedding"))
+    val cs = Similarity.trainCentroids(vecs, "embedding", k = 1, dims = 8, iters = 2)
+    assert(cs.length == 1 && cs.head.length == 8)
+    val assigned = Similarity.ivfAssign(vecs, "vec_id", "embedding", cs)
+    assert(assigned.select("centroid").distinct().count() == 1)
+  }
+
   test("minhash LSH finds the near-dup pair and not the distinct docs") {
     val pairs = Dedup.minHashPairs(docs, "doc_id", "text",
       k = 3, numHashes = 32, bands = 16, threshold = 0.5)
@@ -217,6 +255,32 @@ class PipelineOpsSpec extends SparkSpec {
     assert(HeaderCodec.probeMp4(HeaderBytes.png(64, 64)).isEmpty)
     // truncated mp4 fails soft
     assert(HeaderCodec.probeMp4(HeaderBytes.mp4(320, 240, 7).take(40)).isEmpty)
+    // JPEG 0xFF fill bytes between segments are legal padding, not desync
+    val padded = {
+      val j = HeaderBytes.jpeg(800, 600)
+      (j.take(2) ++ Array.fill(3)(0xff.toByte) ++ j.drop(2)).toArray
+    }
+    assert(HeaderCodec.probeJpeg(padded).contains((800, 600)))
+    // corrupt WAV with a negative chunk size terminates (no infinite loop)
+    val badWav = {
+      val w = HeaderBytes.wav(8000, 1, 7)
+      w(16) = 0xf8.toByte; w(17) = 0xff.toByte // fmt size -> 0xFFFFFFF8 = -8
+      w(18) = 0xff.toByte; w(19) = 0xff.toByte
+      w
+    }
+    assert(HeaderCodec.probeWav(badWav).isEmpty)
+    // adversarial deep box nesting fails soft, not StackOverflowError
+    val deepMp4 = {
+      val out = java.nio.ByteBuffer.allocate(16 + 8 * 50000)
+      out.putInt(16).put("ftyp".getBytes("US-ASCII"))
+        .put("isom".getBytes("US-ASCII")).putInt(0)
+      (0 until 50000).foreach { i =>
+        out.putInt(8 * (50000 - i)) // each box wraps the rest of the chain
+        out.put("trak".getBytes("US-ASCII"))
+      }
+      out.array()
+    }
+    assert(HeaderCodec.probeMp4(deepMp4).isEmpty) // returns, no throw
     // truncated / garbage bytes fail soft (zeros), never throw
     assert(HeaderCodec.probePng(Array[Byte](1, 2, 3)).isEmpty)
     assert(HeaderCodec.probe("image/png", Array[Byte](0x89.toByte)) == ((0, 0, 0, 0, 0)))

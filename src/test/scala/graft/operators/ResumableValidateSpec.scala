@@ -211,4 +211,23 @@ class ResumableValidateSpec extends SparkSpec {
       assert(math.abs(c - x) <= 1.0, s"quantile drift beyond envelope: clean=$qc resumed=$qx")
     }
   }
+
+  test("violations() reads logs whose commits predate the batch field") {
+    val dir = Files.createTempDirectory("graft_legacy").toString
+    ResumableValidate.run(spark, freshDocs, rule, dir,
+      manifest = Seq("gen:3000:6"), partsPerBatch = 2)
+    val modern = ResumableValidate.violations(spark, dir)
+      .orderBy("doc_id", "path", "rule").collect()
+    assert(modern.nonEmpty)
+    // simulate a pre-upgrade log: rewrite every commit WITHOUT a batch name
+    CommitLog.completed(dir, spark.sparkContext.hadoopConfiguration)
+      .keys.foreach { p =>
+        CommitLog.write(dir, CommitLog.Commit(p, 0, 0, 0, "", "", Nil, 0),
+          spark.sparkContext.hadoopConfiguration)
+      }
+    val legacy = ResumableValidate.violations(spark, dir)
+      .orderBy("doc_id", "path", "rule").collect()
+    assert(legacy.sameElements(modern),
+      s"legacy=${legacy.length} modern=${modern.length}")
+  }
 }
