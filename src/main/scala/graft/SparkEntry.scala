@@ -310,6 +310,12 @@ object SparkEntry {
         "l_extendedprice", 0.0, 120000.0, 10)
         .select(round(col("psi"), 6).as("psi"))
     }),
+    "g_drift_trend" -> ((s, dir) => {
+      // which DAY drifted: per-day PSI of events.value vs the whole corpus
+      Drift.psiTrend(t(s, dir, "events"), "value", "ts", 0.0, 200.0, 10)
+        .select(col("day"), round(col("psi"), 6).as("psi"))
+        .orderBy("day")
+    }),
     "g_drift_ks" -> ((s, dir) => {
       // KS on a fixed 101-point grid over [0, 120000] — exactly reproducible
       // (the percentile_approx-grid variant Drift.ks and the KLL-sketch path
@@ -806,6 +812,27 @@ object SparkEntry {
         |tot AS (SELECT ca, cb, sum(ca) OVER () AS ta, sum(cb) OVER () AS tb FROM j),
         |pq AS (SELECT greatest(ca / ta, 1e-6) AS p, greatest(cb / tb, 1e-6) AS q FROM tot)
         |SELECT round(sum((p - q) * ln(p / q)), 6) AS psi FROM pq""".stripMargin,
+    "g_drift_trend" ->
+      """WITH base AS (SELECT date_trunc('day', ts) AS d,
+        |    CAST(least(greatest(floor(((value - 0.0) / 200.0) * 10), 0.0), 9.0)
+        |      AS INT) AS bucket
+        |  FROM events WHERE value IS NOT NULL AND ts IS NOT NULL),
+        |counts AS (SELECT d, bucket, count(*) AS cnt FROM base GROUP BY 1, 2),
+        |days AS (SELECT DISTINCT d FROM counts),
+        |gb AS (SELECT bucket, sum(cnt) AS g_cnt FROM counts GROUP BY 1),
+        |filled AS (SELECT days.d, gb.bucket, gb.g_cnt,
+        |    coalesce(counts.cnt, 0) AS cnt
+        |  FROM days CROSS JOIN gb
+        |  LEFT JOIN counts ON days.d = counts.d AND gb.bucket = counts.bucket),
+        |tot AS (SELECT d, cnt, g_cnt,
+        |    sum(cnt) OVER (PARTITION BY d) AS dt,
+        |    sum(g_cnt) OVER (PARTITION BY d) AS gt
+        |  FROM filled),
+        |pq AS (SELECT d, greatest(CAST(cnt AS DOUBLE) / dt, 1e-6) AS p,
+        |    greatest(CAST(g_cnt AS DOUBLE) / gt, 1e-6) AS q FROM tot)
+        |SELECT strftime(d, '%Y-%m-%d') AS day, round(sum((p - q) * ln(p / q)), 6)
+        |  AS psi
+        |FROM pq GROUP BY d ORDER BY day""".stripMargin,
     "g_drift_ks" ->
       """WITH b AS (SELECT l_returnflag AS f,
         |    CASE WHEN CAST(l_extendedprice AS DOUBLE) > 120000.0 THEN NULL

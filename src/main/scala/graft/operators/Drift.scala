@@ -50,6 +50,40 @@ object Drift {
       .agg(sum((col("p") - col("q")) * log(col("p") / col("q"))).as("psi"))
   }
 
+  /** PSI OVER TIME: one row per event-time day with that day's PSI against
+    * the WHOLE corpus distribution — the continuous-monitoring form of
+    * [[psi]] ("which day drifted?"), same clamped floor bucketing so any
+    * engine replays it. One scan of the data (groupBy (day, bucket) with
+    * map-side combine); everything after runs on the days×bins count
+    * relation, which is tiny at any corpus size. Days missing a bucket
+    * get the eps floor, exactly like [[psi]]'s full-outer join.
+    */
+  def psiTrend(df: DataFrame, c: String, tsCol: String,
+      lo: Double, hi: Double, bins: Int = 10): DataFrame = {
+    val eps = 1e-6
+    val bucket = least(greatest(floor(((col(c).cast("double") - lit(lo)) /
+      lit(hi - lo)) * lit(bins)), lit(0.0)), lit((bins - 1).toDouble)).cast("int")
+    val counts = df.filter(col(c).isNotNull && col(tsCol).isNotNull)
+      .groupBy(date_trunc("day", col(tsCol)).as("d"), bucket.as("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+    val days = counts.select("d").distinct()
+    val gb = counts.groupBy("bucket").agg(sum("cnt").as("g_cnt"))
+    val filled = days.crossJoin(gb)
+      .join(counts, Seq("d", "bucket"), "left")
+      .withColumn("cnt", coalesce(col("cnt"), lit(0L)))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("d")
+    filled
+      .withColumn("dt", sum("cnt").over(w))
+      .withColumn("gt", sum("g_cnt").over(
+        org.apache.spark.sql.expressions.Window.partitionBy("d")))
+      .select(col("d"),
+        greatest(col("cnt") / col("dt"), lit(eps)).as("p"),
+        greatest(col("g_cnt") / col("gt"), lit(eps)).as("q"))
+      .groupBy("d")
+      .agg(sum((col("p") - col("q")) * log(col("p") / col("q"))).as("psi"))
+      .select(date_format(col("d"), "yyyy-MM-dd").as("day"), col("psi"))
+  }
+
   /** Two-sample KS statistic on numeric column `c` between `a` and `b`,
     * evaluated on a `gridSize`-point quantile grid of the union. Returns a
     * 1-row DF (ks: double). `accuracy` is percentile_approx's inverse-epsilon.

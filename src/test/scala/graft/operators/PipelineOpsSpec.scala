@@ -526,6 +526,23 @@ class PipelineOpsSpec extends SparkSpec {
     assert(out(2).getDouble(0) == 0.0)
   }
 
+  test("PSI trend: the shifted day drifts, a typical day does not") {
+    val ev = spark.range(20000).select(
+      timestamp_seconds(lit(1700000000L) +
+        (col("id") % 3) * 86400L).as("ts"),
+      // days 0 and 1 draw from the same distribution; day 2 is shifted
+      (pmod(xxhash64(col("id")), lit(100L)).cast("double") +
+        when(col("id") % 3 === 2, 90.0).otherwise(0.0)).as("value"))
+    val out = Drift.psiTrend(ev, "value", "ts", 0.0, 200.0, 10)
+      .orderBy("day").collect()
+      .map(r => (r.getString(0), r.getDouble(1)))
+    assert(out.length == 3)
+    // the two unshifted days sit near the global mix; the shifted day
+    // dominates (its mass lives in buckets the global mix half-fills)
+    assert(out(2)._2 > out(0)._2 && out(2)._2 > out(1)._2, out.mkString(","))
+    assert(out(2)._2 > 0.5, out.mkString(","))
+  }
+
   test("two-sided fixed-grid KS equals the two-filter form exactly") {
     val df = spark.range(5000).select(col("id"),
       (col("id") % 2 === 0).as("isA"),
