@@ -57,12 +57,17 @@ object Main {
     case other :: _ => throw new IllegalArgumentException(s"Unknown argument: $other")
   }
 
-  private def jesc(s: String): String = s.flatMap {
+  private def jesc(s0: String): String = {
+    // exceptions may carry a null message (bare NPE/IllegalState); the
+    // JSON error channel and exit-code contract must survive that
+    val s = if (s0 == null) "null" else s0
+    s.flatMap {
     case '"' => "\\\""
     case '\\' => "\\\\"
     case '\n' => "\\n"
     case c if c < ' ' => f"\\u${c.toInt}%04x"
     case c => c.toString
+    }
   }
 
   def main(argv: Array[String]): Unit = {

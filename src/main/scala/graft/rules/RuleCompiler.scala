@@ -94,13 +94,24 @@ object RuleCompiler {
   /** `humanize_yaml_data` (`utils.rs:138-153`): `"s" (string)`, `42 (int)`,
     * `1.5 (float)`, `true (bool)`.
     */
+  /** Column twin of [[Num.fmt]]: Rust's `{}` renders whole floats without
+    * the trailing `.0` (`1.0f64` → "1"), so dynamic float VALUES in
+    * messages must too — a bare cast-to-string would print "1.0" and break
+    * message-exact parity for whole-valued floats.
+    */
+  private def numStr(v: Column): Column = {
+    val d = v.cast(DoubleType)
+    when(pmod(d, lit(1.0)) === 0.0 && abs(d) < 1e15,
+      d.cast(LongType).cast(StringType)).otherwise(d.cast(StringType))
+  }
+
   private def humanize(dt: DataType, v: Column): Column = {
     val body = dt match {
       case StringType => concat(lit("\""), v, lit("\" (string)"))
       case ByteType | ShortType | IntegerType | LongType =>
         concat(v.cast(StringType), lit(" (int)"))
       case FloatType | DoubleType | _: DecimalType =>
-        concat(v.cast(StringType), lit(" (float)"))
+        concat(numStr(v), lit(" (float)"))
       case BooleanType => concat(v.cast(StringType), lit(" (bool)"))
       case _           => to_json(struct(v))
     }
@@ -113,8 +124,9 @@ object RuleCompiler {
   private def fmtValue(dt: DataType, v: Column): Column = {
     val body = dt match {
       case StringType => concat(lit("\""), v, lit("\""))
-      case BooleanType | ByteType | ShortType | IntegerType | LongType | FloatType | DoubleType |
-          _: DecimalType => v.cast(StringType)
+      case FloatType | DoubleType | _: DecimalType => numStr(v) // Num.fmt twin
+      case BooleanType | ByteType | ShortType | IntegerType | LongType =>
+        v.cast(StringType)
       case _ => to_json(struct(v.as("v")))
     }
     when(v.isNull, lit("null")).otherwise(body)
@@ -137,7 +149,10 @@ object RuleCompiler {
     case "number"  => if (isNumeric(dt)) v.isNotNull else lit(false)
     case "integer" =>
       if (isIntegral(dt)) v.isNotNull
-      else if (isNumeric(dt)) v.isNotNull && v === floor(v) // integer.rs:84-94
+      // fract() == 0.0 (integer.rs:84-94) — NOT `v === floor(v)`: Spark's
+      // floor(double) returns LongType, so whole doubles >= 2^63 would
+      // saturate and be wrongly rejected; `% 1` stays in double space
+      else if (isNumeric(dt)) v.isNotNull && pmod(v.cast("double"), lit(1.0)) === 0.0
       else lit(false)
     case "object" => dt match {
       case _: StructType | _: MapType => v.isNotNull
@@ -586,6 +601,22 @@ object RuleCompiler {
             lit(s"Object has too few properties! Minimum is $n!")))
           kw.maxProperties.foreach(n => chks += Chk(objAppl, cnt <= lit(n), "maxProperties",
             lit(s"Object has too many properties! Maximum is $n!")))
+        }
+        // dependentRequired (objects.rs:222-241) — map form: trigger/dep
+        // presence is key membership rather than struct-field nullness
+        kw.dependentRequired.foreach { case (trigger, deps) =>
+          val trig = array_contains(map_keys(v), trigger)
+          deps.foreach { d =>
+            chks += Chk(objAppl && trig, array_contains(map_keys(v), d),
+              "dependentRequired", lit(s"Required property '$d' is missing!"))
+          }
+        }
+        // dependentSchemas (objects.rs:242-248) — map form
+        kw.dependentSchemas.foreach { case (trigger, r) =>
+          val trig = array_contains(map_keys(v), trigger)
+          val c = sub(r, v, dt, path)
+          nested += when(objAppl && trig, c.violations).otherwise(emptyViols)
+          extraPreds += (!(objAppl && trig) || coalesce(c.pred, lit(false)))
         }
         // unevaluatedProperties (yaml_schema.rs:921-961): keys not evaluated
         // here nor in any successful branch; `$schema` is always skipped

@@ -52,11 +52,10 @@ object RuleLoader {
     require(paths.nonEmpty, "at least one rules file is required")
     val canon = paths.map(p => java.nio.file.Paths.get(p).toAbsolutePath.normalize)
     val loader = new Loading(Some(canon.head.getParent))
-    // pre-scan $id declarations first so refs resolve in any order
+    // pre-scan $id declarations first so refs resolve in any order (the
+    // parse is cached — preload/loadDoc below reuse it, one read per file)
     canon.foreach { p =>
-      val parsed = new org.yaml.snakeyaml.Yaml()
-        .load[Any](java.nio.file.Files.readString(p))
-      parsed match {
+      loader.parsedFor(p) match {
         case m: java.util.Map[_, _] =>
           m.asScala.collectFirst {
             case (k, id: String) if s"$k" == "$id" => loader.registerId(id, p)
@@ -66,7 +65,7 @@ object RuleLoader {
       ()
     }
     canon.tail.foreach(loader.preloadFile)
-    val root = loader.loadDoc(java.nio.file.Files.readString(canon.head), prefix = "")
+    val root = loader.loadParsed(loader.parsedFor(canon.head), prefix = "")
     detectCycles(root, loader.defs.toMap)
     Loaded(root, loader.defs.toMap)
   }
@@ -82,21 +81,31 @@ object RuleLoader {
 
     def registerId(id: String, path: java.nio.file.Path): Unit = idAliases(id) = path
 
+    // one read + one parse per file, however many times it is referenced
+    // (the $id pre-scan, preload, and $ref resolution all share these)
+    private val parsedCache = scala.collection.mutable.Map.empty[String, Any]
+    def parsedFor(p: java.nio.file.Path): Any =
+      parsedCache.getOrElseUpdate(p.toString, {
+        val text = try java.nio.file.Files.readString(p)
+        catch { case _: Exception =>
+          throw new IllegalArgumentException(s"Schema $p not found")
+        }
+        new org.yaml.snakeyaml.Yaml().load[Any](text)
+      })
+
     /** Load a whole file as a ref target under its canonical-path key. */
     def preloadFile(p: java.nio.file.Path): Unit = {
       val key = p.toString
       if (!fileCache.contains(key)) {
         fileCache(key) = key
-        val text = try java.nio.file.Files.readString(p)
-        catch { case _: Exception =>
-          throw new IllegalArgumentException(s"Schema $key not found")
-        }
-        defs(key) = loadDoc(text, prefix = key)
+        defs(key) = loadParsed(parsedFor(p), prefix = key)
       }
     }
 
-    def loadDoc(yaml: String, prefix: String): Rule = {
-      val parsed = new org.yaml.snakeyaml.Yaml().load[Any](yaml)
+    def loadDoc(yaml: String, prefix: String): Rule =
+      loadParsed(new org.yaml.snakeyaml.Yaml().load[Any](yaml), prefix)
+
+    def loadParsed(parsed: Any, prefix: String): Rule = {
       parsed match {
         case m: java.util.Map[_, _] =>
           m.asScala.collectFirst {
@@ -133,12 +142,11 @@ object RuleLoader {
             val k = p.toString
             if (!fileCache.contains(k)) {
               fileCache(k) = k // mark before parsing (cycle-safe)
-              val text = try java.nio.file.Files.readString(p)
+              val parsed = try parsedFor(p)
               catch { case _: Exception =>
                 throw new IllegalArgumentException(s"Schema $ref not found")
               }
-              val rootRule = loadDoc(text, prefix = k)
-              defs(k) = rootRule // whole-document ref target
+              defs(k) = loadParsed(parsed, prefix = k) // whole-document target
             }
             k
         }
@@ -199,6 +207,12 @@ object RuleLoader {
     case other => throw new IllegalArgumentException(s"Expected a number, got: $other")
   }
   private def int(v: Any): Int = v match {
+    // fail fast on fractional values (the reference rejects `minLength:
+    // 2.9` at load; silently truncating would change the rule's meaning)
+    case n: java.lang.Double if n.doubleValue() != math.floor(n.doubleValue()) =>
+      throw new IllegalArgumentException(s"Expected an integer, got: $n")
+    case n: java.lang.Float if n.floatValue() != math.floor(n.floatValue()) =>
+      throw new IllegalArgumentException(s"Expected an integer, got: $n")
     case n: Number => n.intValue()
     case other => throw new IllegalArgumentException(s"Expected an integer, got: $other")
   }

@@ -85,9 +85,13 @@ object DocsGen {
         .otherwise(concat(lit("tok"), pmod(h(id, k.seed, 9, i), lit(997L)).cast("string"),
           lit(" word"), pmod(h(id, k.seed, 10, i), lit(31L)).cast("string")))
       val offBase = (i * 10 + pmod(h(id, k.seed, 11, i), lit(5L))).cast("int")
+      // bad-order spans start at i = 2 so the injected offset (10i - 15,
+      // strictly below the previous span's minimum 10i - 10) stays
+      // NON-NEGATIVE — at i = 1 it would be -5 and also trip the separate
+      // negOffset channel, breaking the independent-corruption contract
       val off0 =
         if (k.badOrderPerMille == 0) offBase
-        else when(perMille(id, k.seed, 14, i) < lit(k.badOrderPerMille.toLong) && i > 0,
+        else when(perMille(id, k.seed, 14, i) < lit(k.badOrderPerMille.toLong) && i > 1,
           (i * 10 - 15).cast("int")).otherwise(offBase)
       val off =
         if (k.negOffsetPerMille == 0) off0

@@ -84,6 +84,20 @@ class SpanInvariantSpec extends SparkSpec {
       .subsetOf(rules), s"got $rules")
   }
 
+  test("generator corruption channels are independent: badOrder never goes negative") {
+    val dirty = DocsGen.docs(spark, DocsGen.Knobs(nDocs = 5000,
+      badOrderPerMille = 100, negOffsetPerMille = 0))
+    val negs = dirty
+      .select(explode(SpanInvariant.violationsCol($"spans")).as("v"))
+      .filter($"v.rule" === "offset.minimum").count()
+    assert(negs == 0, s"badOrder injected $negs negative offsets with neg knob at 0")
+    // and the knob still injects what it claims
+    val orders = dirty
+      .select(explode(SpanInvariant.violationsCol($"spans")).as("v"))
+      .filter($"v.rule" === "offset.order").count()
+    assert(orders > 0)
+  }
+
   test("generator determinism: same knobs → identical table") {
     val k = DocsGen.Knobs(nDocs = 300, badKindPerMille = 10)
     val a = DocsGen.docs(spark, k).orderBy("doc_id").collect()

@@ -259,6 +259,55 @@ class RuleCompilerSpec extends SparkSpec {
     }
   }
 
+  test("type: integer accepts whole doubles beyond long range (no floor saturation)") {
+    val df = Seq(("d1", 1e19), ("d2", 1e19 + 4096.0), ("d3", 2.5)).toDF("doc_id", "x")
+    val rule = kw(Keywords(properties = Map(
+      "x" -> kw(Keywords(types = Some(List("integer")))))))
+    val vs = violationsFor(df, rule)
+    assert(vs.map(_.doc_id) == Seq("d3"), vs.mkString(","))
+  }
+
+  test("whole floats render without .0 in messages (Rust {} parity)") {
+    val df = Seq(("d1", 1.0), ("d2", 1.5)).toDF("doc_id", "x")
+    val rule = kw(Keywords(properties = Map(
+      "x" -> kw(Keywords(const = Some(ConstVal.VNum(2.0)))))))
+    val vs = violationsFor(df, rule)
+    assert(vs.map(_.message) == Seq(
+      "Expected const: 2, but got: 1",
+      "Expected const: 2, but got: 1.5"), vs.mkString(","))
+  }
+
+  test("format anchors reject trailing newlines (Rust $ = end-of-haystack)") {
+    val df = Seq(("d1", "12:30:00Z"), ("d2", "12:30:00Z\n")).toDF("doc_id", "t")
+    val rule = kw(Keywords(properties = Map(
+      "t" -> kw(Keywords(format = Some("time"))))))
+    val vs = violationsFor(df, rule)
+    assert(vs.map(_.doc_id) == Seq("d2"), vs.mkString(","))
+    val df2 = Seq(("d1", "10.0.0.1"), ("d2", "10.0.0.1\n")).toDF("doc_id", "t")
+    val rule2 = kw(Keywords(properties = Map(
+      "t" -> kw(Keywords(format = Some("ipv4"))))))
+    assert(violationsFor(df2, rule2).map(_.doc_id) == Seq("d2"))
+  }
+
+  test("dependentRequired and dependentSchemas work on map columns") {
+    val df = Seq(
+      ("d1", Map("card" -> "x", "address" -> "y")),
+      ("d2", Map("card" -> "x")),
+      ("d3", Map("other" -> "z"))).toDF("doc_id", "m")
+    val rule = kw(Keywords(properties = Map(
+      "m" -> kw(Keywords(dependentRequired = Map("card" -> List("address")))))))
+    val vs = violationsFor(df, rule)
+    assert(vs == Seq(
+      Violation("d2", "m", "dependentRequired", "Required property 'address' is missing!")),
+      vs.mkString(","))
+    val rule2 = kw(Keywords(properties = Map(
+      "m" -> kw(Keywords(dependentSchemas = Map(
+        "card" -> kw(Keywords(required = List("address")))))))))
+    val vs2 = violationsFor(df, rule2)
+    assert(vs2.length == 1 && vs2.head.doc_id == "d2" && vs2.head.rule == "required",
+      vs2.mkString(","))
+  }
+
   test("idn/iri format aliases validate as their base formats (formats.rs:21,28-29)") {
     // (format, value, valid-per-reference)
     val rows = Seq(

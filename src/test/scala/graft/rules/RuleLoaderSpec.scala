@@ -74,6 +74,14 @@ class RuleLoaderSpec extends SparkSpec {
     assert(e.getMessage.startsWith("Circular $ref detected: #/$defs/"))
   }
 
+  test("fractional integer keyword values fail the load, never truncate") {
+    val e = intercept[IllegalArgumentException](RuleLoader.loadString(
+      "properties:\n  name: { minLength: 2.9 }\n"))
+    assert(e.getMessage.contains("Expected an integer"), e.getMessage)
+    // whole-valued numbers still load (YAML may hand back 3 as Double)
+    RuleLoader.loadString("properties:\n  name: { minLength: 3 }\n")
+  }
+
   test("recursive $ref through properties is legitimate and compiles finitely") {
     val yaml =
       """$defs:
