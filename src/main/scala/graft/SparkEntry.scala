@@ -51,20 +51,12 @@ object SparkEntry {
         pmod(col("l_orderkey"), lit(8L)).cast("int").as("part"))
   }
 
-  /** Flagship: full validation pipeline (keyword rules + span invariant +
-    * per-partition verdicts) over docs derived from sf0.001.
+  /** Flagship (driver smoke contract): full validation pipeline over docs
+    * derived from sf0.001 — DELEGATES to the q_verdicts query so the two
+    * cannot drift.
     */
-  def entry(spark: SparkSession): DataFrame = {
-    val dir = "/root/testdata/sf0.001"
-    val docs = derivedDocs(spark, dir)
-    val withV = docs.withColumn("violations",
-      SpanInvariant.violationsCol(col("spans")))
-    withV.groupBy(col("part"))
-      .agg(count(lit(1)).as("docs"),
-        sum(when(size(col("violations")) > 0, 1L).otherwise(0L)).as("failed_docs"),
-        sum(size(col("violations")).cast("long")).as("violations"))
-      .orderBy("part")
-  }
+  def entry(spark: SparkSession): DataFrame =
+    queries("q_verdicts")(spark, "/root/testdata/sf0.001")
 
   /** Trained IVF coarse centroids for `dir`'s embeddings corpus —
     * deterministic spherical k-means ([[Similarity.trainCentroids]]), cached
@@ -264,9 +256,8 @@ object SparkEntry {
       val docs = derivedDocs(s, dir)
         .withColumn("violations", SpanInvariant.violationsCol(col("spans")))
       docs.groupBy(col("part"))
-        .agg(count(lit(1)).as("docs"),
-          sum(when(size(col("violations")) > 0, 1L).otherwise(0L)).as("failed_docs"),
-          sum(size(col("violations")).cast("long")).as("violations"))
+        .agg(Validate.verdictAggs(col("violations")).head,
+          Validate.verdictAggs(col("violations")).tail: _*)
         .orderBy("part")
     }),
     // ---------- global checks ----------
@@ -1029,11 +1020,11 @@ object SparkEntry {
         |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '40000000'
         |ORDER BY doc_id""".stripMargin,
     "p_stratified" ->
-      """SELECT doc_id, lang FROM documents
+      s"""SELECT doc_id, lang FROM documents
         |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) <
         |  CASE WHEN lang = 'en' THEN '19999999'
         |       WHEN lang = 'de' THEN '80000000'
-        |       ELSE 'ffffffff' END
+        |       ELSE '${Sampling.thresholdHex(1.0)}' END
         |ORDER BY doc_id""".stripMargin,
     "p_upsample" ->
       s"""WITH w AS (SELECT doc_id,

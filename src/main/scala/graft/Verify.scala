@@ -34,9 +34,19 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val json = SparkEntry.oracleSqlResolved(spark, sfDir)
+    // oracle_sql.json MUST be written even if literal resolution (e.g.
+    // centroid training) blows up — a missing file zeroes the whole
+    // round's correctness, not just the affected query
+    val resolved =
+      try SparkEntry.oracleSqlResolved(spark, sfDir)
+      catch { case e: Throwable =>
+        System.err.println(
+          s"[verify] oracle resolution failed (${e.getMessage}); writing raw map")
+        SparkEntry.oracleSql
+      }
+    val json = resolved
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
-    Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
-    spark.stop()
+    try Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    finally spark.stop()
   }
 }

@@ -39,8 +39,13 @@ object Sessionize {
     */
   def withSessions(df: DataFrame, userCol: String, tsCol: String,
       gapMinutes: Int = 30): DataFrame = {
-    val bucket = date_trunc("DAY", col(tsCol))
-    val byBucket = Window.partitionBy(col(userCol), bucket).orderBy(col(tsCol))
+    // ONE window spec (over the materialized _bucket column) for both the
+    // lag and the running sum — partitioning by the date_trunc EXPRESSION
+    // in one and the _bucket ATTRIBUTE in the other would be semantically
+    // identical but not syntactically equal, so CollapseWindow could not
+    // merge them and the event table would sort twice
+    val byBucket = Window.partitionBy(col(userCol), col("_bucket"))
+      .orderBy(col(tsCol))
     val prev = lag(col(tsCol), 1).over(byBucket)
     // interval comparison works for both TIMESTAMP and TIMESTAMP_NTZ (a
     // cast-to-long epoch diff is rejected for NTZ under ANSI)
@@ -48,12 +53,11 @@ object Sessionize {
     val isNewLocal = when(prev.isNull || col(tsCol) > prev + gap, 1L)
       .otherwise(0L)
     val withLocal = df
-      .withColumn("_bucket", bucket)
+      .withColumn("_bucket", date_trunc("DAY", col(tsCol)))
       .withColumn("_new_local", isNewLocal)
       .withColumn("_local_idx",
-        sum(col("_new_local")).over(
-          Window.partitionBy(col(userCol), col("_bucket")).orderBy(col(tsCol))
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow)) - 1L)
+        sum(col("_new_local")).over(byBucket
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)) - 1L)
 
     // per-(user, day) summary: ONE row per bucket — the only thing the
     // cross-bucket Window ever sorts

@@ -26,6 +26,15 @@ object Stats {
     val cols = if (columns.nonEmpty) columns else df.schema.fields.collect {
       case f if isProfilable(f.dataType) => f.name
     }.toSeq
+    require(cols.nonEmpty,
+      "profile: no profilable (atomic-typed) columns — an empty stack() " +
+        "would fail to parse; pass `columns` explicitly or project first")
+    // the melt below builds SQL text; names with quote/backtick metachars
+    // would corrupt it, so fail with a clear message instead
+    cols.find(c => c.contains("'") || c.contains("`")).foreach { bad =>
+      throw new IllegalArgumentException(
+        s"profile: column name '$bad' contains a quote/backtick — rename or alias it")
+    }
     val total = count(lit(1))
     val aggs: Seq[Column] = cols.flatMap { c =>
       val v = col(c)

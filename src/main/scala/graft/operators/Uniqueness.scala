@@ -34,6 +34,12 @@ object Uniqueness {
 
   /** Violation-shaped output: one row per duplicated key value with its
     * multiplicity (count > 1).
+    *
+    * NULL keys are deliberately excluded: a null id is a per-row
+    * completeness violation (the `required`/type rules report every such
+    * row individually), not a uniqueness collision — counting the null
+    * group here would report one giant "duplicate" that double-flags rows
+    * already failing validation.
     */
   def duplicates(df: DataFrame, keyCol: String, salt: Int = 64): DataFrame = {
     val keyed = df.select(col(keyCol)).filter(col(keyCol).isNotNull)

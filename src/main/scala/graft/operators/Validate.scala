@@ -43,6 +43,24 @@ object Validate {
       .withColumn("pass", size(col("violations")) === lit(0))
   }
 
+  /** The engine's ONE definition of the flat violation-row projection
+    * (doc_id, path, rule, message) — batch and streaming both lower
+    * through this, so the row shape cannot drift between them.
+    */
+  def flatViolations(withV: DataFrame): DataFrame =
+    withV.select(col("doc_id"), explode(col("violations")).as("v"))
+      .select(col("doc_id"), col("v.path").as("path"), col("v.rule").as("rule"),
+        col("v.message").as("message"))
+
+  /** The engine's ONE definition of the per-group verdict aggregates
+    * (docs, failed_docs, violations) — batch verdicts, streaming windowed
+    * verdicts and the benchmark queries all share it.
+    */
+  def verdictAggs(violations: Column): Seq[Column] = Seq(
+    count(lit(1)).as("docs"),
+    sum(when(size(violations) > 0, 1L).otherwise(0L)).as("failed_docs"),
+    sum(size(violations).cast("long")).as("violations"))
+
   /** Flat violation rows, deterministically sortable by (doc_id, path, rule)
     * — Spark has no row order, the reference emits in document order
     * (SURVEY.md §2.8), so goldens compare sorted.
@@ -50,11 +68,7 @@ object Validate {
   def violations(df: DataFrame, rule: Rule,
       defs: Map[String, Rule] = Map.empty)(implicit spark: SparkSession): Dataset[Violation] = {
     import spark.implicits._
-    withViolations(df, rule, defs)
-      .select(col("doc_id"), explode(col("violations")).as("v"))
-      .select(col("doc_id"), col("v.path").as("path"), col("v.rule").as("rule"),
-        col("v.message").as("message"))
-      .as[Violation]
+    flatViolations(withViolations(df, rule, defs)).as[Violation]
   }
 
   /** Per-partition verdict rows (requires a `part` column). One shuffle,
@@ -65,10 +79,8 @@ object Validate {
     import spark.implicits._
     withViolations(df, rule, defs)
       .groupBy(col("part"))
-      .agg(
-        count(lit(1)).as("docs"),
-        sum(when(!col("pass"), 1L).otherwise(0L)).as("failed_docs"),
-        sum(size(col("violations")).cast("long")).as("violations"))
+      .agg(verdictAggs(col("violations")).head,
+        verdictAggs(col("violations")).tail: _*)
       .withColumn("pass", col("failed_docs") === lit(0L))
       .select(col("part"), col("docs"), col("failed_docs"), col("violations"), col("pass"))
       .as[Verdict]

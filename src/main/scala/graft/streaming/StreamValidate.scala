@@ -38,13 +38,12 @@ object StreamValidate {
       .withColumn("pass", size(col("violations")) === 0)
   }
 
-  /** Flat violation rows (append-able). */
+  /** Flat violation rows (append-able) — same projection as the batch
+    * path ([[Validate.flatViolations]]), so the row shape cannot drift.
+    */
   def violations(docs: DataFrame, rule: Rule,
       defs: Map[String, Rule] = Map.empty): DataFrame =
-    withViolations(docs, rule, defs)
-      .select(col("doc_id"), explode(col("violations")).as("v"))
-      .select(col("doc_id"), col("v.path").as("path"), col("v.rule").as("rule"),
-        col("v.message").as("message"))
+    Validate.flatViolations(withViolations(docs, rule, defs))
 
   /** Windowed per-partition verdicts over an event-time column. */
   def verdictsByWindow(docs: DataFrame, rule: Rule, eventTime: String,
@@ -53,10 +52,8 @@ object StreamValidate {
     withViolations(docs, rule, defs)
       .withWatermark(eventTime, watermark)
       .groupBy(window(col(eventTime), windowLen), col("part"))
-      .agg(
-        count(lit(1)).as("docs"),
-        sum(when(!col("pass"), 1L).otherwise(0L)).as("failed_docs"),
-        sum(size(col("violations")).cast("long")).as("violations"))
+      .agg(Validate.verdictAggs(col("violations")).head,
+        Validate.verdictAggs(col("violations")).tail: _*)
       .withColumn("pass", col("failed_docs") === 0L)
 
   /** Streaming exact dedup on the content hash within a watermark horizon:
