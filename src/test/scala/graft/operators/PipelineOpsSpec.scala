@@ -386,6 +386,17 @@ class PipelineOpsSpec extends SparkSpec {
     val windowNodes = plan.linesIterator.filter(_.contains("Window ")).toList
     assert(windowNodes.exists(_.contains("_bucket")),
       s"no day-bucketed Window in plan:\n$plan")
+    // the running sum consumes the lag's output so they are two chained
+    // Window nodes by necessity — but sharing one window spec means the
+    // second must REUSE the first's partitioning+order: no Sort or
+    // Exchange is allowed between the two event-level Windows
+    val lines = plan.linesIterator.toIndexedSeq
+    val sumIdx = lines.indexWhere(l => l.contains("Window") && l.contains("_we0"))
+    val lagIdx = lines.indexWhere(l => l.contains("Window") && l.contains("lag("))
+    assert(sumIdx >= 0 && lagIdx > sumIdx, s"unexpected window layout:\n$plan")
+    val between = lines.slice(sumIdx + 1, lagIdx)
+    assert(!between.exists(l => l.contains("Sort") || l.contains("Exchange")),
+      s"extra Sort/Exchange between the event-level Windows:\n$plan")
   }
 
   test("connected components assign cluster-min labels across transitive pairs") {
