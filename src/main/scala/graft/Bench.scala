@@ -206,6 +206,7 @@ object Bench {
   }
 
   def main(args: Array[String]): Unit = {
+    java.util.Locale.setDefault(java.util.Locale.ROOT) // f"" is locale-bound
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val docsPath = s"/tmp/graft_bench_docs_$BenchDocs"
@@ -286,19 +287,29 @@ object Bench {
         "s_ann_ivf_probe" -> (() => { SparkEntry.ivfProbe(spark, sfDir, ivfIdx).count(): Unit }))
     val best = scala.collection.mutable.LinkedHashMap[String, Double](
       timed.map(_._1 -> Double.MaxValue): _*)
+    val failed = scala.collection.mutable.LinkedHashSet[String]()
     (1 to queryRepeats).foreach { _ =>
       timed.foreach { case (name, thunk) =>
         val t0 = System.nanoTime()
-        try thunk() catch { case _: Throwable => () }
-        val t = (System.nanoTime() - t0) / 1e9
-        best(name) = math.min(best(name), t)
+        // a failed repeat must NOT record its time-to-failure as a
+        // measurement — a broken query would otherwise report a plausible
+        // fast "min" with no error signal anywhere
+        try {
+          thunk()
+          val t = (System.nanoTime() - t0) / 1e9
+          best(name) = math.min(best(name), t)
+        } catch { case e: Throwable =>
+          failed += name
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+        }
       }
     }
-    val results = best.toSeq
+    val results = best.toSeq.filter(_._2 < Double.MaxValue)
     val total = results.map(_._2).sum
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
+    val qErrs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     println(
-      f"""{"metric":"validated docs/sec at 32 pinned cores (rules+span invariant+verdicts, $BenchDocs%d docs)","value":$dps32%.0f,"unit":"docs/sec","queries":$qs,"sf":"$sfDir","query_repeats":$queryRepeats%d,"queries_total_sec":$total%.2f,"scaling":{"docs":$BenchDocs%d,"pinned_cores":$pinned%b,"t_4core_sec":$t4%.2f,"t_8core_sec":$t8%.2f,"t_16core_sec":$t16%.2f,"t_32core_sec":$t32%.2f,"docs_per_sec_4core":${docsTotal / t4}%.0f,"docs_per_sec_16core":${docsTotal / t16}%.0f,"docs_per_sec_32core":$dps32%.0f,"efficiency_4_to_16":$eff4to16%.3f,"efficiency_8_to_32":$eff8to32%.3f,"efficiency":$effBest%.3f,"alu_ops_per_core":{"w4":${cal(4)._1}%.0f,"w8":${cal(8)._1}%.0f,"w16":${cal(16)._1}%.0f,"w32":${cal(32)._1}%.0f},"memstream_ops_per_core":{"w4":${cal(4)._2}%.0f,"w8":${cal(8)._2}%.0f,"w16":${cal(16)._2}%.0f,"w32":${cal(32)._2}%.0f},"mem_ceiling_4_to_16":$ceil4to16%.3f,"mem_ceiling_8_to_32":$ceil8to32%.3f,"max_steal_frac_seen":{"w4":${stealSeen.getOrElse(4, 0.0)}%.4f,"w8":${stealSeen.getOrElse(8, 0.0)}%.4f,"w16":${stealSeen.getOrElse(16, 0.0)}%.4f,"w32":${stealSeen.getOrElse(32, 0.0)}%.4f}}}""")
+      f"""{"metric":"validated docs/sec at 32 pinned cores (rules+span invariant+verdicts, $BenchDocs%d docs)","value":$dps32%.0f,"unit":"docs/sec","queries":$qs,"sf":"$sfDir","query_repeats":$queryRepeats%d,"query_errors":$qErrs,"queries_total_sec":$total%.2f,"scaling":{"docs":$BenchDocs%d,"pinned_cores":$pinned%b,"t_4core_sec":$t4%.2f,"t_8core_sec":$t8%.2f,"t_16core_sec":$t16%.2f,"t_32core_sec":$t32%.2f,"docs_per_sec_4core":${docsTotal / t4}%.0f,"docs_per_sec_16core":${docsTotal / t16}%.0f,"docs_per_sec_32core":$dps32%.0f,"efficiency_4_to_16":$eff4to16%.3f,"efficiency_8_to_32":$eff8to32%.3f,"efficiency":$effBest%.3f,"alu_ops_per_core":{"w4":${cal(4)._1}%.0f,"w8":${cal(8)._1}%.0f,"w16":${cal(16)._1}%.0f,"w32":${cal(32)._1}%.0f},"memstream_ops_per_core":{"w4":${cal(4)._2}%.0f,"w8":${cal(8)._2}%.0f,"w16":${cal(16)._2}%.0f,"w32":${cal(32)._2}%.0f},"mem_ceiling_4_to_16":$ceil4to16%.3f,"mem_ceiling_8_to_32":$ceil8to32%.3f,"max_steal_frac_seen":{"w4":${stealSeen.getOrElse(4, 0.0)}%.4f,"w8":${stealSeen.getOrElse(8, 0.0)}%.4f,"w16":${stealSeen.getOrElse(16, 0.0)}%.4f,"w32":${stealSeen.getOrElse(32, 0.0)}%.4f}}}""")
     spark.stop()
   }
 }
@@ -314,6 +325,7 @@ object Bench {
   */
 object SpinProbe {
   def main(args: Array[String]): Unit = {
+    java.util.Locale.setDefault(java.util.Locale.ROOT)
     val width = args(0).toInt
     val warmNanos = 2_000_000_000L // let C2 compile + clocks settle first
     val wallNanos = 3_000_000_000L
@@ -367,6 +379,7 @@ object SpinProbe {
   */
 object QueryTime {
   def main(args: Array[String]): Unit = {
+    java.util.Locale.setDefault(java.util.Locale.ROOT)
     val sfDir = args(0)
     val names = args.drop(1).toSeq
     val spark = Bench.session(sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt)
@@ -384,6 +397,7 @@ object QueryTime {
   */
 object BenchGen {
   def main(args: Array[String]): Unit = {
+    java.util.Locale.setDefault(java.util.Locale.ROOT)
     val nDocs = args(0).toLong
     val nFiles = if (args.length > 1) args(1).toInt else Bench.DefaultFiles
     val path = s"/tmp/graft_bench_docs_$nDocs"
@@ -401,6 +415,7 @@ object BenchGen {
   */
 object BenchLevel {
   def main(args: Array[String]): Unit = {
+    java.util.Locale.setDefault(java.util.Locale.ROOT)
     val threads = args(0).toInt
     val docsPath = args(1)
     val warmups = args(2).toInt

@@ -52,11 +52,17 @@ object Dedup {
     banded.join(oversized, keys, "left_anti")
   }
 
-  /** Normalized content hash: lowercase, collapse whitespace, xxhash64 +
-    * md5 (128-bit confirmation channel).
+  /** Normalized content hash: lowercase, collapse whitespace, md5 —
+    * 128 BITS, not a bare xxhash64: at 10^10 docs a 64-bit key expects
+    * birthday collisions (~n²/2^65), i.e. false exact-dup groups whose
+    * higher-id member gets DELETED by the keep-min plan; 128 bits pushes
+    * that to ~n²/2^129. The 32-hex string costs 4× the shuffle-key bytes
+    * of a long, but exact() shuffles one row per DISTINCT hash per
+    * partition (map-side combine), so the group key is never the
+    * dominant traffic.
     */
   def contentHash(text: Column): Column =
-    xxhash64(lower(regexp_replace(text, "\\s+", " ")))
+    md5(lower(regexp_replace(text, "\\s+", " ")))
 
   /** Exact duplicates: groups of identical normalized text. Returns
     * (content_hash, dup_count) for groups with >1 member.
@@ -84,7 +90,10 @@ object Dedup {
     * space; run [[Uniqueness]] first if ids must be unique.
     */
   def exactMembers(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val hashed = df.select(col(idCol).as("id"), contentHash(col(textCol)).as("content_hash"))
+    // null text never forms a dup group (same filter as exact(); without
+    // it every null-text row would share one hash and be "deduped" away)
+    val hashed = df.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("id"), contentHash(col(textCol)).as("content_hash"))
     val keepers = hashed.groupBy(col("content_hash"))
       .agg(min(col("id")).as("_keep_id"))
     hashed.join(keepers, Seq("content_hash"))
@@ -196,11 +205,17 @@ object Dedup {
   def minHashPairs(df: DataFrame, idCol: String, textCol: String, k: Int = 3,
       numHashes: Int = 32, bands: Int = 8, threshold: Double = 0.7,
       maxBucket: Int = 1000): DataFrame = {
+    val cands = minHashCandidates(df, idCol, textCol, k, numHashes, bands, maxBucket)
+    // signatures only for ids that actually appear in a candidate pair —
+    // at corpus >> candidates the full-corpus signature projection would
+    // dominate the stage for rows the join then discards
+    val candIds = cands.select(col("id_a").as("cid"))
+      .union(cands.select(col("id_b").as("cid"))).distinct()
     val sigs = df.filter(col(textCol).isNotNull && length(col(textCol)) > 0)
+      .join(candIds, col(idCol) === col("cid"), "left_semi")
       .select(col(idCol).as("id"),
         minHashSignature(shingles(col(textCol), k), numHashes).as("sig"))
       .filter(col("sig").isNotNull)
-    val cands = minHashCandidates(df, idCol, textCol, k, numHashes, bands, maxBucket)
     cands
       .join(sigs.select(col("id").as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
       .join(sigs.select(col("id").as("id_b"), col("sig").as("sig_b")), Seq("id_b"))

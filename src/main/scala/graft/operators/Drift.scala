@@ -26,6 +26,8 @@ object Drift {
     */
   def psi(a: DataFrame, b: DataFrame, c: String, lo: Double, hi: Double,
       bins: Int = 10): DataFrame = {
+    require(hi > lo, s"psi: need hi > lo, got [$lo, $hi]")
+    require(bins >= 1, s"psi: need bins >= 1, got $bins")
     // clamped floor bucketing (not width_bucket) so any engine reproduces
     // the exact bucket ids — floor(((x-lo)/(hi-lo))*bins) clamped to
     // [0, bins-1]
@@ -41,12 +43,21 @@ object Drift {
       .select(
         coalesce(col("cnt_a"), lit(0L)).as("ca"),
         coalesce(col("cnt_b"), lit(0L)).as("cb"))
+    // an empty/all-null side must fail diagnosably — without the guard
+    // its ratios go null, greatest(null, eps) = eps, and identical
+    // distributions report the eps-saturated MAXIMUM drift instead of
+    // raising. assert_true is woven into p/q so column pruning cannot
+    // drop the check.
+    val guardA = assert_true(col("ta") > 0,
+      lit(s"psi: no non-null rows in column '$c' on side 'a'"))
+    val guardB = assert_true(col("tb") > 0,
+      lit(s"psi: no non-null rows in column '$c' on side 'b'"))
     joined
       .select(col("ca"), col("cb"),
         sum(col("ca")).over().as("ta"), sum(col("cb")).over().as("tb"))
       .select(
-        (greatest(col("ca") / col("ta"), lit(eps))).as("p"),
-        (greatest(col("cb") / col("tb"), lit(eps))).as("q"))
+        when(guardA.isNull, greatest(col("ca") / col("ta"), lit(eps))).as("p"),
+        when(guardB.isNull, greatest(col("cb") / col("tb"), lit(eps))).as("q"))
       .agg(sum((col("p") - col("q")) * log(col("p") / col("q"))).as("psi"))
   }
 
@@ -60,6 +71,8 @@ object Drift {
     */
   def psiTrend(df: DataFrame, c: String, tsCol: String,
       lo: Double, hi: Double, bins: Int = 10): DataFrame = {
+    require(hi > lo, s"psiTrend: need hi > lo, got [$lo, $hi]")
+    require(bins >= 1, s"psiTrend: need bins >= 1, got $bins")
     val eps = 1e-6
     val bucket = least(greatest(floor(((col(c).cast("double") - lit(lo)) /
       lit(hi - lo)) * lit(bins)), lit(0.0)), lit((bins - 1).toDouble)).cast("int")
@@ -102,16 +115,21 @@ object Drift {
       s"ks: no non-null rows in column '$c' on either side")
     val grid: Array[Double] = gridRow.getSeq[Double](0).toArray
 
-    def cdfAt(df: DataFrame): Array[Double] = {
+    def cdfAt(df: DataFrame, side: String): Array[Double] = {
       val n = count(when(col(c).isNotNull, 1))
       val sums: Seq[Column] = grid.zipWithIndex.map { case (g, i) =>
         (sum(when(col(c).cast("double") <= lit(g), 1L).otherwise(0L)) / n).as(s"f$i")
       }.toSeq
-      val r = df.agg(sums.head, sums.tail: _*).collect()(0)
+      val r = df.agg((sums :+ n.as("_n")).head, (sums :+ n.as("_n")).tail: _*)
+        .collect()(0)
+      // a zero-row side makes every ratio null — fail diagnosably, not
+      // with an NPE from Row.getDouble (same guard as ksFixedGrid)
+      require(r.getLong(grid.length) > 0,
+        s"ks: no non-null rows in column '$c' on side '$side'")
       grid.indices.map(i => r.getDouble(i)).toArray
     }
-    val fa = cdfAt(a)
-    val fb = cdfAt(b)
+    val fa = cdfAt(a, "a")
+    val fb = cdfAt(b, "b")
     val ksStat = grid.indices.map(i => math.abs(fa(i) - fb(i))).max
     val spark = a.sparkSession
     import spark.implicits._

@@ -32,7 +32,10 @@ import org.apache.spark.storage.StorageLevel
   *    only near-dups appear) this is the small relation of the job;
   *  - `localCheckpoint` after every round truncates lineage — without it
   *    the iterated-join plan grows exponentially and the optimizer
-  *    re-plans the whole history each round;
+  *    re-plans the whole history each round; each round's checkpoint
+  *    replaces the previous one's only reference, so Spark's
+  *    ContextCleaner frees the superseded label copies asynchronously
+  *    (peak residency ≈ 2 rounds of (id, comp) pairs, not maxIter);
   *  - convergence is detected with a `changed` count on the materialized
   *    checkpoint (one cheap job over cached partitions, not a recompute).
   */

@@ -84,7 +84,7 @@ class StreamValidateSpec extends SparkSpec {
     val out = spark.table("stream_dedup").collect()
     // exactly one survivor per distinct normalized content
     assert(out.length == 3, out.mkString(","))
-    val hashes = out.map(_.getAs[Long]("content_hash")).toSet
+    val hashes = out.map(_.getAs[String]("content_hash")).toSet
     assert(hashes.size == 3)
   }
 
