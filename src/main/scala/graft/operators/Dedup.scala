@@ -205,7 +205,11 @@ object Dedup {
   def minHashPairs(df: DataFrame, idCol: String, textCol: String, k: Int = 3,
       numHashes: Int = 32, bands: Int = 8, threshold: Double = 0.7,
       maxBucket: Int = 1000): DataFrame = {
+    // candidate pairs are tiny by construction (capped buckets) — eagerly
+    // checkpoint them so the banding pipeline runs ONCE even though the
+    // pair list is consumed twice (id extraction + the final join)
     val cands = minHashCandidates(df, idCol, textCol, k, numHashes, bands, maxBucket)
+      .localCheckpoint()
     // signatures only for ids that actually appear in a candidate pair —
     // at corpus >> candidates the full-corpus signature projection would
     // dominate the stage for rows the join then discards
