@@ -46,12 +46,15 @@ object Curation {
       .filter(size(col("_tk")) > 0 && col("lang_id").isin(langs.toSeq: _*) &&
         col("quality") >= minQuality && col("_df") >= minDistinctFrac)
       .withColumn("_fp", TextAnalysis.fingerprintMd5(text))
-    // keep-min-id per exact fingerprint — over gate SURVIVORS only (the
-    // only shuffle in the pipeline runs on already-shrunk data)
-    val keep = gated.groupBy(col("_fp")).agg(min(col(idCol)).as("_keep_id"))
-    val deduped = gated.join(keep, Seq("_fp"))
-      .filter(col(idCol) === col("_keep_id"))
-      .select(col(idCol), col("lang_id"), col("quality"))
+    // keep-min-id per exact fingerprint — over gate SURVIVORS only, as ONE
+    // min(struct) aggregation that carries the representative row out
+    // directly: a groupBy(min(id)) + join-back would evaluate the regex
+    // gates a second time on the join's probe side and add a shuffle
+    val deduped = gated
+      .groupBy(col("_fp"))
+      .agg(min(struct(col(idCol), col("lang_id"), col("quality"))).as("_rep"))
+      .select(col("_rep").getField(idCol).as(idCol),
+        col("_rep.lang_id").as("lang_id"), col("_rep.quality").as("quality"))
     Sampling.sample(deduped, idCol, sampleFraction)
   }
 }
