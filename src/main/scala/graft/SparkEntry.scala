@@ -413,6 +413,11 @@ object SparkEntry {
       val idx = ivfBuildIndex(s, dir)
       ivfProbe(s, dir, idx)
     }),
+    "s_label_centroids" -> ((s, dir) => {
+      // class-separation diagnostic over the labeled embedding corpus
+      Similarity.labelCentroids(t(s, dir, "embeddings"), "label", "embedding")
+        .orderBy("label", "dim")
+    }),
     "s_cosine_neardup" -> ((s, dir) => {
       // embedding-cosine near-dup pairs via LSH buckets over a corpus with
       // INJECTED duplicates (vec_id % 20 == 0 re-appears as vec_id+100000):
@@ -880,6 +885,14 @@ object SparkEntry {
         |  ORDER BY cs DESC, id LIMIT 20)
         |SELECT id, round(cs, 2) AS cosine FROM top
         |ORDER BY round(cs, 2) DESC, id""".stripMargin,
+    "s_label_centroids" ->
+      """WITH e AS (SELECT label, unnest(embedding) AS v,
+        |    generate_subscripts(embedding, 1) AS i
+        |  FROM embeddings WHERE embedding IS NOT NULL)
+        |SELECT label, CAST(i - 1 AS INT) AS dim,
+        |  round(avg(CAST(v AS DOUBLE)), 4) AS centroid,
+        |  CAST(count(*) AS BIGINT) AS n_vecs
+        |FROM e GROUP BY label, i ORDER BY label, dim""".stripMargin,
     "s_cosine_neardup" ->
       """WITH corpus AS (
         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings

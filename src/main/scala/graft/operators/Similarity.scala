@@ -178,6 +178,25 @@ object Similarity {
       .dropDuplicates("id_a", "id_b")
   }
 
+  /** Per-label centroids in long form: one row per (label, dim) with the
+    * dimension's mean — the class-separation diagnostic over a labeled
+    * embedding corpus (how far apart are the label clusters; feed pairs
+    * of centroids to [[cosine]] for an inter-label similarity matrix).
+    * posexplode → map-side-combined groupBy (label, dim): the shuffle
+    * carries labels×dims partial sums per partition, never vectors.
+    * Means are rounded so independent engines (different summation
+    * orders, last-ulp differences) reproduce the output exactly.
+    */
+  def labelCentroids(df: DataFrame, labelCol: String, vecCol: String,
+      roundTo: Int = 4): DataFrame =
+    df.filter(col(vecCol).isNotNull)
+      .select(col(labelCol).as("label"),
+        posexplode(col(vecCol)).as(Seq("dim", "v")))
+      .groupBy(col("label"), col("dim"))
+      .agg(round(avg(col("v").cast("double")), roundTo).as("centroid"),
+        count(lit(1)).as("n_vecs"))
+      .select(col("label"), col("dim"), col("centroid"), col("n_vecs"))
+
   /** `greatest` over struct scores that also works for a single candidate
     * (Spark's GREATEST requires >= 2 arguments — k = 1 quantizers and
     * single-vector corpora are legal inputs here).

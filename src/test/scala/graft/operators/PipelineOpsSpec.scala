@@ -506,6 +506,19 @@ class PipelineOpsSpec extends SparkSpec {
     assert(got(1).getString(4) == "no pii here at all")
   }
 
+  test("label centroids: per-dimension means in long form") {
+    val vecs = Seq(
+      (0, Seq(1.0f, 2.0f)), (0, Seq(3.0f, 4.0f)), // label 0: mean (2, 3)
+      (1, Seq(10.0f, 0.0f))                       // label 1: itself
+    ).toDF("label", "embedding")
+    val got = Similarity.labelCentroids(vecs, "label", "embedding")
+      .orderBy("label", "dim").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getDouble(2), r.getLong(3)))
+    assert(got.sameElements(Array(
+      (0, 0, 2.0, 2L), (0, 1, 3.0, 2L), (1, 0, 10.0, 1L), (1, 1, 0.0, 1L))),
+      got.mkString(","))
+  }
+
   test("portable simhash twin: exact dup identical, near-dup closer than distinct") {
     val sigs = docs.select(col("doc_id"),
       Dedup.simHashPortable(col("text")).as("sig"))
