@@ -120,7 +120,15 @@ object Main {
                 s"instance-level $$schema discovery requires a local docs path " +
                   s"(got scheme ${m.group(1)}://); pass --rules explicitly")
             case Some(_) =>
-              java.nio.file.Paths.get(new java.net.URI(args.docs)).toAbsolutePath.getParent
+              // Hadoop Path, not strict java.net.URI: a file:// path with
+              // spaces (no percent-encoding) or a file://host/... authority
+              // would make new URI(...) throw an opaque URISyntaxException /
+              // Paths.get(URI) reject the authority form
+              val local = new org.apache.hadoop.fs.Path(args.docs).toUri.getPath
+              if (local == null || local.isEmpty)
+                throw new IllegalArgumentException(
+                  s"cannot resolve a local directory from ${args.docs}; pass --rules explicitly")
+              java.nio.file.Paths.get(local).toAbsolutePath.getParent
             case None =>
               java.nio.file.Paths.get(args.docs).toAbsolutePath.getParent
           }

@@ -33,14 +33,18 @@ object Curation {
       sampleFraction: Double): DataFrame = {
     require(langs.nonEmpty && minQuality >= 0 && minDistinctFrac >= 0)
     val text = col(textCol)
-    // materialize the token array ONCE: interpreted HOFs get no
-    // common-subexpression elimination, so referencing the filter(split())
-    // expression three times would re-tokenize every row three times
-    // (the ~30x-per-lambda cost Dedup.shingles documents)
+    // materialize BOTH token arrays ONCE: interpreted HOFs get no
+    // common-subexpression elimination, so every textual reference to a
+    // tokenizing expression re-tokenizes the row (the ~30x-per-lambda cost
+    // Dedup.shingles documents). `_tk` (plain space split) feeds the
+    // repetition gate; `_ntk` (normalized, TextAnalysis.toks) feeds the
+    // langIdTk argmax (4 folds) AND qualityScoreTk's stopword fold — 6
+    // tokenizations collapsed to 2.
     val gated = df
       .withColumn("_tk", filter(split(lower(text), " "), t => length(t) > 0))
-      .withColumn("lang_id", TextAnalysis.langId(text))
-      .withColumn("quality", TextAnalysis.qualityScore(text))
+      .withColumn("_ntk", TextAnalysis.toks(text))
+      .withColumn("lang_id", TextAnalysis.langIdTk(col("_ntk")))
+      .withColumn("quality", TextAnalysis.qualityScoreTk(text, col("_ntk")))
       .withColumn("_df",
         size(array_distinct(col("_tk"))).cast("double") / size(col("_tk")))
       .filter(size(col("_tk")) > 0 && col("lang_id").isin(langs.toSeq: _*) &&

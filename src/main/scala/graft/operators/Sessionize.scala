@@ -78,11 +78,23 @@ object Sessionize {
           byUser.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .select(col(userCol), col("_bucket"), col("_stitch"), col("_cum_before"))
 
+    // NULL-SAFE stitch join (<=> on both keys): a null timestamp makes
+    // `_bucket` null and a Seq-join's EqualTo would silently drop those
+    // rows — the single-Window form kept them (each null-ts row its own
+    // session, nulls-first), and null users form a group of their own the
+    // same way. BROADCAST the summary: it is one row per (user, day) of
+    // the processed slice — orders of magnitude below the event table —
+    // and broadcasting it means the already-window-sorted event side needs
+    // no second exchange for the join.
+    val st = stitched
+      .withColumnRenamed(userCol, "_st_user").withColumnRenamed("_bucket", "_st_bucket")
     withLocal
-      .join(stitched, Seq(userCol, "_bucket"))
+      .join(broadcast(st),
+        col(userCol) <=> col("_st_user") && col("_bucket") <=> col("_st_bucket"))
       .withColumn("session_index",
         col("_cum_before") - col("_stitch") + col("_local_idx"))
-      .drop("_bucket", "_new_local", "_local_idx", "_stitch", "_cum_before")
+      .drop("_st_user", "_st_bucket", "_bucket", "_new_local", "_local_idx",
+        "_stitch", "_cum_before")
   }
 
   /** Per-user session stats: sessions, events, events per session. */

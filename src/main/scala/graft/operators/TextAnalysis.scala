@@ -22,24 +22,38 @@ object TextAnalysis {
     "fr" -> Seq("le", "la", "et", "les", "des", "est", "dans", "que", "une", "pour"),
     "es" -> Seq("el", "la", "que", "los", "del", "las", "por", "con", "una", "para"))
 
-  private def toks(text: Column): Column =
+  /** Normalized token array (lowercase, punctuation stripped) — public so
+    * pipelines can materialize it ONCE and feed the `*Tk` variants below:
+    * interpreted HOFs get no common-subexpression elimination, so every
+    * textual `toks(text)` reference re-tokenizes the row.
+    */
+  def toks(text: Column): Column =
     split(lower(regexp_replace(trim(text), "[^\\p{L}\\p{N}\\s]", " ")), "\\s+")
+
+  /** Marker-hit count for one language over a pre-tokenized array. */
+  def markerHitsTk(tks: Column, lang: String): Column =
+    aggregate(tks, lit(0), (acc, t) =>
+      acc + when(t.isin(markers(lang): _*), 1).otherwise(0))
 
   /** Marker-hit count for one language. */
   def markerHits(text: Column, lang: String): Column =
-    aggregate(toks(text), lit(0), (acc, t) =>
-      acc + when(t.isin(markers(lang): _*), 1).otherwise(0))
+    markerHitsTk(toks(text), lang)
 
-  /** Heuristic language id: argmax of marker hits; "und" (undetermined)
-    * when no marker hits at all.
+  /** [[langId]] over a pre-tokenized array (see [[toks]]): the 4 per-language
+    * folds share the one materialized array instead of re-tokenizing.
     */
-  def langId(text: Column): Column = {
+  def langIdTk(tks: Column): Column = {
     val scored = markers.keys.toSeq.sorted.map { l =>
-      struct(markerHits(text, l).as("hits"), lit(l).as("lang"))
+      struct(markerHitsTk(tks, l).as("hits"), lit(l).as("lang"))
     }
     val best = greatest(scored: _*)
     when(best.getField("hits") > 0, best.getField("lang")).otherwise(lit("und"))
   }
+
+  /** Heuristic language id: argmax of marker hits; "und" (undetermined)
+    * when no marker hits at all.
+    */
+  def langId(text: Column): Column = langIdTk(toks(text))
 
   /** Whitespace token count. */
   def tokenCountWs(text: Column): Column =
@@ -70,12 +84,19 @@ object TextAnalysis {
     * ratio, stopword ratio, and mean word length band — the standard cheap
     * heuristics used to pre-filter web text.
     */
-  def qualityScore(text: Column): Column = {
+  def qualityScore(text: Column): Column = qualityScoreTk(text, toks(text))
+
+  /** [[qualityScore]] with the normalized token array passed in (see
+    * [[toks]]) — the raw text column is still needed for the character-level
+    * ratios (length/alpha/punct run on raw text; `words` is the WHITESPACE
+    * token count of the raw text, deliberately not `size(tks)`).
+    */
+  def qualityScoreTk(text: Column, tks: Column): Column = {
     val n = length(text).cast("double")
     val alpha = length(regexp_replace(text, "[^\\p{L}]", "")).cast("double")
     val punct = length(regexp_replace(text, "[^.,;:!?]", "")).cast("double")
     val words = tokenCountWs(text).cast("double")
-    val stop = aggregate(toks(text), lit(0), (acc, t) =>
+    val stop = aggregate(tks, lit(0), (acc, t) =>
       acc + when(t.isin(markers.values.flatten.toSeq: _*), 1).otherwise(0)).cast("double")
     val lenScore = when(n >= 200 && n <= 20000, 1.0)
       .when(n >= 50, 0.5).otherwise(0.1)

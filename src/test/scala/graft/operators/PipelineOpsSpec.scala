@@ -368,6 +368,23 @@ class PipelineOpsSpec extends SparkSpec {
     assert(stats == Map("u1" -> 2L, "u2" -> 2L), s"$stats")
   }
 
+  test("sessionization keeps null-timestamp (and null-user) rows — null-safe stitch join") {
+    // null ts => null _bucket; a plain EqualTo join key would drop these
+    // rows silently. Single-Window semantics: each null-ts row is its own
+    // session (lag over nulls-first ordering yields null => new session).
+    val ts = Seq(
+      ("u1", Some("2026-01-01 10:00:00")), ("u1", None), ("u1", None),
+      (null, Some("2026-01-01 10:00:00")))
+      .toDF("user_id", "t").select(col("user_id"), to_timestamp(col("t")).as("ts"))
+    val got = Sessionize.withSessions(ts, "user_id", "ts")
+    assert(got.count() == 4, "null-ts / null-user rows must survive")
+    val u1 = got.filter(col("user_id") === "u1").orderBy(col("ts").asc_nulls_first)
+      .select("session_index").collect().map(_.getLong(0)).toSeq
+    // nulls first: two null-ts sessions (0, 1), then the real event opens 2
+    assert(u1 == Seq(0L, 1L, 2L), s"got $u1")
+    assert(got.filter(col("user_id").isNull).count() == 1)
+  }
+
   test("sessionization bounds a hot user: event Window partitions by (user, day)") {
     // one bot, 20k events a minute apart with a single 2h gap injected —
     // spans ~14 day buckets, so no single task ever sorts the whole user
