@@ -42,7 +42,9 @@ object Main {
 
   private case class Args(rules: List[String] = Nil, docs: String = "",
       out: String = "", failFast: Boolean = false, json: Boolean = false,
-      jsonLimit: Int = 10000, partsPerBatch: Int = 8, filesPerPart: Int = 1)
+      jsonLimit: Int = 10000, partsPerBatch: Int = 8, filesPerPart: Int = 1,
+      sketches: Boolean = false, driftCols: List[String] = Nil,
+      driftSave: String = "", driftBaseline: String = "")
 
   private def parse(argv: List[String], a: Args): Args = argv match {
     case Nil => a
@@ -54,6 +56,10 @@ object Main {
     case "--json-limit" :: v :: rest => parse(rest, a.copy(jsonLimit = v.toInt))
     case "--parts-per-batch" :: v :: rest => parse(rest, a.copy(partsPerBatch = v.toInt))
     case "--files-per-part" :: v :: rest => parse(rest, a.copy(filesPerPart = v.toInt))
+    case "--sketches" :: rest => parse(rest, a.copy(sketches = true))
+    case "--drift-col" :: v :: rest => parse(rest, a.copy(driftCols = a.driftCols :+ v))
+    case "--drift-save" :: v :: rest => parse(rest, a.copy(driftSave = v))
+    case "--drift-baseline" :: v :: rest => parse(rest, a.copy(driftBaseline = v))
     case other :: _ => throw new IllegalArgumentException(s"Unknown argument: $other")
   }
 
@@ -67,6 +73,52 @@ object Main {
     case '\n' => "\\n"
     case c if c < ' ' => f"\\u${c.toInt}%04x"
     case c => c.toString
+    }
+  }
+
+  /** `--sketches` / `--drift-col` report: merged per-partition sketches from
+    * the COMMIT LOG ONLY — on a resume run, committed parts contribute their
+    * persisted sketch bytes without any rescan (the north rule's
+    * "lineage + metrics checkpointed" made actionable). `--drift-save` writes
+    * the merged sketches as a baseline file; `--drift-baseline` compares the
+    * current run against such a file and reports per-column KS.
+    */
+  private def driftReport(spark: SparkSession, args: Args): Unit = {
+    if (!(args.sketches || args.driftCols.nonEmpty)) return
+    import graft.operators.ResumableValidate.{kllColKey, KllNSpansKey}
+    val est = ResumableValidate.mergedDocIdEstimate(spark, args.out)
+    System.err.println(s"[graft] sketch doc_id_distinct_est=$est")
+    val keys = KllNSpansKey +: args.driftCols.map(kllColKey)
+    val merged = keys.map(k =>
+      k -> ResumableValidate.mergedKllSketch(spark, args.out, k))
+    merged.foreach { case (k, b) =>
+      val q = graft.plans.Kll.quantiles(b, Seq(0.1, 0.5, 0.9))
+      System.err.println(s"[graft] sketch $k p10=${q(0)} p50=${q(1)} p90=${q(2)}")
+    }
+    val hconf = spark.sparkContext.hadoopConfiguration
+    if (args.driftSave.nonEmpty) {
+      val p = new org.apache.hadoop.fs.Path(args.driftSave)
+      val out = p.getFileSystem(hconf).create(p, true)
+      val json = merged.map { case (k, b) =>
+        "\"" + jesc(k) + "\":\"" + java.util.Base64.getEncoder.encodeToString(b) + "\""
+      }.mkString("{", ",", "}")
+      try out.write(json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+      System.err.println(s"[graft] drift baseline saved to ${args.driftSave}")
+    }
+    if (args.driftBaseline.nonEmpty) {
+      val p = new org.apache.hadoop.fs.Path(args.driftBaseline)
+      val in = p.getFileSystem(hconf).open(p)
+      val txt = try new String(in.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8) finally in.close()
+      val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(txt)
+      merged.foreach { case (k, b) =>
+        Option(node.get(k)).foreach { bn =>
+          val base = java.util.Base64.getDecoder.decode(bn.asText)
+          val ks = graft.plans.Kll.ks(base, b)
+          System.err.println(f"[graft] drift $k ks=$ks%.6f")
+        }
+      }
     }
   }
 
@@ -141,7 +193,10 @@ object Main {
         partsPerBatch = args.partsPerBatch,
         defs = loaded.defs,
         failFast = args.failFast,
-        filesPerPart = args.filesPerPart)
+        filesPerPart = args.filesPerPart,
+        withSketches = args.sketches || args.driftCols.nonEmpty,
+        driftCols = args.driftCols)
+      driftReport(spark, args)
       val hconf = spark.sparkContext.hadoopConfiguration
       val commits = CommitLog.completed(args.out, hconf)
       val failedDocs = CommitLog.failedDocsTotal(args.out, hconf)

@@ -59,6 +59,9 @@ object ResumableValidate {
   val HllDocIdKey = "hll_doc_id"
   val KllNSpansKey = "kll_n_spans"
 
+  /** Commit-sketch key for a user-named drift column (`--drift-col`). */
+  def kllColKey(c: String): String = s"kll_col_$c"
+
   /** Validate `docs` (must carry a `part` column) against `rule` + the span
     * invariant, checkpointing per part. `failAfterParts` kills the run after
     * N parts (test hook simulating a mid-run crash).
@@ -88,7 +91,8 @@ object ResumableValidate {
       partsPerBatch: Int = 8, defs: Map[String, Rule] = Map.empty,
       failFast: Boolean = false, filesPerPart: Int = 1,
       expectedParts: Option[Seq[Int]] = None,
-      withSketches: Boolean = false): RunReport = {
+      withSketches: Boolean = false,
+      driftCols: Seq[String] = Nil): RunReport = {
     val conf = spark.sparkContext.hadoopConfiguration
     val rh = ruleHash(rule)
     val done = CommitLog.completed(outDir, conf)
@@ -156,17 +160,20 @@ object ResumableValidate {
           count(lit(1)).as("docs"),
           sum(when(!col("pass"), 1L).otherwise(0L)).as("failed"),
           sum(size(col("violations")).cast("long")).as("nv"))
-        val aggs = if (withSketches) baseAggs ++ Seq(
+        val sketchAggs = (if (withSketches) Seq(
           hll_sketch_agg(col("doc_id").cast("string")).as("hll"),
           graft.plans.Kll.sketchAgg(size(col("spans")).cast("double")).as("kll"))
-        else baseAggs
+        else Nil) ++ driftCols.map(c =>
+          graft.plans.Kll.sketchAgg(col(c).cast("double")).as(kllColKey(c)))
+        val aggs = baseAggs ++ sketchAggs
         val metricRows = slice.groupBy(col("part"))
           .agg(aggs.head, aggs.tail: _*).collect()
         val metrics = metricRows.map { r =>
-          val sk = if (withSketches) Map(
+          val sk = (if (withSketches) Map(
             HllDocIdKey -> r.getAs[Array[Byte]]("hll"),
             KllNSpansKey -> r.getAs[Array[Byte]]("kll"))
-          else Map.empty[String, Array[Byte]]
+          else Map.empty[String, Array[Byte]]) ++
+            driftCols.map(c => kllColKey(c) -> r.getAs[Array[Byte]](kllColKey(c)))
           r.getInt(0) -> ((r.getAs[Long]("docs"), r.getAs[Long]("failed"),
             r.getAs[Long]("nv"), sk))
         }.toMap
@@ -254,11 +261,17 @@ object ResumableValidate {
     * order keeps the merged sketch reproducible for a given set of
     * per-part sketches.
     */
-  def mergedNSpansSketch(spark: SparkSession, outDir: String): Array[Byte] = {
+  def mergedNSpansSketch(spark: SparkSession, outDir: String): Array[Byte] =
+    mergedKllSketch(spark, outDir, KllNSpansKey)
+
+  /** Merged KLL sketch for any persisted sketch key (e.g. [[kllColKey]] for
+    * a `--drift-col` column). Pure commit-log read — NEVER rescans data.
+    */
+  def mergedKllSketch(spark: SparkSession, outDir: String, key: String): Array[Byte] = {
     val conf = spark.sparkContext.hadoopConfiguration
     val bytes = CommitLog.sketches(outDir, conf).toSeq.sortBy(_._1)
-      .flatMap(_._2.get(KllNSpansKey))
-    require(bytes.nonEmpty, s"no $KllNSpansKey sketches committed under $outDir")
+      .flatMap(_._2.get(key))
+    require(bytes.nonEmpty, s"no $key sketches committed under $outDir")
     graft.plans.Kll.union(bytes)
   }
 }

@@ -126,41 +126,60 @@ object CommitLog {
       }
   }
 
-  private def field(txt: String, name: String): Option[String] =
-    ("\"" + name + "\":\"([^\"]*)\"").r.findFirstMatchIn(txt).map(_.group(1))
+  /** READ side parses with Jackson (already on Spark's classpath), not
+    * regexes: a `"([^"]*)"` field pattern truncates at the `\"` that [[esc]]
+    * itself faithfully writes for a manifest path containing a quote — real
+    * object-store keys can contain quotes and newlines, and a corrupted
+    * manifest read would silently break snapshot-lineage checks. The write
+    * side stays hand-rolled (it controls its own output shape).
+    */
+  private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+
+  private def parsedCommits(dir: String,
+      conf: Configuration): Seq[(Int, com.fasterxml.jackson.databind.JsonNode)] =
+    readCommitFiles(dir, conf).map { case (p, txt) => p -> mapper.readTree(txt) }
 
   /** Completed partitions (+ their recorded rule hash for mismatch checks). */
   def completed(dir: String,
       conf: Configuration = new Configuration()): Map[Int, String] =
-    readCommitFiles(dir, conf)
-      .map { case (p, txt) => p -> field(txt, "rule_hash").getOrElse("") }
+    parsedCommits(dir, conf)
+      .map { case (p, n) => p -> Option(n.get("rule_hash")).map(_.asText).getOrElse("") }
       .toMap
 
   /** part -> batch dir name it was committed under ("" for pre-batch logs). */
   def committedBatches(dir: String,
       conf: Configuration = new Configuration()): Map[Int, String] =
-    readCommitFiles(dir, conf)
-      .map { case (p, txt) => p -> field(txt, "batch").getOrElse("") }
+    parsedCommits(dir, conf)
+      .map { case (p, n) => p -> Option(n.get("batch")).map(_.asText).getOrElse("") }
       .toMap
 
   /** part -> named sketch bytes persisted with the commit (may be empty). */
   def sketches(dir: String,
       conf: Configuration = new Configuration()): Map[Int, Map[String, Array[Byte]]] =
-    readCommitFiles(dir, conf).map { case (p, txt) =>
-      val m = "\"sketches\":\\{([^}]*)\\}".r.findFirstMatchIn(txt)
-        .map(_.group(1)).getOrElse("")
-      val entries = "\"([^\"]+)\":\"([^\"]*)\"".r.findAllMatchIn(m).map { mm =>
-        mm.group(1) -> java.util.Base64.getDecoder.decode(mm.group(2))
-      }.toMap
+    parsedCommits(dir, conf).map { case (p, n) =>
+      val entries = Option(n.get("sketches")).map { sk =>
+        import scala.jdk.CollectionConverters._
+        sk.properties().asScala.map { e =>
+          e.getKey -> java.util.Base64.getDecoder.decode(e.getValue.asText)
+        }.toMap
+      }.getOrElse(Map.empty[String, Array[Byte]])
       p -> entries
+    }.toMap
+
+  /** The recorded input-file manifest per part (lineage read-back). */
+  def manifests(dir: String,
+      conf: Configuration = new Configuration()): Map[Int, Seq[String]] =
+    parsedCommits(dir, conf).map { case (p, n) =>
+      import scala.jdk.CollectionConverters._
+      p -> Option(n.get("manifest"))
+        .map(_.elements().asScala.map(_.asText).toSeq).getOrElse(Nil)
     }.toMap
 
   /** Sum of failed_docs over all committed partitions (the job verdict). */
   def failedDocsTotal(dir: String,
       conf: Configuration = new Configuration()): Long =
-    readCommitFiles(dir, conf).map { case (_, txt) =>
-      "\"failed_docs\":(\\d+)".r.findFirstMatchIn(txt)
-        .map(_.group(1).toLong).getOrElse(0L)
+    parsedCommits(dir, conf).map { case (_, n) =>
+      Option(n.get("failed_docs")).map(_.asLong).getOrElse(0L)
     }.sum
 
   def clear(dir: String, conf: Configuration = new Configuration()): Unit = {

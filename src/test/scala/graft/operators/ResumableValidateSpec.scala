@@ -212,6 +212,60 @@ class ResumableValidateSpec extends SparkSpec {
     }
   }
 
+  test("drift-col sketches: crash + resume yields the single-run merged sketch, no rescan") {
+    import org.apache.spark.sql.functions._
+    val docs = freshDocs.withColumn("n_spans", size(col("spans")))
+    val key = ResumableValidate.kllColKey("n_spans")
+    // uninterrupted reference run
+    val oneDir = Files.createTempDirectory("graft_drift_one").toString
+    // partsPerBatch = 1 on BOTH runs: KLL content is update-order-sensitive,
+    // and batch size changes the slice each per-part aggregation sees
+    ResumableValidate.run(spark, docs, rule, oneDir, driftCols = Seq("n_spans"),
+      withSketches = true, partsPerBatch = 1)
+    val oneSketch = ResumableValidate.mergedKllSketch(spark, oneDir, key)
+    // crashed run + resume
+    val crashDir = Files.createTempDirectory("graft_drift_crash").toString
+    intercept[RuntimeException] {
+      ResumableValidate.run(spark, docs, rule, crashDir, driftCols = Seq("n_spans"),
+        withSketches = true, failAfterParts = 3, partsPerBatch = 1)
+    }
+    val resumed = ResumableValidate.run(spark, docs, rule, crashDir,
+      driftCols = Seq("n_spans"), withSketches = true, partsPerBatch = 1)
+    assert(resumed.partsSkipped.size == 3, "resume must skip the committed parts")
+    // the merged sketch derives from commit bytes only; KLL compaction is
+    // RANDOMIZED (DataSketches), so two sketches of the same data agree to
+    // the published normalized rank error (~0.8% at k=200), not bit-for-bit
+    // (the union/merge step is itself randomized, so even re-merging the
+    // SAME commit bytes wobbles quantiles by one discrete step — only
+    // rank-error-bounded assertions are sound)
+    val resSketch = ResumableValidate.mergedKllSketch(spark, crashDir, key)
+    val probs = Seq(0.01, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99)
+    graft.plans.Kll.quantiles(resSketch, probs)
+      .zip(graft.plans.Kll.quantiles(oneSketch, probs)).foreach { case (a, b) =>
+        assert(math.abs(a - b) <= 1.0, s"quantile gap beyond one step: $a vs $b")
+      }
+    assert(graft.plans.Kll.ks(oneSketch, resSketch) < 0.02,
+      "resume-run sketch must match single-run within KLL rank error")
+  }
+
+  test("commit JSON round-trips manifest paths containing quotes and newlines") {
+    // the old regex read side truncated at the \" that esc writes — a
+    // quote in an object-store key silently corrupted the manifest and a
+    // hash with a quote broke resume's rule-hash check
+    val dir = Files.createTempDirectory("graft_quote_commit").toString
+    val nastyManifest = Seq("s3a://b/weird\"key.parquet", "line1\nline2", "tab\tpath")
+    val nastyHash = "h\"ash\\with\nnasties"
+    val sk = Map("k\"1" -> Array[Byte](1, 2, 3))
+    CommitLog.write(dir, CommitLog.Commit(7, 10, 2, 3, nastyHash, "snap",
+      nastyManifest, 5, batch = "violations_batch_\"7", sketches = sk))
+    assert(CommitLog.completed(dir) == Map(7 -> nastyHash))
+    assert(CommitLog.committedBatches(dir) == Map(7 -> "violations_batch_\"7"))
+    assert(CommitLog.manifests(dir) == Map(7 -> nastyManifest))
+    assert(CommitLog.failedDocsTotal(dir) == 2L)
+    val got = CommitLog.sketches(dir)(7)
+    assert(got.keySet == Set("k\"1") && got("k\"1").toSeq == Seq[Byte](1, 2, 3))
+  }
+
   test("violations() reads logs whose commits predate the batch field") {
     val dir = Files.createTempDirectory("graft_legacy").toString
     ResumableValidate.run(spark, freshDocs, rule, dir,
