@@ -271,11 +271,12 @@ object Bench {
     // query's cost with whatever JIT/page-cache/GC state it happened to run
     // under, which made cross-round per-query deltas noise; interleaving
     // keeps every query sampling the same background regime and the min
-    // strips one-off stalls. s_ann_ivf is additionally timed split into
-    // build (train + write index) vs probe (the serving-path number).
+    // strips one-off stalls. s_ann_ivf and s_ann_lsh are additionally timed
+    // split into build (write index) vs probe (the serving-path number).
     val queryRepeats = sys.env.getOrElse("SPARK_GRAFT_QUERY_REPEATS", "3").toInt
     val spark = session(cpus.toInt)
     var ivfIdx: String = null
+    var lshIdx: String = null
     val timed: Seq[(String, () => Unit)] =
       SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
         name -> (() => { fn(spark, sfDir).count(): Unit })
@@ -284,7 +285,9 @@ object Bench {
           SparkEntry.ivfCacheClear(sfDir) // time train + write, not a cache hit
           ivfIdx = SparkEntry.ivfBuildIndex(spark, sfDir)
         }),
-        "s_ann_ivf_probe" -> (() => { SparkEntry.ivfProbe(spark, sfDir, ivfIdx).count(): Unit }))
+        "s_ann_ivf_probe" -> (() => { SparkEntry.ivfProbe(spark, sfDir, ivfIdx).count(): Unit }),
+        "s_ann_lsh_build" -> (() => { lshIdx = SparkEntry.lshBuildIndex(spark, sfDir) }),
+        "s_ann_lsh_probe" -> (() => { SparkEntry.lshProbe(spark, sfDir, lshIdx).count(): Unit }))
     val best = scala.collection.mutable.LinkedHashMap[String, Double](
       timed.map(_._1 -> Double.MaxValue): _*)
     val failed = scala.collection.mutable.LinkedHashSet[String]()

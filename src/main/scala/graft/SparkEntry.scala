@@ -21,6 +21,11 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
+  /** Unique memory-sink names for streaming queries (a query name can't be
+    * reused while its temp view exists; bench repeats run each query 3×).
+    */
+  private val streamSeq = new java.util.concurrent.atomic.AtomicLong(0)
+
   /** The north-rule docs table derived from lineitem: one doc per order,
     * spans = lineitems ordered by linenumber; offset-order violations
     * injected where l_quantity > 45 (offset forced to 0).
@@ -390,17 +395,15 @@ object SparkEntry {
         .orderBy("id")
     }),
     "s_ann_lsh" -> ((s, dir) => {
-      // LSH-bucketed ANN. The hyperplanes are deterministic double
+      // LSH-bucketed ANN over a WRITTEN (tbl, bucket)-partitioned index:
+      // the serving path (build once, probe = partition-pruned read of the
+      // query's 4 bucket dirs). The hyperplanes are deterministic double
       // literals, so the oracle replays the exact bucketing from the same
       // plane matrix (injected via oracleSqlResolved) — same fold order,
-      // bit-identical buckets, hash-checkable output.
-      val emb = t(s, dir, "embeddings")
-      val q: Seq[Float] = emb.filter(col("vec_id") === 0L)
-        .select(col("embedding")).collect()(0).getSeq[Float](0)
-      Similarity.lshTopK(emb.filter(col("vec_id") =!= 0L), "vec_id", "embedding", q,
-        k = 50, nPlanes = 8, nTables = 4)
-        .select(col("id"), round(col("cosine"), 2).as("cosine"))
-        .orderBy(col("cosine").desc, col("id"))
+      // bit-identical buckets, hash-checkable output. The ad-hoc one-scan
+      // form stays as Similarity.lshTopK (spec-equivalence in PlanSpec).
+      val idx = lshBuildIndex(s, dir)
+      lshProbe(s, dir, idx)
     }),
     "s_ann_ivf" -> ((s, dir) => {
       // IVF over a WRITTEN index: 8 TRAINED centroids (deterministic
@@ -545,6 +548,33 @@ object SparkEntry {
       Sessionize.sessionStats(t(s, dir, "events"), "user_id", "ts", gapMinutes = 30)
         .orderBy("user_id")
     }),
+    "e_stream_verdicts" -> ((s, dir) => {
+      // STRUCTURED STREAMING through the driver oracle: the same events
+      // parquet replayed as a file-source micro-batch stream (AvailableNow),
+      // tumbling-window verdict aggregation in complete mode, memory sink —
+      // the streaming plan must land on EXACTLY the batch answer (same SQL
+      // oracle as e_window_verdicts), closing the one operator family that
+      // had no oracle row. AvailableNow = all files delivered, so complete
+      // mode's final emission is deterministic with no late-data dropping.
+      val batch = t(s, dir, "events")
+      // the file stream source needs a DIRECTORY basePath; the sf tables
+      // are single files, so stream the parent dir with a glob filter
+      val stream = s.readStream.schema(batch.schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(dir)
+      val out = Sessionize.windowVerdicts(stream, "ts", "event_type",
+        failPred = col("value") > 100.0, windowLen = "1 hour")
+      val name = s"stream_verdicts_${streamSeq.incrementAndGet()}"
+      val q = out.writeStream.format("memory").queryName(name)
+        .outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table(name)
+        .select(date_format(col("window_start"), "yyyy-MM-dd HH:mm").as("w"),
+          col("event_type"), col("events"), col("failed"))
+        .orderBy("w", "event_type")
+    }),
     "e_json_props" -> ((s, dir) => {
       // semi-structured extraction: props is a JSON string; k in [0,100),
       // flag k >= 80 as out-of-policy per event_type
@@ -607,6 +637,31 @@ object SparkEntry {
     Similarity.ivfWriteIndex(emb.filter(col("vec_id") > 8L), "vec_id", "embedding",
       ivfCentroids(s, dir), idx)
     idx
+  }
+
+  /** LSH BUILD phase: write the (tbl, bucket)-partitioned signature index
+    * for the embeddings corpus; returns the index path. Plane constants are
+    * data-independent, so there is nothing to train — build = one signature
+    * scan + partitioned write.
+    */
+  def lshBuildIndex(s: SparkSession, dir: String): String = {
+    val emb = t(s, dir, "embeddings")
+    val idx = s"${System.getProperty("java.io.tmpdir")}/graft_lsh_idx_${dir.hashCode}"
+    Similarity.lshWriteIndex(emb.filter(col("vec_id") =!= 0L), "vec_id", "embedding",
+      dims = 64, idx, nPlanes = 8, nTables = 4)
+    idx
+  }
+
+  /** LSH PROBE phase: partition-pruned top-k over a built index — reads only
+    * the query's 4 bucket partitions, no signature math over the corpus.
+    */
+  def lshProbe(s: SparkSession, dir: String, idx: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val q: Seq[Float] = emb.filter(col("vec_id") === 0L)
+      .select(col("embedding")).collect()(0).getSeq[Float](0)
+    Similarity.lshTopKIndexed(s, idx, q, k = 50, nPlanes = 8, nTables = 4)
+      .select(col("id"), round(col("cosine"), 2).as("cosine"))
+      .orderBy(col("cosine").desc, col("id"))
   }
 
   /** IVF PROBE phase: partition-pruned top-k over a built index. */
@@ -991,6 +1046,14 @@ object SparkEntry {
         |  CAST(count(*) AS BIGINT) AS events,
         |  CAST(sum(CASE WHEN value > 100.0 THEN 1 ELSE 0 END) AS BIGINT) AS failed
         |FROM events GROUP BY 1, 2 ORDER BY w, event_type""".stripMargin,
+    // the STREAMING replay must land on the identical batch answer — same
+    // oracle SQL as e_window_verdicts by construction
+    "e_stream_verdicts" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M') AS w,
+        |  event_type,
+        |  CAST(count(*) AS BIGINT) AS events,
+        |  CAST(sum(CASE WHEN value > 100.0 THEN 1 ELSE 0 END) AS BIGINT) AS failed
+        |FROM events GROUP BY 1, 2 ORDER BY w, event_type""".stripMargin,
     "e_sessions" ->
       """WITH gaps AS (SELECT user_id, ts,
         |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev
@@ -1286,7 +1349,8 @@ object SparkEntry {
         |       ELSE 1 + id % 300 END AS INT) AS nframes,
         |  CAST(CASE WHEN id % 3 = 1 THEN 8000 + (id % 8) * 1000 ELSE 0 END AS INT)
         |    AS sample_rate,
-        |  CAST(CASE WHEN id % 3 = 1 THEN 1 + id % 2 ELSE 0 END AS INT) AS channels
+        |  CAST(CASE WHEN id % 3 = 1 THEN 1 + id % 2 ELSE 0 END AS INT) AS channels,
+        |  true AS parsed
         |FROM ids ORDER BY media_ref""".stripMargin,
     "m_frame_sample" ->
       """WITH ids AS (SELECT range AS id FROM range(0, 2000) WHERE range % 3 = 2)

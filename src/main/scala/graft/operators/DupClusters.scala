@@ -14,15 +14,18 @@ import org.apache.spark.storage.StorageLevel
   * have no analogue there and follow the public MapReduce
   * connected-components literature instead).
   *
-  * Algorithm: min-label propagation. Every vertex starts as its own
-  * component; each round every vertex takes the min of its own label and
-  * its neighbors' labels; fixpoint = component-min everywhere. Rounds
-  * needed = graph diameter, and near-dup graphs are almost-cliques
-  * (members of one cluster share LSH buckets pairwise), so 2-3 rounds
-  * close most corpora — the O(log n) large-star/small-star variant
-  * (Kiveris et al., "Connected Components in MapReduce and Beyond") only
-  * pays off on long-chain graphs, which dedup thresholds >= 0.5 cannot
-  * produce in practice (similarity is near-transitive at that level).
+  * Algorithm: min-label propagation with POINTER JUMPING. Every vertex
+  * starts as its own component; each round every vertex takes the min of
+  * its own label and its neighbors' labels (fixpoint = component-min
+  * everywhere), then additionally jumps to its label's label (path
+  * doubling). Plain propagation needs diameter rounds — fine for near-dup
+  * graphs, which are almost-cliques (members of one cluster share LSH
+  * buckets pairwise; 2-3 rounds) but fatal for chain-shaped graphs; the
+  * jump step contracts label paths geometrically, giving the same
+  * O(log diameter) round bound as the large-star/small-star scheme
+  * (Kiveris et al., "Connected Components in MapReduce and Beyond") with
+  * one cheap extra join per round on the LABEL table only (|V| of the
+  * pair graph), instead of a different edge-rewriting algorithm.
   *
   * 100 TB design:
   *  - each round is two shuffles (edge-label join + min agg), both keyed
@@ -57,16 +60,26 @@ object DupClusters {
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < maxIter) {
-      // min neighbor label per vertex, then fold into the current label
+      // min neighbor label per vertex, folded into the current label
       val nbrMin = sym
         .join(labels.select(col("id").as("src"), col("comp")), "src")
         .groupBy(col("dst").as("nid")).agg(min("comp").as("nbr_min"))
+      val stepped = labels.join(nbrMin, col("id") === col("nid"), "left")
+        .select(col("id"),
+          least(col("comp"), coalesce(col("nbr_min"), col("comp"))).as("cand"))
+      // pointer jump (path doubling): also take the candidate label's OWN
+      // label — labels only ever decrease toward the component min, so the
+      // jump is always sound and contracts label chains geometrically
+      // (a diameter-d path closes in O(log d) rounds, not d)
+      val parents = labels.select(col("id").as("_pid"), col("comp").as("_pcomp"))
       // lazy checkpoint: the convergence count below is the materializing
       // action (eager would spend an extra job per round)
-      val next = labels.join(nbrMin, col("id") === col("nid"), "left")
+      val next = stepped.join(parents, col("cand") === col("_pid"), "left")
+        .join(labels.select(col("id"), col("comp").as("_prev")), "id")
         .select(col("id"),
-          least(col("comp"), coalesce(col("nbr_min"), col("comp"))).as("comp"),
-          (col("nbr_min") < col("comp")).as("chg"))
+          least(col("cand"), coalesce(col("_pcomp"), col("cand"))).as("comp"),
+          col("_prev"))
+        .withColumn("chg", col("comp") < col("_prev"))
         .localCheckpoint(false)
       changed = next.filter(col("chg")).count()
       labels = next.select("id", "comp")
@@ -75,8 +88,8 @@ object DupClusters {
     sym.unpersist()
     require(changed == 0,
       s"connectedComponents did not converge in $maxIter rounds — " +
-        "graph diameter exceeds maxIter (raise it, or switch to the " +
-        "large-star/small-star variant for long-chain graphs)")
+        "with pointer jumping this needs a component diameter over " +
+        s"2^$maxIter; raise maxIter if you really have one")
     labels
   }
 

@@ -7,11 +7,14 @@ import org.apache.spark.sql.functions._
   * with typed metadata. The Spark-side contract (schema, partitioning, batch
   * shape, null handling) is real and tested, and the PROBE stage is a real
   * pure-JVM header parser ([[HeaderCodec]]): PNG IHDR width/height, JPEG SOF
-  * dimensions, WAV fmt/data sample-rate/channels/frame-count — no external
-  * codec libraries needed. Only the video stage remains a declared stub
-  * ([[FakeCodec]] — container frame counts need a demuxer this container
-  * doesn't ship); swap it for a real decoder (javacv / JNI) without touching
-  * the pipeline shape.
+  * dimensions, WAV fmt/data sample-rate/channels/frame-count, MP4 tkhd/stts
+  * dimensions/frame-count — no external codec libraries needed. A payload
+  * NO parser recognizes is not guessed at: its meta row carries
+  * `parsed = false` and zeros, and [[probeViolations]] turns it into the
+  * same violation-row shape the validators emit — corrupt media is a data
+  * QUALITY fact, not something to paper over with fabricated dimensions.
+  * (Only FEATURE extraction, which would need a real decode, remains a
+  * declared stub: [[StubFeatures]].)
   *
   * Design notes for 100 TB of media:
   *   - media bytes live in their own column; metadata-only queries never
@@ -29,11 +32,13 @@ object Multimodal {
   /** Typed probe result. Field population by modality:
     * images — width/height from the header, nframes = 1;
     * audio  — sample_rate/channels/nframes (sample frames) from the header;
-    * video  — width/height/nframes from the (stub) demuxer.
-    * Absent fields are 0.
+    * video  — width/height/nframes from the MP4 container boxes.
+    * `parsed = false` (all numeric fields 0) marks a payload no header
+    * parser recognized — surfaced as a violation by [[probeViolations]].
     */
   final case class MediaMeta(media_ref: String, mime: String, bytes: Long,
-      width: Int, height: Int, nframes: Int, sample_rate: Int, channels: Int)
+      width: Int, height: Int, nframes: Int, sample_rate: Int, channels: Int,
+      parsed: Boolean)
   final case class MediaFeature(media_ref: String, dim: Int, feature: Array[Float])
 
   /** Real pure-JVM header parsing — dispatches on magic bytes, not the mime
@@ -160,44 +165,36 @@ object Multimodal {
       if (w > 0 && h > 0) Some((w, h, frames)) else None
     }
 
-    /** Full probe → MediaMeta fields (width, height, nframes, sampleRate,
-      * channels). PNG/JPEG/WAV/MP4 are really parsed; only video content
-      * with an unparseable container falls through to the declared
-      * [[FakeCodec]] stub.
+    /** Full probe → (width, height, nframes, sampleRate, channels), or None
+      * when NO header parser recognizes the payload (incl. null content) —
+      * magic-byte dispatch, so a mislabeled file reports what it IS. There
+      * is deliberately no fabricated fallback: an unrecognized payload is a
+      * violation ([[probeViolations]]), never invented dimensions.
       */
-    def probe(mime: String, content: Array[Byte]): (Int, Int, Int, Int, Int) = {
-      if (content == null) return (0, 0, 0, 0, 0)
+    def probe(content: Array[Byte]): Option[(Int, Int, Int, Int, Int)] = {
+      if (content == null) return None
       probePng(content).map { case (w, h) => (w, h, 1, 0, 0) }
         .orElse(probeJpeg(content).map { case (w, h) => (w, h, 1, 0, 0) })
         .orElse(probeWav(content).map { case (r, c, f) => (0, 0, f, r, c) })
         .orElse(probeMp4(content).map { case (w, h, f) => (w, h, f, 0, 0) })
-        .getOrElse {
-          if (mime.startsWith("video")) {
-            val (w, h, f) = FakeCodec.probe(mime, content)
-            (w, h, f, 0, 0)
-          } else (0, 0, 0, 0, 0)
-        }
     }
   }
 
-  /** STUB demuxer for video only (PNG/JPEG/WAV are really parsed by
-    * [[HeaderCodec]]): deterministic pseudo-decode derived from content
-    * bytes. ??? in spirit — replace with a real demuxer; everything
-    * downstream only sees the typed result.
+  /** STUB feature extractor: deterministic pseudo-embedding derived from the
+    * content bytes — `???` in spirit (a real image/audio embedding needs
+    * decode + a model this container doesn't ship); the Spark-side plumbing
+    * (schema, batch shape, per-partition init) is the real contract, swap
+    * this body for a real encoder without touching it. Unlike the retired
+    * probe stub, a FAKE FEATURE VECTOR is the declared output of this stage,
+    * not fiction presented as parsed metadata.
     */
-  object FakeCodec {
-    def probe(mime: String, content: Array[Byte]): (Int, Int, Int) = {
-      val h = java.util.Arrays.hashCode(content)
-      val w = 16 + math.abs(h % 1920)
-      val ht = 16 + math.abs((h / 7) % 1080)
-      val frames = if (mime.startsWith("video")) 1 + math.abs((h / 13) % 300) else 1
-      (w, ht, frames)
-    }
+  object StubFeatures {
     def features(content: Array[Byte], dim: Int): Array[Float] = {
+      val bytes = if (content == null) Array.emptyByteArray else content
       val out = new Array[Float](dim)
       var acc = 1125899906842597L
       var i = 0
-      while (i < content.length) { acc = acc * 31 + content(i); i += 1 }
+      while (i < bytes.length) { acc = acc * 31 + bytes(i); i += 1 }
       var j = 0
       while (j < dim) {
         acc = acc * 6364136223846793005L + 1442695040888963407L
@@ -318,23 +315,40 @@ object Multimodal {
   }
 
   /** Decode/probe stage: binary → typed metadata, one codec init per
-    * partition. PNG/JPEG/WAV headers are really parsed; video goes through
-    * the declared stub.
+    * partition. PNG/JPEG/WAV/MP4 headers are really parsed; a payload no
+    * parser recognizes yields `parsed = false` with zeroed fields (see
+    * [[probeViolations]]).
     */
   def probeMeta(media: DataFrame): Dataset[MediaMeta] = {
     val spark = media.sparkSession
     import spark.implicits._
     media.select(col("media_ref"), col("mime"), col("content")).as[MediaRow]
       .mapPartitions { rows =>
-        // a real video demuxer would initialize once here
+        // a real demuxer/codec would initialize once here
         rows.map { r =>
-          val (w, h, f, sr, ch) = HeaderCodec.probe(r.mime, r.content)
-          MediaMeta(r.media_ref, r.mime,
-            if (r.content == null) 0L else r.content.length.toLong,
-            w, h, f, sr, ch)
+          val bytes = if (r.content == null) 0L else r.content.length.toLong
+          HeaderCodec.probe(r.content) match {
+            case Some((w, h, f, sr, ch)) =>
+              MediaMeta(r.media_ref, r.mime, bytes, w, h, f, sr, ch, parsed = true)
+            case None =>
+              MediaMeta(r.media_ref, r.mime, bytes, 0, 0, 0, 0, 0, parsed = false)
+          }
         }
       }
   }
+
+  /** Unparseable payloads as violation rows — the same (path, rule, message)
+    * shape the schema validators emit, so corrupt media feeds the SAME
+    * verdict/error-sink machinery as any other data-quality failure.
+    */
+  def probeViolations(media: DataFrame): DataFrame =
+    probeMeta(media).toDF()
+      .filter(!col("parsed"))
+      .select(col("media_ref").as("doc_id"),
+        lit("content").as("path"),
+        lit("media_header").as("rule"),
+        concat(lit("Unrecognized media payload ("), col("bytes"),
+          lit(" bytes, declared "), col("mime"), lit(")")).as("message"))
 
   /** Feature-extraction stage: binary → fixed-dim float vector. */
   def extractFeatures(media: DataFrame, dim: Int = 64): Dataset[MediaFeature] = {
@@ -342,16 +356,18 @@ object Multimodal {
     import spark.implicits._
     media.select(col("media_ref"), col("mime"), col("content")).as[MediaRow]
       .mapPartitions { rows =>
-        rows.map(r => MediaFeature(r.media_ref, dim, FakeCodec.features(r.content, dim)))
+        rows.map(r => MediaFeature(r.media_ref, dim, StubFeatures.features(r.content, dim)))
       }
   }
 
   /** Frame sampling plan for video rows: every `stride`-th frame index up to
     * the probed frame count — pure Column math over the probed metadata (the
-    * actual frame decode would join back to bytes by media_ref).
+    * actual frame decode would join back to bytes by media_ref). Only
+    * `parsed` rows qualify: an unparseable container has no trustworthy
+    * frame count to sample from (it is a violation, not a zero-frame video).
     */
   def sampleFrames(meta: DataFrame, stride: Int = 10): DataFrame =
-    meta.filter(col("mime").startsWith("video"))
+    meta.filter(col("mime").startsWith("video") && col("parsed"))
       .select(col("media_ref"),
         sequence(lit(0), greatest(col("nframes") - 1, lit(0)), lit(stride))
           .as("frame_indices"))

@@ -150,6 +150,52 @@ object Similarity {
       .limit(k)
   }
 
+  /** Build the LSH index on disk: every vector's (table, bucket) signature
+    * rows, persisted PARTITIONED BY (tbl, bucket) — the write-time twin of
+    * [[ivfWriteIndex]]. [[lshTopK]] recomputes all nTables bucket
+    * expressions over the WHOLE corpus on every query (fine ad hoc, fatal
+    * for a serving path at 100 TB); a probe over this index reads at most
+    * `nTables` bucket partitions (≈ nTables/2^nPlanes of the data) via
+    * partition pruning, zero signature math at query time.
+    *
+    * Each vector appears once per table (nTables× storage) — the standard
+    * LSH space/recall trade; dims/nPlanes/nTables must match at probe time
+    * (the probe re-derives the query's buckets from the same plane
+    * constants).
+    */
+  def lshWriteIndex(df: DataFrame, idCol: String, vecCol: String, dims: Int,
+      path: String, nPlanes: Int = 12, nTables: Int = 4): Unit = {
+    val base = df.filter(col(vecCol).isNotNull && size(col(vecCol)) === dims)
+      .select(col(idCol).as("id"),
+        transform(col(vecCol), x => x.cast("double")).as("vec"))
+    (0 until nTables).map { tbl =>
+      base.select(col("id"), col("vec"), lit(tbl).as("tbl"),
+        lshBucket(col("vec"), dims, nPlanes, tbl).as("bucket"))
+    }.reduce(_ unionAll _)
+      .write.mode("overwrite").partitionBy("tbl", "bucket").parquet(path)
+  }
+
+  /** LSH probe over a written index: the query's nTables bucket ids are
+    * computed on the driver (bit-identical plane math, zero Spark jobs) and
+    * become PartitionFilters — the scan reads only those ≤ nTables
+    * (tbl, bucket) directories. Candidates sharing several tables with the
+    * query are deduplicated by id before scoring. Same output contract as
+    * [[lshTopK]] with the same (nPlanes, nTables).
+    */
+  def lshTopKIndexed(spark: org.apache.spark.sql.SparkSession, indexPath: String,
+      query: Seq[Float], k: Int, nPlanes: Int = 12, nTables: Int = 4): DataFrame = {
+    val qd = query.map(_.toDouble)
+    val hit = (0 until nTables).map { tbl =>
+      col("tbl") === tbl && col("bucket") === lit(lshBucketScala(qd, nPlanes, tbl))
+    }.reduce(_ || _)
+    spark.read.parquet(indexPath)
+      .filter(hit)
+      .dropDuplicates("id")
+      .select(col("id"), cosine(col("vec"), typedlit(qd)).as("cosine"))
+      .orderBy(col("cosine").desc, col("id"))
+      .limit(k)
+  }
+
   /** Embedding-cosine near-duplicate pairs within the corpus: LSH-bucket
     * all vectors once, self-join per (table, bucket), verify with exact
     * cosine ≥ threshold. The candidate mass is Σ bucket² instead of n².
@@ -289,16 +335,29 @@ object Similarity {
     *     L2-normalized (spherical k-means: the mean direction);
     *   - an emptied cluster keeps its previous centroid.
     *
-    * Cost: `iters + 1` scans of (vec) — at 100 TB you'd train on a sampled
-    * slice (`df.sample`) since the quantizer only needs the density shape;
-    * the full corpus is never shuffled, only k×dims doubles hit the driver.
+    * Cost: `iters + 1` scans of the TRAINING SLICE — `trainFraction`
+    * (default 0.25) hash-samples the corpus for the Lloyd rounds, since the
+    * quantizer only needs the density shape, not every vector; the sample is
+    * a deterministic xxhash64 threshold (not `df.sample`, which is seed- and
+    * partition-layout-dependent), so training reproduces on any cluster
+    * size. The full corpus is never shuffled; only k×dims doubles hit the
+    * driver.
     */
   def trainCentroids(df: DataFrame, vecCol: String, k: Int, dims: Int,
-      iters: Int = 3, sampleN: Int = 1024): Seq[Seq[Double]] = {
+      iters: Int = 3, sampleN: Int = 1024,
+      trainFraction: Double = 0.25): Seq[Seq[Double]] = {
     require(k >= 1 && dims >= 1 && iters >= 0)
-    val base = df.filter(col(vecCol).isNotNull && size(col(vecCol)) === dims)
+    require(trainFraction > 0.0 && trainFraction <= 1.0,
+      s"trainFraction out of (0,1]: $trainFraction")
+    val all = df.filter(col(vecCol).isNotNull && size(col(vecCol)) === dims)
       .select(transform(col(vecCol), x => x.cast("double")).as("vec"))
-    val sample: IndexedSeq[Seq[Double]] = base
+    // Lloyd trains on the deterministic slice; seed selection samples from
+    // the FULL corpus (it already bounds itself to sampleN driver rows)
+    val base =
+      if (trainFraction >= 1.0) all
+      else all.filter(
+        pmod(xxhash64(col("vec")), lit(1000000L)) < lit((trainFraction * 1000000L).toLong))
+    val sample: IndexedSeq[Seq[Double]] = all
       .orderBy(xxhash64(col("vec")))
       .limit(math.max(k, sampleN)).collect()
       .map(_.getSeq[Double](0).toIndexedSeq).toIndexedSeq

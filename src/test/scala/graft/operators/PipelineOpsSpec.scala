@@ -227,10 +227,25 @@ class PipelineOpsSpec extends SparkSpec {
       m.width == 16 + (id % 640).toInt && m.height == 16 + ((id / 3) % 480).toInt &&
         m.nframes == 1 + (id % 300).toInt && m.sample_rate == 0
     }, vids.mkString("\n"))
+    // every synthetic row carries a real parseable header
+    assert(meta.forall(_.parsed))
     val meta2 = Multimodal.probeMeta(media).collect()
     assert(meta.sortBy(_.media_ref).sameElements(meta2.sortBy(_.media_ref)))
     val feats = Multimodal.extractFeatures(media, dim = 8).collect()
     assert(feats.forall(_.feature.length == 8))
+    // an UNPARSEABLE payload is a violation row, not fabricated metadata
+    val junk = Seq(("m-junk", "video/mp4", Array[Byte](1, 2, 3)),
+      ("m-null", "image/png", null.asInstanceOf[Array[Byte]]))
+      .toDF("media_ref", "mime", "content")
+    val junkMeta = Multimodal.probeMeta(junk).collect()
+    assert(junkMeta.forall(m => !m.parsed && m.width == 0 && m.nframes == 0))
+    val viols = Multimodal.probeViolations(junk).orderBy("doc_id").collect()
+    assert(viols.length == 2 && viols(0).getString(2) == "media_header" &&
+      viols(0).getString(3) ==
+        "Unrecognized media payload (3 bytes, declared video/mp4)",
+      viols.mkString("\n"))
+    // unparseable video never reaches frame sampling
+    assert(Multimodal.sampleFrames(Multimodal.probeMeta(junk).toDF()).count() == 0)
     val frames = Multimodal.sampleFrames(Multimodal.probeMeta(media).toDF(), stride = 10)
     assert(frames.count() == meta.count(_.mime.startsWith("video")))
   }
@@ -243,15 +258,15 @@ class PipelineOpsSpec extends SparkSpec {
     assert(HeaderCodec.probeWav(HeaderBytes.wav(44100, 2, 12345))
       .contains((44100, 2, 12345)))
     // dispatch is on magic bytes, not the (possibly lying) mime string
-    assert(HeaderCodec.probe("application/octet-stream", HeaderBytes.png(33, 44))
-      == ((33, 44, 1, 0, 0)))
-    assert(HeaderCodec.probe("image/png", HeaderBytes.wav(8000, 1, 7))
-      == ((0, 0, 7, 8000, 1)))
+    assert(HeaderCodec.probe(HeaderBytes.png(33, 44))
+      .contains((33, 44, 1, 0, 0)))
+    assert(HeaderCodec.probe(HeaderBytes.wav(8000, 1, 7))
+      .contains((0, 0, 7, 8000, 1)))
     // MP4: box walk recovers tkhd dims and the stts frame-count sum
     assert(HeaderCodec.probeMp4(HeaderBytes.mp4(1280, 720, 240))
       .contains((1280, 720, 240)))
-    assert(HeaderCodec.probe("video/mp4", HeaderBytes.mp4(320, 240, 7))
-      == ((320, 240, 7, 0, 0)))
+    assert(HeaderCodec.probe(HeaderBytes.mp4(320, 240, 7))
+      .contains((320, 240, 7, 0, 0)))
     assert(HeaderCodec.probeMp4(HeaderBytes.png(64, 64)).isEmpty)
     // truncated mp4 fails soft
     assert(HeaderCodec.probeMp4(HeaderBytes.mp4(320, 240, 7).take(40)).isEmpty)
@@ -281,10 +296,11 @@ class PipelineOpsSpec extends SparkSpec {
       out.array()
     }
     assert(HeaderCodec.probeMp4(deepMp4).isEmpty) // returns, no throw
-    // truncated / garbage bytes fail soft (zeros), never throw
+    // truncated / garbage bytes fail soft (None -> violation row), never
+    // throw and never fabricate
     assert(HeaderCodec.probePng(Array[Byte](1, 2, 3)).isEmpty)
-    assert(HeaderCodec.probe("image/png", Array[Byte](0x89.toByte)) == ((0, 0, 0, 0, 0)))
-    assert(HeaderCodec.probe("image/png", null) == ((0, 0, 0, 0, 0)))
+    assert(HeaderCodec.probe(Array[Byte](0x89.toByte)).isEmpty)
+    assert(HeaderCodec.probe(null).isEmpty)
   }
 
   test("sessionization gap rule + tumbling window verdicts") {
@@ -427,6 +443,17 @@ class PipelineOpsSpec extends SparkSpec {
       (10L, 10L, true), (11L, 10L, false)) ++
       (20L to 27L).map(i => (i, 20L, i == 20L))
     assert(got == want, s"got $got")
+  }
+
+  test("connected components close a diameter-60 chain in O(log d) rounds") {
+    // the shape plain min-label propagation cannot close in 25 rounds —
+    // pointer jumping contracts the path geometrically (2^r-ish per round),
+    // so the default maxIter converges with a wide margin
+    val chain = (0L until 60L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val labels = DupClusters.connectedComponents(chain, "id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(labels.length == 61 && labels.forall(_._2 == 0L),
+      s"chain not fully contracted: ${labels.filter(_._2 != 0L).take(5).mkString(",")}")
   }
 
   test("connected components fail loudly when maxIter is too small") {
@@ -747,9 +774,20 @@ class PipelineOpsSpec extends SparkSpec {
       .collect().map(_.getLong(1)).sorted
     assert(untrained.max > 3 * untrained.min,
       s"adversarial corpus unexpectedly balanced for first-k: ${untrained.mkString(",")}")
-    // determinism: retraining yields the identical quantizer
+    // determinism: retraining yields the identical quantizer (note the
+    // default trainFraction = 0.25 means `trained` above ALREADY ran its
+    // Lloyd rounds on the deterministic hash slice — balance held anyway,
+    // which is the point of sampled training)
     val again = Similarity.trainCentroids(vecs, "embedding", k = 4, dims = 8,
       iters = 4)
     assert(trained == again)
+    // full-scan training balances too, and differs from sampled only in
+    // centroid jitter, not in list structure
+    val full = Similarity.trainCentroids(vecs, "embedding", k = 4, dims = 8,
+      iters = 4, trainFraction = 1.0)
+    val fullSizes = Similarity.listSizes(vecs, "vec_id", "embedding", full)
+      .collect().map(_.getLong(1)).sorted
+    assert(fullSizes.max <= 3 * fullSizes.min,
+      s"full-scan lists unbalanced: ${fullSizes.mkString(",")}")
   }
 }

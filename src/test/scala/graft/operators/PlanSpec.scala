@@ -115,6 +115,37 @@ class PlanSpec extends SparkSpec {
     assert(sparkBucket == Similarity.lshBucketScala(q.map(_.toDouble), 4, 2))
   }
 
+  test("LSH indexed probe prunes to the query's (tbl, bucket) partitions") {
+    import spark.implicits._
+    val vecs = (0 until 120).map(i => (i.toLong, Seq.tabulate(8)(d =>
+      (((i * 31 + d) % 17) - 8).toFloat))).toDF("vec_id", "embedding")
+    val idx = Files.createTempDirectory("graft_lsh_idx").toString
+    Similarity.lshWriteIndex(vecs, "vec_id", "embedding", dims = 8, idx,
+      nPlanes = 4, nTables = 2)
+    val q = Seq.tabulate(8)(d => ((d % 17) - 8).toFloat)
+    val probe = Similarity.lshTopKIndexed(spark, idx, q, k = 10,
+      nPlanes = 4, nTables = 2)
+    val plan = planOf(probe)
+    assert(plan.contains("PartitionFilters") && plan.contains("bucket"),
+      s"no partition pruning on (tbl, bucket):\n$plan")
+    // runtime evidence: only files under the query's bucket dirs are read
+    val qd = q.map(_.toDouble)
+    val wantDirs = (0 until 2).map(t =>
+      s"tbl=$t/bucket=${Similarity.lshBucketScala(qd, 4, t)}").toSet
+    val hit = (0 until 2).map(t => col("tbl") === t &&
+      col("bucket") === Similarity.lshBucketScala(qd, 4, t)).reduce(_ || _)
+    val touched = spark.read.parquet(idx).filter(hit)
+      .select(input_file_name()).distinct().collect().map(_.getString(0))
+    assert(touched.nonEmpty && touched.forall(f => wantDirs.exists(f.contains)),
+      s"probe read outside its buckets: ${touched.mkString(",")} vs $wantDirs")
+    // and the indexed probe returns exactly the ad-hoc lshTopK rows
+    val adhoc = Similarity.lshTopK(vecs, "vec_id", "embedding", q, k = 10,
+      nPlanes = 4, nTables = 2).collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val indexed = probe.collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(indexed.sameElements(adhoc),
+      s"indexed=${indexed.mkString(",")} adhoc=${adhoc.mkString(",")}")
+  }
+
   test("IVF indexed probe prunes to the probed centroid partitions") {
     import spark.implicits._
     val vecs = (0 until 200).map { i =>
