@@ -303,6 +303,36 @@ class PipelineOpsSpec extends SparkSpec {
     assert(HeaderCodec.probe(null).isEmpty)
   }
 
+  test("HLL estimates sit within the published error bound of exact distinct") {
+    // the g_stats_hll driver row is rows-only (a foreign engine cannot
+    // reproduce sketch internals) — this pins the VALUES instead: HLL at
+    // default lgK=12 has RSE ~1.04/sqrt(4096) = 1.6%, so 5% is >3 sigma;
+    // approx_count_distinct's default rsd is 5%, bounded here at 15%
+    val n = 40000L
+    val df = spark.range(n).select(col("id"),
+      (col("id") % 7919L).as("k_mid"),      // 7919 distinct
+      (col("id") % 17L).as("k_small"),      // 17 distinct (HLL is exact-ish)
+      col("id").as("k_all"))                // n distinct
+    val prof = Stats.profile(df, Seq("k_mid", "k_small", "k_all"))
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Long]("approx_distinct"), r.getAs[Long]("hll_distinct"))).toMap
+    val exact = Map("k_mid" -> 7919L, "k_small" -> 17L, "k_all" -> n)
+    exact.foreach { case (c, e) =>
+      val (acd, hll) = prof(c)
+      assert(math.abs(hll - e).toDouble / e <= 0.05,
+        s"$c: hll=$hll exact=$e outside 5%")
+      assert(math.abs(acd - e).toDouble / e <= 0.15,
+        s"$c: approx_count_distinct=$acd exact=$e outside 15%")
+    }
+    // the mergeable per-partition path (what the commit log persists) must
+    // land inside the same bound after the union
+    val parts = df.withColumn("part", (col("id") % 8L).cast("int"))
+    val merged = Stats.unionSketches(Stats.partitionSketches(parts, "k_mid"))
+      .collect()(0)
+    assert(math.abs(merged.getLong(0) - 7919L).toDouble / 7919L <= 0.05 &&
+      merged.getLong(1) == n, s"merged=${merged}")
+  }
+
   test("sessionization gap rule + tumbling window verdicts") {
     val ev = Seq(
       (1L, "2024-01-01 00:00:00", 5.0),
@@ -430,6 +460,12 @@ class PipelineOpsSpec extends SparkSpec {
     val between = lines.slice(sumIdx + 1, lagIdx)
     assert(!between.exists(l => l.contains("Sort") || l.contains("Exchange")),
       s"extra Sort/Exchange between the event-level Windows:\n$plan")
+    // the stitch join must BROADCAST the one-row-per-(user, day) summary so
+    // the window-sorted event side needs no second exchange for the join
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoop"),
+      s"stitch join does not broadcast the summary:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"stitch join fell back to sort-merge (event side re-sorted):\n$plan")
   }
 
   test("connected components assign cluster-min labels across transitive pairs") {
