@@ -586,6 +586,40 @@ object SparkEntry {
           min(col("k")).as("k_min"), max(col("k")).as("k_max"))
         .orderBy("event_type")
     }),
+    "p_pack" -> ((s, dir) => {
+      // sequence packing manifest (concat-then-chunk, capacity 512): the
+      // step between curation and training shards. Shard = doc_id % 8 here
+      // so the oracle replays the assignment (the operator's default
+      // xxhash64 shard is Spark-internal); the running-sum math is integer,
+      // so the manifest is engine-exact.
+      val docs = t(s, dir, "documents")
+        .withColumn("_shard", pmod(col("doc_id"), lit(8L)))
+        .withColumn("_nt", TextAnalysis.tokenCountWs(col("text")).cast("long"))
+      Packing.packConcatCounted(docs, "doc_id", "_nt",
+        capacity = 512, shards = 8, shardCol = Some("_shard"))
+        .orderBy("shard", "id")
+    }),
+    "p_pack_bins" -> ((s, dir) => {
+      // per-bin fill: every bin exactly 512 tokens except the last of each
+      // shard — the invariant a training loader relies on
+      val docs = t(s, dir, "documents")
+        .withColumn("_shard", pmod(col("doc_id"), lit(8L)))
+        .withColumn("_nt", TextAnalysis.tokenCountWs(col("text")).cast("long"))
+      val manifest = Packing.packConcatCounted(docs, "doc_id", "_nt",
+        capacity = 512, shards = 8, shardCol = Some("_shard"))
+      Packing.binFill(manifest, capacity = 512)
+        .orderBy("shard", "bin")
+    }),
+    "s_quantize" -> ((s, dir) => {
+      // int8 embedding quantization in long form (id, scale, dim, q):
+      // floor(x/scale*127 + 0.5) is IEEE-exact, so DuckDB replays every
+      // quantized value bit-for-bit — a storage-path transform with a full
+      // value oracle
+      Similarity.quantizeInt8(t(s, dir, "embeddings"), "vec_id", "embedding")
+        .select(col("id"), col("scale"), posexplode(col("qvec")))
+        .withColumnRenamed("pos", "dim").withColumnRenamed("col", "q")
+        .orderBy("id", "dim")
+    }),
     // ---------- multimodal plumbing ----------
     "m_media_meta" -> ((s, dir) => {
       // REAL header parsing (PNG IHDR / WAV fmt+data / MP4 tkhd+stts): the
@@ -1113,6 +1147,63 @@ object SparkEntry {
         |  FROM documents)
         |SELECT doc_id, CAST(unnest(generate_series(0, n - 1)) AS INT) AS epoch
         |FROM w WHERE n > 0 ORDER BY doc_id, epoch""".stripMargin,
+    // packing manifest: same whitespace token count, same mod-8 shard, same
+    // integer running sum — engine-exact by construction
+    "p_pack" ->
+      """WITH d AS (SELECT doc_id AS id,
+        |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+        |         ELSE len(regexp_split_to_array(trim(text), '\s+')) END
+        |      AS BIGINT) AS n_tokens,
+        |    CAST(doc_id % 8 AS INT) AS shard
+        |  FROM documents),
+        |p AS (SELECT shard, id, n_tokens,
+        |    CAST(coalesce(sum(n_tokens) OVER (PARTITION BY shard ORDER BY id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |      AS start_off
+        |  FROM d WHERE n_tokens > 0)
+        |SELECT shard, id, n_tokens, start_off,
+        |  CAST(floor(start_off / 512) AS BIGINT) AS first_bin,
+        |  CAST(floor((start_off + n_tokens - 1) / 512)
+        |    - floor(start_off / 512) + 1 AS BIGINT) AS n_bins
+        |FROM p ORDER BY shard, id""".stripMargin,
+    "p_pack_bins" ->
+      """WITH d AS (SELECT doc_id AS id,
+        |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+        |         ELSE len(regexp_split_to_array(trim(text), '\s+')) END
+        |      AS BIGINT) AS n_tokens,
+        |    CAST(doc_id % 8 AS INT) AS shard
+        |  FROM documents),
+        |p AS (SELECT shard, id, n_tokens,
+        |    CAST(coalesce(sum(n_tokens) OVER (PARTITION BY shard ORDER BY id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |      AS start_off
+        |  FROM d WHERE n_tokens > 0),
+        |m AS (SELECT shard, id, n_tokens, start_off,
+        |    CAST(floor(start_off / 512) AS BIGINT) AS first_bin,
+        |    CAST(floor((start_off + n_tokens - 1) / 512) AS BIGINT) AS last_bin
+        |  FROM p),
+        |x AS (SELECT shard, id, n_tokens, start_off,
+        |    CAST(unnest(generate_series(first_bin, last_bin)) AS BIGINT) AS bin
+        |  FROM m)
+        |SELECT shard, bin,
+        |  CAST(sum(least(start_off + n_tokens, bin * 512 + 512)
+        |    - greatest(start_off, bin * 512)) AS BIGINT) AS fill,
+        |  CAST(count(*) AS BIGINT) AS n_docs
+        |FROM x GROUP BY shard, bin ORDER BY shard, bin""".stripMargin,
+    // int8 quantization: floor(x/scale*127 + 0.5) over exact float->double
+    // casts reproduces bit-for-bit in any IEEE engine
+    "s_quantize" ->
+      """WITH q AS (SELECT vec_id AS id,
+        |    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))))
+        |      AS scale,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings WHERE embedding IS NOT NULL)
+        |SELECT id, scale, CAST(r.range AS INT) AS dim,
+        |  CAST(CASE WHEN scale = 0 THEN 0
+        |       ELSE floor(v[CAST(r.range AS INT) + 1] / scale * 127.0 + 0.5)
+        |       END AS INT) AS q
+        |FROM q CROSS JOIN range(0, 64) r
+        |ORDER BY id, dim""".stripMargin,
     // the curation oracle composes the ALREADY-PROVEN t_lang_id and
     // t_quality CTEs with the repetition/dedup/sample formulas
     "p_curate" ->

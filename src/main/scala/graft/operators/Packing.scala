@@ -1,0 +1,88 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Sequence packing: lay documents end-to-end into fixed-capacity token
+  * sequences ("bins") — the step between curation and tokenized training
+  * shards. Semantics are the standard concat-then-chunk packing used for
+  * LLM pretraining: within a shard, documents are concatenated in
+  * deterministic id order and the token stream is cut every `capacity`
+  * tokens, so a document MAY straddle a bin boundary (that is what the
+  * attention-mask/document-boundary channel is for downstream). No
+  * reference analogue (single-document validator); corpus-level
+  * capability like Dedup/Sampling.
+  *
+  * Output: one manifest row per document —
+  * (shard, id, n_tokens, start_off, first_bin, n_bins) where `start_off`
+  * is the document's first-token offset in its shard's stream, `first_bin`
+  * = floor(start_off / capacity) and `n_bins` how many bins it touches.
+  * A loader reconstructs any bin's contents from the manifest alone.
+  *
+  * Determinism/oracle: ordering is (id) within a shard and the math is
+  * integer running sums, so any engine reproduces the manifest exactly.
+  *
+  * 100 TB design: the only stateful step is one running sum per shard.
+  * `shards` bounds each Window partition (pick shards ≈ corpus_tokens /
+  * 10^9 so a partition holds ~1 G tokens of manifest rows); the shard
+  * assignment is a deterministic id hash, so packing parallelizes to any
+  * cluster width and reshuffling the corpus never changes the output.
+  * A global single-stream pack (shards = 1) is the degenerate case and
+  * deliberately NOT the default.
+  */
+object Packing {
+
+  /** Tokens = whitespace token count of the text (swap for a real
+    * tokenizer count column when one exists — pass a precomputed
+    * `tokensCol` via the overload below).
+    */
+  def packConcat(df: DataFrame, idCol: String, textCol: String,
+      capacity: Int, shards: Int): DataFrame =
+    packConcatCounted(
+      df.withColumn("_n_tokens",
+        TextAnalysis.tokenCountWs(col(textCol)).cast("long")),
+      idCol, "_n_tokens", capacity, shards)
+
+  /** Packing over a precomputed token-count column. Zero-token documents
+    * are dropped (they occupy no stream positions). `shardCol`, when given,
+    * overrides the default xxhash64(id) shard assignment — e.g. a modulo of
+    * a numeric id when the manifest must be replayable by an engine without
+    * xxhash64.
+    */
+  def packConcatCounted(df: DataFrame, idCol: String, tokensCol: String,
+      capacity: Int, shards: Int, shardCol: Option[String] = None): DataFrame = {
+    require(capacity >= 1 && shards >= 1,
+      s"need capacity >= 1 and shards >= 1, got $capacity/$shards")
+    val w = Window.partitionBy(col("shard")).orderBy(col("id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val shard = shardCol.map(col)
+      .getOrElse(pmod(xxhash64(col(idCol).cast("string")), lit(shards.toLong)))
+    df.select(col(idCol).as("id"), col(tokensCol).as("n_tokens"),
+        shard.cast("int").as("shard"))
+      .filter(col("n_tokens") > 0)
+      .withColumn("start_off", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .select(col("shard"), col("id"), col("n_tokens"), col("start_off"),
+        // explicit floor: `/` on longs is DOUBLE division in Spark; all
+        // operands are non-negative and < 2^53, so floor is exact
+        floor(col("start_off") / capacity).cast("long").as("first_bin"),
+        (floor((col("start_off") + col("n_tokens") - 1L) / capacity).cast("long")
+          - floor(col("start_off") / capacity).cast("long") + 1L).as("n_bins"))
+  }
+
+  /** Per-bin fill report from a manifest: every bin is exactly `capacity`
+    * tokens except possibly the last bin of each shard — the invariant a
+    * training loader relies on. One row per (shard, bin) with its fill.
+    */
+  def binFill(manifest: DataFrame, capacity: Int): DataFrame =
+    manifest
+      .withColumn("bin", explode(sequence(col("first_bin"),
+        col("first_bin") + col("n_bins") - 1L)))
+      .withColumn("bin_start", col("bin") * capacity)
+      .withColumn("tokens_in_bin",
+        least(col("start_off") + col("n_tokens"), col("bin_start") + capacity)
+          - greatest(col("start_off"), col("bin_start")))
+      .groupBy(col("shard"), col("bin"))
+      .agg(sum(col("tokens_in_bin")).as("fill"),
+        count(lit(1)).as("n_docs"))
+}

