@@ -168,10 +168,18 @@ object Similarity {
     val base = df.filter(col(vecCol).isNotNull && size(col(vecCol)) === dims)
       .select(col(idCol).as("id"),
         transform(col(vecCol), x => x.cast("double")).as("vec"))
-    (0 until nTables).map { tbl =>
-      base.select(col("id"), col("vec"), lit(tbl).as("tbl"),
-        lshBucket(col("vec"), dims, nPlanes, tbl).as("bucket"))
-    }.reduce(_ unionAll _)
+    // ONE corpus scan: all nTables bucket expressions evaluate in a single
+    // projection and posexplode fans them out (pos = table id) — the
+    // union-of-per-table-selects form re-reads the source nTables times.
+    // repartition by (tbl, bucket) before the partitioned write so each
+    // output dir is written by one task: ≤ one file per (tbl, bucket)
+    // instead of (#tasks × #dirs) tiny files — at 2^nPlanes × nTables dirs
+    // the small-file explosion, not the data, dominates write AND probe
+    // (listing) cost.
+    base.select(col("id"), col("vec"),
+        posexplode(array((0 until nTables).map(t =>
+          lshBucket(col("vec"), dims, nPlanes, t)): _*)).as(Seq("tbl", "bucket")))
+      .repartition(col("tbl"), col("bucket"))
       .write.mode("overwrite").partitionBy("tbl", "bucket").parquet(path)
   }
 
