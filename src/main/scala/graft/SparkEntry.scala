@@ -682,7 +682,7 @@ object SparkEntry {
     val emb = t(s, dir, "embeddings")
     val idx = s"${System.getProperty("java.io.tmpdir")}/graft_lsh_idx_${dir.hashCode}"
     Similarity.lshWriteIndex(emb.filter(col("vec_id") =!= 0L), "vec_id", "embedding",
-      dims = 64, idx, nPlanes = 8, nTables = 4)
+      dims = 64, idx, nPlanes = 6, nTables = 4)
     idx
   }
 
@@ -693,7 +693,7 @@ object SparkEntry {
     val emb = t(s, dir, "embeddings")
     val q: Seq[Float] = emb.filter(col("vec_id") === 0L)
       .select(col("embedding")).collect()(0).getSeq[Float](0)
-    Similarity.lshTopKIndexed(s, idx, q, k = 50, nPlanes = 8, nTables = 4)
+    Similarity.lshTopKIndexed(s, idx, q, k = 50, nPlanes = 6, nTables = 4)
       .select(col("id"), round(col("cosine"), 2).as("cosine"))
       .orderBy(col("cosine").desc, col("id"))
   }
@@ -1479,9 +1479,11 @@ object SparkEntry {
     val lits = ivfCentroids(s, dir).zipWithIndex.map { case (c, i) =>
       s"($i, [${c.mkString(", ")}]::DOUBLE[])"
     }.mkString(", ")
-    // the s_ann_lsh plane matrix (nTables=4, nPlanes=8, dims=64 — must
-    // match the queries() call) as (tbl, plane, comps) literal rows
-    val planes = (for { tbl <- 0 until 4; pl <- 0 until 8 } yield {
+    // the s_ann_lsh plane matrix (nTables=4, nPlanes=6, dims=64 — must
+    // match the queries() call; 2^6 buckets/table ≈ 5-10k vectors each at
+    // the bench corpus size, the dir-count/probe-scoring sweet spot) as
+    // (tbl, plane, comps) literal rows
+    val planes = (for { tbl <- 0 until 4; pl <- 0 until 6 } yield {
       val comps = (0 until 64).map(d => Similarity.planeComponentScala(tbl, pl, d))
       s"($tbl, $pl, [${comps.mkString(", ")}]::DOUBLE[])"
     }).mkString(", ")

@@ -175,10 +175,16 @@ object Similarity {
     // output dir is written by one task: ≤ one file per (tbl, bucket)
     // instead of (#tasks × #dirs) tiny files — at 2^nPlanes × nTables dirs
     // the small-file explosion, not the data, dominates write AND probe
-    // (listing) cost.
+    // (listing) cost. Vectors ride the shuffle and the files as FLOAT:
+    // every element is an exactly-representable float (the source column
+    // is float), so the round trip is lossless and the index is half the
+    // bytes. Tuning note: pick nPlanes so 2^nPlanes ≈ corpus/5k — too many
+    // buckets costs dir-listing overhead, too few costs probe scoring.
     base.select(col("id"), col("vec"),
         posexplode(array((0 until nTables).map(t =>
           lshBucket(col("vec"), dims, nPlanes, t)): _*)).as(Seq("tbl", "bucket")))
+      .select(col("id"), transform(col("vec"), x => x.cast("float")).as("vec"),
+        col("tbl"), col("bucket"))
       .repartition(col("tbl"), col("bucket"))
       .write.mode("overwrite").partitionBy("tbl", "bucket").parquet(path)
   }
@@ -199,7 +205,8 @@ object Similarity {
     spark.read.parquet(indexPath)
       .filter(hit)
       .dropDuplicates("id")
-      .select(col("id"), cosine(col("vec"), typedlit(qd)).as("cosine"))
+      .select(col("id"),
+        cosine(transform(col("vec"), x => x.cast("double")), typedlit(qd)).as("cosine"))
       .orderBy(col("cosine").desc, col("id"))
       .limit(k)
   }
