@@ -575,6 +575,38 @@ object SparkEntry {
           col("event_type"), col("events"), col("failed"))
         .orderBy("w", "event_type")
     }),
+    "e_stream_sessions" -> ((s, dir) => {
+      // streaming SESSIONIZATION through the oracle: Spark's native
+      // session_window (merging session state) over the events stream,
+      // complete mode so no session is watermark-dropped in the replay.
+      // Boundary semantics differ from the batch operator by design and
+      // the oracle encodes THEM: an event exactly `gap` after the
+      // previous one starts a NEW session (session windows are half-open
+      // [start, start+gap)), i.e. `>= gap`, where Sessionize uses `> gap`.
+      val batch = t(s, dir, "events")
+      val stream = s.readStream.schema(batch.schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(dir)
+        .filter(col("ts").isNotNull)
+        // watermark/event-time machinery requires TIMESTAMP, the table is
+        // NTZ; the session runs UTC, so the cast preserves the wall clock
+        .withColumn("ts", col("ts").cast("timestamp"))
+      val out = graft.streaming.StreamValidate.sessionsStream(
+        stream, "user_id", "ts", gapMinutes = 30)
+      val name = s"stream_sessions_${streamSeq.incrementAndGet()}"
+      val q = out.writeStream.format("memory").queryName(name)
+        .outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table(name)
+        .select(col("user_id"),
+          date_format(col("session_start"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+          col("n_events"),
+          date_format(col("first_ts"), "yyyy-MM-dd HH:mm:ss").as("first_ts"),
+          date_format(col("last_ts"), "yyyy-MM-dd HH:mm:ss").as("last_ts"))
+        .orderBy("user_id", "session_start")
+    }),
     "e_json_props" -> ((s, dir) => {
       // semi-structured extraction: props is a JSON string; k in [0,100),
       // flag k >= 80 as out-of-policy per event_type
@@ -637,6 +669,33 @@ object SparkEntry {
         .select(col("media_ref"), size(col("frame_indices")).as("n_sampled"))
         .orderBy("media_ref")
     }),
+    "v_stream_validate" -> ((s, dir) => {
+      // the CORE validation path under Structured Streaming, oracle-checked:
+      // the same compiled span-invariant expressions run over a streamed
+      // copy of a generated corpus; per-partition verdict counts (complete
+      // mode) must equal DuckDB's replay over the same parquet bytes. This
+      // is the north rule's "same per-partition pass/fail verdicts" claim
+      // demonstrated on the streaming engine, not just the batch one.
+      val docs = DocsGen.docs(s, DocsGen.Knobs(nDocs = 20000, nParts = 16,
+        badKindPerMille = 10, badMediaRefPerMille = 10, badOrderPerMille = 10,
+        negOffsetPerMille = 5, nullDocIdPerMille = 2, dupPerMille = 5))
+      val path = genStreamDocsPath(dir)
+      docs.write.mode("overwrite").parquet(path)
+      val schema = s.read.parquet(path).schema
+      val stream = s.readStream.schema(schema).parquet(path)
+      val out = stream
+        .withColumn("violations", SpanInvariant.violationsCol(col("spans")))
+        .groupBy(col("part"))
+        .agg(count(lit(1)).as("docs"),
+          sum(when(size(col("violations")) > 0, 1L).otherwise(0L)).as("failed_docs"))
+      val name = s"stream_validate_${streamSeq.incrementAndGet()}"
+      val q = out.writeStream.format("memory").queryName(name)
+        .outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table(name).orderBy("part")
+    }),
     // ---------- generated north-rule corpus ----------
     "gen_validate" -> ((s, dir) => {
       // the generated corpus is WRITTEN to parquet first and validated from
@@ -661,6 +720,13 @@ object SparkEntry {
     */
   def genDocsPath(dir: String): String =
     s"${System.getProperty("java.io.tmpdir")}/graft_gen_docs_${dir.hashCode}"
+
+  /** v_stream_validate's own corpus copy (must not share gen_validate's
+    * path: query execution order is map-order-dependent and a shared dir
+    * would race the overwrite).
+    */
+  def genStreamDocsPath(dir: String): String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_gen_stream_docs_${dir.hashCode}"
 
   /** IVF BUILD phase: train the quantizer (cached per dir) and write the
     * centroid-partitioned index; returns the index path.
@@ -1088,6 +1154,28 @@ object SparkEntry {
         |  CAST(count(*) AS BIGINT) AS events,
         |  CAST(sum(CASE WHEN value > 100.0 THEN 1 ELSE 0 END) AS BIGINT) AS failed
         |FROM events GROUP BY 1, 2 ORDER BY w, event_type""".stripMargin,
+    // streaming session_window sessions: >= gap starts a new session
+    // (half-open windows), vs the batch operator's > gap — deliberately
+    // encoded here so the boundary contract is oracle-pinned too
+    "e_stream_sessions" ->
+      """WITH gaps AS (SELECT user_id, ts,
+        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+        |  FROM events WHERE ts IS NOT NULL),
+        |flags AS (SELECT user_id, ts,
+        |    CASE WHEN prev IS NULL
+        |         OR epoch(ts) - epoch(prev) >= 30 * 60 THEN 1 ELSE 0 END AS is_new
+        |  FROM gaps),
+        |sess AS (SELECT user_id, ts,
+        |    sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM flags)
+        |SELECT user_id,
+        |  strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+        |  CAST(count(*) AS BIGINT) AS n_events,
+        |  strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS first_ts,
+        |  strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS last_ts
+        |FROM sess GROUP BY user_id, sid
+        |ORDER BY user_id, session_start""".stripMargin,
     "e_sessions" ->
       """WITH gaps AS (SELECT user_id, ts,
         |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev
@@ -1451,6 +1539,25 @@ object SparkEntry {
     // verdicts over the WRITTEN generated corpus — DuckDB replays the span
     // invariant (same five per-span checks + strict offset order as
     // SpanInvariant.spanChecks) over the exact parquet gen_validate wrote
+    // v_stream_validate: identical replay over the STREAMED corpus copy —
+    // the streaming engine must land on the same per-partition verdicts
+    "v_stream_validate" ->
+      """WITH d AS (SELECT part, spans FROM '__GEN_STREAM_DOCS_PATH__/*.parquet'),
+        |per AS (SELECT part,
+        |  (spans IS NULL
+        |   OR len(list_filter(spans, s -> NOT coalesce(
+        |        s.kind IN ('text', 'media')
+        |        AND ((s.kind = 'media') = (coalesce(s.media_ref, '') <> ''))
+        |        AND (coalesce(s.media_ref, '') = ''
+        |             OR regexp_matches(s.media_ref, '^m-[0-9a-f]{8}$'))
+        |        AND (s.kind <> 'text' OR (s.text IS NOT NULL AND s.text <> ''))
+        |        AND (s."offset" IS NOT NULL AND s."offset" >= 0), false))) > 0
+        |   OR coalesce(list_bool_or(list_transform(generate_series(2, len(spans)),
+        |        i -> spans[i]."offset" <= spans[i-1]."offset")), false)
+        |  ) AS failed FROM d)
+        |SELECT part, CAST(count(*) AS BIGINT) AS docs,
+        |  CAST(sum(CASE WHEN failed THEN 1 ELSE 0 END) AS BIGINT) AS failed_docs
+        |FROM per GROUP BY part ORDER BY part""".stripMargin,
     "gen_validate" ->
       """WITH d AS (SELECT part, spans FROM '__GEN_DOCS_PATH__/*.parquet'),
         |per AS (SELECT part,
@@ -1491,6 +1598,7 @@ object SparkEntry {
       k -> v.replace("__IVF_CENTROIDS__", lits)
         .replace("__LSH_PLANES__", planes)
         .replace("__GEN_DOCS_PATH__", genDocsPath(dir))
+        .replace("__GEN_STREAM_DOCS_PATH__", genStreamDocsPath(dir))
     }
   }
 }
