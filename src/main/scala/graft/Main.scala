@@ -76,6 +76,13 @@ object Main {
     }
   }
 
+  /** Any drift flag implies sketching: a `--drift-baseline` run without
+    * `--sketches` must still produce its comparison, not silently no-op.
+    */
+  private def wantsSketches(args: Args): Boolean =
+    args.sketches || args.driftCols.nonEmpty ||
+      args.driftSave.nonEmpty || args.driftBaseline.nonEmpty
+
   /** `--sketches` / `--drift-col` report: merged per-partition sketches from
     * the COMMIT LOG ONLY — on a resume run, committed parts contribute their
     * persisted sketch bytes without any rescan (the north rule's
@@ -84,7 +91,7 @@ object Main {
     * current run against such a file and reports per-column KS.
     */
   private def driftReport(spark: SparkSession, args: Args): Unit = {
-    if (!(args.sketches || args.driftCols.nonEmpty)) return
+    if (!wantsSketches(args)) return
     import graft.operators.ResumableValidate.{kllColKey, KllNSpansKey}
     val est = ResumableValidate.mergedDocIdEstimate(spark, args.out)
     System.err.println(s"[graft] sketch doc_id_distinct_est=$est")
@@ -120,6 +127,43 @@ object Main {
         }
       }
     }
+  }
+
+  /** Parent dir of a LOCAL docs path for relative `$schema` resolution.
+    * Accepts a bare path, a spec-compliant percent-encoded file:// URI
+    * (what `java.nio.Path.toUri` / Python `as_uri` emit — `%20` decodes to
+    * a space), and a raw unencoded file:// path with spaces (what humans
+    * type — strict `new URI(...)` would throw on it). Remote schemes are an
+    * error: rules files are read with local I/O.
+    */
+  private[graft] def localDocsParent(docs: String): java.nio.file.Path = {
+    val schemeRe = "^([a-zA-Z][a-zA-Z0-9+.-]*)://".r
+    val dir = schemeRe.findFirstMatchIn(docs) match {
+      case Some(m) if m.group(1) != "file" =>
+        throw new IllegalArgumentException(
+          s"instance-level $$schema discovery requires a local docs path " +
+            s"(got scheme ${m.group(1)}://); pass --rules explicitly")
+      case Some(_) =>
+        val viaUri =
+          try {
+            val u = new java.net.URI(docs)
+            // file://host/... authority forms are rejected by Paths.get(URI)
+            if (u.getAuthority != null && u.getAuthority.nonEmpty) None
+            else Some(java.nio.file.Paths.get(u))
+          } catch { case _: Exception => None }
+        val local = viaUri.getOrElse {
+          // unencoded fallback: treat everything after the scheme as a
+          // literal path (Hadoop-Path-style leniency)
+          val p = new org.apache.hadoop.fs.Path(docs).toUri.getPath
+          if (p == null || p.isEmpty)
+            throw new IllegalArgumentException(
+              s"cannot resolve a local directory from $docs; pass --rules explicitly")
+          java.nio.file.Paths.get(p)
+        }
+        local
+      case None => java.nio.file.Paths.get(docs)
+    }
+    dir.toAbsolutePath.getParent
   }
 
   def main(argv: Array[String]): Unit = {
@@ -165,26 +209,8 @@ object Main {
           // relative $schema paths resolve against the docs table's parent
           // dir — only meaningful for local paths (rules files are read via
           // local I/O); a remote scheme (hdfs://, s3a://) must use --rules
-          val schemeRe = "^([a-zA-Z][a-zA-Z0-9+.-]*)://".r
-          val base = schemeRe.findFirstMatchIn(args.docs) match {
-            case Some(m) if m.group(1) != "file" =>
-              throw new IllegalArgumentException(
-                s"instance-level $$schema discovery requires a local docs path " +
-                  s"(got scheme ${m.group(1)}://); pass --rules explicitly")
-            case Some(_) =>
-              // Hadoop Path, not strict java.net.URI: a file:// path with
-              // spaces (no percent-encoding) or a file://host/... authority
-              // would make new URI(...) throw an opaque URISyntaxException /
-              // Paths.get(URI) reject the authority form
-              val local = new org.apache.hadoop.fs.Path(args.docs).toUri.getPath
-              if (local == null || local.isEmpty)
-                throw new IllegalArgumentException(
-                  s"cannot resolve a local directory from ${args.docs}; pass --rules explicitly")
-              java.nio.file.Paths.get(local).toAbsolutePath.getParent
-            case None =>
-              java.nio.file.Paths.get(args.docs).toAbsolutePath.getParent
-          }
-          RuleLoader.loadFile(base.resolve(refs(0)).normalize.toString)
+          RuleLoader.loadFile(
+            localDocsParent(args.docs).resolve(refs(0)).normalize.toString)
         }
       val manifest = docs.inputFiles.sorted.toSeq
       val report = ResumableValidate.run(spark, docs, loaded.root, args.out,
@@ -194,7 +220,7 @@ object Main {
         defs = loaded.defs,
         failFast = args.failFast,
         filesPerPart = args.filesPerPart,
-        withSketches = args.sketches || args.driftCols.nonEmpty,
+        withSketches = wantsSketches(args),
         driftCols = args.driftCols)
       driftReport(spark, args)
       val hconf = spark.sparkContext.hadoopConfiguration

@@ -23,8 +23,19 @@ object SparkEntry {
 
   /** Unique memory-sink names for streaming queries (a query name can't be
     * reused while its temp view exists; bench repeats run each query 3×).
+    * The PREVIOUS view of the same prefix is dropped on each new
+    * registration — a complete-mode memory sink holds its whole result on
+    * the driver, so letting repeats accumulate views leaks that memory.
     */
   private val streamSeq = new java.util.concurrent.atomic.AtomicLong(0)
+  private val lastStreamView =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def streamViewName(s: SparkSession, prefix: String): String = {
+    val name = s"${prefix}_${streamSeq.incrementAndGet()}"
+    Option(lastStreamView.put(prefix, name))
+      .foreach(old => s.catalog.dropTempView(old))
+    name
+  }
 
   /** The north-rule docs table derived from lineitem: one doc per order,
     * spans = lineitems ordered by linenumber; offset-order violations
@@ -564,7 +575,7 @@ object SparkEntry {
         .parquet(dir)
       val out = Sessionize.windowVerdicts(stream, "ts", "event_type",
         failPred = col("value") > 100.0, windowLen = "1 hour")
-      val name = s"stream_verdicts_${streamSeq.incrementAndGet()}"
+      val name = streamViewName(s, "stream_verdicts")
       val q = out.writeStream.format("memory").queryName(name)
         .outputMode("complete")
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
@@ -593,7 +604,7 @@ object SparkEntry {
         .withColumn("ts", col("ts").cast("timestamp"))
       val out = graft.streaming.StreamValidate.sessionsStream(
         stream, "user_id", "ts", gapMinutes = 30)
-      val name = s"stream_sessions_${streamSeq.incrementAndGet()}"
+      val name = streamViewName(s, "stream_sessions")
       val q = out.writeStream.format("memory").queryName(name)
         .outputMode("complete")
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
@@ -688,7 +699,7 @@ object SparkEntry {
         .groupBy(col("part"))
         .agg(count(lit(1)).as("docs"),
           sum(when(size(col("violations")) > 0, 1L).otherwise(0L)).as("failed_docs"))
-      val name = s"stream_validate_${streamSeq.incrementAndGet()}"
+      val name = streamViewName(s, "stream_validate")
       val q = out.writeStream.format("memory").queryName(name)
         .outputMode("complete")
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())

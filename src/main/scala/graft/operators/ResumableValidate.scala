@@ -245,11 +245,37 @@ object ResumableValidate {
     * Union happens in Spark (`hll_union_agg`) over the persisted bytes:
     * no re-scan of any committed data.
     */
-  def mergedDocIdEstimate(spark: SparkSession, outDir: String): Long = {
+  /** Every committed part must carry `key` — a commit log where only SOME
+    * parts have the sketch (e.g. a crash under plain validation resumed
+    * later with `--sketches`) would otherwise merge into corpus-wide
+    * numbers silently computed from a subset: partial coverage presented
+    * as whole-run stats is worse than an error.
+    */
+  private def sketchBytesAllParts(spark: SparkSession, outDir: String,
+      key: String): Seq[Array[Byte]] = {
     val conf = spark.sparkContext.hadoopConfiguration
-    val bytes = CommitLog.sketches(outDir, conf).values
-      .flatMap(_.get(HllDocIdKey)).toSeq
-    require(bytes.nonEmpty, s"no $HllDocIdKey sketches committed under $outDir")
+    val perPart = CommitLog.sketches(outDir, conf).toSeq.sortBy(_._1)
+    require(perPart.nonEmpty, s"no commits under $outDir")
+    // a legitimately EMPTY part (docs = 0) commits no sketch rows and
+    // contributes nothing to any merge — only non-empty parts must carry
+    // the key
+    val docs = CommitLog.docCounts(outDir, conf)
+    val missing = perPart.collect {
+      case (p, m) if !m.contains(key) && docs.getOrElse(p, 0L) > 0L => p
+    }
+    require(missing.isEmpty,
+      s"sketch $key missing from committed part(s) ${missing.take(8).mkString(",")}" +
+        s"${if (missing.size > 8) ",…" else ""} under $outDir — these parts were " +
+        "validated without sketches; re-run them (delete their commits) with " +
+        "--sketches/--drift-col before asking for a merged report")
+    // flatMap, not apply: empty parts legitimately carry no bytes
+    val bytes = perPart.flatMap(_._2.get(key))
+    require(bytes.nonEmpty, s"no $key sketches committed under $outDir")
+    bytes
+  }
+
+  def mergedDocIdEstimate(spark: SparkSession, outDir: String): Long = {
+    val bytes = sketchBytesAllParts(spark, outDir, HllDocIdKey)
     import spark.implicits._
     bytes.toDF("sketch")
       .agg(hll_sketch_estimate(hll_union_agg(col("sketch"))).as("est"))
@@ -267,11 +293,6 @@ object ResumableValidate {
   /** Merged KLL sketch for any persisted sketch key (e.g. [[kllColKey]] for
     * a `--drift-col` column). Pure commit-log read — NEVER rescans data.
     */
-  def mergedKllSketch(spark: SparkSession, outDir: String, key: String): Array[Byte] = {
-    val conf = spark.sparkContext.hadoopConfiguration
-    val bytes = CommitLog.sketches(outDir, conf).toSeq.sortBy(_._1)
-      .flatMap(_._2.get(key))
-    require(bytes.nonEmpty, s"no $key sketches committed under $outDir")
-    graft.plans.Kll.union(bytes)
-  }
+  def mergedKllSketch(spark: SparkSession, outDir: String, key: String): Array[Byte] =
+    graft.plans.Kll.union(sketchBytesAllParts(spark, outDir, key))
 }

@@ -82,14 +82,17 @@ object Sessionize {
     // `_bucket` null and a Seq-join's EqualTo would silently drop those
     // rows — the single-Window form kept them (each null-ts row its own
     // session, nulls-first), and null users form a group of their own the
-    // same way. BROADCAST the summary: it is one row per (user, day) of
-    // the processed slice — orders of magnitude below the event table —
-    // and broadcasting it means the already-window-sorted event side needs
-    // no second exchange for the join.
+    // same way. The summary side is one row per (user, day) — orders of
+    // magnitude below the event table — so size-based planning broadcasts
+    // it in any normal run and the window-sorted event side needs no
+    // second exchange; there is deliberately NO mandatory broadcast()
+    // hint: summary cardinality is users × days, which a planet-scale
+    // slice can push past the broadcast hard limit, and a forced hint
+    // would then OOM the driver where a shuffle join just works.
     val st = stitched
       .withColumnRenamed(userCol, "_st_user").withColumnRenamed("_bucket", "_st_bucket")
     withLocal
-      .join(broadcast(st),
+      .join(st,
         col(userCol) <=> col("_st_user") && col("_bucket") <=> col("_st_bucket"))
       .withColumn("session_index",
         col("_cum_before") - col("_stitch") + col("_local_idx"))

@@ -101,12 +101,15 @@ object RuleCompiler {
     */
   private def numStr(v: Column): Column = {
     val d = v.cast(DoubleType)
-    // bound = the long-exact range, not 1e15: whole floats in [1e15, 2^63)
+    // bound = the long-exact range, not 1e15: whole floats in [-2^63, 2^63)
     // must also render without an exponent ("1000000000000000", as Rust's
-    // `{}` does). `< Long.MaxValue.toDouble` (= 2^63 exactly) keeps the
-    // ANSI double→long cast in the then-branch overflow-free: the largest
-    // double below 2^63 is 2^63 − 1024.
-    when(pmod(d, lit(1.0)) === 0.0 && abs(d) < lit(Long.MaxValue.toDouble),
+    // `{}` does). Upper bound `< Long.MaxValue.toDouble` (= 2^63 exactly)
+    // keeps the ANSI double→long cast in the then-branch overflow-free
+    // (largest double below 2^63 is 2^63 − 1024); the LOWER bound is
+    // inclusive — exactly −2^63 IS long-representable and must render as
+    // "-9223372036854775808", not "-9.223372036854776E18".
+    when(pmod(d, lit(1.0)) === 0.0 &&
+        d >= lit(Long.MinValue.toDouble) && d < lit(Long.MaxValue.toDouble),
       d.cast(LongType).cast(StringType)).otherwise(d.cast(StringType))
   }
 

@@ -175,6 +175,13 @@ object CommitLog {
         .map(_.elements().asScala.map(_.asText).toSeq).getOrElse(Nil)
     }.toMap
 
+  /** part -> committed doc count (0 = a legitimately empty partition). */
+  def docCounts(dir: String,
+      conf: Configuration = new Configuration()): Map[Int, Long] =
+    parsedCommits(dir, conf).map { case (p, n) =>
+      p -> Option(n.get("docs")).map(_.asLong).getOrElse(0L)
+    }.toMap
+
   /** Sum of failed_docs over all committed partitions (the job verdict). */
   def failedDocsTotal(dir: String,
       conf: Configuration = new Configuration()): Long =

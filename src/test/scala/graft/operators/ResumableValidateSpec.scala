@@ -248,6 +248,29 @@ class ResumableValidateSpec extends SparkSpec {
       "resume-run sketch must match single-run within KLL rank error")
   }
 
+  test("merged sketch report refuses partial coverage (some parts sketchless)") {
+    import org.apache.spark.sql.functions._
+    // crash under PLAIN validation (no sketches), then resume WITH
+    // sketches: the merged report must error naming the sketchless parts,
+    // never present subset stats as whole-run numbers
+    val docs = freshDocs.withColumn("n_spans", size(col("spans")))
+    val dir = Files.createTempDirectory("graft_partial_sketch").toString
+    intercept[RuntimeException] {
+      ResumableValidate.run(spark, docs, rule, dir,
+        failAfterParts = 3, partsPerBatch = 1) // no sketches
+    }
+    ResumableValidate.run(spark, docs, rule, dir,
+      driftCols = Seq("n_spans"), withSketches = true, partsPerBatch = 1)
+    val e = intercept[IllegalArgumentException] {
+      ResumableValidate.mergedKllSketch(spark, dir,
+        ResumableValidate.kllColKey("n_spans"))
+    }
+    assert(e.getMessage.contains("validated without sketches"), e.getMessage)
+    intercept[IllegalArgumentException] {
+      ResumableValidate.mergedDocIdEstimate(spark, dir)
+    }
+  }
+
   test("commit JSON round-trips manifest paths containing quotes and newlines") {
     // the old regex read side truncated at the \" that esc writes — a
     // quote in an object-store key silently corrupted the manifest and a

@@ -38,7 +38,8 @@ class RuleCompilerSpec extends SparkSpec {
   test("whole floats in [1e15, 2^63) render without an exponent (Num.fmt parity)") {
     // Rust's `{}` prints 1e15f64 as "1000000000000000"; a bare
     // cast-to-string would print "1.0E15" and break message parity
-    val df = Seq(("d1", 1.0e15), ("d2", 9.0e18)).toDF("doc_id", "x")
+    val df = Seq(("d1", 1.0e15), ("d2", 9.0e18), ("d3", Long.MinValue.toDouble))
+      .toDF("doc_id", "x")
     val rule = kw(Keywords(properties = Map(
       "x" -> kw(Keywords(types = Some(List("string")))))))
     val vs = violationsFor(df, rule)
@@ -46,7 +47,10 @@ class RuleCompilerSpec extends SparkSpec {
       Violation("d1", "x", "type",
         "Expected a string, but got: 1000000000000000 (float)"),
       Violation("d2", "x", "type",
-        "Expected a string, but got: 9000000000000000000 (float)")))
+        "Expected a string, but got: 9000000000000000000 (float)"),
+      // exactly -2^63 is long-representable: inclusive lower bound
+      Violation("d3", "x", "type",
+        "Expected a string, but got: -9223372036854775808 (float)")))
   }
 
   test("type: [string, number] multi-type") {
