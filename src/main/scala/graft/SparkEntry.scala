@@ -95,6 +95,16 @@ object SparkEntry {
 
   private val langEnum = List("en", "de", "fr", "es").map(ConstVal.VStr(_))
 
+  /** Deterministic URL injection shared by t_urls / t_domains (the corpus
+    * carries no URLs of its own; the oracle replays the same append).
+    */
+  private def urlAug: Column = concat(col("text"),
+    when(col("doc_id") % 4 === 0, concat(lit(" see https://site"),
+      (col("doc_id") % 50).cast("string"), lit(".example.org/p/"),
+      col("doc_id").cast("string"), lit(" ok"))).otherwise(lit("")),
+    when(col("doc_id") % 9 === 0,
+      lit(" ref http://cdn.example.net:8080/assets/x.js end")).otherwise(lit("")))
+
   // marker lists as SQL literals for the oracle
   private def sqlList(ws: Seq[String]): String = ws.map(w => s"'$w'").mkString(", ")
 
@@ -503,6 +513,29 @@ object SparkEntry {
       t(s, dir, "documents").select(col("doc_id"),
         em.as("n_emails"), ip.as("n_ips"), ph.as("n_phones"),
         TextAnalysis.redactPii(aug).as("redacted"))
+        .orderBy("doc_id")
+    }),
+    "t_urls" -> ((s, dir) => {
+      // the synthetic corpus carries no URLs, so both engines inject the
+      // SAME deterministic links (derived from doc_id) and must agree on
+      // per-doc URL counts — the t_pii inject-then-detect pattern
+      t(s, dir, "documents")
+        .select(col("doc_id"), TextAnalysis.urlCount(urlAug).as("n_urls"))
+        .orderBy("doc_id")
+    }),
+    "t_domains" -> ((s, dir) => {
+      // corpus-level top domains over the injected links: the per-source
+      // distribution a web-pipeline audit starts from
+      TextAnalysis.topDomains(
+        t(s, dir, "documents").select(urlAug.as("text")), "text", k = 20)
+    }),
+    "p_split" -> ((s, dir) => {
+      // deterministic 80/10/10 train/val/test assignment: hash-bucketed,
+      // leak-proof (a row can never migrate between splits across runs,
+      // partitionings or engines)
+      Sampling.splits(t(s, dir, "documents"), "doc_id",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .select(col("doc_id"), col("split"))
         .orderBy("doc_id")
     }),
     "d_dup_clusters" -> ((s, dir) => {
@@ -1246,6 +1279,46 @@ object SparkEntry {
         |  FROM documents)
         |SELECT doc_id, CAST(unnest(generate_series(0, n - 1)) AS INT) AS epoch
         |FROM w WHERE n > 0 ORDER BY doc_id, epoch""".stripMargin,
+    // URL injection twin of t_pii: same deterministic append, same
+    // RE2-subset regex — counts and domain ranking must agree
+    "t_urls" ->
+      """WITH aug AS (SELECT doc_id, text
+        |  || CASE WHEN doc_id % 4 = 0 THEN ' see https://site'
+        |       || CAST(doc_id % 50 AS VARCHAR) || '.example.org/p/'
+        |       || CAST(doc_id AS VARCHAR) || ' ok' ELSE '' END
+        |  || CASE WHEN doc_id % 9 = 0
+        |       THEN ' ref http://cdn.example.net:8080/assets/x.js end'
+        |       ELSE '' END AS t
+        |  FROM documents)
+        |SELECT doc_id, CAST(len(regexp_extract_all(t,
+        |    'https?://[A-Za-z0-9.-]+(?::[0-9]+)?(?:/[^\s]*)?')) AS BIGINT)
+        |  AS n_urls
+        |FROM aug ORDER BY doc_id""".stripMargin,
+    "t_domains" ->
+      """WITH aug AS (SELECT doc_id, text
+        |  || CASE WHEN doc_id % 4 = 0 THEN ' see https://site'
+        |       || CAST(doc_id % 50 AS VARCHAR) || '.example.org/p/'
+        |       || CAST(doc_id AS VARCHAR) || ' ok' ELSE '' END
+        |  || CASE WHEN doc_id % 9 = 0
+        |       THEN ' ref http://cdn.example.net:8080/assets/x.js end'
+        |       ELSE '' END AS t
+        |  FROM documents),
+        |u AS (SELECT unnest(regexp_extract_all(t,
+        |    'https?://[A-Za-z0-9.-]+(?::[0-9]+)?(?:/[^\s]*)?')) AS url FROM aug),
+        |d AS (SELECT regexp_extract(url, 'https?://([A-Za-z0-9.-]+)', 1)
+        |    AS domain FROM u)
+        |SELECT domain, CAST(count(*) AS BIGINT) AS occurrences
+        |FROM d WHERE domain <> ''
+        |GROUP BY domain ORDER BY occurrences DESC, domain LIMIT 20""".stripMargin,
+    // split assignment: same md5 hash key, same cumulative thresholds
+    "p_split" ->
+      s"""SELECT doc_id,
+        |  CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+        |         < '${Sampling.thresholdHex(0.8)}' THEN 'train'
+        |       WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+        |         < '${Sampling.thresholdHex(0.9)}' THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM documents ORDER BY doc_id""".stripMargin,
     // packing manifest: same whitespace token count, same mod-8 shard, same
     // integer running sum — engine-exact by construction
     "p_pack" ->

@@ -112,4 +112,29 @@ object Sampling {
     df.withColumn("sample_rank", row_number().over(w))
       .filter(col("sample_rank") <= k)
   }
+
+  /** Deterministic train/validation/test (or any n-way) split assignment:
+    * the id hash lands in cumulative-weight buckets, so every row gets
+    * exactly one `split` label that is stable across runs, cluster sizes
+    * and engines (the property that makes held-out sets leak-proof: a row
+    * can never migrate between train and test when the corpus is
+    * re-partitioned or re-sampled). Pure scan-stage CASE filter —
+    * trivially 100 TB-safe; weights must sum to 1.
+    */
+  def splits(df: DataFrame, idCol: String,
+      weights: Seq[(String, Double)]): DataFrame = {
+    require(weights.nonEmpty && weights.forall(_._2 >= 0.0) &&
+      math.abs(weights.map(_._2).sum - 1.0) < 1e-9,
+      s"split weights must be >= 0 and sum to 1, got $weights")
+    val cums = weights.map(_._2).scanLeft(0.0)(_ + _).tail
+    val key = hashKey(col(idCol))
+    // first matching cumulative threshold wins; the LAST bucket is the
+    // else-branch (its threshold is 1.0 — no hex compare needed, and no
+    // row can fall through on rounding)
+    val assigned = weights.init.zip(cums.init)
+      .foldRight(lit(weights.last._1): Column) { case (((name, _), cum), acc) =>
+        when(key < lit(thresholdHex(cum)), lit(name)).otherwise(acc)
+      }
+    df.withColumn("split", assigned)
+  }
 }

@@ -279,6 +279,38 @@ object TextAnalysis {
         Ipv4Re, "[IP]"),
       PhoneRe, "[PHONE]")
 
+  // ------------------------------------------------------------------
+  // URL / domain extraction
+  // ------------------------------------------------------------------
+
+  /** URL pattern in the same RE2-compatible subset as the PII patterns
+    * (no lookaround/backrefs), so counts and extractions reproduce in any
+    * oracle engine. Scheme + host[:port][/path-without-whitespace].
+    */
+  val UrlRe = "https?://[A-Za-z0-9.-]+(?::[0-9]+)?(?:/[^\\s]*)?"
+  private val DomainRe = "https?://([A-Za-z0-9.-]+)"
+
+  /** URLs per document — one `regexp_count`, scan-stage. */
+  def urlCount(text: Column): Column = regexp_count(text, lit(UrlRe)).cast("long")
+
+  /** The domains of every URL in the text, in order of appearance. */
+  def domains(text: Column): Column =
+    transform(regexp_extract_all(text, lit(UrlRe), lit(0)),
+      u => regexp_extract(u, DomainRe, 1))
+
+  /** Corpus-level top-k domains by URL occurrences — the per-source-site
+    * distribution every web-pipeline audit starts from (and the input to
+    * per-domain caps via [[Sampling.reservoirPerGroup]]). Same plan shape
+    * as [[topTokens]]: explode → map-side-combined groupBy →
+    * TakeOrderedAndProject; deterministic ties (count desc, domain asc).
+    */
+  def topDomains(df: DataFrame, textCol: String, k: Int): DataFrame =
+    df.select(explode(domains(col(textCol))).as("domain"))
+      .filter(col("domain") =!= "")
+      .groupBy(col("domain")).agg(count(lit(1)).as("occurrences"))
+      .orderBy(col("occurrences").desc, col("domain"))
+      .limit(k)
+
   /** One-pass text profile of a corpus. */
   def profile(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(

@@ -303,6 +303,41 @@ class PipelineOpsSpec extends SparkSpec {
     assert(HeaderCodec.probe(null).isEmpty)
   }
 
+  test("URL extraction: counts, domains in order, top-domain ranking") {
+    val udocs = Seq(
+      (1L, "visit https://a.example.org/x and http://b.example.net:8080/y ok"),
+      (2L, "plain text, no links"),
+      (3L, "dup https://a.example.org/z end")).toDF("doc_id", "text")
+    val counts = udocs.select(col("doc_id"),
+      TextAnalysis.urlCount(col("text")).as("n")).orderBy("doc_id")
+      .collect().map(_.getLong(1)).toSeq
+    assert(counts == Seq(2L, 0L, 1L))
+    val doms = udocs.filter(col("doc_id") === 1L)
+      .select(TextAnalysis.domains(col("text"))).collect()(0).getSeq[String](0)
+    assert(doms == Seq("a.example.org", "b.example.net"))
+    val top = TextAnalysis.topDomains(udocs, "text", 5).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(top == Seq(("a.example.org", 2L), ("b.example.net", 1L)))
+  }
+
+  test("split assignment: total cover, determinism, approximate proportions") {
+    val ids = spark.range(20000).select(col("id").as("doc_id"))
+    val w = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val sp = Sampling.splits(ids, "doc_id", w)
+    val byLabel = sp.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byLabel.values.sum == 20000L, "every row gets exactly one split")
+    assert(math.abs(byLabel("train") - 16000L) < 400, s"$byLabel")
+    assert(math.abs(byLabel("val") - 2000L) < 200, s"$byLabel")
+    // determinism: re-running (and re-partitioning) never migrates a row
+    val again = Sampling.splits(ids.repartition(13), "doc_id", w)
+    assert(sp.join(again.withColumnRenamed("split", "s2"), "doc_id")
+      .filter(col("split") =!= col("s2")).count() == 0)
+    intercept[IllegalArgumentException] {
+      Sampling.splits(ids, "doc_id", Seq("a" -> 0.5, "b" -> 0.4))
+    }
+  }
+
   test("sequence packing: contiguous offsets, straddling docs, exact bin fills") {
     // 1 shard so the stream layout is hand-checkable: capacity 10,
     // doc tokens 4, 4, 5, 3 -> offsets 0, 4, 8, 13; doc 3 straddles bins
