@@ -515,6 +515,21 @@ object SparkEntry {
         TextAnalysis.redactPii(aug).as("redacted"))
         .orderBy("doc_id")
     }),
+    "d_diff" -> ((s, dir) => {
+      // snapshot-refresh audit: v2 derives from v1 with deterministic
+      // removals (id % 97), edits (id % 41) and additions (id % 89 cloned
+      // at +100000); the diff must report exactly that delta, never an
+      // unchanged row
+      val base = t(s, dir, "documents")
+      val a = base.select(col("doc_id"), col("text"))
+      val b = base.filter(pmod(col("doc_id"), lit(97L)) =!= 0L)
+        .select(col("doc_id"),
+          when(pmod(col("doc_id"), lit(41L)) === 0L,
+            concat(col("text"), lit(" v2"))).otherwise(col("text")).as("text"))
+        .unionByName(base.filter(pmod(col("doc_id"), lit(89L)) === 0L)
+          .select((col("doc_id") + 100000L).as("doc_id"), col("text")))
+      Diff.rowDiff(a, b, "doc_id", Seq("text")).orderBy("id")
+    }),
     "t_urls" -> ((s, dir) => {
       // the synthetic corpus carries no URLs, so both engines inject the
       // SAME deterministic links (derived from doc_id) and must agree on
@@ -1279,6 +1294,25 @@ object SparkEntry {
         |  FROM documents)
         |SELECT doc_id, CAST(unnest(generate_series(0, n - 1)) AS INT) AS epoch
         |FROM w WHERE n > 0 ORDER BY doc_id, epoch""".stripMargin,
+    // version diff: the oracle rebuilds v2 with the same arithmetic and
+    // full-joins — text equality replays the operator's content-hash
+    // equality exactly (single non-null string column)
+    "d_diff" ->
+      """WITH a AS (SELECT doc_id, text FROM documents),
+        |b AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 41 = 0 THEN text || ' v2' ELSE text END AS text
+        |  FROM documents WHERE doc_id % 97 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 100000 AS doc_id, text FROM documents
+        |  WHERE doc_id % 89 = 0)
+        |SELECT coalesce(a.doc_id, b.doc_id) AS id,
+        |  CASE WHEN a.doc_id IS NULL THEN 'added'
+        |       WHEN b.doc_id IS NULL THEN 'removed'
+        |       WHEN a.text <> b.text THEN 'changed' END AS status
+        |FROM a FULL JOIN b ON a.doc_id = b.doc_id
+        |WHERE a.doc_id IS NULL OR b.doc_id IS NULL OR a.text <> b.text
+        |ORDER BY id""".stripMargin,
     // URL injection twin of t_pii: same deterministic append, same
     // RE2-subset regex — counts and domain ranking must agree
     "t_urls" ->

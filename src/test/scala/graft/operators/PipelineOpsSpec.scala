@@ -303,6 +303,43 @@ class PipelineOpsSpec extends SparkSpec {
     assert(HeaderCodec.probe(null).isEmpty)
   }
 
+  test("row diff: added/removed/changed only, unchanged rows never emitted") {
+    val va = Seq((1L, "a", 10), (2L, "b", 20), (3L, "c", 30), (4L, "d", 40))
+      .toDF("id", "text", "n")
+    val vb = Seq((1L, "a", 10), (2L, "B", 20), (4L, "d", 41), (5L, "e", 50))
+      .toDF("id", "text", "n")
+    val d = Diff.rowDiff(va, vb, "id", Seq("text", "n")).orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(d == Seq((2L, "changed"), (3L, "removed"),
+      (4L, "changed"), (5L, "added")), d.mkString(","))
+    val counts = Diff.rowDiffCounts(va, vb, "id", Seq("text", "n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts == Map("changed" -> 2L, "removed" -> 1L, "added" -> 1L))
+  }
+
+  test("schema diff: added/removed/type/nullability at any nesting depth") {
+    import org.apache.spark.sql.types._
+    val a = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("old", StringType),
+      StructField("spans", ArrayType(StructType(Seq(
+        StructField("kind", StringType),
+        StructField("offset", IntegerType)))))))
+    val b = StructType(Seq(
+      StructField("id", LongType, nullable = true), // relaxed
+      StructField("fresh", StringType),             // added
+      StructField("spans", ArrayType(StructType(Seq(
+        StructField("kind", StringType),
+        StructField("offset", LongType)))))))       // widened
+    val d = Diff.schemaDiff(a, b)
+    assert(d == Seq(
+      "fresh" -> "added",
+      "id" -> "nullability: false -> true",
+      "old" -> "removed",
+      "spans.element.offset" -> "type: int -> bigint"), d.mkString("; "))
+    assert(Diff.schemaDiff(a, a).isEmpty)
+  }
+
   test("URL extraction: counts, domains in order, top-domain ranking") {
     val udocs = Seq(
       (1L, "visit https://a.example.org/x and http://b.example.net:8080/y ok"),
