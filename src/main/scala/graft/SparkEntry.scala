@@ -722,6 +722,15 @@ object SparkEntry {
       Multimodal.probeMeta(media).toDF()
         .orderBy("media_ref")
     }),
+    "m_resize" -> ((s, dir) => {
+      // aspect-preserving 256x256 bounding-box resize plan over the probed
+      // PNG/MP4 dimensions (WAV rows have no dims and drop out); the
+      // oracle recomputes the same floor(x+0.5) math from the id formulas
+      Multimodal.resizePlan(
+        Multimodal.probeMeta(Multimodal.syntheticMedia(s, 2000)).toDF(),
+        maxW = 256, maxH = 256)
+        .orderBy("media_ref")
+    }),
     "m_frame_sample" -> ((s, dir) => {
       val meta = Multimodal.probeMeta(Multimodal.syntheticMedia(s, 2000)).toDF()
       Multimodal.sampleFrames(meta, stride = 50)
@@ -1649,6 +1658,22 @@ object SparkEntry {
         |  CAST(CASE WHEN id % 3 = 1 THEN 1 + id % 2 ELSE 0 END AS INT) AS channels,
         |  true AS parsed
         |FROM ids ORDER BY media_ref""".stripMargin,
+    // resize plan parity: same dims from the id formulas, same double
+    // division and floor(x+0.5) rounding — engine-exact
+    "m_resize" ->
+      """WITH ids AS (SELECT range AS id FROM range(0, 2000) WHERE range % 3 <> 1),
+        |dims AS (SELECT printf('m-%08x', id) AS media_ref,
+        |    CASE WHEN id % 3 = 0 THEN 16 + id % 1920
+        |         ELSE 16 + id % 640 END AS w,
+        |    CASE WHEN id % 3 = 0 THEN 16 + (id // 7) % 1080
+        |         ELSE 16 + (id // 3) % 480 END AS h
+        |  FROM ids),
+        |sc AS (SELECT media_ref, w, h,
+        |    least(1.0, least(256.0 / w, 256.0 / h)) AS s FROM dims)
+        |SELECT media_ref, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+        |  CAST(floor(w * s + 0.5) AS INT) AS out_w,
+        |  CAST(floor(h * s + 0.5) AS INT) AS out_h
+        |FROM sc ORDER BY media_ref""".stripMargin,
     "m_frame_sample" ->
       """WITH ids AS (SELECT range AS id FROM range(0, 2000) WHERE range % 3 = 2)
         |SELECT printf('m-%08x', id) AS media_ref,

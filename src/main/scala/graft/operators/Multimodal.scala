@@ -360,6 +360,25 @@ object Multimodal {
       }
   }
 
+  /** Aspect-preserving resize PLAN for image/video rows: the target
+    * dimensions each decoder task must produce for a maxW×maxH bounding
+    * box (never upscaled) — pure Column math over probed metadata, so the
+    * plan for 10^12 media rows costs one metadata scan and the expensive
+    * decode+scale stage receives exact work orders. Rounding is
+    * `floor(x + 0.5)` (IEEE-exact, engine-portable — same rationale as
+    * [[Similarity.quantizeInt8]]). Only `parsed` rows with real dimensions
+    * qualify.
+    */
+  def resizePlan(meta: DataFrame, maxW: Int, maxH: Int): DataFrame = {
+    require(maxW >= 1 && maxH >= 1)
+    val scale = least(lit(1.0),
+      least(lit(maxW.toDouble) / col("width"), lit(maxH.toDouble) / col("height")))
+    meta.filter(col("parsed") && col("width") > 0 && col("height") > 0)
+      .select(col("media_ref"), col("width"), col("height"),
+        floor(col("width") * scale + 0.5).cast("int").as("out_w"),
+        floor(col("height") * scale + 0.5).cast("int").as("out_h"))
+  }
+
   /** Frame sampling plan for video rows: every `stride`-th frame index up to
     * the probed frame count — pure Column math over the probed metadata (the
     * actual frame decode would join back to bytes by media_ref). Only

@@ -246,6 +246,16 @@ class PipelineOpsSpec extends SparkSpec {
       viols.mkString("\n"))
     // unparseable video never reaches frame sampling
     assert(Multimodal.sampleFrames(Multimodal.probeMeta(junk).toDF()).count() == 0)
+    // resize plan: aspect preserved, never upscaled, unparseable excluded
+    val metaDf = Multimodal.probeMeta(media).toDF()
+    val rp = Multimodal.resizePlan(metaDf, 100, 100).collect()
+    assert(rp.nonEmpty && rp.forall { r =>
+      val (w, h, ow, oh) = (r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4))
+      ow <= 100 && oh <= 100 && ow <= w && oh <= h &&
+        (if (w <= 100 && h <= 100) ow == w && oh == h else true)
+    }, rp.take(3).mkString(","))
+    assert(Multimodal.resizePlan(Multimodal.probeMeta(junk).toDF(), 100, 100)
+      .count() == 0)
     val frames = Multimodal.sampleFrames(Multimodal.probeMeta(media).toDF(), stride = 10)
     assert(frames.count() == meta.count(_.mime.startsWith("video")))
   }
