@@ -415,6 +415,21 @@ object SparkEntry {
         .select(col("id"), round(col("cosine"), 2).as("cosine"))
         .orderBy("id")
     }),
+    "s_ann_quantized" -> ((s, dir) => {
+      // the storage path composes with serving: cosine is SCALE-INVARIANT,
+      // so scoring the int8-quantized vectors directly recovers the
+      // exact-corpus ranking to within quantization error (≤ ~1/254 per
+      // dim) — search over the 4×-smaller index, no dequantization pass
+      val emb = t(s, dir, "embeddings")
+      val q: Seq[Float] = emb.filter(col("vec_id") === 0L)
+        .select(col("embedding")).collect()(0).getSeq[Float](0)
+      val quant = Similarity.quantizeInt8(
+        emb.filter(col("vec_id") =!= 0L), "vec_id", "embedding")
+      Similarity.cosineScores(quant, "id", "qvec", q)
+        .filter(col("cosine") >= 0.25)
+        .select(col("id"), round(col("cosine"), 2).as("cosine"))
+        .orderBy("id")
+    }),
     "s_ann_lsh" -> ((s, dir) => {
       // LSH-bucketed ANN over a WRITTEN (tbl, bucket)-partitioned index:
       // the serving path (build once, probe = partition-pruned read of the
@@ -1156,6 +1171,25 @@ object SparkEntry {
         |    AS cosine
         |FROM embeddings WHERE vec_id != 0
         |  AND list_cosine_similarity(embedding, (SELECT qe FROM q)) >= 0.25
+        |ORDER BY id""".stripMargin,
+    // quantized ANN: replay the (already-proven-exact) quantization, score
+    // the int vectors in double math — scale invariance makes the ranking
+    // agree with the float corpus to within quantization error
+    "s_ann_quantized" ->
+      """WITH q AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qe
+        |      FROM embeddings WHERE vec_id = 0),
+        |qt AS (SELECT vec_id AS id,
+        |    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS scale,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings WHERE vec_id <> 0),
+        |qq AS (SELECT id,
+        |    list_transform(v, x -> CASE WHEN scale = 0 THEN 0.0
+        |      ELSE floor(x / scale * 127.0 + 0.5) END) AS ql
+        |  FROM qt),
+        |sc AS (SELECT id,
+        |    CAST(list_cosine_similarity(ql, (SELECT qe FROM q)) AS DOUBLE) AS cs
+        |  FROM qq)
+        |SELECT id, round(cs, 2) AS cosine FROM sc WHERE cs >= 0.25
         |ORDER BY id""".stripMargin,
     "t_lang_id" ->
       s"""WITH toks AS (SELECT doc_id, string_split_regex(

@@ -439,6 +439,37 @@ class PipelineOpsSpec extends SparkSpec {
     assert(qs.forall(v => v >= -127 && v <= 127))
   }
 
+  test("quantized ANN: top hit exact, scores within quantization error, high overlap") {
+    // the honest contract: cosine over int8 vectors agrees with the float
+    // corpus to within quantization error (per-dim <= scale/254) — rank
+    // flips are possible only between candidates closer than that error
+    val dims = 8
+    val vecs = (0 until 120).map { i =>
+      val c = i % 4
+      val v = Seq.tabulate(dims)(d =>
+        (if (d == c * 2) 1.0f else 0.0f) + (((i * 13 + d) % 7) - 3) / 40.0f)
+      (i.toLong, v)
+    }.toDF("vec_id", "embedding")
+    val q = Seq.tabulate(dims)(d => if (d == 0) 1.0f else 0.05f)
+    val exactScores = Similarity.cosineScores(vecs, "vec_id", "embedding", q)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val quant = Similarity.quantizeInt8(vecs, "vec_id", "embedding")
+    val quantScores = Similarity.cosineScores(quant, "id", "qvec", q)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // every score within the quantization error envelope
+    quantScores.foreach { case (id, cq) =>
+      assert(math.abs(cq - exactScores(id)) <= 0.03,
+        s"id=$id quant=$cq exact=${exactScores(id)}")
+    }
+    // the clear winner is preserved; the top-10 SETS overlap >= 8/10
+    // (flips happen only among near-ties inside one cluster)
+    def top10(m: Map[Long, Double]) =
+      m.toSeq.sortBy { case (id, c) => (-c, id) }.take(10).map(_._1)
+    assert(top10(quantScores).head == top10(exactScores).head)
+    assert(top10(quantScores).toSet.intersect(top10(exactScores).toSet).size >= 8,
+      s"quant=${top10(quantScores)} exact=${top10(exactScores)}")
+  }
+
   test("HLL estimates sit within the published error bound of exact distinct") {
     // the g_stats_hll driver row is rows-only (a foreign engine cannot
     // reproduce sketch internals) — this pins the VALUES instead: HLL at
