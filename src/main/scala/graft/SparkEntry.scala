@@ -779,6 +779,101 @@ object SparkEntry {
       q.awaitTermination()
       s.table(name).orderBy("part")
     }),
+    // ---------- streaming drift monitoring ----------
+    "g_stream_drift" -> ((s, dir) => {
+      // CONTINUOUS drift monitoring on the streaming engine: the SAME
+      // binned-cell aggregation the batch KS check uses (one groupBy, no
+      // windows — legal in complete mode) over a file-source replay of
+      // lineitem; the final emission's cells fold into the identical KS
+      // statistic, so the batch oracle (g_drift_ks's SQL) checks the
+      // streaming plan end to end.
+      val batch = t(s, dir, "lineitem")
+      val stream = s.readStream.schema(batch.schema)
+        .option("pathGlobFilter", "lineitem.parquet")
+        .parquet(dir)
+      val cells = Drift.binnedCellCounts(stream, "l_extendedprice",
+        col("l_returnflag") === "R", col("l_returnflag") === "N",
+        0.0, 120000.0, 101)
+      val name = streamViewName(s, "stream_drift")
+      val q = cells.writeStream.format("memory").queryName(name)
+        .outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      Drift.ksFromCellCounts(s, s.table(name).collect(), 101)
+        .select(round(col("ks"), 4).as("ks"))
+    }),
+    // ---------- data layout (z-order clustering) ----------
+    "l_zorder" -> ((s, dir) => {
+      // Morton key over (doc_id, text length): the clustering key an
+      // OPTIMIZE ZORDER-style maintenance pass range-sorts by — pure
+      // codegen bit arithmetic on exact integer ranks, reproducible in any
+      // engine
+      val d = t(s, dir, "documents")
+        .select(col("doc_id"), length(col("text")).cast("long").as("tlen"))
+      d.select(col("doc_id"),
+          Layout.zValueAuto(d, Seq("doc_id", "tlen"), bits = 16).as("zval"))
+        .orderBy("doc_id")
+    }),
+    "l_zorder_skip" -> ((s, dir) => {
+      // the data-skipping manifest z-ordering exists for: per z-bucket
+      // min/max of BOTH dimensions (the column stats a format manifest
+      // carries). Narrow ranges on every dimension = a filter on either
+      // column prunes most buckets; a linear sort gets this on the leader
+      // column only.
+      val d = t(s, dir, "documents")
+        .select(col("doc_id"), length(col("text")).cast("long").as("tlen"))
+      val r = d.agg(min("doc_id"), max("doc_id"), min("tlen"), max("tlen"))
+        .collect()(0)
+      val dims = Seq(
+        (col("doc_id"), r.getLong(0), r.getLong(1)),
+        (col("tlen"), r.getLong(2), r.getLong(3)))
+      Layout.skippingStats(d, dims, bits = 16, nBuckets = 64)
+        .orderBy("bucket")
+    }),
+    // ---------- corpus-rarity quality signal ----------
+    "t_rarity" -> ((s, dir) =>
+      // rare-token mass per document: rarity is a corpus property (df over
+      // the whole vocabulary), the quality dimension per-row heuristics
+      // can't see
+      TextAnalysis.rareTokenStats(t(s, dir, "documents"), "doc_id", "text",
+          dfMax = 2L)
+        .orderBy("id")),
+    // ---------- incremental revalidation ----------
+    "i_validate" -> ((s, dir) => {
+      // snapshot v2 derives from v1 with removals (key%97), span edits
+      // (key%41 — first offset forced to -1, an injected violation) and
+      // additions (key%89 cloned at +500000). BOTH snapshots are written to
+      // parquet; the engine revalidates ONLY the delta rows
+      // (Diff.incrementalRows anti-join) and emits per-part verdicts over
+      // that delta — at 10^12 docs a refresh affords |delta| work, never
+      // corpus work. The oracle replays the same anti-join + span invariant
+      // over the same files.
+      val docs = DocsGen.docs(s, DocsGen.Knobs(nDocs = 20000, nParts = 16,
+        badKindPerMille = 10, badMediaRefPerMille = 10, badOrderPerMille = 10,
+        negOffsetPerMille = 5))
+      val p1 = genV1Path(dir); val p2 = genV2Path(dir)
+      docs.write.mode("overwrite").parquet(p1)
+      val v1 = s.read.parquet(p1)
+      val k = substring(col("doc_id"), 3, 12).cast("long")
+      val edited = v1.filter(pmod(k, lit(97L)) =!= 0L)
+        .withColumn("spans", when(pmod(k, lit(41L)) === 0L,
+          transform(col("spans"), (sp, i) =>
+            when(i === 0, sp.withField("offset", lit(-1))).otherwise(sp)))
+          .otherwise(col("spans")))
+      val added = v1.filter(pmod(k, lit(89L)) === 0L)
+        .withColumn("doc_id",
+          concat(lit("d-"), lpad((k + 500000L).cast("string"), 12, "0")))
+      edited.unionByName(added).write.mode("overwrite").parquet(p2)
+      val delta = Diff.incrementalRows(s.read.parquet(p1), s.read.parquet(p2),
+        "doc_id", Seq("spans"))
+      delta.withColumn("violations", SpanInvariant.violationsCol(col("spans")))
+        .groupBy(col("part"))
+        .agg(count(lit(1)).as("docs"),
+          sum(when(size(col("violations")) > 0, 1L).otherwise(0L))
+            .as("failed_docs"))
+        .orderBy("part")
+    }),
     // ---------- generated north-rule corpus ----------
     "gen_validate" -> ((s, dir) => {
       // the generated corpus is WRITTEN to parquet first and validated from
@@ -810,6 +905,14 @@ object SparkEntry {
     */
   def genStreamDocsPath(dir: String): String =
     s"${System.getProperty("java.io.tmpdir")}/graft_gen_stream_docs_${dir.hashCode}"
+
+  /** i_validate's snapshot pair (own paths — see [[genStreamDocsPath]] on
+    * why queries never share a materialization dir).
+    */
+  def genV1Path(dir: String): String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_gen_docs_v1_${dir.hashCode}"
+  def genV2Path(dir: String): String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_gen_docs_v2_${dir.hashCode}"
 
   /** IVF BUILD phase: train the quantizer (cached per dir) and write the
     * centroid-partitioned index; returns the index path.
@@ -1735,6 +1838,101 @@ object SparkEntry {
         |SELECT part, CAST(count(*) AS BIGINT) AS docs,
         |  CAST(sum(CASE WHEN failed THEN 1 ELSE 0 END) AS BIGINT) AS failed_docs
         |FROM per GROUP BY part ORDER BY part""".stripMargin,
+    // streaming drift: the binned-cell stream must fold into the exact
+    // batch KS statistic — same oracle as g_drift_ks
+    "g_stream_drift" ->
+      """WITH b AS (SELECT l_returnflag AS f,
+        |    CASE WHEN CAST(l_extendedprice AS DOUBLE) > 120000.0 THEN NULL
+        |         ELSE least(greatest(CAST(ceil(
+        |           (CAST(l_extendedprice AS DOUBLE) - 0.0) / 1200.0) AS INT), 0), 100)
+        |    END AS cell
+        |  FROM lineitem
+        |  WHERE l_returnflag IN ('R', 'N') AND l_extendedprice IS NOT NULL),
+        |cnt AS (SELECT cell,
+        |    sum(CASE WHEN f = 'R' THEN 1 ELSE 0 END) AS ca,
+        |    sum(CASE WHEN f = 'N' THEN 1 ELSE 0 END) AS cb
+        |  FROM b GROUP BY cell),
+        |tot AS (SELECT sum(ca) AS na, sum(cb) AS nb FROM cnt),
+        |pts AS (SELECT unnest(generate_series(0, 100)) AS i),
+        |cum AS (SELECT p.i,
+        |    (SELECT coalesce(sum(ca), 0) FROM cnt
+        |     WHERE cell IS NOT NULL AND cell <= p.i) AS cca,
+        |    (SELECT coalesce(sum(cb), 0) FROM cnt
+        |     WHERE cell IS NOT NULL AND cell <= p.i) AS ccb
+        |  FROM pts p)
+        |SELECT round(max(abs(
+        |    CAST(cca AS DOUBLE) / (SELECT na FROM tot)
+        |  - CAST(ccb AS DOUBLE) / (SELECT nb FROM tot))), 4) AS ks
+        |FROM cum""".stripMargin,
+    // z-order: exact-integer rank scaling (numerator is long-exact, one
+    // IEEE-double division) then bit interleave — both reproduced verbatim
+    "l_zorder" ->
+      """WITH d AS (SELECT doc_id, length(text) AS tlen FROM documents),
+        |bnd AS (SELECT min(doc_id) lo0, max(doc_id) hi0,
+        |               min(tlen) lo1, max(tlen) hi1 FROM d),
+        |r AS (SELECT doc_id,
+        |  CAST(floor((doc_id - lo0) * 65535 / CAST(hi0 - lo0 AS DOUBLE)) AS BIGINT) AS r0,
+        |  CAST(floor((tlen - lo1) * 65535 / CAST(hi1 - lo1 AS DOUBLE)) AS BIGINT) AS r1
+        |  FROM d, bnd)
+        |SELECT doc_id, CAST(list_sum(list_transform(generate_series(0, 15), i ->
+        |    (((r0 >> i) & 1) << (2*i)) + (((r1 >> i) & 1) << (2*i+1)))) AS BIGINT) AS zval
+        |FROM r ORDER BY doc_id""".stripMargin,
+    "l_zorder_skip" ->
+      """WITH d AS (SELECT doc_id, length(text) AS tlen FROM documents),
+        |bnd AS (SELECT min(doc_id) lo0, max(doc_id) hi0,
+        |               min(tlen) lo1, max(tlen) hi1 FROM d),
+        |r AS (SELECT doc_id, tlen,
+        |  CAST(floor((doc_id - lo0) * 65535 / CAST(hi0 - lo0 AS DOUBLE)) AS BIGINT) AS r0,
+        |  CAST(floor((tlen - lo1) * 65535 / CAST(hi1 - lo1 AS DOUBLE)) AS BIGINT) AS r1
+        |  FROM d, bnd),
+        |z AS (SELECT doc_id, tlen,
+        |  CAST(list_sum(list_transform(generate_series(0, 15), i ->
+        |    (((r0 >> i) & 1) << (2*i)) + (((r1 >> i) & 1) << (2*i+1)))) AS BIGINT) AS zval
+        |  FROM r)
+        |SELECT CAST(floor(zval * 64 / 4294967296.0) AS BIGINT) AS bucket,
+        |  min(doc_id) AS min_d0, max(doc_id) AS max_d0,
+        |  min(tlen) AS min_d1, max(tlen) AS max_d1,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM z GROUP BY 1 ORDER BY 1""".stripMargin,
+    // corpus rarity: same space-split tokens as t_tfidf (oracle-proven
+    // tokenization), counts only — exact in any engine
+    "t_rarity" ->
+      """WITH tok AS (SELECT doc_id AS id,
+        |    unnest(list_filter(string_split(lower(text), ' '),
+        |                       t -> len(t) > 0)) AS token
+        |  FROM documents),
+        |tf AS (SELECT id, token, count(*) AS tf FROM tok GROUP BY 1, 2),
+        |dfreq AS (SELECT token, count(*) AS df FROM tf GROUP BY 1)
+        |SELECT id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+        |  CAST(sum(CASE WHEN df <= 2 THEN tf ELSE 0 END) AS BIGINT) AS n_rare,
+        |  CAST(count(*) AS BIGINT) AS n_distinct,
+        |  CAST(sum(CASE WHEN df <= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_rare_distinct
+        |FROM tf JOIN dfreq USING (token)
+        |GROUP BY id ORDER BY id""".stripMargin,
+    // incremental revalidation: delta = v2 rows new or changed vs v1
+    // (null-safe deep spans equality replays the engine's content-hash
+    // anti-join), then the span invariant over the delta only
+    "i_validate" ->
+      """WITH a AS (SELECT * FROM '__GEN_V1_PATH__/*.parquet'),
+        |b AS (SELECT * FROM '__GEN_V2_PATH__/*.parquet'),
+        |delta AS (SELECT b.part, b.spans FROM b LEFT JOIN a
+        |  ON b.doc_id = a.doc_id AND b.spans IS NOT DISTINCT FROM a.spans
+        |  WHERE a.doc_id IS NULL),
+        |per AS (SELECT part,
+        |  (spans IS NULL
+        |   OR len(list_filter(spans, s -> NOT coalesce(
+        |        s.kind IN ('text', 'media')
+        |        AND ((s.kind = 'media') = (coalesce(s.media_ref, '') <> ''))
+        |        AND (coalesce(s.media_ref, '') = ''
+        |             OR regexp_matches(s.media_ref, '^m-[0-9a-f]{8}$'))
+        |        AND (s.kind <> 'text' OR (s.text IS NOT NULL AND s.text <> ''))
+        |        AND (s."offset" IS NOT NULL AND s."offset" >= 0), false))) > 0
+        |   OR coalesce(list_bool_or(list_transform(generate_series(2, len(spans)),
+        |        i -> spans[i]."offset" <= spans[i-1]."offset")), false)
+        |  ) AS failed FROM delta)
+        |SELECT part, CAST(count(*) AS BIGINT) AS docs,
+        |  CAST(sum(CASE WHEN failed THEN 1 ELSE 0 END) AS BIGINT) AS failed_docs
+        |FROM per GROUP BY part ORDER BY part""".stripMargin,
     "gen_validate" ->
       """WITH d AS (SELECT part, spans FROM '__GEN_DOCS_PATH__/*.parquet'),
         |per AS (SELECT part,
@@ -1776,6 +1974,8 @@ object SparkEntry {
         .replace("__LSH_PLANES__", planes)
         .replace("__GEN_DOCS_PATH__", genDocsPath(dir))
         .replace("__GEN_STREAM_DOCS_PATH__", genStreamDocsPath(dir))
+        .replace("__GEN_V1_PATH__", genV1Path(dir))
+        .replace("__GEN_V2_PATH__", genV2Path(dir))
     }
   }
 }

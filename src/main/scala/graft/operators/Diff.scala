@@ -42,6 +42,25 @@ object Diff {
       .filter(col("status").isNotNull)
   }
 
+  /** The rows an incremental revalidation must process: snapshot-b rows
+    * whose id is new or whose content changed since snapshot a. Output is
+    * b's FULL rows (an anti-join against a's (id, content-hash) pairs —
+    * b-sized scan, |delta|-sized output), ready to feed straight into the
+    * validators: at 10^12 rows a refresh revalidates the delta, never the
+    * corpus. `idCol` must be a key on both sides (a multi-null or
+    * duplicated id would make "unchanged" ill-defined).
+    */
+  def incrementalRows(a: DataFrame, b: DataFrame, idCol: String,
+      contentCols: Seq[String]): DataFrame = {
+    require(contentCols.nonEmpty, "incrementalRows needs content columns")
+    def h(cols: Seq[String]) = md5(to_json(struct(cols.map(col): _*)))
+    val ah = a.select(col(idCol).as("_id_a"), h(contentCols).as("_h_a"))
+    b.withColumn("_h_b", h(contentCols))
+      .join(ah, col(idCol) <=> col("_id_a") && col("_h_b") === col("_h_a"),
+        "left_anti")
+      .drop("_h_b")
+  }
+
   /** Per-status counts — the one-line verdict of a snapshot refresh. */
   def rowDiffCounts(a: DataFrame, b: DataFrame, idCol: String,
       contentCols: Seq[String]): DataFrame =

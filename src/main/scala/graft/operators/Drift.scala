@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Distribution-drift checks (north rule: "KS/PSI over quantile sketches per
@@ -195,23 +195,41 @@ object Drift {
     * formula agrees bit-for-bit regardless).
     */
   def ksFixedGridBinned(df: DataFrame, c: String, predA: Column, predB: Column,
+      lo: Double, hi: Double, gridSize: Int = 101): DataFrame =
+    ksFromCellCounts(df.sparkSession,
+      binnedCellCounts(df, c, predA, predB, lo, hi, gridSize).collect(),
+      gridSize)
+
+  /** The one-shuffle half of [[ksFixedGridBinned]]: per-cell (cell, ca, cb)
+    * counts — O(1) cell assignment per row, one narrow groupBy. A SINGLE
+    * aggregation with no windows or sorts, so it runs unchanged as a
+    * STREAMING query (complete mode): point a file/Kafka stream at it, sink
+    * the ≤ gridSize+1 rows, and [[ksFromCellCounts]] turns any emission
+    * into the current drift statistic — continuous drift monitoring from
+    * the same code path the batch check uses.
+    */
+  def binnedCellCounts(df: DataFrame, c: String, predA: Column, predB: Column,
       lo: Double, hi: Double, gridSize: Int = 101): DataFrame = {
-    require(gridSize >= 2, s"ksFixedGridBinned: gridSize must be >= 2, got $gridSize")
-    require(hi > lo, s"ksFixedGridBinned: need hi > lo, got [$lo, $hi]")
+    require(gridSize >= 2, s"binnedCellCounts: gridSize must be >= 2, got $gridSize")
+    require(hi > lo, s"binnedCellCounts: need hi > lo, got [$lo, $hi]")
     val x = col(c).cast("double")
     val step = (hi - lo) / (gridSize - 1)
     val cell = when(x > lit(hi), lit(null))
       .otherwise(least(greatest(ceil((x - lit(lo)) / lit(step)).cast("int"),
         lit(0)), lit(gridSize - 1)))
-    val rows = df.filter((predA || predB) && x.isNotNull)
+    df.filter((predA || predB) && x.isNotNull)
       .groupBy(cell.as("cell"))
       .agg(sum(when(predA, 1L).otherwise(0L)).as("ca"),
         sum(when(predB, 1L).otherwise(0L)).as("cb"))
-      .collect()
+  }
+
+  /** Fold collected (cell, ca, cb) rows into the grid-KS statistic. */
+  def ksFromCellCounts(spark: SparkSession, rows: Array[Row],
+      gridSize: Int): DataFrame = {
     val na = rows.map(_.getLong(1)).sum
     val nb = rows.map(_.getLong(2)).sum
-    require(na > 0, s"ksFixedGridBinned: no non-null rows in '$c' on side 'a'")
-    require(nb > 0, s"ksFixedGridBinned: no non-null rows in '$c' on side 'b'")
+    require(na > 0, "ksFromCellCounts: no rows on side 'a'")
+    require(nb > 0, "ksFromCellCounts: no rows on side 'b'")
     val binA = new Array[Long](gridSize)
     val binB = new Array[Long](gridSize)
     rows.foreach { r =>
@@ -226,7 +244,6 @@ object Drift {
       ksStat = math.max(ksStat,
         math.abs(cumA.toDouble / na - cumB.toDouble / nb))
     }
-    val spark = df.sparkSession
     import spark.implicits._
     Seq(ksStat).toDF("ks")
   }

@@ -213,6 +213,37 @@ object TextAnalysis {
         (col("tf").cast("double") / col("df")).as("score"), col("rank"))
   }
 
+  /** Per-document rare-token signal: how much of a document's token mass
+    * has corpus document-frequency ≤ `dfMax` — high rare mass flags OCR
+    * noise, codes/hashes, boilerplate-stripped junk and other low-quality
+    * text that per-row heuristics (length/punctuation ratios) miss because
+    * rarity is a CORPUS property, not a row property. Counts only (the
+    * ratio is the caller's division): cross-engine-exact.
+    *
+    * Output: (id, n_tokens, n_rare, n_distinct, n_rare_distinct), one row
+    * per document with ≥ 1 token.
+    *
+    * Scale: per-doc term frequencies (map-side-combined groupBy), the
+    * vocabulary df table (groupBy token — vocabulary-sized, zipf-bounded),
+    * one join on token (planner broadcasts when the vocab fits, shuffles
+    * otherwise) and a final per-id agg. No windows, no sorts; every shuffle
+    * key is high-cardinality.
+    */
+  def rareTokenStats(df: DataFrame, idCol: String, textCol: String,
+      dfMax: Long): DataFrame = {
+    val tok = df.select(col(idCol).as("id"),
+      explode(filter(split(lower(col(textCol)), " "), t => length(t) > 0))
+        .as("token"))
+    val tf = tok.groupBy("id", "token").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    tf.join(dfreq, "token")
+      .groupBy(col("id"))
+      .agg(sum(col("tf")).as("n_tokens"),
+        sum(when(col("df") <= dfMax, col("tf")).otherwise(0L)).as("n_rare"),
+        count(lit(1)).as("n_distinct"),
+        sum(when(col("df") <= dfMax, 1L).otherwise(0L)).as("n_rare_distinct"))
+  }
+
   // ------------------------------------------------------------------
   // Context-window chunking
   // ------------------------------------------------------------------

@@ -327,6 +327,77 @@ class PipelineOpsSpec extends SparkSpec {
     assert(counts == Map("changed" -> 2L, "removed" -> 1L, "added" -> 1L))
   }
 
+  test("incrementalRows: full b rows for added+changed, unchanged dropped, null-safe content") {
+    val va = Seq((1L, Option("a"), 10), (2L, Option("b"), 20),
+      (3L, Option.empty[String], 30), (4L, Option("d"), 40))
+      .toDF("id", "text", "n")
+    val vb = Seq((1L, Option("a"), 10),          // unchanged
+      (2L, Option("B"), 20),                     // changed
+      (3L, Option.empty[String], 30),            // unchanged (null content)
+      (4L, Option.empty[String], 40),            // changed to null
+      (5L, Option("e"), 50))                     // added
+      .toDF("id", "text", "n")
+    val delta = Diff.incrementalRows(va, vb, "id", Seq("text", "n"))
+    assert(delta.columns.toSeq == Seq("id", "text", "n")) // b's full schema
+    val got = delta.orderBy("id").collect()
+      .map(r => (r.getLong(0), Option(r.getString(1)))).toSeq
+    assert(got == Seq((2L, Some("B")), (4L, None), (5L, Some("e"))),
+      got.mkString(","))
+  }
+
+  test("z-order: interleave bit-exact; every dimension's bucket range is narrow") {
+    // known Morton value: x=5 (101), y=3 (011), 3 bits -> 27
+    val one = Seq((5L, 3L)).toDF("x", "y")
+    val z = one.select(Layout.interleaveBits(Seq(col("x"), col("y")), 3)
+      .as("z")).head().getLong(0)
+    assert(z == 27L, s"got $z")
+
+    // full 32x32 grid, bits=5, 16 buckets: each z-bucket is EXACTLY an
+    // 8x8 tile, so per-bucket width is 8 on BOTH dims (a linear sort
+    // would span the full 32 on the trailing dim)
+    val grid = spark.range(1024)
+      .select((col("id") % 32).as("x"), (col("id") / 32).cast("long").as("y"))
+    val dims = Seq((col("x"), 0L, 31L), (col("y"), 0L, 31L))
+    val stats = Layout.skippingStats(grid, dims, bits = 5, nBuckets = 16)
+    val rows = stats.collect()
+    assert(rows.length == 16)
+    rows.foreach { r =>
+      assert(r.getLong(2) - r.getLong(1) == 7L, s"d0 width in $r") // max-min
+      assert(r.getLong(4) - r.getLong(3) == 7L, s"d1 width in $r")
+      assert(r.getLong(5) == 64L)
+    }
+    val fr = Layout.skipFractions(stats, nDims = 2).head()
+    assert(math.abs(fr.getDouble(0) - 0.25) < 1e-12 &&
+      math.abs(fr.getDouble(1) - 0.25) < 1e-12, fr.toString)
+  }
+
+  test("zOrderBy: output is globally z-sorted across range partitions") {
+    val grid = spark.range(256)
+      .select((col("id") % 16).as("x"), (col("id") / 16).cast("long").as("y"))
+    val dims = Seq((col("x"), 0L, 15L), (col("y"), 0L, 15L))
+    val out = Layout.zOrderBy(grid, dims, bits = 4, nFiles = 4)
+    // re-derive z in collection order; must be globally non-decreasing when
+    // partitions are walked in range order
+    val zs = out.select(Layout.zValue(dims, 4).as("z")).collect().map(_.getLong(0))
+    assert(zs.length == 256 && zs.sameElements(zs.sorted), "not z-sorted")
+  }
+
+  test("rareTokenStats: token mass with low corpus df, counts exact") {
+    val docs = Seq(
+      (1L, "alpha beta beta gamma"),   // gamma df=1, alpha df=2, beta df=2
+      (2L, "alpha beta delta"),        // delta df=1
+      (3L, "alpha zeta")               // zeta df=1; alpha df=3
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.rareTokenStats(docs, "doc_id", "text", dfMax = 2L)
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    // doc1: tokens=4, rare mass = beta(2)+gamma(1)=3, distinct=3, rare distinct=2
+    // doc2: tokens=3, rare = beta+delta=2, distinct=3, rare distinct=2
+    // doc3: tokens=2, rare = zeta=1, distinct=2, rare distinct=1
+    assert(out.toSeq == Seq((1L, 4L, 3L, 3L, 2L), (2L, 3L, 2L, 3L, 2L),
+      (3L, 2L, 1L, 2L, 1L)), out.mkString(","))
+  }
+
   test("schema diff: added/removed/type/nullability at any nesting depth") {
     import org.apache.spark.sql.types._
     val a = StructType(Seq(
