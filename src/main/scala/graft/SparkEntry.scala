@@ -304,6 +304,28 @@ object SparkEntry {
         .groupBy(col("media_ref")).agg(count(lit(1)).as("n_docs"))
         .orderBy("media_ref")
     }),
+    "g_ref_bloom" -> ((s, dir) => {
+      // Bloom-tier RI: same catalog hole as g_ref_integrity; output is the
+      // DISTINCT dangling refs — exact despite the probabilistic tier 1
+      // (Bloom false positives fall through to the exact anti-join)
+      val docs = derivedDocs(s, dir)
+      val nCat = t(s, dir, "part")
+        .filter(pmod(col("p_partkey"), lit(10L)) =!= 3L).count()
+      val catalog = t(s, dir, "part")
+        .filter(pmod(col("p_partkey"), lit(10L)) =!= 3L)
+        .select(concat(lit("m-"), lpad(pmod(col("p_partkey"), lit(100000000L)).cast("string"),
+          8, "0")).as("media_ref"))
+      RefIntegrity.danglingRefsBloom(docs, catalog,
+          expectedItems = math.max(nCat, 1L), fpp = 0.001)
+        .orderBy("media_ref")
+    }),
+    "g_heavy_hitters" -> ((s, dir) => {
+      // hot-key diagnosis over the sessionization key: the top-20 heaviest
+      // user_ids, their skew ratio vs the mean key frequency, and the salt
+      // fan-out a two-phase agg would need at 50 rows/task
+      Stats.heavyHitters(t(s, dir, "events"), "user_id",
+        k = 20, targetRowsPerTask = 50L)
+    }),
     "g_stats" -> ((s, dir) => {
       val li = t(s, dir, "lineitem")
       val cols = Seq("l_quantity", "l_extendedprice", "l_discount")
@@ -1122,6 +1144,23 @@ object SparkEntry {
         |SELECT r.media_ref, CAST(count(*) AS BIGINT) AS n_docs
         |FROM refs r WHERE NOT EXISTS (SELECT 1 FROM cat c WHERE c.media_ref = r.media_ref)
         |GROUP BY r.media_ref ORDER BY r.media_ref""".stripMargin,
+    "g_ref_bloom" ->
+      """WITH refs AS (SELECT DISTINCT
+        |  'm-' || lpad(CAST(l_partkey % 100000000 AS VARCHAR), 8, '0') AS media_ref
+        |  FROM lineitem WHERE l_returnflag = 'R'),
+        |cat AS (SELECT 'm-' || lpad(CAST(p_partkey % 100000000 AS VARCHAR), 8, '0')
+        |  AS media_ref FROM part WHERE p_partkey % 10 != 3)
+        |SELECT r.media_ref FROM refs r
+        |WHERE NOT EXISTS (SELECT 1 FROM cat c WHERE c.media_ref = r.media_ref)
+        |ORDER BY r.media_ref""".stripMargin,
+    "g_heavy_hitters" ->
+      """WITH c AS (SELECT user_id AS key, count(*) AS cnt
+        |  FROM events WHERE user_id IS NOT NULL GROUP BY 1),
+        |t AS (SELECT CAST(sum(cnt) AS DOUBLE) AS tot, CAST(count(*) AS DOUBLE) AS d FROM c)
+        |SELECT c.key, CAST(c.cnt AS BIGINT) AS cnt,
+        |  round(c.cnt / (t.tot / t.d), 4) AS skew_ratio,
+        |  CAST(greatest(1, ceil(c.cnt / 50.0)) AS BIGINT) AS recommended_salt
+        |FROM c, t ORDER BY cnt DESC, key LIMIT 20""".stripMargin,
     "g_stats" ->
       """SELECT
         |  CAST(count(l_quantity) AS BIGINT) AS l_quantity_cnt,

@@ -57,4 +57,50 @@ object RefIntegrity {
       lit("spans").as("path"),
       lit("$ref").as("rule"),
       concat(lit("Schema "), col("media_ref"), lit(" not found")).as("message"))
+
+  /** Bloom-tier referential integrity — the middle path when the catalog is
+    * too big to broadcast EXACTLY but a Bloom filter of it fits every
+    * executor. Same output as [[danglingRefs]] (exact, deterministic), in
+    * two tiers:
+    *
+    *   1. a Bloom filter of the catalog keys (built with one aggregation
+    *      pass via `DataFrameStatFunctions.bloomFilter`, Murmur3-based and
+    *      fully deterministic) is broadcast and applied MAP-SIDE: a ref the
+    *      filter rejects is *definitely* absent from the catalog — those
+    *      dangling refs are detected with ZERO shuffle, in the scan stage;
+    *   2. refs the filter accepts are only *maybe* present (false-positive
+    *      rate `fpp`); that suspect set goes through the exact anti-join of
+    *      [[danglingRefs]] to restore exactness.
+    *
+    * Memory math at 100 TB: an exact broadcast of 10^9 refs is ~50 GB of
+    * strings per executor — impossible; the Bloom at fpp=0.1% is ~1.7 GB
+    * (14.4 bits/key), which broadcasts. The false positives cost only extra
+    * rows in tier 2's join, never correctness. When the dangling rate is
+    * low (the audit steady state) tier 1 also gives an ONLINE early signal:
+    * a streaming micro-batch can flag definite-danglings per batch without
+    * waiting for any join.
+    *
+    * Table-level analogue of the reference's unresolved-`$ref` error
+    * (`/root/reference/src/schemas/yaml_schema.rs:731-733,806-811`), like
+    * [[dangling]].
+    */
+  def danglingRefsBloom(docs: DataFrame, catalog: DataFrame,
+      expectedItems: Long, fpp: Double = 0.001): DataFrame = {
+    val refs = docs
+      .select(explode(col("spans")).as("s"))
+      .filter(col("s.kind") === "media" && col("s.media_ref") =!= "")
+      .select(col("s.media_ref").as("media_ref"))
+      .distinct()
+    val bloom = catalog.select(col("media_ref"))
+      .stat.bloomFilter("media_ref", expectedItems, fpp)
+    val bloomBc = docs.sparkSession.sparkContext.broadcast(bloom)
+    val maybePresent = udf((r: String) => bloomBc.value.mightContainString(r))
+    // tier 1: definite danglings, caught in the scan stage (no join at all)
+    val definite = refs.filter(!maybePresent(col("media_ref")))
+    // tier 2: Bloom false positives among the danglings — exact anti-join
+    // over ONLY the refs the filter accepted
+    val suspects = refs.filter(maybePresent(col("media_ref")))
+      .join(catalog.select(col("media_ref")), Seq("media_ref"), "left_anti")
+    definite.unionByName(suspects)
+  }
 }

@@ -83,4 +83,37 @@ object Stats {
     sketches.agg(
       hll_sketch_estimate(hll_union_agg(col("sketch"))).as("distinct_estimate"),
       sum(col("rows")).as("rows"))
+
+  /** Hot-key diagnosis: the top-k heaviest values of `keyCol` with their
+    * multiplicity, skew ratio vs the mean key frequency, and the salt
+    * fan-out the two-phase aggregations ([[Uniqueness]]'s salted groupBy,
+    * AQE's skew-join split) would need to level them.
+    *
+    * Why it exists: at 10^12 docs a single viral `media_ref` (or a default
+    * `doc_id` from a buggy producer) concentrates billions of rows on one
+    * reducer; every skew mitigation in this engine (salting factor, AQE
+    * advisory partition size) is parameterized by exactly the numbers this
+    * report produces. The reference validates one document at a time and
+    * has no analogue (SURVEY.md §2.7 "grouping" row is the closest).
+    *
+    * Plan: one map-side-combined groupBy on the key (the only shuffle,
+    * carrying one (key, count) row per distinct key per mapper), then a
+    * TakeOrdered top-k — no Window, no global sort. `recommended_salt` =
+    * ceil(count / targetRowsPerTask), floored at 1.
+    */
+  def heavyHitters(df: DataFrame, keyCol: String, k: Int,
+      targetRowsPerTask: Long): DataFrame = {
+    val counts = df.filter(col(keyCol).isNotNull)
+      .groupBy(col(keyCol).as("key")).agg(count(lit(1)).as("cnt"))
+    // mean frequency = total rows / distinct keys, computed from the SAME
+    // aggregate (one extra tiny reduction, not a second scan of df)
+    val tot = counts.agg(sum(col("cnt")).as("t"), count(lit(1)).as("d"))
+    counts.crossJoin(broadcast(tot))
+      .select(col("key"), col("cnt"),
+        round(col("cnt") / (col("t") / col("d")), 4).as("skew_ratio"),
+        greatest(lit(1L), ceil(col("cnt") / lit(targetRowsPerTask)))
+          .cast(LongType).as("recommended_salt"))
+      .orderBy(col("cnt").desc, col("key"))
+      .limit(k)
+  }
 }

@@ -622,6 +622,41 @@ class PipelineOpsSpec extends SparkSpec {
     assert(dangling.length == 1 && dangling(0).getString(1) == "d2")
   }
 
+  test("bloom-tier ref integrity == exact anti-join, even at adversarial fpp") {
+    import graft.model.{Doc, Span}
+    val docs = (1 to 200).map { i =>
+      val ref = f"m-${i}%08d"
+      Doc(s"d$i", Seq(Span("media", "", ref, 0)), 0)
+    }.toDF()
+    // catalog holds refs 1..200 except multiples of 7 (28 dangling)
+    val catalog = (1 to 200).filter(_ % 7 != 0)
+      .map(i => (f"m-${i}%08d", "image/png", 1L)).toDF("media_ref", "mime", "bytes")
+    val exact = RefIntegrity.danglingRefs(docs, catalog).collect()
+      .map(_.getString(0)).sorted
+    // fpp 0.5 with a deliberately undersized filter: tier 1 misclassifies
+    // many danglings as maybe-present — tier 2's anti-join must recover them
+    for (fpp <- Seq(0.5, 0.001)) {
+      val bloom = RefIntegrity.danglingRefsBloom(docs, catalog,
+        expectedItems = 172L, fpp = fpp).collect().map(_.getString(0)).sorted
+      assert(bloom.toSeq == exact.toSeq, s"fpp=$fpp: ${bloom.length} vs ${exact.length}")
+    }
+    assert(exact.length == 28)
+  }
+
+  test("heavy hitters: counts exact, skew ratio vs mean, salt recommendation") {
+    // key 1 → 60 rows, key 2 → 30, keys 3..12 → 1 each; mean = 100/12
+    val rows = Seq.fill(60)(1L) ++ Seq.fill(30)(2L) ++ (3L to 12L)
+    val df = rows.map(k => (k, "x")).toDF("user_id", "v")
+    val hh = Stats.heavyHitters(df, "user_id", k = 3, targetRowsPerTask = 25L)
+      .collect()
+    assert(hh.map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((1L, 60L), (2L, 30L), (3L, 1L)))
+    val mean = 100.0 / 12.0
+    assert(math.abs(hh(0).getDouble(2) - math.round(60.0 / mean * 1e4) / 1e4) < 1e-9)
+    // salts: ceil(60/25)=3, ceil(30/25)=2, floor at 1
+    assert(hh.map(_.getLong(3)).toSeq == Seq(3L, 2L, 1L))
+  }
+
   test("sessionization: day-bucketed Window matches single-Window semantics incl. midnight stitch") {
     val ts = Seq(
       // u1: one session crossing midnight (every gap <= 30 min)...
