@@ -319,6 +319,17 @@ object SparkEntry {
           expectedItems = math.max(nCat, 1L), fpp = 0.001)
         .orderBy("media_ref")
     }),
+    "g_scorecard" -> ((s, dir) => {
+      // corpus data-quality scorecard: one validation pass over documents
+      // with a four-keyword rule; per (path, rule) counts, affected-doc
+      // rates and Wilson 95% lower bounds
+      val rule = Rule.Check(Keywords(properties = Map(
+        "lang" -> Rule.Check(Keywords(enum_ = Some(langEnum))),
+        "text" -> Rule.Check(Keywords(minLength = Some(120))),
+        "n_chars" -> Rule.Check(Keywords(maximum = Some(500))),
+        "source" -> Rule.Check(Keywords(pattern = Some("^src[0-3]$"))))))
+      Validate.scorecard(t(s, dir, "documents"), rule)
+    }),
     "g_heavy_hitters" -> ((s, dir) => {
       // hot-key diagnosis over the sessionization key: the top-20 heaviest
       // user_ids, their skew ratio vs the mean key frequency, and the salt
@@ -1153,6 +1164,28 @@ object SparkEntry {
         |SELECT r.media_ref FROM refs r
         |WHERE NOT EXISTS (SELECT 1 FROM cat c WHERE c.media_ref = r.media_ref)
         |ORDER BY r.media_ref""".stripMargin,
+    "g_scorecard" ->
+      """WITH n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+        |v AS (
+        |  SELECT 'lang' AS path, 'enum' AS rule, doc_id FROM documents
+        |    WHERE lang NOT IN ('en','de','fr','es')
+        |  UNION ALL
+        |  SELECT 'text', 'minLength', doc_id FROM documents WHERE length(text) < 120
+        |  UNION ALL
+        |  SELECT 'n_chars', 'maximum', doc_id FROM documents WHERE n_chars > 500
+        |  UNION ALL
+        |  SELECT 'source', 'pattern', doc_id FROM documents
+        |    WHERE NOT regexp_matches(source, '^src[0-3]$')),
+        |g AS (SELECT path, rule, CAST(count(*) AS BIGINT) AS violations,
+        |    CAST(count(DISTINCT doc_id) AS BIGINT) AS affected_docs
+        |  FROM v GROUP BY path, rule)
+        |SELECT g.path, g.rule, g.violations, g.affected_docs,
+        |  round(g.affected_docs / n.n, 6) AS doc_rate,
+        |  round((g.affected_docs / n.n + (1.96*1.96) / (2.0 * n.n)
+        |      - 1.96 * sqrt((g.affected_docs / n.n) * (1.0 - g.affected_docs / n.n) / n.n
+        |        + (1.96*1.96) / (4.0 * n.n * n.n)))
+        |    / (1.0 + (1.96*1.96) / n.n), 6) AS wilson_low
+        |FROM g, n ORDER BY path, rule""".stripMargin,
     "g_heavy_hitters" ->
       """WITH c AS (SELECT user_id AS key, count(*) AS cnt
         |  FROM events WHERE user_id IS NOT NULL GROUP BY 1),

@@ -71,6 +71,44 @@ object Validate {
     flatViolations(withViolations(df, rule, defs)).as[Violation]
   }
 
+  /** Per-(path, rule) violation scorecard — the corpus-level data-quality
+    * report a validation run feeds to its owners: how many violations each
+    * rule produced, how many documents are affected, the affected-document
+    * rate, and a Wilson-score lower confidence bound on that rate (the
+    * standard small-count-honest interval: a rule that hit 3 docs of 100
+    * reads 3% +- a wide margin, not a false-precision 3.000%).
+    *
+    * One validation pass: flatViolations → groupBy (path, rule) with a
+    * map-side-combined count + two-phase distinct on doc_id (group count
+    * is tiny — bounded by the rule set, not the corpus). The total-docs
+    * divisor comes from `df.count()`, which Spark answers from parquet
+    * row-group METADATA (no second data scan). Wilson at `z` (default
+    * 1.96 ≈ 95%):
+    *   low = (p + z²/2n − z·sqrt(p(1−p)/n + z²/4n²)) / (1 + z²/n).
+    *
+    * Reference analogue: the per-run violation summary a caller assembles
+    * from yaml-schema's error list (`/root/reference/src/ys.rs:50-68`
+    * renders them one by one); set-at-a-time reporting like [[verdicts]].
+    */
+  def scorecard(df: DataFrame, rule: Rule,
+      defs: Map[String, Rule] = Map.empty, z: Double = 1.96): DataFrame = {
+    val n = df.count().toDouble
+    require(n > 0, "scorecard: empty corpus has no rates")
+    val nl = lit(n)
+    val g = flatViolations(withViolations(df, rule, defs))
+      .groupBy(col("path"), col("rule"))
+      .agg(count(lit(1)).as("violations"),
+        countDistinct(col("doc_id")).as("affected_docs"))
+    val p = col("affected_docs") / nl
+    val z2 = lit(z * z)
+    g.select(col("path"), col("rule"), col("violations"), col("affected_docs"),
+      round(p, 6).as("doc_rate"),
+      round((p + z2 / (lit(2.0) * nl) -
+          lit(z) * sqrt(p * (lit(1.0) - p) / nl + z2 / (lit(4.0) * nl * nl))) /
+        (lit(1.0) + z2 / nl), 6).as("wilson_low"))
+      .orderBy("path", "rule")
+  }
+
   /** Per-partition verdict rows (requires a `part` column). One shuffle,
     * map-side combined; 32 → thousands of partitions scales linearly.
     */

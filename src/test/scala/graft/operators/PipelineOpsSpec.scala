@@ -643,6 +643,28 @@ class PipelineOpsSpec extends SparkSpec {
     assert(exact.length == 28)
   }
 
+  test("scorecard: per-rule counts, rates and Wilson lower bound hand-checked") {
+    import graft.rules.{Rule, Keywords}
+    // 10 docs, 3 violate minLength on text (and nothing else)
+    val df = (1 to 10).map(i =>
+      (s"d$i", if (i <= 3) "ab" else "long enough text")).toDF("doc_id", "text")
+    val rule = Rule.Check(Keywords(properties = Map(
+      "text" -> Rule.Check(Keywords(minLength = Some(5))))))
+    val sc = Validate.scorecard(df, rule).collect()
+    assert(sc.length == 1)
+    val r = sc(0)
+    assert(r.getString(0) == "text" && r.getString(1) == "minLength")
+    assert(r.getLong(2) == 3L && r.getLong(3) == 3L)
+    assert(r.getDouble(4) == 0.3)
+    // Wilson 95% lower bound for 3/10: ((0.3 + z^2/20) - z*sqrt(0.3*0.7/10
+    // + z^2/400)) / (1 + z^2/10) with z = 1.96 → ~0.1078
+    val z = 1.96; val n = 10.0; val p = 0.3
+    val expect = (p + z * z / (2 * n) -
+      z * math.sqrt(p * (1 - p) / n + z * z / (4 * n * n))) / (1 + z * z / n)
+    assert(math.abs(r.getDouble(5) - math.round(expect * 1e6) / 1e6) < 1e-12)
+    assert(r.getDouble(5) > 0.10 && r.getDouble(5) < 0.12)
+  }
+
   test("heavy hitters: counts exact, skew ratio vs mean, salt recommendation") {
     // key 1 → 60 rows, key 2 → 30, keys 3..12 → 1 each; mean = 100/12
     val rows = Seq.fill(60)(1L) ++ Seq.fill(30)(2L) ++ (3L to 12L)
