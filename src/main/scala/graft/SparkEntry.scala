@@ -837,6 +837,26 @@ object SparkEntry {
         .select(round(col("ks"), 4).as("ks"))
     }),
     // ---------- data layout (z-order clustering) ----------
+    "l_compact" -> ((s, dir) => {
+      // small-file compaction plan over a simulated ingestion manifest
+      // (one "file" per document, bytes = n_chars, 4 table partitions):
+      // healthy files keep, small ones bin-packed at 2000 target bytes
+      val manifest = t(s, dir, "documents").select(
+        pmod(col("doc_id"), lit(4L)).cast("int").as("part"),
+        concat(lit("f-"), lpad(col("doc_id").cast("string"), 8, "0")).as("path"),
+        col("n_chars").cast("long").as("bytes"))
+      Layout.compactionPlan(manifest, targetBytes = 2000L, smallFileBytes = 500L)
+        .orderBy("part", "path")
+    }),
+    "l_compact_bins" -> ((s, dir) => {
+      val manifest = t(s, dir, "documents").select(
+        pmod(col("doc_id"), lit(4L)).cast("int").as("part"),
+        concat(lit("f-"), lpad(col("doc_id").cast("string"), 8, "0")).as("path"),
+        col("n_chars").cast("long").as("bytes"))
+      Layout.compactionBins(
+        Layout.compactionPlan(manifest, targetBytes = 2000L, smallFileBytes = 500L))
+        .orderBy("part", "bin")
+    }),
     "l_zorder" -> ((s, dir) => {
       // Morton key over (doc_id, text length): the clustering key an
       // OPTIMIZE ZORDER-style maintenance pass range-sorts by — pure
@@ -1938,6 +1958,31 @@ object SparkEntry {
         |FROM cum""".stripMargin,
     // z-order: exact-integer rank scaling (numerator is long-exact, one
     // IEEE-double division) then bit interleave — both reproduced verbatim
+    "l_compact" ->
+      """WITH m AS (SELECT CAST(doc_id % 4 AS INT) AS part,
+        |    'f-' || lpad(CAST(doc_id AS VARCHAR), 8, '0') AS path,
+        |    CAST(n_chars AS BIGINT) AS bytes
+        |  FROM documents),
+        |small AS (SELECT part, path, bytes, 'compact' AS action,
+        |    CAST(floor(coalesce(sum(bytes) OVER (PARTITION BY part ORDER BY path
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 2000.0) AS BIGINT) AS bin
+        |  FROM m WHERE bytes < 500),
+        |keep AS (SELECT part, path, bytes, 'keep' AS action, CAST(NULL AS BIGINT) AS bin
+        |  FROM m WHERE bytes >= 500)
+        |SELECT * FROM small UNION ALL SELECT * FROM keep
+        |ORDER BY part, path""".stripMargin,
+    "l_compact_bins" ->
+      """WITH m AS (SELECT CAST(doc_id % 4 AS INT) AS part,
+        |    'f-' || lpad(CAST(doc_id AS VARCHAR), 8, '0') AS path,
+        |    CAST(n_chars AS BIGINT) AS bytes
+        |  FROM documents),
+        |small AS (SELECT part, path, bytes,
+        |    CAST(floor(coalesce(sum(bytes) OVER (PARTITION BY part ORDER BY path
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 2000.0) AS BIGINT) AS bin
+        |  FROM m WHERE bytes < 500)
+        |SELECT part, bin, CAST(count(*) AS BIGINT) AS n_files,
+        |  CAST(sum(bytes) AS BIGINT) AS bytes
+        |FROM small GROUP BY part, bin ORDER BY part, bin""".stripMargin,
     "l_zorder" ->
       """WITH d AS (SELECT doc_id, length(text) AS tlen FROM documents),
         |bnd AS (SELECT min(doc_id) lo0, max(doc_id) hi0,

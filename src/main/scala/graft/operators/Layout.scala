@@ -149,4 +149,50 @@ object Layout {
           .as(s"skip_frac_d$i")
       }: _*)
   }
+
+  /** Small-file compaction plan over a file manifest (part, path, bytes) —
+    * the other half of Iceberg/Delta-style table maintenance next to
+    * z-ordering: streaming ingestion leaves thousands of KB-sized files per
+    * partition, and every query then pays one task + one open per file.
+    * The plan assigns each small file to a target-sized output bin; a
+    * rewrite job executes it with one combine-read per bin.
+    *
+    * Semantics (deterministic, any engine reproduces it):
+    *   - files with `bytes >= smallFileBytes` are healthy → action `keep`,
+    *     bin null;
+    *   - small files are laid end-to-end in `path` order within their
+    *     partition; bin = floor(running_bytes_before / targetBytes) — the
+    *     same running-sum bucketing as [[Packing]], so a bin overfills by
+    *     at most one file and never splits one (a parquet file can't be
+    *     split mid-row-group by a rewriter).
+    *
+    * Scale notes: the manifest is METADATA — ~10^6-10^8 rows for a 100 TB
+    * table, not corpus-sized. The only stateful step is one running sum per
+    * table partition (Window over (part, ordered path)); partitions bound
+    * the window, and the plan never touches file contents.
+    */
+  def compactionPlan(manifest: DataFrame, targetBytes: Long,
+      smallFileBytes: Long): DataFrame = {
+    require(targetBytes >= smallFileBytes && smallFileBytes > 0,
+      s"need 0 < smallFileBytes <= targetBytes, got $smallFileBytes/$targetBytes")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("part")).orderBy(col("path"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val small = manifest.filter(col("bytes") < smallFileBytes)
+      .withColumn("_before", coalesce(sum(col("bytes")).over(w), lit(0L)))
+      .select(col("part"), col("path"), col("bytes"), lit("compact").as("action"),
+        floor(col("_before") / targetBytes).cast("long").as("bin"))
+    val keep = manifest.filter(col("bytes") >= smallFileBytes)
+      .select(col("part"), col("path"), col("bytes"), lit("keep").as("action"),
+        lit(null).cast("long").as("bin"))
+    small.unionByName(keep)
+  }
+
+  /** Per-(part, bin) rollup of a [[compactionPlan]]: files merged and bytes
+    * written per output file — the report that sizes the rewrite job.
+    */
+  def compactionBins(plan: DataFrame): DataFrame =
+    plan.filter(col("action") === "compact")
+      .groupBy(col("part"), col("bin"))
+      .agg(count(lit(1)).as("n_files"), sum(col("bytes")).as("bytes"))
 }

@@ -643,6 +643,28 @@ class PipelineOpsSpec extends SparkSpec {
     assert(exact.length == 28)
   }
 
+  test("compaction plan: keep threshold, running-sum bins, never splits a file") {
+    // part 0: files a(300), b(300), c(300), d(900 → keep), e(450)
+    // small stream a,b,c,e: before-sums 0,300,600,900 at target 700 →
+    // bins 0,0,0,1 (c overfills bin 0 to 900 rather than splitting)
+    val manifest = Seq(
+      (0, "a", 300L), (0, "b", 300L), (0, "c", 300L), (0, "d", 900L),
+      (0, "e", 450L), (1, "x", 100L)).toDF("part", "path", "bytes")
+    val plan = Layout.compactionPlan(manifest, targetBytes = 700L,
+      smallFileBytes = 500L).orderBy("part", "path").collect()
+    val byPath = plan.map(r => r.getString(1) ->
+      (r.getString(3), if (r.isNullAt(4)) -1L else r.getLong(4))).toMap
+    assert(byPath("a") == ("compact", 0L) && byPath("b") == ("compact", 0L))
+    assert(byPath("c") == ("compact", 0L)) // overfill, not split
+    assert(byPath("d") == ("keep", -1L))
+    assert(byPath("e") == ("compact", 1L))
+    assert(byPath("x") == ("compact", 0L)) // partitions bin independently
+    val bins = Layout.compactionBins(
+      Layout.compactionPlan(manifest, 700L, 500L)).orderBy("part", "bin").collect()
+    assert(bins.map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq ==
+      Seq((0, 0L, 3L, 900L), (0, 1L, 1L, 450L), (1, 0L, 1L, 100L)))
+  }
+
   test("scorecard: per-rule counts, rates and Wilson lower bound hand-checked") {
     import graft.rules.{Rule, Keywords}
     // 10 docs, 3 violate minLength on text (and nothing else)
