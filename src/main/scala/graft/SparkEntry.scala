@@ -601,6 +601,17 @@ object SparkEntry {
         .select(col("doc_id"), col("split"))
         .orderBy("doc_id")
     }),
+    "p_split_leak" -> ((s, dir) => {
+      // contamination audit: verified near-dup pairs whose two sides land
+      // in different train/val/test splits — the leak hash-bucketed
+      // assignment alone cannot prevent (near-dups split independently)
+      val pairs = Dedup.nearDupPairsExact(t(s, dir, "documents"),
+        "doc_id", "text", k = 3, numHashes = 32, bands = 16, threshold = 0.5)
+      Sampling.splitLeaks(pairs, Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"),
+          col("split_a"), col("split_b"))
+        .orderBy("id_a", "id_b")
+    }),
     "d_dup_clusters" -> ((s, dir) => {
       // transitive closure of the verified near-dup pairs: every doc in a
       // dup cluster gets the cluster's min doc_id + a keep flag for the
@@ -1301,6 +1312,36 @@ object SparkEntry {
         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
         |SELECT id_a, id_b, round(CASE WHEN u = 0 THEN 0.0 ELSE i / u END, 4) AS jaccard
         |FROM pairs WHERE (CASE WHEN u = 0 THEN 0.0 ELSE i / u END) >= 0.5
+        |ORDER BY id_a, id_b""".stripMargin,
+    "p_split_leak" ->
+      s"""WITH toks AS (SELECT doc_id,
+        |    string_split(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')), ' ') AS t
+        |  FROM documents),
+        |sh AS (SELECT doc_id,
+        |    CASE WHEN len(t) >= 3 THEN list_distinct(list_transform(
+        |      generate_series(1, len(t) - 2), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+        |    ELSE CAST([] AS VARCHAR[]) END AS s
+        |  FROM toks),
+        |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) AS i,
+        |    CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS DOUBLE) AS u
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id),
+        |nd AS (SELECT id_a, id_b,
+        |    round(CASE WHEN u = 0 THEN 0.0 ELSE i / u END, 4) AS jaccard
+        |  FROM pairs WHERE (CASE WHEN u = 0 THEN 0.0 ELSE i / u END) >= 0.5),
+        |lab AS (SELECT id_a, id_b, jaccard,
+        |  CASE WHEN substr(md5(CAST(id_a AS VARCHAR)), 1, 8)
+        |         < '${Sampling.thresholdHex(0.8)}' THEN 'train'
+        |       WHEN substr(md5(CAST(id_a AS VARCHAR)), 1, 8)
+        |         < '${Sampling.thresholdHex(0.9)}' THEN 'val'
+        |       ELSE 'test' END AS split_a,
+        |  CASE WHEN substr(md5(CAST(id_b AS VARCHAR)), 1, 8)
+        |         < '${Sampling.thresholdHex(0.8)}' THEN 'train'
+        |       WHEN substr(md5(CAST(id_b AS VARCHAR)), 1, 8)
+        |         < '${Sampling.thresholdHex(0.9)}' THEN 'val'
+        |       ELSE 'test' END AS split_b
+        |  FROM nd)
+        |SELECT * FROM lab WHERE split_a != split_b
         |ORDER BY id_a, id_b""".stripMargin,
     "s_ann_ivf" ->
       """WITH c(cid, cvec) AS (VALUES __IVF_CENTROIDS__),

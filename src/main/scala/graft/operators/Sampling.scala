@@ -122,19 +122,50 @@ object Sampling {
     * trivially 100 TB-safe; weights must sum to 1.
     */
   def splits(df: DataFrame, idCol: String,
-      weights: Seq[(String, Double)]): DataFrame = {
+      weights: Seq[(String, Double)]): DataFrame =
+    df.withColumn("split", splitCol(col(idCol), weights))
+
+  /** The split-assignment expression itself, applicable to ANY id-valued
+    * Column — [[splits]] is `withColumn("split", splitCol(...))`, and the
+    * leak audit below applies it to both sides of a near-dup pair without
+    * joining back to the corpus.
+    */
+  def splitCol(id: Column, weights: Seq[(String, Double)]): Column = {
     require(weights.nonEmpty && weights.forall(_._2 >= 0.0) &&
       math.abs(weights.map(_._2).sum - 1.0) < 1e-9,
       s"split weights must be >= 0 and sum to 1, got $weights")
     val cums = weights.map(_._2).scanLeft(0.0)(_ + _).tail
-    val key = hashKey(col(idCol))
+    val key = hashKey(id)
     // first matching cumulative threshold wins; the LAST bucket is the
     // else-branch (its threshold is 1.0 — no hex compare needed, and no
     // row can fall through on rounding)
-    val assigned = weights.init.zip(cums.init)
+    weights.init.zip(cums.init)
       .foldRight(lit(weights.last._1): Column) { case (((name, _), cum), acc) =>
         when(key < lit(thresholdHex(cum)), lit(name)).otherwise(acc)
       }
-    df.withColumn("split", assigned)
   }
+
+  /** Train/test contamination audit: near-dup pairs that STRADDLE split
+    * boundaries — the held-out set is only honest if no test document has
+    * a near-duplicate in train, a property hash-bucketed assignment alone
+    * cannot give (near-dups have different ids, so they split
+    * independently). Input is a verified near-dup pair list
+    * (id_a, id_b, ...) from [[Dedup.nearDupPairsExact]] /
+    * [[Similarity]]; output is the pairs whose two sides land in
+    * different splits, with both labels attached.
+    *
+    * Scale notes: split assignment is a pure function of the id
+    * ([[splitCol]]), so both labels are computed IN the scan over the
+    * pair list — no join back to the corpus, no shuffle beyond what the
+    * pair finder already did; the pair list is candidate-sized, not
+    * corpus-sized. The standard remedy for flagged pairs — promote the
+    * whole dup CLUSTER ([[DupClusters.clusters]]) into one split — is a
+    * second scan-stage relabel by cluster_id.
+    */
+  def splitLeaks(pairs: DataFrame,
+      weights: Seq[(String, Double)]): DataFrame =
+    pairs
+      .withColumn("split_a", splitCol(col("id_a"), weights))
+      .withColumn("split_b", splitCol(col("id_b"), weights))
+      .filter(col("split_a") =!= col("split_b"))
 }

@@ -643,6 +643,23 @@ class PipelineOpsSpec extends SparkSpec {
     assert(exact.length == 28)
   }
 
+  test("split-leak audit: labels agree with splits(), only straddling pairs kept") {
+    val w = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    // ground truth from splits() over ids 1..200
+    val truth = Sampling.splits((1L to 200L).toDF("id"), "id", w)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // all adjacent pairs; expected leaks = those whose labels differ
+    val pairs = (1L until 200L).map(i => (i, i + 1, 0.9)).toDF("id_a", "id_b", "jaccard")
+    val leaks = Sampling.splitLeaks(pairs, w).collect()
+    val expected = (1L until 200L).filter(i => truth(i) != truth(i + 1))
+    assert(leaks.map(_.getLong(0)).sorted.toSeq == expected.sorted)
+    leaks.foreach { r =>
+      assert(r.getString(3) == truth(r.getLong(0)) &&
+        r.getString(4) == truth(r.getLong(1)))
+    }
+    assert(expected.nonEmpty && expected.size < 199) // audit is non-trivial both ways
+  }
+
   test("compaction plan: keep threshold, running-sum bins, never splits a file") {
     // part 0: files a(300), b(300), c(300), d(900 → keep), e(450)
     // small stream a,b,c,e: before-sums 0,300,600,900 at target 700 →
