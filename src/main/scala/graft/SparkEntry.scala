@@ -319,6 +319,13 @@ object SparkEntry {
           expectedItems = math.max(nCat, 1L), fpp = 0.001)
         .orderBy("media_ref")
     }),
+    "r_infer" -> ((s, dir) => {
+      // schema inference: the rule set the documents corpus already
+      // satisfies, as (column, keyword, value) rows — type from the table
+      // schema, required from null counts, enum for distinct <= 8, numeric
+      // and length bounds from one aggregation pass
+      Inference.inferKeywords(t(s, dir, "documents"), enumMaxDistinct = 8)
+    }),
     "g_scorecard" -> ((s, dir) => {
       // corpus data-quality scorecard: one validation pass over documents
       // with a four-keyword rule; per (path, rule) counts, affected-doc
@@ -1195,6 +1202,44 @@ object SparkEntry {
         |SELECT r.media_ref FROM refs r
         |WHERE NOT EXISTS (SELECT 1 FROM cat c WHERE c.media_ref = r.media_ref)
         |ORDER BY r.media_ref""".stripMargin,
+    "r_infer" -> {
+      // per-column UNION ALL blocks; conditional rows (required/enum) use
+      // aggregate HAVING so presence matches the engine's gates exactly
+      def typeRow(c: String) =
+        s"""SELECT '$c' AS "column", 'type' AS keyword,
+           |  CASE WHEN t IN ('TINYINT','SMALLINT','INTEGER','BIGINT','HUGEINT')
+           |         THEN 'integer'
+           |       WHEN t IN ('FLOAT','DOUBLE') OR t LIKE 'DECIMAL%' THEN 'number'
+           |       WHEN t = 'VARCHAR' THEN 'string'
+           |       WHEN t = 'BOOLEAN' THEN 'boolean' END AS value
+           |FROM (SELECT typeof($c) AS t FROM documents LIMIT 1)""".stripMargin
+      def reqRow(c: String) =
+        s"""SELECT '$c', 'required', 'true' FROM documents
+           |HAVING count(*) = count($c) AND count(*) > 0""".stripMargin
+      def enumRow(c: String) =
+        s"""SELECT '$c', 'enum',
+           |  '[' || string_agg('"' || v || '"', ', ' ORDER BY v) || ']'
+           |FROM (SELECT DISTINCT $c AS v FROM documents WHERE $c IS NOT NULL)
+           |HAVING count(*) <= 8 AND count(*) > 0""".stripMargin
+      def numRows(c: String) =
+        s"""SELECT '$c', 'minimum', CAST(min($c) AS VARCHAR) FROM documents
+           |HAVING count($c) > 0
+           |UNION ALL
+           |SELECT '$c', 'maximum', CAST(max($c) AS VARCHAR) FROM documents
+           |HAVING count($c) > 0""".stripMargin
+      def lenRows(c: String) =
+        s"""SELECT '$c', 'minLength', CAST(min(length($c)) AS VARCHAR) FROM documents
+           |HAVING count($c) > 0
+           |UNION ALL
+           |SELECT '$c', 'maxLength', CAST(max(length($c)) AS VARCHAR) FROM documents
+           |HAVING count($c) > 0""".stripMargin
+      val ints = Seq("doc_id", "n_chars").map(c =>
+        Seq(typeRow(c), reqRow(c), numRows(c)).mkString("\nUNION ALL\n"))
+      val strs = Seq("lang", "source", "text").map(c =>
+        Seq(typeRow(c), reqRow(c), enumRow(c), lenRows(c)).mkString("\nUNION ALL\n"))
+      (ints ++ strs).mkString("", "\nUNION ALL\n",
+        "\nORDER BY \"column\", keyword")
+    },
     "g_scorecard" ->
       """WITH n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
         |v AS (

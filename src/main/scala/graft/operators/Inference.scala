@@ -1,0 +1,190 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.rules.{ConstVal, Keywords, Rule}
+
+/** Schema/rule INFERENCE — the inverse of the validator: profile a corpus
+  * and propose the rule set it already satisfies, as a bootstrap for tables
+  * that have data but no schema yet. The reference ships the forward
+  * direction only (a hand-written schema validates documents,
+  * `/root/reference/src/ys.rs`); inference closes the loop: `infer` then
+  * `Validate` over the same corpus yields zero violations by construction
+  * (the closure property the spec asserts), and any NEW row that breaks the
+  * observed envelope surfaces as a violation.
+  *
+  * What is inferred per column (conservative — only keywords the data
+  * proves): `type` from the Spark schema (long→integer, double→number,
+  * string→string, boolean→boolean); `required` when the column has no
+  * nulls; `minimum`/`maximum` for numerics; `minLength`/`maxLength`
+  * (Unicode scalar count) for strings; `enum` when the exact distinct
+  * count is ≤ `enumMaxDistinct`. Formats/patterns are deliberately NOT
+  * guessed (a 500-row corpus matching `^src[0-9]$` proves nothing about
+  * row 501 — the user promotes observations to constraints, not the
+  * profiler).
+  *
+  * Scale shape: pass 1 is ONE full-scan aggregation (counts, bounds,
+  * exact distinct counts — all map-side combined). Pass 2 collects enum
+  * VALUE sets only for the columns pass 1 qualified (distinct ≤ k), so
+  * every `collect_set` is bounded by k elements per column — no
+  * unbounded driver collect ever happens; columns that fail the
+  * cardinality gate are never collected at all.
+  */
+object Inference {
+
+  private def jsonType(dt: DataType): Option[String] = dt match {
+    case ByteType | ShortType | IntegerType | LongType => Some("integer")
+    case FloatType | DoubleType | _: DecimalType => Some("number")
+    case StringType => Some("string")
+    case BooleanType => Some("boolean")
+    case _ => None
+  }
+
+  /** Long-exact rendering of a numeric bound (whole doubles print as
+    * integers, matching the engine's message rendering rules).
+    */
+  private def num(d: Double): String = graft.rules.Num.fmt(d)
+
+  private case class ColProfile(name: String, jtype: String, required: Boolean,
+      lo: Option[Double], hi: Option[Double],
+      minLen: Option[Long], maxLen: Option[Long],
+      distinct: Long, enumVals: Option[Seq[String]])
+
+  /** The two-pass profile (driver-side result is one small struct per
+    * column). `columns` defaults to every atomic column.
+    */
+  private def profile(df: DataFrame, columns: Seq[String],
+      enumMaxDistinct: Int): Seq[ColProfile] = {
+    val fields = df.schema.fields.filter(f => jsonType(f.dataType).isDefined)
+      .filter(f => columns.isEmpty || columns.contains(f.name))
+    require(fields.nonEmpty, "infer: no atomic columns to profile")
+    val aggs = fields.flatMap { f =>
+      val v = col(f.name)
+      val base = Seq(
+        count(v).as(s"${f.name}__cnt"),
+        count_distinct(v).as(s"${f.name}__dst"))
+      val typed = f.dataType match {
+        case StringType => Seq(
+          min(length(v)).cast(LongType).as(s"${f.name}__lo"),
+          max(length(v)).cast(LongType).as(s"${f.name}__hi"))
+        case _ => Seq(
+          min(v).cast(DoubleType).as(s"${f.name}__lo"),
+          max(v).cast(DoubleType).as(s"${f.name}__hi"))
+      }
+      base ++ typed
+    } :+ count(lit(1)).as("__total")
+    val row = df.agg(aggs.head, aggs.tail: _*).collect()(0)
+    val total = row.getAs[Long]("__total")
+    val enumCols = fields.filter { f =>
+      f.dataType == StringType &&
+        row.getAs[Long](s"${f.name}__dst") <= enumMaxDistinct &&
+        row.getAs[Long](s"${f.name}__dst") > 0
+    }
+    // pass 2: value sets ONLY for qualifying columns — each bounded by k
+    val enumSets: Map[String, Seq[String]] =
+      if (enumCols.isEmpty) Map.empty
+      else {
+        val eAggs = enumCols.map(f =>
+          sort_array(collect_set(col(f.name))).as(f.name))
+        val eRow = df.agg(eAggs.head, eAggs.tail: _*).collect()(0)
+        enumCols.map(f =>
+          f.name -> eRow.getAs[scala.collection.Seq[String]](f.name).toSeq).toMap
+      }
+    fields.toSeq.map { f =>
+      val cnt = row.getAs[Long](s"${f.name}__cnt")
+      val isStr = f.dataType == StringType
+      ColProfile(
+        name = f.name,
+        jtype = jsonType(f.dataType).get,
+        required = cnt == total && total > 0,
+        lo = if (isStr || cnt == 0) None
+          else Some(row.getAs[Double](s"${f.name}__lo")),
+        hi = if (isStr || cnt == 0) None
+          else Some(row.getAs[Double](s"${f.name}__hi")),
+        minLen = if (isStr && cnt > 0) Some(row.getAs[Long](s"${f.name}__lo")) else None,
+        maxLen = if (isStr && cnt > 0) Some(row.getAs[Long](s"${f.name}__hi")) else None,
+        distinct = row.getAs[Long](s"${f.name}__dst"),
+        enumVals = enumSets.get(f.name))
+    }
+  }
+
+  /** Inferred keywords as ROWS (column, keyword, value) — the report form
+    * (and the driver-oracle form: every value is reproducible in SQL).
+    * Keyword order per column: type, required?, enum?, bounds/lengths.
+    */
+  def inferKeywords(df: DataFrame, columns: Seq[String] = Nil,
+      enumMaxDistinct: Int = 8): DataFrame = {
+    val rows = profile(df, columns, enumMaxDistinct).flatMap { p =>
+      val b = Seq.newBuilder[(String, String, String)]
+      b += ((p.name, "type", p.jtype))
+      if (p.required) b += ((p.name, "required", "true"))
+      p.enumVals.foreach { vs =>
+        b += ((p.name, "enum", vs.map(v => "\"" + v + "\"").mkString("[", ", ", "]")))
+      }
+      p.lo.foreach(v => b += ((p.name, "minimum", num(v))))
+      p.hi.foreach(v => b += ((p.name, "maximum", num(v))))
+      p.minLen.foreach(v => b += ((p.name, "minLength", v.toString)))
+      p.maxLen.foreach(v => b += ((p.name, "maxLength", v.toString)))
+      b.result()
+    }
+    import df.sparkSession.implicits._
+    rows.toDF("column", "keyword", "value").orderBy("column", "keyword")
+  }
+
+  /** The inferred rule as the engine's own [[Rule]] — directly
+    * compilable; `Validate.withViolations(df, inferRule(df))` passes every
+    * row of `df` by construction.
+    */
+  def inferRule(df: DataFrame, columns: Seq[String] = Nil,
+      enumMaxDistinct: Int = 8): Rule = {
+    val ps = profile(df, columns, enumMaxDistinct)
+    val props = ps.map { p =>
+      val kw = Keywords(
+        types = Some(List(p.jtype)),
+        enum_ = p.enumVals.map(_.toList.map(ConstVal.VStr(_))),
+        minimum = p.lo, maximum = p.hi,
+        minLength = p.minLen.map(_.toInt), maxLength = p.maxLen.map(_.toInt))
+      p.name -> (Rule.Check(kw): Rule)
+    }.toMap
+    Rule.Check(Keywords(properties = props,
+      required = ps.filter(_.required).map(_.name).toList))
+  }
+
+  /** Render an inferred rule as a YAML schema document the engine's own
+    * loader round-trips (`RuleLoader.loadString(toYaml(r))` compiles to
+    * the same checks). Covers the inference subset: type, enum, numeric
+    * bounds, length bounds, required, one level of properties.
+    */
+  def toYaml(rule: Rule): String = rule match {
+    case Rule.Check(kw) =>
+      val sb = new StringBuilder("type: object\n")
+      if (kw.required.nonEmpty)
+        sb ++= kw.required.map(r => s"  - $r").mkString("required:\n", "\n", "\n")
+      if (kw.properties.nonEmpty) {
+        sb ++= "properties:\n"
+        kw.properties.toSeq.sortBy(_._1).foreach { case (name, r) =>
+          sb ++= s"  $name:\n"
+          r match {
+            case Rule.Check(k) =>
+              k.types.foreach(ts => sb ++= s"    type: ${ts.head}\n")
+              k.enum_.foreach { vs =>
+                sb ++= "    enum:\n"
+                vs.foreach {
+                  case ConstVal.VStr(s) => sb ++= s"      - \"$s\"\n"
+                  case other => sb ++= s"      - ${ConstVal.render(other)}\n"
+                }
+              }
+              k.minimum.foreach(v => sb ++= s"    minimum: ${num(v)}\n")
+              k.maximum.foreach(v => sb ++= s"    maximum: ${num(v)}\n")
+              k.minLength.foreach(v => sb ++= s"    minLength: $v\n")
+              k.maxLength.foreach(v => sb ++= s"    maxLength: $v\n")
+            case _ => ()
+          }
+        }
+      }
+      sb.result()
+    case _ => throw new IllegalArgumentException(
+      "toYaml renders inferred Check rules only")
+  }
+}

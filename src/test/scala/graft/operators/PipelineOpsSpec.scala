@@ -643,6 +643,37 @@ class PipelineOpsSpec extends SparkSpec {
     assert(exact.length == 28)
   }
 
+  test("inference closure: inferred rule passes the corpus, catches the envelope-breaker") {
+    import graft.rules.RuleLoader
+    val df = Seq(
+      (1L, "alpha", "en", 10L), (2L, "beta", "de", 20L),
+      (3L, "gamma", "en", 30L), (4L, "delta", "fr", 15L))
+      .toDF("doc_id", "text", "lang", "n")
+    val rule = Inference.inferRule(df, enumMaxDistinct = 3)
+    // closure: the corpus that produced the rule validates clean
+    assert(Validate.withViolations(df, rule).filter(!col("pass")).count() == 0)
+    // a row outside the observed envelope violates: n over max, lang novel
+    val bad = Seq((9L, "x", "zh", 99L)).toDF("doc_id", "text", "lang", "n")
+    val v = Validate.flatViolations(Validate.withViolations(bad, rule))
+      .collect().map(r => (r.getString(1), r.getString(2))).toSet
+    assert(v.contains(("n", "maximum")) && v.contains(("lang", "enum")))
+    assert(v.contains(("text", "minLength"))) // "x" shorter than observed min 4
+    // enum gate: lang has 3 distinct (<= 3) → enum inferred; text has 4 → not
+    val kw = Inference.inferKeywords(df, enumMaxDistinct = 3).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getString(2)).toMap
+    assert(kw(("lang", "enum")) == "[\"de\", \"en\", \"fr\"]")
+    assert(!kw.contains(("text", "enum")))
+    assert(kw(("n", "minimum")) == "10" && kw(("n", "maximum")) == "30")
+    // YAML round-trip: the emitted schema loads and validates identically
+    val loaded = RuleLoader.loadString(Inference.toYaml(rule))
+    assert(Validate.withViolations(df, loaded.root, loaded.defs)
+      .filter(!col("pass")).count() == 0)
+    val v2 = Validate.flatViolations(
+      Validate.withViolations(bad, loaded.root, loaded.defs))
+      .collect().map(r => (r.getString(1), r.getString(2))).toSet
+    assert(v2 == v, s"yaml round-trip drifted: $v2 vs $v")
+  }
+
   test("split-leak audit: labels agree with splits(), only straddling pairs kept") {
     val w = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
     // ground truth from splits() over ids 1..200
