@@ -619,6 +619,24 @@ object SparkEntry {
           col("split_a"), col("split_b"))
         .orderBy("id_a", "id_b")
     }),
+    "p_split_heal" -> ((s, dir) => {
+      // the splitLeaks remedy: every dup-cluster member promoted into its
+      // representative's split; after this relabel no near-dup pair can
+      // straddle train/test
+      val clusters = DupClusters.clusters(Dedup.nearDupPairsExact(
+        t(s, dir, "documents"), "doc_id", "text",
+        k = 3, numHashes = 32, bands = 16, threshold = 0.5))
+      Sampling.splitsHealed(clusters,
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .select(col("id").as("doc_id"), col("split"), col("healed_split"))
+        .orderBy("doc_id")
+    }),
+    "g_fd" -> ((s, dir) => {
+      // functional-dependency audit: `source -> lang` (each ingestion
+      // source should emit one language); violating sources with their
+      // distinct-language and row counts
+      Stats.fdViolations(t(s, dir, "documents"), "source", "lang")
+    }),
     "d_dup_clusters" -> ((s, dir) => {
       // transitive closure of the verified near-dup pairs: every doc in a
       // dup cluster gets the cluster's min doc_id + a keep flag for the
@@ -1358,6 +1376,45 @@ object SparkEntry {
         |SELECT id_a, id_b, round(CASE WHEN u = 0 THEN 0.0 ELSE i / u END, 4) AS jaccard
         |FROM pairs WHERE (CASE WHEN u = 0 THEN 0.0 ELSE i / u END) >= 0.5
         |ORDER BY id_a, id_b""".stripMargin,
+    "p_split_heal" ->
+      s"""WITH RECURSIVE toks AS (SELECT doc_id,
+        |    string_split(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')), ' ') AS t
+        |  FROM documents),
+        |sh AS (SELECT doc_id,
+        |    CASE WHEN len(t) >= 3 THEN list_distinct(list_transform(
+        |      generate_series(1, len(t) - 2), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+        |    ELSE CAST([] AS VARCHAR[]) END AS s
+        |  FROM toks),
+        |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE (CASE WHEN len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) = 0
+        |    THEN 0.0 ELSE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+        |      / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) END) >= 0.5),
+        |edges AS (SELECT id_a AS x, id_b AS y FROM pairs
+        |  UNION SELECT id_b AS x, id_a AS y FROM pairs),
+        |reach(x, y) AS (
+        |  SELECT s.x AS x, s.x AS y FROM (SELECT DISTINCT x FROM edges) s
+        |  UNION
+        |  SELECT e.x, r.y FROM edges e JOIN reach r ON e.y = r.x),
+        |cl AS (SELECT x AS doc_id, min(y) AS cluster_id FROM reach GROUP BY x)
+        |SELECT doc_id,
+        |  CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+        |         < '${Sampling.thresholdHex(0.8)}' THEN 'train'
+        |       WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+        |         < '${Sampling.thresholdHex(0.9)}' THEN 'val'
+        |       ELSE 'test' END AS split,
+        |  CASE WHEN substr(md5(CAST(cluster_id AS VARCHAR)), 1, 8)
+        |         < '${Sampling.thresholdHex(0.8)}' THEN 'train'
+        |       WHEN substr(md5(CAST(cluster_id AS VARCHAR)), 1, 8)
+        |         < '${Sampling.thresholdHex(0.9)}' THEN 'val'
+        |       ELSE 'test' END AS healed_split
+        |FROM cl ORDER BY doc_id""".stripMargin,
+    "g_fd" ->
+      """SELECT source AS det, CAST(count(DISTINCT lang) AS BIGINT) AS n_values,
+        |  CAST(count(*) AS BIGINT) AS n_rows
+        |FROM documents WHERE source IS NOT NULL
+        |GROUP BY source HAVING count(DISTINCT lang) > 1
+        |ORDER BY det""".stripMargin,
     "p_split_leak" ->
       s"""WITH toks AS (SELECT doc_id,
         |    string_split(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')), ' ') AS t

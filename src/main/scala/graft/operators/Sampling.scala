@@ -168,4 +168,22 @@ object Sampling {
       .withColumn("split_a", splitCol(col("id_a"), weights))
       .withColumn("split_b", splitCol(col("id_b"), weights))
       .filter(col("split_a") =!= col("split_b"))
+
+  /** The remedy for [[splitLeaks]] findings: promote every member of a dup
+    * CLUSTER into one split — the cluster representative's. Input is
+    * [[DupClusters.clusters]] output (id, cluster_id, keep); since
+    * `cluster_id` IS the cluster-min id, `splitCol(cluster_id)` is the
+    * representative's split, and after healing no near-dup pair can
+    * straddle a boundary (both sides carry the same cluster_id — zero
+    * leaks by construction, which the spec asserts through splitLeaks).
+    *
+    * Scan-stage relabel over the cluster table (|dup docs| rows, not the
+    * corpus); singleton docs keep their hash split untouched — only rows
+    * present in the cluster assignment need relabeling.
+    */
+  def splitsHealed(clusters: DataFrame,
+      weights: Seq[(String, Double)]): DataFrame =
+    clusters.select(col("id"),
+      splitCol(col("id"), weights).as("split"),
+      splitCol(col("cluster_id"), weights).as("healed_split"))
 }

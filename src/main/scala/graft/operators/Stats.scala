@@ -101,6 +101,26 @@ object Stats {
     * TakeOrdered top-k — no Window, no global sort. `recommended_salt` =
     * ceil(count / targetRowsPerTask), floored at 1.
     */
+  /** Functional-dependency audit: determinant values that map to MORE than
+    * one dependent value — the violation report for an expected
+    * `det → dep` dependency (producer id → schema version, media_ref →
+    * mime, source → language). Output (det, n_values, n_rows) for
+    * violating determinants only.
+    *
+    * One map-side-combined groupBy on the determinant; the two-phase
+    * count_distinct never materializes value lists. At 10^12 rows the
+    * shuffle carries one row per distinct (det, dep) pair after partial
+    * aggregation — dependency audits are cheap exactly when the dependency
+    * mostly holds.
+    */
+  def fdViolations(df: DataFrame, detCol: String, depCol: String): DataFrame =
+    df.filter(col(detCol).isNotNull)
+      .groupBy(col(detCol).as("det"))
+      .agg(count_distinct(col(depCol)).as("n_values"),
+        count(lit(1)).as("n_rows"))
+      .filter(col("n_values") > 1)
+      .orderBy("det")
+
   def heavyHitters(df: DataFrame, keyCol: String, k: Int,
       targetRowsPerTask: Long): DataFrame = {
     val counts = df.filter(col(keyCol).isNotNull)

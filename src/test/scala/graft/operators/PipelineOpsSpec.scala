@@ -691,6 +691,34 @@ class PipelineOpsSpec extends SparkSpec {
     assert(expected.nonEmpty && expected.size < 199) // audit is non-trivial both ways
   }
 
+  test("split healing: cluster members adopt the representative's split; zero leaks after") {
+    val w = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    // two clusters: {1,2,3} (rep 1) and {10,11} (rep 10), via pair edges
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val clusters = DupClusters.clusters(pairs)
+    val healed = Sampling.splitsHealed(clusters, w).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getString(2))).toMap
+    val repSplit = Sampling.splits(Seq(1L, 10L).toDF("id"), "id", w)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    Seq(1L, 2L, 3L).foreach(i => assert(healed(i)._2 == repSplit(1L)))
+    Seq(10L, 11L).foreach(i => assert(healed(i)._2 == repSplit(10L)))
+    // the audit finds nothing once pairs are labeled by cluster id
+    val relabeled = pairs
+      .withColumn("id_a", lit(1L)).withColumn("id_b", lit(1L))
+    assert(Sampling.splitLeaks(relabeled, w).count() == 0)
+  }
+
+  test("fd audit: only determinants with >1 dependent value, counts exact") {
+    val df = Seq(
+      ("s1", "en"), ("s1", "en"), ("s1", "de"),   // violating: 2 langs, 3 rows
+      ("s2", "fr"), ("s2", "fr"),                  // clean
+      (null.asInstanceOf[String], "en"), (null.asInstanceOf[String], "de"))
+      .toDF("source", "lang")
+    val v = Stats.fdViolations(df, "source", "lang").collect()
+    assert(v.map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq ==
+      Seq(("s1", 2L, 3L))) // s2 clean; null determinant excluded
+  }
+
   test("compaction plan: keep threshold, running-sum bins, never splits a file") {
     // part 0: files a(300), b(300), c(300), d(900 → keep), e(450)
     // small stream a,b,c,e: before-sums 0,300,600,900 at target 700 →
