@@ -37,6 +37,12 @@ import graft.sources.CommitLog
   * shape, with doc_id/part standing in for the YAML line/col marker);
   * `--json-limit` bounds the driver-side collect (default 10000 — the
   * reference prints all, but a 100 TB corpus can emit billions of rows).
+  *
+  * `--infer out.yaml` profiles the docs table and writes the inferred YAML
+  * schema instead of validating (the validator's inverse; the natural next
+  * run passes it back via `--rules`). `--scorecard` prints the per-(path,
+  * rule) violation scorecard (counts, rates, Wilson bounds) as JSON lines
+  * on stdout after a validation run.
   */
 object Main {
 
@@ -44,7 +50,8 @@ object Main {
       out: String = "", failFast: Boolean = false, json: Boolean = false,
       jsonLimit: Int = 10000, partsPerBatch: Int = 8, filesPerPart: Int = 1,
       sketches: Boolean = false, driftCols: List[String] = Nil,
-      driftSave: String = "", driftBaseline: String = "")
+      driftSave: String = "", driftBaseline: String = "",
+      infer: String = "", scorecard: Boolean = false)
 
   private def parse(argv: List[String], a: Args): Args = argv match {
     case Nil => a
@@ -60,8 +67,21 @@ object Main {
     case "--drift-col" :: v :: rest => parse(rest, a.copy(driftCols = a.driftCols :+ v))
     case "--drift-save" :: v :: rest => parse(rest, a.copy(driftSave = v))
     case "--drift-baseline" :: v :: rest => parse(rest, a.copy(driftBaseline = v))
+    case "--infer" :: v :: rest => parse(rest, a.copy(infer = v))
+    case "--scorecard" :: rest => parse(rest, a.copy(scorecard = true))
     case other :: _ => throw new IllegalArgumentException(s"Unknown argument: $other")
   }
+
+  /** One JSON line per scorecard row (stable key order, jesc-escaped) —
+    * the `--scorecard` stdout shape.
+    */
+  private[graft] def scorecardJson(r: org.apache.spark.sql.Row): String =
+    s"""{"path":"${jesc(r.getAs[String]("path"))}",""" +
+      s""""rule":"${jesc(r.getAs[String]("rule"))}",""" +
+      s""""violations":${r.getAs[Long]("violations")},""" +
+      s""""affected_docs":${r.getAs[Long]("affected_docs")},""" +
+      s""""doc_rate":${r.getAs[Double]("doc_rate")},""" +
+      s""""wilson_low":${r.getAs[Double]("wilson_low")}}"""
 
   private def jesc(s0: String): String = {
     // exceptions may carry a null message (bare NPE/IllegalState); the
@@ -169,7 +189,8 @@ object Main {
   def main(argv: Array[String]): Unit = {
     val args = try {
       val a = parse(argv.toList, Args())
-      require(a.docs.nonEmpty && a.out.nonEmpty, "--docs and --out are required")
+      require(a.docs.nonEmpty && (a.out.nonEmpty || a.infer.nonEmpty),
+        "--docs and --out are required (or --docs with --infer)")
       a
     } catch { case e: Exception =>
       System.err.println(s"""{"error":"${jesc(e.getMessage)}"}""") // ys.rs:50-68 channel
@@ -188,6 +209,15 @@ object Main {
 
     val exit = try {
       val docs = spark.read.parquet(args.docs)
+      if (args.infer.nonEmpty) {
+        // schema-inference mode (the validator's inverse): profile the
+        // table, write the inferred YAML schema, and stop — the natural
+        // next run is `--rules <inferred.yaml>` over fresh data
+        val yaml = operators.Inference.toYaml(operators.Inference.inferRule(docs))
+        java.nio.file.Files.writeString(java.nio.file.Paths.get(args.infer), yaml)
+        System.err.println(s"[graft] inferred schema written to ${args.infer}")
+        0
+      } else {
       val loaded =
         if (args.rules.nonEmpty) RuleLoader.loadFiles(args.rules)
         else {
@@ -240,11 +270,20 @@ object Main {
             s""""error":"${jesc(r.getAs[String]("message"))}"}"""
         }.mkString("[", ",", "]"))
       }
+      if (args.scorecard) {
+        // per-(path, rule) data-quality report on stdout, one JSON line per
+        // row (tiny: bounded by the rule set) — over the SAME composite the
+        // validation ran (user rule + span invariant)
+        operators.Validate.scorecardOf(
+            ResumableValidate.compositeViolations(docs, loaded.root, loaded.defs))
+          .collect().foreach(r => println(scorecardJson(r)))
+      }
       System.err.println(
         s"[graft] partitions done=${report.partsDone.size} " +
           s"skipped=${report.partsSkipped.size} committed=${commits.size} " +
           s"failed_docs=$failedDocs")
       if (failedDocs > 0) 1 else 0
+      }
     } catch { case e: Exception =>
       System.err.println(s"""{"error":"${jesc(e.getMessage)}"}""")
       2

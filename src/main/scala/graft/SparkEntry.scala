@@ -319,6 +319,25 @@ object SparkEntry {
           expectedItems = math.max(nCat, 1L), fpp = 0.001)
         .orderBy("media_ref")
     }),
+    "s_embed_drift" -> ((s, dir) => {
+      // embedding-distribution drift between the even- and odd-id halves
+      // of the corpus: per-dimension means + absolute shift (the per-axis
+      // signal scalar drift checks can't see)
+      val e = t(s, dir, "embeddings")
+      Similarity.embeddingDrift(
+        e.filter(pmod(col("vec_id"), lit(2L)) === 0L),
+        e.filter(pmod(col("vec_id"), lit(2L)) === 1L), "embedding")
+    }),
+    "t_token_budget" -> ((s, dir) => {
+      // token-budget report per (lang, split): the sizing table for
+      // mixtures/epochs — docs and whitespace tokens per cell
+      val d = t(s, dir, "documents")
+      TextAnalysis.tokenBudget(
+        d.withColumn("split", Sampling.splitCol(col("doc_id"),
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))),
+        "text", Seq(col("lang"), col("split")))
+        .orderBy("lang", "split")
+    }),
     "r_infer" -> ((s, dir) => {
       // schema inference: the rule set the documents corpus already
       // satisfies, as (column, keyword, value) rows — type from the table
@@ -1220,6 +1239,30 @@ object SparkEntry {
         |SELECT r.media_ref FROM refs r
         |WHERE NOT EXISTS (SELECT 1 FROM cat c WHERE c.media_ref = r.media_ref)
         |ORDER BY r.media_ref""".stripMargin,
+    "s_embed_drift" ->
+      """WITH e AS (SELECT vec_id, unnest(embedding) AS v,
+        |    generate_subscripts(embedding, 1) AS i
+        |  FROM embeddings WHERE embedding IS NOT NULL),
+        |a AS (SELECT CAST(i - 1 AS INT) AS dim,
+        |    round(avg(CAST(v AS DOUBLE)), 4) AS mean_a
+        |  FROM e WHERE vec_id % 2 = 0 GROUP BY i),
+        |b AS (SELECT CAST(i - 1 AS INT) AS dim,
+        |    round(avg(CAST(v AS DOUBLE)), 4) AS mean_b
+        |  FROM e WHERE vec_id % 2 = 1 GROUP BY i)
+        |SELECT a.dim, a.mean_a, b.mean_b,
+        |  round(abs(a.mean_a - b.mean_b), 4) AS shift
+        |FROM a JOIN b ON a.dim = b.dim ORDER BY a.dim""".stripMargin,
+    "t_token_budget" ->
+      s"""SELECT lang,
+        |  CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+        |         < '${Sampling.thresholdHex(0.8)}' THEN 'train'
+        |       WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+        |         < '${Sampling.thresholdHex(0.9)}' THEN 'val'
+        |       ELSE 'test' END AS split,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(CASE WHEN length(trim(text)) = 0 THEN 0
+        |    ELSE len(string_split_regex(trim(text), '\\s+')) END) AS BIGINT) AS tokens
+        |FROM documents GROUP BY lang, split ORDER BY lang, split""".stripMargin,
     "r_infer" -> {
       // per-column UNION ALL blocks; conditional rows (required/enum) use
       // aggregate HAVING so presence matches the engine's gates exactly

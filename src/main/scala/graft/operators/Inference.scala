@@ -68,6 +68,9 @@ object Inference {
         case StringType => Seq(
           min(length(v)).cast(LongType).as(s"${f.name}__lo"),
           max(length(v)).cast(LongType).as(s"${f.name}__hi"))
+        case BooleanType => Seq( // no numeric bounds (ANSI forbids the cast)
+          lit(null).cast(DoubleType).as(s"${f.name}__lo"),
+          lit(null).cast(DoubleType).as(s"${f.name}__hi"))
         case _ => Seq(
           min(v).cast(DoubleType).as(s"${f.name}__lo"),
           max(v).cast(DoubleType).as(s"${f.name}__hi"))
@@ -98,9 +101,9 @@ object Inference {
         name = f.name,
         jtype = jsonType(f.dataType).get,
         required = cnt == total && total > 0,
-        lo = if (isStr || cnt == 0) None
+        lo = if (isStr || f.dataType == BooleanType || cnt == 0) None
           else Some(row.getAs[Double](s"${f.name}__lo")),
-        hi = if (isStr || cnt == 0) None
+        hi = if (isStr || f.dataType == BooleanType || cnt == 0) None
           else Some(row.getAs[Double](s"${f.name}__hi")),
         minLen = if (isStr && cnt > 0) Some(row.getAs[Long](s"${f.name}__lo")) else None,
         maxLen = if (isStr && cnt > 0) Some(row.getAs[Long](s"${f.name}__hi")) else None,

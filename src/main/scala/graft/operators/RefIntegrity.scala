@@ -86,9 +86,11 @@ object RefIntegrity {
     */
   def danglingRefsBloom(docs: DataFrame, catalog: DataFrame,
       expectedItems: Long, fpp: Double = 0.001): DataFrame = {
+    require(expectedItems > 0, s"expectedItems must be > 0, got $expectedItems")
     val refs = docs
       .select(explode(col("spans")).as("s"))
-      .filter(col("s.kind") === "media" && col("s.media_ref") =!= "")
+      .filter(col("s.kind") === "media" &&
+        col("s.media_ref").isNotNull && col("s.media_ref") =!= "")
       .select(col("s.media_ref").as("media_ref"))
       .distinct()
     val bloom = catalog.select(col("media_ref"))

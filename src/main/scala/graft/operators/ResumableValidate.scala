@@ -86,6 +86,18 @@ object ResumableValidate {
     * (merge with [[mergedDocIdSketch]] / [[mergedNSpansSketch]], no re-scan
     * of committed parts).
     */
+  /** The ONE composition of user rule + built-in span invariant the engine
+    * validates with — [[run]] and the CLI scorecard both lower through
+    * this, so a report can never cover a different rule set than the
+    * verdicts did.
+    */
+  def compositeViolations(docs: org.apache.spark.sql.DataFrame, rule: Rule,
+      defs: Map[String, Rule] = Map.empty): org.apache.spark.sql.DataFrame =
+    Validate.withViolations(docs, rule, defs)
+      .withColumn("violations",
+        concat(col("violations"), SpanInvariant.violationsCol(col("spans"))))
+      .withColumn("pass", size(col("violations")) === 0)
+
   def run(spark: SparkSession, docs: DataFrame, rule: Rule, outDir: String,
       manifest: Seq[String] = Nil, failAfterParts: Int = Int.MaxValue,
       partsPerBatch: Int = 8, defs: Map[String, Rule] = Map.empty,
@@ -130,10 +142,7 @@ object ResumableValidate {
         }
     }
 
-    val withV = Validate.withViolations(docs, rule, defs)
-      .withColumn("violations",
-        concat(col("violations"), SpanInvariant.violationsCol(col("spans"))))
-      .withColumn("pass", size(col("violations")) === 0)
+    val withV = compositeViolations(docs, rule, defs)
 
     var executed = List.empty[Int]
     pending.grouped(partsPerBatch).foreach { batch =>

@@ -279,6 +279,32 @@ object Similarity {
         count(lit(1)).as("n_vecs"))
       .select(col("label"), col("dim"), col("centroid"), col("n_vecs"))
 
+  /** Embedding-distribution drift between two corpus slices: per-dimension
+    * mean of each side and the absolute shift — the monitoring signal for
+    * "the embedding model changed / the corpus mixture moved" that scalar
+    * drift checks ([[Drift]]) cannot see, because they watch one column
+    * while a 64-dim embedding drifts per-axis.
+    *
+    * Plan shape: posexplode inside the scan stage, then ONE groupBy(dim)
+    * per side — map-side combine reduces every partition to `dims` partial
+    * sums, so the shuffle carries dims rows per partition regardless of
+    * corpus size; the final join is dims×dims-row tiny (broadcast).
+    * Means are rounded to `roundTo` before differencing so any engine
+    * reproduces the report bit-for-bit.
+    */
+  def embeddingDrift(a: DataFrame, b: DataFrame, vecCol: String,
+      roundTo: Int = 4): DataFrame = {
+    def dimMeans(df: DataFrame, out: String) = df
+      .filter(col(vecCol).isNotNull)
+      .select(posexplode(col(vecCol)).as(Seq("dim", "v")))
+      .groupBy(col("dim"))
+      .agg(round(avg(col("v").cast("double")), roundTo).as(out))
+    dimMeans(a, "mean_a").join(dimMeans(b, "mean_b"), Seq("dim"))
+      .select(col("dim"), col("mean_a"), col("mean_b"),
+        round(abs(col("mean_a") - col("mean_b")), roundTo).as("shift"))
+      .orderBy("dim")
+  }
+
   /** `greatest` over struct scores that also works for a single candidate
     * (Spark's GREATEST requires >= 2 arguments — k = 1 quantizers and
     * single-vector corpora are legal inputs here).

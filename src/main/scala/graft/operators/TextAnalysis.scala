@@ -351,4 +351,22 @@ object TextAnalysis {
       tokenCountBpe(col(textCol)).as("tokens_bpe"),
       qualityScore(col(textCol)).as("quality"),
       fingerprintMd5(col(textCol)).as("fingerprint"))
+
+  /** Token-budget report: documents and whitespace tokens per group — the
+    * "how much training data do I actually have, and where" answer that
+    * sizes mixtures, epochs and sampling weights ([[Sampling.upsample]]'s
+    * inputs come from exactly this table). Group by any dimensions —
+    * language, split assignment, source, or their combinations.
+    *
+    * One scan + one map-side-combined groupBy; the token count is a
+    * codegen'd per-row expression, so the shuffle carries one row per
+    * distinct group per partition.
+    */
+  def tokenBudget(df: DataFrame, textCol: String,
+      groupCols: Seq[Column]): DataFrame = {
+    require(groupCols.nonEmpty, "tokenBudget needs at least one group column")
+    df.groupBy(groupCols: _*)
+      .agg(count(lit(1)).as("n_docs"),
+        sum(tokenCountWs(col(textCol)).cast("long")).as("tokens"))
+  }
 }

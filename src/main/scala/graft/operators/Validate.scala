@@ -91,14 +91,37 @@ object Validate {
     * renders them one by one); set-at-a-time reporting like [[verdicts]].
     */
   def scorecard(df: DataFrame, rule: Rule,
-      defs: Map[String, Rule] = Map.empty, z: Double = 1.96): DataFrame = {
-    val n = df.count().toDouble
+      defs: Map[String, Rule] = Map.empty, z: Double = 1.96): DataFrame =
+    scorecardOf(withViolations(df, rule, defs), z)
+
+  /** Scorecard over an already-constructed `violations`-column DataFrame —
+    * the form the CLI uses so the report covers the SAME composite the
+    * validation ran (user rule + span invariant), not a re-derivation.
+    *
+    * Counting needs no doc_id: each document contributes its DISTINCT
+    * (path, rule) pairs with their per-document multiplicity (one
+    * array_distinct + filter-size per pair — O(k²) in the per-doc
+    * violation count k, which is small), so `affected_docs` counts
+    * documents exactly even when the violation IS a missing/null id.
+    * One explode + one map-side-combined groupBy; the total-docs divisor
+    * is a count on the pruned scan (Catalyst drops the violation
+    * projection for it).
+    */
+  def scorecardOf(withV: DataFrame, z: Double = 1.96): DataFrame = {
+    val n = withV.count().toDouble
     require(n > 0, "scorecard: empty corpus has no rates")
     val nl = lit(n)
-    val g = flatViolations(withViolations(df, rule, defs))
-      .groupBy(col("path"), col("rule"))
-      .agg(count(lit(1)).as("violations"),
-        countDistinct(col("doc_id")).as("affected_docs"))
+    val v = col("violations")
+    val uniq = array_distinct(transform(v, x =>
+      struct(x.getField("path").as("path"), x.getField("rule").as("rule"))))
+    val perDoc = transform(uniq, p => struct(
+      p.getField("path").as("path"), p.getField("rule").as("rule"),
+      size(filter(v, x => x.getField("path") === p.getField("path") &&
+        x.getField("rule") === p.getField("rule"))).cast("long").as("m")))
+    val g = withV.select(explode(perDoc).as("pr"))
+      .groupBy(col("pr.path").as("path"), col("pr.rule").as("rule"))
+      .agg(sum(col("pr.m")).as("violations"),
+        count(lit(1)).as("affected_docs"))
     val p = col("affected_docs") / nl
     val z2 = lit(z * z)
     g.select(col("path"), col("rule"), col("violations"), col("affected_docs"),

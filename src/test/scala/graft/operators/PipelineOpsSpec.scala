@@ -691,6 +691,29 @@ class PipelineOpsSpec extends SparkSpec {
     assert(expected.nonEmpty && expected.size < 199) // audit is non-trivial both ways
   }
 
+  test("embedding drift: identical slices shift 0, shifted dimension flagged") {
+    val a = Seq(
+      (1L, Seq(1.0f, 2.0f)), (2L, Seq(3.0f, 2.0f))).toDF("id", "vec")
+    val b = Seq(
+      (3L, Seq(1.0f, 7.0f)), (4L, Seq(3.0f, 7.0f))).toDF("id", "vec")
+    val same = Similarity.embeddingDrift(a, a, "vec").collect()
+    assert(same.forall(_.getDouble(3) == 0.0))
+    val drift = Similarity.embeddingDrift(a, b, "vec").collect()
+      .map(r => r.getInt(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(drift(0) == ((2.0, 2.0, 0.0)))   // dim 0: same mean
+    assert(drift(1) == ((2.0, 7.0, 5.0)))   // dim 1: shifted by 5
+  }
+
+  test("token budget: docs and token sums per group, empty text counts 0") {
+    val df = Seq(
+      ("en", "one two three"), ("en", "four five"), ("en", "   "),
+      ("de", "eins")).toDF("lang", "text")
+    val b = TextAnalysis.tokenBudget(df, "text", Seq(col("lang")))
+      .orderBy("lang").collect()
+    assert(b.map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq ==
+      Seq(("de", 1L, 1L), ("en", 3L, 5L)))
+  }
+
   test("split healing: cluster members adopt the representative's split; zero leaks after") {
     val w = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
     // two clusters: {1,2,3} (rep 1) and {10,11} (rep 10), via pair edges
@@ -761,6 +784,20 @@ class PipelineOpsSpec extends SparkSpec {
       z * math.sqrt(p * (1 - p) / n + z * z / (4 * n * n))) / (1 + z * z / n)
     assert(math.abs(r.getDouble(5) - math.round(expect * 1e6) / 1e6) < 1e-12)
     assert(r.getDouble(5) > 0.10 && r.getDouble(5) < 0.12)
+  }
+
+  test("scorecard counts documents whose violation IS the missing id") {
+    import graft.rules.{Rule, Keywords}
+    val df = Seq(
+      (null.asInstanceOf[String], "x"), (null.asInstanceOf[String], "y"),
+      ("d3", "z")).toDF("doc_id", "text")
+    val rule = Rule.Check(Keywords(required = List("doc_id")))
+    val sc = Validate.scorecard(df, rule).collect()
+    assert(sc.length == 1)
+    // two docs violate required-doc_id; countDistinct(doc_id) would say 0
+    assert(sc(0).getString(1) == "required" &&
+      sc(0).getLong(2) == 2L && sc(0).getLong(3) == 2L)
+    assert(sc(0).getDouble(4) == math.round(2.0 / 3.0 * 1e6) / 1e6)
   }
 
   test("heavy hitters: counts exact, skew ratio vs mean, salt recommendation") {
