@@ -42,7 +42,11 @@ import graft.sources.CommitLog
   * schema instead of validating (the validator's inverse; the natural next
   * run passes it back via `--rules`). `--scorecard` prints the per-(path,
   * rule) violation scorecard (counts, rates, Wilson bounds) as JSON lines
-  * on stdout after a validation run.
+  * on stdout after a validation run. `--catalog media.parquet` adds the
+  * referential-integrity global check (dangling media_refs vs the catalog,
+  * north-rule anti-join) and `--unique <col>` (repeatable) the salted
+  * key-uniqueness global check; their violation rows land under
+  * `out/global_*` and count toward the exit-1 verdict.
   */
 object Main {
 
@@ -51,7 +55,8 @@ object Main {
       jsonLimit: Int = 10000, partsPerBatch: Int = 8, filesPerPart: Int = 1,
       sketches: Boolean = false, driftCols: List[String] = Nil,
       driftSave: String = "", driftBaseline: String = "",
-      infer: String = "", scorecard: Boolean = false)
+      infer: String = "", scorecard: Boolean = false,
+      catalog: String = "", unique: List[String] = Nil)
 
   private def parse(argv: List[String], a: Args): Args = argv match {
     case Nil => a
@@ -69,6 +74,8 @@ object Main {
     case "--drift-baseline" :: v :: rest => parse(rest, a.copy(driftBaseline = v))
     case "--infer" :: v :: rest => parse(rest, a.copy(infer = v))
     case "--scorecard" :: rest => parse(rest, a.copy(scorecard = true))
+    case "--catalog" :: v :: rest => parse(rest, a.copy(catalog = v))
+    case "--unique" :: v :: rest => parse(rest, a.copy(unique = a.unique :+ v))
     case other :: _ => throw new IllegalArgumentException(s"Unknown argument: $other")
   }
 
@@ -270,6 +277,25 @@ object Main {
             s""""error":"${jesc(r.getAs[String]("message"))}"}"""
         }.mkString("[", ",", "]"))
       }
+      // north-rule GLOBAL checks (set-level — not expressible as per-row
+      // expressions): referential integrity against a media catalog and
+      // key uniqueness; violation rows land next to the per-row ones
+      var globalBad = 0L
+      if (args.catalog.nonEmpty) {
+        val cat = spark.read.parquet(args.catalog)
+        operators.RefIntegrity.violations(docs, cat)
+          .write.mode("overwrite").parquet(s"${args.out}/global_ref_integrity")
+        val n = spark.read.parquet(s"${args.out}/global_ref_integrity").count()
+        System.err.println(s"[graft] global check ref_integrity: $n dangling refs")
+        globalBad += n
+      }
+      args.unique.foreach { c =>
+        operators.Uniqueness.violations(docs, c)
+          .write.mode("overwrite").parquet(s"${args.out}/global_unique_$c")
+        val n = spark.read.parquet(s"${args.out}/global_unique_$c").count()
+        System.err.println(s"[graft] global check unique($c): $n duplicated keys")
+        globalBad += n
+      }
       if (args.scorecard) {
         // per-(path, rule) data-quality report on stdout, one JSON line per
         // row (tiny: bounded by the rule set) — over the SAME composite the
@@ -282,7 +308,7 @@ object Main {
         s"[graft] partitions done=${report.partsDone.size} " +
           s"skipped=${report.partsSkipped.size} committed=${commits.size} " +
           s"failed_docs=$failedDocs")
-      if (failedDocs > 0) 1 else 0
+      if (failedDocs + globalBad > 0) 1 else 0
       }
     } catch { case e: Exception =>
       System.err.println(s"""{"error":"${jesc(e.getMessage)}"}""")
