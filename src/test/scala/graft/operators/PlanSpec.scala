@@ -221,4 +221,35 @@ class PlanSpec extends SparkSpec {
     assert(!upPlan.contains("Exchange"), s"shuffle in upsample:\n$upPlan")
     assert(upPlan.contains("Generate"), s"no explode in upsample plan:\n$upPlan")
   }
+
+  test("bloom-tier RI: exactly one join; tier-1 definite branch is join-free") {
+    val docs = spark.read.parquet(docsPath)
+    val catalog = DocsGen.mediaCatalog(spark, DocsGen.Knobs())
+    val plan = planOf(RefIntegrity.danglingRefsBloom(docs, catalog,
+      expectedItems = 1000L, fpp = 0.01))
+    // the union has two branches; only the suspect branch joins the catalog
+    val joins = "(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin)".r
+      .findAllIn(plan).length
+    assert(joins == 1, s"expected exactly 1 join (tier 2), got $joins:\n$plan")
+    assert(plan.contains("Union"), s"expected two-tier union:\n$plan")
+  }
+
+  test("heavy hitters: no Window; TakeOrdered top-k after partial agg") {
+    val df = spark.range(10000).select((col("id") % 64).as("k"), col("id"))
+    val plan = planOf(Stats.heavyHitters(df, "k", k = 5, targetRowsPerTask = 100L))
+    assert(!plan.contains("Window"), s"Window in heavy hitters:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"), s"no TakeOrdered:\n$plan")
+    assert(plan.contains("partial_count") || plan.contains("partial"),
+      s"no partial aggregation before shuffle:\n$plan")
+  }
+
+  test("compaction plan: one running-sum Window per partition, keep branch window-free") {
+    val manifest = spark.range(1000).select(
+      (col("id") % 8).cast("int").as("part"),
+      concat(lit("f"), col("id")).as("path"),
+      (col("id") % 700 + 10).as("bytes"))
+    val plan = planOf(Layout.compactionPlan(manifest, 2048L, 1024L))
+    assert("Window".r.findAllIn(plan).length == 1,
+      s"expected exactly one Window (small branch):\n$plan")
+  }
 }
