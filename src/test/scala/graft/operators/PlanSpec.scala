@@ -222,16 +222,19 @@ class PlanSpec extends SparkSpec {
     assert(upPlan.contains("Generate"), s"no explode in upsample plan:\n$upPlan")
   }
 
-  test("bloom-tier RI: exactly one join; tier-1 definite branch is join-free") {
+  test("bloom-tier RI: one conditional anti-join, one corpus scan (no union)") {
     val docs = spark.read.parquet(docsPath)
     val catalog = DocsGen.mediaCatalog(spark, DocsGen.Knobs())
     val plan = planOf(RefIntegrity.danglingRefsBloom(docs, catalog,
       expectedItems = 1000L, fpp = 0.01))
-    // the union has two branches; only the suspect branch joins the catalog
     val joins = "(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin)".r
       .findAllIn(plan).length
-    assert(joins == 1, s"expected exactly 1 join (tier 2), got $joins:\n$plan")
-    assert(plan.contains("Union"), s"expected two-tier union:\n$plan")
+    assert(joins == 1, s"expected exactly 1 join, got $joins:\n$plan")
+    // both tiers lower into the one join — no two-branch union, and the
+    // docs parquet is scanned once
+    assert(!plan.contains("Union"), s"two-tier union would scan twice:\n$plan")
+    val scans = "Scan parquet".r.findAllIn(plan).length
+    assert(scans <= 1, s"expected a single docs scan, got $scans:\n$plan")
   }
 
   test("heavy hitters: no Window; TakeOrdered top-k after partial agg") {
