@@ -95,6 +95,20 @@ object SparkEntry {
 
   private val langEnum = List("en", "de", "fr", "es").map(ConstVal.VStr(_))
 
+  /** Shared expectation set for the v_enforce_* queries: quarantine bad
+    * lang / oversize docs (evidence preserved), drop bad sources silently.
+    */
+  private def enforceExpectations: Seq[Enforce.Expectation] = Seq(
+    Enforce.Expectation("e_lang", Rule.Check(Keywords(properties = Map(
+      "lang" -> Rule.Check(Keywords(enum_ = Some(langEnum)))))),
+      Enforce.Action.Quarantine),
+    Enforce.Expectation("e_len", Rule.Check(Keywords(properties = Map(
+      "n_chars" -> Rule.Check(Keywords(maximum = Some(500)))))),
+      Enforce.Action.Quarantine),
+    Enforce.Expectation("e_src", Rule.Check(Keywords(properties = Map(
+      "source" -> Rule.Check(Keywords(pattern = Some("^src[0-3]$")))))),
+      Enforce.Action.Drop))
+
   /** Deterministic URL injection shared by t_urls / t_domains (the corpus
     * carries no URLs of its own; the oracle replays the same append).
     */
@@ -355,6 +369,31 @@ object SparkEntry {
         "n_chars" -> Rule.Check(Keywords(maximum = Some(500))),
         "source" -> Rule.Check(Keywords(pattern = Some("^src[0-3]$"))))))
       Validate.scorecard(t(s, dir, "documents"), rule)
+    }),
+    "v_enforce_metrics" -> ((s, dir) => {
+      // DLT-style expectation actions over the documents corpus: one
+      // aggregation scan; independent per-rule failure counts
+      Enforce.metrics(t(s, dir, "documents"), enforceExpectations)
+        .orderBy("expectation")
+    }),
+    "v_enforce_kept" -> ((s, dir) => {
+      // rows surviving enforcement (warn never removes)
+      Enforce.kept(t(s, dir, "documents"), enforceExpectations)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .orderBy("doc_id")
+    }),
+    "v_enforce_quarantine" -> ((s, dir) => {
+      // quarantine evidence as flat (doc_id, expectation) pairs — every
+      // failed expectation on a quarantined row, any action
+      Enforce.quarantinePairs(t(s, dir, "documents"), enforceExpectations)
+        .select(col("doc_id"), col("expectation"))
+        .orderBy("doc_id", "expectation")
+    }),
+    "v_enforce_dropped" -> ((s, dir) => {
+      // silently-removed rows: fail a drop rule, pass all quarantine rules
+      Enforce.dropped(t(s, dir, "documents"), enforceExpectations)
+        .select(col("doc_id"))
+        .orderBy("doc_id")
     }),
     "g_heavy_hitters" -> ((s, dir) => {
       // hot-key diagnosis over the sessionization key: the top-20 heaviest
@@ -1323,6 +1362,35 @@ object SparkEntry {
         |        + (1.96*1.96) / (4.0 * n.n * n.n)))
         |    / (1.0 + (1.96*1.96) / n.n), 6) AS wilson_low
         |FROM g, n ORDER BY path, rule""".stripMargin,
+    "v_enforce_metrics" ->
+      """WITH m AS (SELECT CAST(count(*) AS BIGINT) AS docs,
+        |  CAST(sum(CASE WHEN lang NOT IN ('en','de','fr','es') THEN 1 ELSE 0 END) AS BIGINT) AS f_lang,
+        |  CAST(sum(CASE WHEN n_chars > 500 THEN 1 ELSE 0 END) AS BIGINT) AS f_len,
+        |  CAST(sum(CASE WHEN NOT regexp_matches(source, '^src[0-3]$') THEN 1 ELSE 0 END) AS BIGINT) AS f_src
+        |  FROM documents)
+        |SELECT 'e_lang' AS expectation, 'quarantine' AS action, f_lang AS failed_docs, docs FROM m
+        |UNION ALL SELECT 'e_len', 'quarantine', f_len, docs FROM m
+        |UNION ALL SELECT 'e_src', 'drop', f_src, docs FROM m
+        |ORDER BY expectation""".stripMargin,
+    "v_enforce_kept" ->
+      """SELECT doc_id, lang, n_chars FROM documents
+        |WHERE lang IN ('en','de','fr','es') AND n_chars <= 500
+        |  AND regexp_matches(source, '^src[0-3]$')
+        |ORDER BY doc_id""".stripMargin,
+    "v_enforce_quarantine" ->
+      """WITH q AS (SELECT doc_id, lang, n_chars, source FROM documents
+        |  WHERE lang NOT IN ('en','de','fr','es') OR n_chars > 500)
+        |SELECT doc_id, 'e_lang' AS expectation FROM q
+        |  WHERE lang NOT IN ('en','de','fr','es')
+        |UNION ALL SELECT doc_id, 'e_len' FROM q WHERE n_chars > 500
+        |UNION ALL SELECT doc_id, 'e_src' FROM q
+        |  WHERE NOT regexp_matches(source, '^src[0-3]$')
+        |ORDER BY doc_id, expectation""".stripMargin,
+    "v_enforce_dropped" ->
+      """SELECT doc_id FROM documents
+        |WHERE NOT regexp_matches(source, '^src[0-3]$')
+        |  AND lang IN ('en','de','fr','es') AND n_chars <= 500
+        |ORDER BY doc_id""".stripMargin,
     "g_heavy_hitters" ->
       """WITH c AS (SELECT user_id AS key, count(*) AS cnt
         |  FROM events WHERE user_id IS NOT NULL GROUP BY 1),
