@@ -109,6 +109,16 @@ object SparkEntry {
       "source" -> Rule.Check(Keywords(pattern = Some("^src[0-3]$")))))),
       Enforce.Action.Drop))
 
+  /** Repair rule + defaults for v_repair*: out-of-enum lang → "en",
+    * oversize n_chars clamped to the bound, bad source → "src0".
+    */
+  private def repairRule: Rule = Rule.Check(Keywords(properties = Map(
+    "lang" -> Rule.Check(Keywords(enum_ = Some(langEnum))),
+    "n_chars" -> Rule.Check(Keywords(maximum = Some(500))),
+    "source" -> Rule.Check(Keywords(pattern = Some("^src[0-3]$"))))))
+  private def repairDefaults: Map[String, Column] =
+    Map("lang" -> lit("en"), "source" -> lit("src0"))
+
   /** Deterministic URL injection shared by t_urls / t_domains (the corpus
     * carries no URLs of its own; the oracle replays the same append).
     */
@@ -394,6 +404,19 @@ object SparkEntry {
       Enforce.dropped(t(s, dir, "documents"), enforceExpectations)
         .select(col("doc_id"))
         .orderBy("doc_id")
+    }),
+    "v_repair" -> ((s, dir) => {
+      // rule-driven repair, changed rows only: enum fallback, bound clamp,
+      // pattern fallback — one scan, pure CASE-WHEN columns
+      Repair.withRepairs(t(s, dir, "documents"), repairRule, repairDefaults)
+        .filter(size(col("_graft_repairs")) > 0)
+        .select(col("doc_id"), col("lang"), col("n_chars"), col("source"))
+        .orderBy("doc_id")
+    }),
+    "v_repair_log" -> ((s, dir) => {
+      // the audit log: one row per applied repair with old/new values
+      Repair.log(t(s, dir, "documents"), repairRule, repairDefaults)
+        .orderBy("doc_id", "path", "rule")
     }),
     "g_heavy_hitters" -> ((s, dir) => {
       // hot-key diagnosis over the sessionization key: the top-20 heaviest
@@ -1391,6 +1414,25 @@ object SparkEntry {
         |WHERE NOT regexp_matches(source, '^src[0-3]$')
         |  AND lang IN ('en','de','fr','es') AND n_chars <= 500
         |ORDER BY doc_id""".stripMargin,
+    "v_repair" ->
+      """SELECT doc_id,
+        |  CASE WHEN lang NOT IN ('en','de','fr','es') THEN 'en' ELSE lang END AS lang,
+        |  CAST(CASE WHEN n_chars > 500 THEN 500 ELSE n_chars END AS BIGINT) AS n_chars,
+        |  CASE WHEN NOT regexp_matches(source, '^src[0-3]$') THEN 'src0' ELSE source END AS source
+        |FROM documents
+        |WHERE lang NOT IN ('en','de','fr','es') OR n_chars > 500
+        |  OR NOT regexp_matches(source, '^src[0-3]$')
+        |ORDER BY doc_id""".stripMargin,
+    "v_repair_log" ->
+      """SELECT doc_id, 'lang' AS path, 'enum' AS rule, lang AS "old", 'en' AS "new"
+        |FROM documents WHERE lang NOT IN ('en','de','fr','es')
+        |UNION ALL
+        |SELECT doc_id, 'n_chars', 'maximum', CAST(n_chars AS VARCHAR), '500'
+        |FROM documents WHERE n_chars > 500
+        |UNION ALL
+        |SELECT doc_id, 'source', 'pattern', source, 'src0'
+        |FROM documents WHERE NOT regexp_matches(source, '^src[0-3]$')
+        |ORDER BY doc_id, path, rule""".stripMargin,
     "g_heavy_hitters" ->
       """WITH c AS (SELECT user_id AS key, count(*) AS cnt
         |  FROM events WHERE user_id IS NOT NULL GROUP BY 1),
