@@ -418,6 +418,24 @@ object SparkEntry {
       Repair.log(t(s, dir, "documents"), repairRule, repairDefaults)
         .orderBy("doc_id", "path", "rule")
     }),
+    "g_reconcile" -> ((s, dir) => {
+      // aggregate reconciliation of the orders fact vs a deterministically
+      // corrupted replica (okey % 97 rows dropped; okey % 101 totals +10):
+      // only disagreeing months surface. DECIMAL sums for cross-engine
+      // exactness (double sums are order-dependent)
+      val base = t(s, dir, "orders").select(
+        date_format(col("o_orderdate"), "yyyy-MM").as("month"),
+        col("o_orderkey"),
+        col("o_totalprice").cast("decimal(18,2)").as("price"))
+      val replica = base.filter(pmod(col("o_orderkey"), lit(97L)) =!= 0L)
+        .withColumn("price",
+          when(pmod(col("o_orderkey"), lit(101L)) === 0L,
+            col("price") + lit(10).cast("decimal(18,2)"))
+            .otherwise(col("price")))
+      Reconcile.aggregates(base.drop("o_orderkey"), replica.drop("o_orderkey"),
+          Seq("month"), Seq("price"))
+        .orderBy("month")
+    }),
     "g_heavy_hitters" -> ((s, dir) => {
       // hot-key diagnosis over the sessionization key: the top-20 heaviest
       // user_ids, their skew ratio vs the mean key frequency, and the salt
@@ -1433,6 +1451,23 @@ object SparkEntry {
         |SELECT doc_id, 'source', 'pattern', source, 'src0'
         |FROM documents WHERE NOT regexp_matches(source, '^src[0-3]$')
         |ORDER BY doc_id, path, rule""".stripMargin,
+    "g_reconcile" ->
+      """WITH base AS (SELECT strftime(o_orderdate, '%Y-%m') AS month, o_orderkey,
+        |    CAST(o_totalprice AS DECIMAL(18,2)) AS price FROM orders),
+        |rep AS (SELECT month, o_orderkey,
+        |    CASE WHEN o_orderkey % 101 = 0 THEN price + CAST(10 AS DECIMAL(18,2))
+        |         ELSE price END AS price
+        |  FROM base WHERE o_orderkey % 97 != 0),
+        |l AS (SELECT month, CAST(count(*) AS BIGINT) AS rows_left,
+        |    sum(price) AS price_left FROM base GROUP BY month),
+        |r AS (SELECT month, CAST(count(*) AS BIGINT) AS rows_right,
+        |    sum(price) AS price_right FROM rep GROUP BY month)
+        |SELECT COALESCE(l.month, r.month) AS month, rows_left, rows_right,
+        |  price_left, price_right
+        |FROM l FULL OUTER JOIN r ON l.month = r.month
+        |WHERE rows_left IS DISTINCT FROM rows_right
+        |   OR price_left IS DISTINCT FROM price_right
+        |ORDER BY month""".stripMargin,
     "g_heavy_hitters" ->
       """WITH c AS (SELECT user_id AS key, count(*) AS cnt
         |  FROM events WHERE user_id IS NOT NULL GROUP BY 1),
