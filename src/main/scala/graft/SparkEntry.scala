@@ -436,6 +436,23 @@ object SparkEntry {
           Seq("month"), Seq("price"))
         .orderBy("month")
     }),
+    "g_anomaly" -> ((s, dir) => {
+      // metric-series watchdog: per-event-type daily counts with a
+      // deterministic 10x day-15 spike injected; median/MAD robust
+      // z-scores flag the spikes (mean/stddev would not — the spike
+      // inflates its own threshold)
+      val daily = t(s, dir, "events")
+        .groupBy(col("event_type"),
+          date_format(col("ts"), "yyyy-MM-dd").as("day"))
+        .agg(count(lit(1)).cast("double").as("value"))
+      val perturbed = daily.withColumn("value",
+        when(dayofmonth(to_date(col("day"))) === 15, col("value") * 10.0)
+          .otherwise(col("value")))
+      Anomaly.robustZ(perturbed, Seq("event_type"), "value", k = 3.5)
+        .filter(col("is_anomaly"))
+        .select(col("event_type"), col("day"), col("value"), col("z"))
+        .orderBy("event_type", "day")
+    }),
     "g_heavy_hitters" -> ((s, dir) => {
       // hot-key diagnosis over the sessionization key: the top-20 heaviest
       // user_ids, their skew ratio vs the mean key frequency, and the salt
@@ -1468,6 +1485,22 @@ object SparkEntry {
         |WHERE rows_left IS DISTINCT FROM rows_right
         |   OR price_left IS DISTINCT FROM price_right
         |ORDER BY month""".stripMargin,
+    "g_anomaly" ->
+      """WITH daily AS (SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+        |    CAST(count(*) AS DOUBLE) AS value FROM events GROUP BY 1, 2),
+        |pert AS (SELECT event_type, day,
+        |    CASE WHEN CAST(substr(day, 9, 2) AS INT) = 15 THEN value * 10.0
+        |         ELSE value END AS value FROM daily),
+        |med AS (SELECT event_type, median(value) AS med FROM pert GROUP BY 1),
+        |mad AS (SELECT p.event_type, median(abs(p.value - m.med)) AS mad
+        |  FROM pert p JOIN med m USING (event_type) GROUP BY 1),
+        |z AS (SELECT p.event_type, p.day, p.value, m.med, d.mad,
+        |    CASE WHEN d.mad = 0 THEN NULL
+        |         ELSE (p.value - m.med) / (1.4826 * d.mad) END AS z
+        |  FROM pert p JOIN med m USING (event_type) JOIN mad d USING (event_type))
+        |SELECT event_type, day, value, z FROM z
+        |WHERE CASE WHEN mad = 0 THEN value != med ELSE abs(z) > 3.5 END
+        |ORDER BY event_type, day""".stripMargin,
     "g_heavy_hitters" ->
       """WITH c AS (SELECT user_id AS key, count(*) AS cnt
         |  FROM events WHERE user_id IS NOT NULL GROUP BY 1),
