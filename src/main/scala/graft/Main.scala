@@ -47,6 +47,15 @@ import graft.sources.CommitLog
   * north-rule anti-join) and `--unique <col>` (repeatable) the salted
   * key-uniqueness global check; their violation rows land under
   * `out/global_*` and count toward the exit-1 verdict.
+  *
+  * `--quarantine <dir>` writes the failing documents (with their violation
+  * arrays, for triage) as parquet, and `--clean <dir>` the passing ones —
+  * the enforcement split ([[operators.Enforce]]'s quarantine action) over
+  * the same composite rule the validation ran. `--anomaly-parts` runs the
+  * median/MAD robust-z watchdog ([[operators.Anomaly]]) over the
+  * per-partition failure rates in the commit log — computed from commit
+  * bytes only, no corpus rescan — and reports outlier partitions on
+  * stderr.
   */
 object Main {
 
@@ -56,7 +65,9 @@ object Main {
       sketches: Boolean = false, driftCols: List[String] = Nil,
       driftSave: String = "", driftBaseline: String = "",
       infer: String = "", scorecard: Boolean = false,
-      catalog: String = "", unique: List[String] = Nil)
+      catalog: String = "", unique: List[String] = Nil,
+      quarantine: String = "", clean: String = "",
+      anomalyParts: Boolean = false)
 
   private def parse(argv: List[String], a: Args): Args = argv match {
     case Nil => a
@@ -76,6 +87,9 @@ object Main {
     case "--scorecard" :: rest => parse(rest, a.copy(scorecard = true))
     case "--catalog" :: v :: rest => parse(rest, a.copy(catalog = v))
     case "--unique" :: v :: rest => parse(rest, a.copy(unique = a.unique :+ v))
+    case "--quarantine" :: v :: rest => parse(rest, a.copy(quarantine = v))
+    case "--clean" :: v :: rest => parse(rest, a.copy(clean = v))
+    case "--anomaly-parts" :: rest => parse(rest, a.copy(anomalyParts = true))
     case other :: _ => throw new IllegalArgumentException(s"Unknown argument: $other")
   }
 
@@ -295,6 +309,51 @@ object Main {
         val n = spark.read.parquet(s"${args.out}/global_unique_$c").count()
         System.err.println(s"[graft] global check unique($c): $n duplicated keys")
         globalBad += n
+      }
+      // enforcement split (`--quarantine` / `--clean`): failing documents
+      // (with their violation arrays, for triage) and/or passing documents
+      // land as parquet next to the run — the CLI form of
+      // [[operators.Enforce]]'s quarantine action, over the SAME composite
+      // rule the validation ran
+      if (args.quarantine.nonEmpty || args.clean.nonEmpty) {
+        val withV = ResumableValidate.compositeViolations(docs, loaded.root, loaded.defs)
+        if (args.quarantine.nonEmpty) {
+          withV.filter(!col("pass")).drop("pass")
+            .write.mode("overwrite").parquet(args.quarantine)
+          val n = spark.read.parquet(args.quarantine).count()
+          System.err.println(s"[graft] quarantined $n failing docs -> ${args.quarantine}")
+        }
+        if (args.clean.nonEmpty) {
+          withV.filter(col("pass")).drop("violations", "pass")
+            .write.mode("overwrite").parquet(args.clean)
+          val n = spark.read.parquet(args.clean).count()
+          System.err.println(s"[graft] clean ${n} passing docs -> ${args.clean}")
+        }
+      }
+      // `--anomaly-parts`: robust median/MAD z over the per-partition
+      // failure rates in the commit log — "which partitions are not like
+      // the others" from commit bytes only (no corpus rescan)
+      if (args.anomalyParts) {
+        val pm = CommitLog.partMetrics(args.out, hconf).toSeq.sortBy(_._1)
+        import spark.implicits._
+        val series = pm.map { case (p, (d, f)) =>
+          (p, d, f, if (d == 0) 0.0 else f.toDouble / d) }
+          .toDF("part", "docs", "failed_docs", "rate")
+          .withColumn("_g", lit("parts"))
+        val flagged = operators.Anomaly.robustZ(series, Seq("_g"), "rate")
+          .filter(col("is_anomaly"))
+          .select("part", "docs", "failed_docs", "rate", "z")
+          .collect() // bounded by #parts
+        flagged.foreach { r =>
+          val z = Option(r.get(4)).map(v => f"${v.asInstanceOf[Double]}%.2f")
+            .getOrElse("null")
+          System.err.println(
+            s"[graft] anomalous part ${r.getAs[Int]("part")}: " +
+              f"rate=${r.getAs[Double]("rate")}%.6f z=$z " +
+              s"(docs=${r.get(1)}, failed=${r.get(2)})")
+        }
+        System.err.println(
+          s"[graft] part-anomaly: ${flagged.length} of ${pm.size} parts flagged")
       }
       if (args.scorecard) {
         // per-(path, rule) data-quality report on stdout, one JSON line per

@@ -1788,14 +1788,14 @@ object SparkEntry {
         |    AS DOUBLE) AS stop
         |  FROM documents)
         |SELECT doc_id, round(
-        |  (CASE WHEN n >= 200 AND n <= 20000 THEN 1.0 WHEN n >= 50 THEN 0.5 ELSE 0.1 END)
+        |  CAST(CASE WHEN n >= 200 AND n <= 20000 THEN 1.0 WHEN n >= 50 THEN 0.5 ELSE 0.1 END AS DOUBLE)
         |    * 0.25
         |  + (CASE WHEN n > 0 THEN alpha / n ELSE 0.0 END) * 0.25
-        |  + (CASE WHEN n > 0 AND punct / n <= 0.1 THEN 1.0 ELSE 0.4 END) * 0.15
-        |  + (CASE WHEN words > 0 AND stop / words >= 0.05 THEN 1.0 ELSE 0.3 END) * 0.2
-        |  + (CASE WHEN (CASE WHEN words > 0 THEN alpha / words ELSE 0.0 END) >= 3
+        |  + CAST(CASE WHEN n > 0 AND punct / n <= 0.1 THEN 1.0 ELSE 0.4 END AS DOUBLE) * 0.15
+        |  + CAST(CASE WHEN words > 0 AND stop / words >= 0.05 THEN 1.0 ELSE 0.3 END AS DOUBLE) * 0.2
+        |  + CAST(CASE WHEN (CASE WHEN words > 0 THEN alpha / words ELSE 0.0 END) >= 3
         |          AND (CASE WHEN words > 0 THEN alpha / words ELSE 0.0 END) <= 12
-        |          THEN 1.0 ELSE 0.4 END) * 0.15, 4) AS quality
+        |          THEN 1.0 ELSE 0.4 END AS DOUBLE) * 0.15 + 1e-10, 4) AS quality
         |FROM c ORDER BY doc_id""".stripMargin,
     "t_fingerprint" ->
       """SELECT doc_id, md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g')))
@@ -2043,14 +2043,14 @@ object SparkEntry {
         |    AS DOUBLE) AS stop
         |  FROM documents),
         |q AS (SELECT doc_id, round(
-        |  (CASE WHEN n >= 200 AND n <= 20000 THEN 1.0 WHEN n >= 50 THEN 0.5 ELSE 0.1 END)
+        |  CAST(CASE WHEN n >= 200 AND n <= 20000 THEN 1.0 WHEN n >= 50 THEN 0.5 ELSE 0.1 END AS DOUBLE)
         |    * 0.25
         |  + (CASE WHEN n > 0 THEN alpha / n ELSE 0.0 END) * 0.25
-        |  + (CASE WHEN n > 0 AND punct / n <= 0.1 THEN 1.0 ELSE 0.4 END) * 0.15
-        |  + (CASE WHEN words > 0 AND stop / words >= 0.05 THEN 1.0 ELSE 0.3 END) * 0.2
-        |  + (CASE WHEN (CASE WHEN words > 0 THEN alpha / words ELSE 0.0 END) >= 3
+        |  + CAST(CASE WHEN n > 0 AND punct / n <= 0.1 THEN 1.0 ELSE 0.4 END AS DOUBLE) * 0.15
+        |  + CAST(CASE WHEN words > 0 AND stop / words >= 0.05 THEN 1.0 ELSE 0.3 END AS DOUBLE) * 0.2
+        |  + CAST(CASE WHEN (CASE WHEN words > 0 THEN alpha / words ELSE 0.0 END) >= 3
         |          AND (CASE WHEN words > 0 THEN alpha / words ELSE 0.0 END) <= 12
-        |          THEN 1.0 ELSE 0.4 END) * 0.15, 4) AS quality
+        |          THEN 1.0 ELSE 0.4 END AS DOUBLE) * 0.15 + 1e-10, 4) AS quality
         |  FROM qc),
         |rep AS (SELECT doc_id,
         |    CAST(len(list_distinct(t)) AS DOUBLE) / len(t) AS df

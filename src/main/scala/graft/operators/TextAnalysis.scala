@@ -105,8 +105,16 @@ object TextAnalysis {
     val stopScore = when(words > 0 && stop / words >= 0.05, 1.0).otherwise(0.3)
     val meanWord = when(words > 0, alpha / words).otherwise(0.0)
     val wordScore = when(meanWord >= 3 && meanWord <= 12, 1.0).otherwise(0.4)
+    // +1e-10 before rounding: the weighted score is a rational whose only
+    // values NEAR a 4-decimal rounding tie are EXACT ties (alpha/n with a
+    // 10^k-divisible n lands on .xxxx5 exactly; any non-tie value is
+    // >= 1/(4n*10^4) ~ 1.25e-9 away). Engines disagree on exact-tie
+    // doubles — DuckDB's round() multiplies by 10^4 first (double-rounding
+    // pushes 0.95625 up), the JVM rounds the shortest decimal repr (down)
+    // — so the score definition itself nudges ties above the boundary;
+    // every engine then agrees, and no legitimate non-tie value can cross.
     round(lenScore * 0.25 + alphaRatio * 0.25 + punctScore * 0.15 +
-      stopScore * 0.2 + wordScore * 0.15, 4)
+      stopScore * 0.2 + wordScore * 0.15 + 1e-10, 4)
   }
 
   /** Content fingerprint: md5 of whitespace-normalized lowercase text —

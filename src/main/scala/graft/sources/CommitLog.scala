@@ -182,6 +182,16 @@ object CommitLog {
       p -> Option(n.get("docs")).map(_.asLong).getOrElse(0L)
     }.toMap
 
+  /** part -> (docs, failed_docs) — the per-partition metric series the
+    * CLI's part-anomaly watchdog feeds to [[graft.operators.Anomaly]].
+    */
+  def partMetrics(dir: String,
+      conf: Configuration = new Configuration()): Map[Int, (Long, Long)] =
+    parsedCommits(dir, conf).map { case (p, n) =>
+      p -> (Option(n.get("docs")).map(_.asLong).getOrElse(0L),
+        Option(n.get("failed_docs")).map(_.asLong).getOrElse(0L))
+    }.toMap
+
   /** Sum of failed_docs over all committed partitions (the job verdict). */
   def failedDocsTotal(dir: String,
       conf: Configuration = new Configuration()): Long =

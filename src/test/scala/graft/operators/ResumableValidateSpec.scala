@@ -287,6 +287,9 @@ class ResumableValidateSpec extends SparkSpec {
     assert(CommitLog.failedDocsTotal(dir) == 2L)
     val got = CommitLog.sketches(dir)(7)
     assert(got.keySet == Set("k\"1") && got("k\"1").toSeq == Seq[Byte](1, 2, 3))
+    // the (docs, failed_docs) series the CLI part-anomaly watchdog feeds
+    // to Anomaly.robustZ — from commit bytes only
+    assert(CommitLog.partMetrics(dir) == Map(7 -> ((10L, 2L))))
   }
 
   test("violations() reads logs whose commits predate the batch field") {
