@@ -420,20 +420,21 @@ object SparkEntry {
     }),
     "g_reconcile" -> ((s, dir) => {
       // aggregate reconciliation of the orders fact vs a deterministically
-      // corrupted replica (okey % 97 rows dropped; okey % 101 totals +10):
-      // only disagreeing months surface. DECIMAL sums for cross-engine
-      // exactness (double sums are order-dependent)
+      // corrupted replica (okey % 97 rows dropped; okey % 101 totals +10.00):
+      // only disagreeing months surface. Integer-CENTS sums (bigint) for
+      // cross-engine exactness — double sums are order-dependent, and
+      // decimal sums render with engine-specific trailing zeros
       val base = t(s, dir, "orders").select(
         date_format(col("o_orderdate"), "yyyy-MM").as("month"),
         col("o_orderkey"),
-        col("o_totalprice").cast("decimal(18,2)").as("price"))
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
       val replica = base.filter(pmod(col("o_orderkey"), lit(97L)) =!= 0L)
-        .withColumn("price",
+        .withColumn("cents",
           when(pmod(col("o_orderkey"), lit(101L)) === 0L,
-            col("price") + lit(10).cast("decimal(18,2)"))
-            .otherwise(col("price")))
+            col("cents") + lit(1000L))
+            .otherwise(col("cents")))
       Reconcile.aggregates(base.drop("o_orderkey"), replica.drop("o_orderkey"),
-          Seq("month"), Seq("price"))
+          Seq("month"), Seq("cents"))
         .orderBy("month")
     }),
     "g_anomaly" -> ((s, dir) => {
@@ -1470,20 +1471,20 @@ object SparkEntry {
         |ORDER BY doc_id, path, rule""".stripMargin,
     "g_reconcile" ->
       """WITH base AS (SELECT strftime(o_orderdate, '%Y-%m') AS month, o_orderkey,
-        |    CAST(o_totalprice AS DECIMAL(18,2)) AS price FROM orders),
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders),
         |rep AS (SELECT month, o_orderkey,
-        |    CASE WHEN o_orderkey % 101 = 0 THEN price + CAST(10 AS DECIMAL(18,2))
-        |         ELSE price END AS price
+        |    CASE WHEN o_orderkey % 101 = 0 THEN cents + 1000
+        |         ELSE cents END AS cents
         |  FROM base WHERE o_orderkey % 97 != 0),
         |l AS (SELECT month, CAST(count(*) AS BIGINT) AS rows_left,
-        |    sum(price) AS price_left FROM base GROUP BY month),
+        |    CAST(sum(cents) AS BIGINT) AS cents_left FROM base GROUP BY month),
         |r AS (SELECT month, CAST(count(*) AS BIGINT) AS rows_right,
-        |    sum(price) AS price_right FROM rep GROUP BY month)
+        |    CAST(sum(cents) AS BIGINT) AS cents_right FROM rep GROUP BY month)
         |SELECT COALESCE(l.month, r.month) AS month, rows_left, rows_right,
-        |  price_left, price_right
+        |  cents_left, cents_right
         |FROM l FULL OUTER JOIN r ON l.month = r.month
         |WHERE rows_left IS DISTINCT FROM rows_right
-        |   OR price_left IS DISTINCT FROM price_right
+        |   OR cents_left IS DISTINCT FROM cents_right
         |ORDER BY month""".stripMargin,
     "g_anomaly" ->
       """WITH daily AS (SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
