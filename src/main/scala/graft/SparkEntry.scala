@@ -502,6 +502,30 @@ object SparkEntry {
         0.0, 120000.0, 101)
         .select(round(col("ks"), 4).as("ks"))
     }),
+    "g_drift_emd" -> ((s, dir) => {
+      // binned earth-mover (W1) drift on the same grid as g_drift_ks —
+      // the magnitude-sensitive member of the KS/PSI/EMD trio. The fold
+      // keeps cumulative counts in integer cross-products and divides
+      // once at the end, so the oracle replays the double bit-for-bit
+      Drift.emdFixedGridBinned(t(s, dir, "lineitem"), "l_extendedprice",
+        col("l_returnflag") === "R", col("l_returnflag") === "N",
+        0.0, 120000.0, 101)
+        .select(round(col("emd"), 4).as("emd"))
+    }),
+    "g_outlier_docs" -> ((s, dir) => {
+      // ROW-level robust-z outliers (g_anomaly is the SERIES form): n_chars
+      // per lang with a deterministic 20x corruption injected on
+      // doc_id % 97 == 0; histogram-exact med/MAD flag the injected docs
+      // without the spikes inflating their own threshold
+      val docs = t(s, dir, "documents").withColumn("n_obs",
+        when(pmod(col("doc_id"), lit(97L)) === 0L, col("n_chars") * 20L)
+          .otherwise(col("n_chars")))
+      Anomaly.rowOutliers(docs, Seq("lang"), "n_obs")
+        .filter(col("is_outlier"))
+        .select(col("doc_id"), col("lang"), col("n_obs"),
+          round(col("z"), 6).as("z"))
+        .orderBy("doc_id")
+    }),
     // ---------- dedup ----------
     "d_dedup_exact" -> ((s, dir) => {
       // first 12 chars of text as the near-boilerplate key so exact groups exist
@@ -1582,6 +1606,46 @@ object SparkEntry {
         |    CAST(cca AS DOUBLE) / (SELECT na FROM tot)
         |  - CAST(ccb AS DOUBLE) / (SELECT nb FROM tot))), 4) AS ks
         |FROM cum""".stripMargin,
+    "g_drift_emd" ->
+      """WITH b AS (SELECT l_returnflag AS f,
+        |    CASE WHEN CAST(l_extendedprice AS DOUBLE) > 120000.0 THEN NULL
+        |         ELSE least(greatest(CAST(ceil(
+        |           (CAST(l_extendedprice AS DOUBLE) - 0.0) / 1200.0) AS INT), 0), 100)
+        |    END AS cell
+        |  FROM lineitem
+        |  WHERE l_returnflag IN ('R', 'N') AND l_extendedprice IS NOT NULL),
+        |cnt AS (SELECT cell,
+        |    sum(CASE WHEN f = 'R' THEN 1 ELSE 0 END) AS ca,
+        |    sum(CASE WHEN f = 'N' THEN 1 ELSE 0 END) AS cb
+        |  FROM b GROUP BY cell),
+        |tot AS (SELECT CAST(sum(ca) AS BIGINT) AS na,
+        |    CAST(sum(cb) AS BIGINT) AS nb FROM cnt),
+        |pts AS (SELECT unnest(generate_series(0, 99)) AS i),
+        |cum AS (SELECT p.i,
+        |    (SELECT coalesce(sum(ca), 0) FROM cnt
+        |     WHERE cell IS NOT NULL AND cell <= p.i) AS cca,
+        |    (SELECT coalesce(sum(cb), 0) FROM cnt
+        |     WHERE cell IS NOT NULL AND cell <= p.i) AS ccb
+        |  FROM pts p),
+        |acc AS (SELECT sum(abs(cca * (SELECT nb FROM tot)
+        |                     - ccb * (SELECT na FROM tot))) AS s FROM cum)
+        |SELECT round(CAST(s AS DOUBLE) * 1200.0
+        |  / (CAST((SELECT na FROM tot) AS DOUBLE)
+        |   * CAST((SELECT nb FROM tot) AS DOUBLE)), 4) AS emd
+        |FROM acc""".stripMargin,
+    "g_outlier_docs" ->
+      """WITH docs AS (SELECT doc_id, lang,
+        |    CASE WHEN doc_id % 97 = 0 THEN n_chars * 20 ELSE n_chars END AS n_obs
+        |  FROM documents),
+        |med AS (SELECT lang, median(n_obs) AS med FROM docs GROUP BY lang),
+        |mad AS (SELECT d.lang, median(abs(d.n_obs - m.med)) AS mad
+        |  FROM docs d JOIN med m USING (lang) GROUP BY d.lang)
+        |SELECT d.doc_id, d.lang, d.n_obs,
+        |  round((d.n_obs - m.med) / (1.4826 * a.mad), 6) AS z
+        |FROM docs d JOIN med m USING (lang) JOIN mad a USING (lang)
+        |WHERE CASE WHEN a.mad = 0 THEN d.n_obs != m.med
+        |       ELSE abs((d.n_obs - m.med) / (1.4826 * a.mad)) > 3.5 END
+        |ORDER BY d.doc_id""".stripMargin,
     "d_dedup_minhash" ->
       """WITH toks AS (SELECT doc_id,
         |    string_split(lower(regexp_replace(trim(text), '\s+', ' ', 'g')), ' ') AS t

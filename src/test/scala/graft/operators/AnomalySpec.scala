@@ -46,4 +46,54 @@ class AnomalySpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("SortMergeJoin"), s"summary join shuffled:\n$plan")
   }
+
+  test("histogram groupMedian equals exact percentile: odd, even, ties") {
+    // odd n with duplicates, even n interpolating between distinct middles
+    val data = Seq(("a", 1.0), ("a", 3.0), ("a", 3.0), ("a", 7.0), ("a", 9.0),
+      ("b", 2.0), ("b", 4.0), ("b", 10.0), ("b", 20.0)).toDF("g", "v")
+    val got = Anomaly.groupMedian(data, Seq("g"), "v")
+      .as[(String, Double)].collect().toMap
+    assert(got == Map("a" -> 3.0, "b" -> 7.0), got.toString)
+    val exact = data.groupBy("g").agg(percentile(col("v"), lit(0.5)).as("m"))
+      .as[(String, Double)].collect().toMap
+    assert(got == exact, s"hist=$got percentile=$exact")
+  }
+
+  test("rowOutliers flags exactly the injected rows; corpus-shaped stats agree with robustZ") {
+    // 300 quiet rows per group + 3 injected 50x spikes
+    val quiet = (1 to 300).flatMap(i => Seq(("a", i.toLong, (100 + i % 7).toDouble),
+      ("b", i.toLong + 1000, (40 + i % 5).toDouble)))
+    val spikes = Seq(("a", 9001L, 5000.0), ("a", 9002L, 5100.0), ("b", 9003L, 2000.0))
+    val rows = (quiet ++ spikes).toDF("g", "id", "v")
+    val out = Anomaly.rowOutliers(rows, Seq("g"), "v")
+    val flagged = out.filter(col("is_outlier")).select("id").as[Long].collect().sorted
+    assert(flagged.toSeq == Seq(9001L, 9002L, 9003L), flagged.mkString(","))
+    // med/mad identical to the percentile-based series form on the same data
+    val histStats = out.select("g", "med", "mad").distinct()
+      .as[(String, Double, Double)].collect()
+      .map { case (g, m, d) => g -> (m, d) }.toMap
+    val seriesStats = Anomaly.robustZ(rows, Seq("g"), "v")
+      .select("g", "med", "mad").distinct()
+      .as[(String, Double, Double)].collect()
+      .map { case (g, m, d) => g -> (m, d) }.toMap
+    assert(histStats == seriesStats, s"hist=$histStats series=$seriesStats")
+  }
+
+  test("rowOutliers: zero-MAD group degenerates to any-change with null z") {
+    val rows = (Seq.fill(9)(("c", 5.0)) :+ (("c", 6.0)))
+      .zipWithIndex.map { case ((g, v), i) => (g, i.toLong, v) }
+      .toDF("g", "id", "v")
+    val out = Anomaly.rowOutliers(rows, Seq("g"), "v")
+      .select(col("v"), col("is_outlier"), col("z").isNull.as("zn"))
+      .as[(Double, Boolean, Boolean)].collect()
+    assert(out.forall(_._3), "z must be null at mad == 0")
+    assert(out.filter(_._2).map(_._1).toSeq == Seq(6.0))
+  }
+
+  test("plan: rowOutliers joins the tiny stats broadcast, no corpus SortMergeJoin") {
+    val rows = (1 to 100).map(i => ("a", i.toLong, (i % 9).toDouble)).toDF("g", "id", "v")
+    val plan = Anomaly.rowOutliers(rows, Seq("g"), "v")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("SortMergeJoin"), s"stats join shuffled:\n$plan")
+  }
 }

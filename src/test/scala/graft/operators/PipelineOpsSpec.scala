@@ -1105,6 +1105,33 @@ class PipelineOpsSpec extends SparkSpec {
     assert(bin1100 == two1100, s"binned=$bin1100 two-sided=$two1100")
   }
 
+  test("binned EMD: exact hand value, zero for identical, scales with shift") {
+    // A = {1,2,3}, B = {4,5,6}, unit grid on [0,10]: every point moved 3,
+    // so W1 = 3 exactly (the binned sum telescopes to the true distance
+    // when all mass sits on grid points)
+    val df = Seq((1.0, true), (2.0, true), (3.0, true),
+      (4.0, false), (5.0, false), (6.0, false)).toDF("v", "isA")
+    val emd = Drift.emdFixedGridBinned(df, "v", col("isA"), !col("isA"),
+      0.0, 10.0, 11).collect()(0).getDouble(0)
+    assert(emd == 3.0, s"hand-computed W1 3.0, got $emd")
+    // identical slices: exactly zero
+    val same = Drift.emdFixedGridBinned(df, "v", col("isA") || !col("isA"),
+      col("isA") || !col("isA"), 0.0, 10.0, 11).collect()(0).getDouble(0)
+    assert(same == 0.0)
+    // EMD is magnitude-sensitive where KS saturates: doubling the shift
+    // doubles W1 but leaves KS at 1.0 for disjoint supports
+    val far = Seq((1.0, true), (2.0, true), (3.0, true),
+      (7.0, false), (8.0, false), (9.0, false)).toDF("v", "isA")
+    val emdFar = Drift.emdFixedGridBinned(far, "v", col("isA"), !col("isA"),
+      0.0, 10.0, 11).collect()(0).getDouble(0)
+    assert(emdFar == 6.0, s"doubled shift must double W1, got $emdFar")
+    val ksNear = Drift.ksFixedGridBinned(df, "v", col("isA"), !col("isA"),
+      0.0, 10.0, 11).collect()(0).getDouble(0)
+    val ksFar = Drift.ksFixedGridBinned(far, "v", col("isA"), !col("isA"),
+      0.0, 10.0, 11).collect()(0).getDouble(0)
+    assert(ksNear == 1.0 && ksFar == 1.0, "KS saturates on disjoint supports")
+  }
+
   test("native MinHashBands expression is bit-identical to the HOF formulation") {
     import org.apache.spark.sql.GraftShims
     val corpus = docs.unionAll(Seq((6L, "one"), (7L, "two words"),
