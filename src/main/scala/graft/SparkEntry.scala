@@ -472,6 +472,21 @@ object SparkEntry {
       }
       li.agg(aggs.head, aggs.tail: _*)
     }),
+    "g_completeness" -> ((s, dir) => {
+      // per-day completeness (null-rate) trend with deterministic feed
+      // corruption injected: props dropped on event_id % 7, user_id on
+      // % 13 — the "which day did the producer start dropping a field"
+      // monitor. Exact integer counts; the rate is one long/long division
+      val ev = t(s, dir, "events")
+        .withColumn("props",
+          when(pmod(col("event_id"), lit(7L)) === 0L, lit(null).cast("string"))
+            .otherwise(col("props")))
+        .withColumn("user_id",
+          when(pmod(col("event_id"), lit(13L)) === 0L, lit(null).cast("long"))
+            .otherwise(col("user_id")))
+      Stats.completenessTrend(ev, Seq("user_id", "props"), "ts")
+        .orderBy("day", "column")
+    }),
     "g_stats_hll" -> ((s, dir) => {
       // HLL-sketch profile (approximate — no SQL oracle; rows-only check)
       Stats.profile(t(s, dir, "lineitem"), Seq("l_orderkey", "l_partkey", "l_returnflag"))
@@ -1534,6 +1549,21 @@ object SparkEntry {
         |  round(c.cnt / (t.tot / t.d), 4) AS skew_ratio,
         |  CAST(greatest(1, ceil(c.cnt / 50.0)) AS BIGINT) AS recommended_salt
         |FROM c, t ORDER BY cnt DESC, key LIMIT 20""".stripMargin,
+    "g_completeness" ->
+      """WITH ev AS (SELECT strftime(ts, '%Y-%m-%d') AS day,
+        |    CASE WHEN event_id % 7 = 0 THEN NULL ELSE props END AS props,
+        |    CASE WHEN event_id % 13 = 0 THEN NULL ELSE user_id END AS user_id
+        |  FROM events WHERE ts IS NOT NULL),
+        |d AS (SELECT day, CAST(count(*) AS BIGINT) AS n_rows,
+        |    CAST(count(user_id) AS BIGINT) AS cu,
+        |    CAST(count(props) AS BIGINT) AS cp
+        |  FROM ev GROUP BY day)
+        |SELECT day, 'user_id' AS "column", n_rows, n_rows - cu AS n_null,
+        |  CAST(n_rows - cu AS DOUBLE) / n_rows AS null_rate FROM d
+        |UNION ALL
+        |SELECT day, 'props', n_rows, n_rows - cp,
+        |  CAST(n_rows - cp AS DOUBLE) / n_rows FROM d
+        |ORDER BY day, "column"""".stripMargin,
     "g_stats" ->
       """SELECT
         |  CAST(count(l_quantity) AS BIGINT) AS l_quantity_cnt,

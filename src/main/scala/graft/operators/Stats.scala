@@ -67,6 +67,36 @@ object Stats {
     case _ => false
   }
 
+  /** Per-day COMPLETENESS (null-rate) trend for a set of columns — the
+    * continuous-monitoring form of [[profile]]'s null_rate (the classic
+    * "completeness" data-quality check over event time: which day did the
+    * producer start dropping a field?). One map-side-combined groupBy on
+    * the day with each column's non-null count as a conditional sum in
+    * the SAME pass (never a per-column scan), then a tiny `stack()` melt
+    * to long form (day, column, n_rows, n_null, null_rate). Shuffle mass
+    * = days × columns. All counts are exact integers; the rate is one
+    * long/long division — bit-identical in any engine, so no rounding.
+    */
+  def completenessTrend(df: DataFrame, columns: Seq[String],
+      tsCol: String): DataFrame = {
+    require(columns.nonEmpty, "completenessTrend: no columns")
+    columns.find(c => c.contains("'") || c.contains("`")).foreach { bad =>
+      throw new IllegalArgumentException(
+        s"completenessTrend: column name '$bad' contains a quote/backtick — rename or alias it")
+    }
+    val aggs: Seq[Column] =
+      columns.map(c => count(col(c)).as(s"${c}__cnt")) :+ count(lit(1)).as("__n")
+    val daily = df.filter(col(tsCol).isNotNull)
+      .groupBy(date_format(col(tsCol), "yyyy-MM-dd").as("day"))
+      .agg(aggs.head, aggs.tail: _*)
+    val stackArgs = columns.map(c => s"'$c', `${c}__cnt`").mkString(", ")
+    daily.select(col("day"), col("__n"),
+        expr(s"stack(${columns.size}, $stackArgs) as (column, __cnt)"))
+      .select(col("day"), col("column"), col("__n").as("n_rows"),
+        (col("__n") - col("__cnt")).as("n_null"),
+        ((col("__n") - col("__cnt")) / col("__n")).as("null_rate"))
+  }
+
   /** Mergeable per-partition HLL sketches for a column: one binary sketch
     * per `part`, union-able later with `hll_union_agg` — the building block
     * for incremental/resumable cardinality at 10^12 docs.

@@ -382,6 +382,31 @@ class PipelineOpsSpec extends SparkSpec {
     assert(zs.length == 256 && zs.sameElements(zs.sorted), "not z-sorted")
   }
 
+  test("completeness trend: exact per-day null counts, single-scan melt") {
+    val rows = Seq(
+      ("2024-01-01 10:00:00", Some("u1"), Some("p")),
+      ("2024-01-01 11:00:00", None, Some("p")),
+      ("2024-01-01 12:00:00", Some("u2"), None),
+      ("2024-01-02 09:00:00", None, None),
+      ("2024-01-02 10:00:00", Some("u3"), Some("p")))
+      .toDF("ts_s", "u", "p")
+      .select(col("ts_s").cast("timestamp").as("ts"), col("u"), col("p"))
+    val got = Stats.completenessTrend(rows, Seq("u", "p"), "ts")
+      .orderBy("day", "column")
+      .select("day", "column", "n_rows", "n_null", "null_rate")
+      .as[(String, String, Long, Long, Double)].collect().toSeq
+    assert(got == Seq(
+      ("2024-01-01", "p", 3L, 1L, 1.0 / 3),
+      ("2024-01-01", "u", 3L, 1L, 1.0 / 3),
+      ("2024-01-02", "p", 2L, 1L, 0.5),
+      ("2024-01-02", "u", 2L, 1L, 0.5)), got.toString)
+    // single scan: one aggregate, no join, no window
+    val plan = Stats.completenessTrend(rows, Seq("u", "p"), "ts")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join") && !plan.contains("Window"),
+      s"expected one-pass agg + melt:\n$plan")
+  }
+
   test("rareTokenStats: token mass with low corpus df, counts exact") {
     val docs = Seq(
       (1L, "alpha beta beta gamma"),   // gamma df=1, alpha df=2, beta df=2
