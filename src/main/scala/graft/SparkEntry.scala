@@ -517,6 +517,16 @@ object SparkEntry {
         0.0, 120000.0, 101)
         .select(round(col("ks"), 4).as("ks"))
     }),
+    "g_drift_jsd" -> ((s, dir) => {
+      // Jensen-Shannon divergence on the same bins as g_drift_psi —
+      // symmetric, bounded, and defined on empty bins (no eps floor):
+      // the right divergence when slices can have disjoint support
+      val li = t(s, dir, "lineitem")
+      Drift.jsd(li.filter(col("l_returnflag") === "R"),
+        li.filter(col("l_returnflag") === "N"),
+        "l_extendedprice", 0.0, 120000.0, 10)
+        .select(round(col("jsd"), 6).as("jsd"))
+    }),
     "g_drift_emd" -> ((s, dir) => {
       // binned earth-mover (W1) drift on the same grid as g_drift_ks —
       // the magnitude-sensitive member of the KS/PSI/EMD trio. The fold
@@ -1636,6 +1646,21 @@ object SparkEntry {
         |    CAST(cca AS DOUBLE) / (SELECT na FROM tot)
         |  - CAST(ccb AS DOUBLE) / (SELECT nb FROM tot))), 4) AS ks
         |FROM cum""".stripMargin,
+    "g_drift_jsd" ->
+      """WITH a AS (SELECT CAST(least(greatest(floor(((l_extendedprice - 0.0) / 120000.0)
+        |    * 10), 0.0), 9.0) AS INT) AS bucket FROM lineitem WHERE l_returnflag = 'R'),
+        |b AS (SELECT CAST(least(greatest(floor(((l_extendedprice - 0.0) / 120000.0)
+        |    * 10), 0.0), 9.0) AS INT) AS bucket FROM lineitem WHERE l_returnflag = 'N'),
+        |ha AS (SELECT bucket, count(*) AS ca FROM a GROUP BY 1),
+        |hb AS (SELECT bucket, count(*) AS cb FROM b GROUP BY 1),
+        |j AS (SELECT coalesce(ha.ca, 0) AS ca, coalesce(hb.cb, 0) AS cb
+        |      FROM ha FULL OUTER JOIN hb ON ha.bucket = hb.bucket),
+        |tot AS (SELECT ca, cb, sum(ca) OVER () AS ta, sum(cb) OVER () AS tb FROM j),
+        |pq AS (SELECT ca / ta AS p, cb / tb AS q FROM tot)
+        |SELECT round(sum(
+        |    CASE WHEN p > 0 THEN p * ln(2 * p / (p + q)) ELSE 0 END
+        |  + CASE WHEN q > 0 THEN q * ln(2 * q / (p + q)) ELSE 0 END) / 2, 6) AS jsd
+        |FROM pq""".stripMargin,
     "g_drift_emd" ->
       """WITH b AS (SELECT l_returnflag AS f,
         |    CASE WHEN CAST(l_extendedprice AS DOUBLE) > 120000.0 THEN NULL

@@ -61,6 +61,50 @@ object Drift {
       .agg(sum((col("p") - col("q")) * log(col("p") / col("q"))).as("psi"))
   }
 
+  /** Jensen-Shannon divergence between `a` and `b` on numeric column `c`,
+    * over the same fixed equal-width bins as [[psi]]. Symmetric, bounded
+    * [0, ln 2], and — unlike PSI — DEFINED on empty bins (0·ln 0 = 0), so
+    * it needs no epsilon flooring: the right divergence when slices can
+    * have disjoint support (a new data source, a dead producer) where
+    * PSI's eps floor saturates. Same scale shape as [[psi]]: two
+    * map-side-combined histograms; everything after runs on the
+    * ≤ bins-row join. Returns a 1-row DF (jsd: double).
+    */
+  def jsd(a: DataFrame, b: DataFrame, c: String, lo: Double, hi: Double,
+      bins: Int = 10): DataFrame = {
+    require(hi > lo, s"jsd: need hi > lo, got [$lo, $hi]")
+    require(bins >= 1, s"jsd: need bins >= 1, got $bins")
+    def hist(df: DataFrame, side: String): DataFrame =
+      df.filter(col(c).isNotNull)
+        .select(least(greatest(floor(((col(c).cast("double") - lit(lo)) / lit(hi - lo))
+          * lit(bins)), lit(0.0)), lit((bins - 1).toDouble)).cast("int").as("bucket"))
+        .groupBy("bucket").agg(count(lit(1)).as(s"cnt_$side"))
+    val joined = hist(a, "a").join(hist(b, "b"), Seq("bucket"), "full_outer")
+      .select(
+        coalesce(col("cnt_a"), lit(0L)).as("ca"),
+        coalesce(col("cnt_b"), lit(0L)).as("cb"))
+    // same empty-side guard as [[psi]]: an all-null slice must raise, not
+    // report a silently-degenerate statistic
+    val guardA = assert_true(col("ta") > 0,
+      lit(s"jsd: no non-null rows in column '$c' on side 'a'"))
+    val guardB = assert_true(col("tb") > 0,
+      lit(s"jsd: no non-null rows in column '$c' on side 'b'"))
+    joined
+      .select(col("ca"), col("cb"),
+        sum(col("ca")).over().as("ta"), sum(col("cb")).over().as("tb"))
+      .select(
+        when(guardA.isNull, col("ca") / col("ta")).as("p"),
+        when(guardB.isNull, col("cb") / col("tb")).as("q"))
+      .select(
+        (when(col("p") > 0,
+          col("p") * log(lit(2.0) * col("p") / (col("p") + col("q"))))
+          .otherwise(0.0) +
+          when(col("q") > 0,
+            col("q") * log(lit(2.0) * col("q") / (col("p") + col("q"))))
+            .otherwise(0.0)).as("t"))
+      .agg((sum(col("t")) / lit(2.0)).as("jsd"))
+  }
+
   /** PSI OVER TIME: one row per event-time day with that day's PSI against
     * the WHOLE corpus distribution — the continuous-monitoring form of
     * [[psi]] ("which day drifted?"), same clamped floor bucketing so any

@@ -1157,6 +1157,23 @@ class PipelineOpsSpec extends SparkSpec {
     assert(ksNear == 1.0 && ksFar == 1.0, "KS saturates on disjoint supports")
   }
 
+  test("JSD: zero on identical, ln 2 on disjoint support, no eps saturation") {
+    val df = Seq((1.0, true), (2.0, true), (3.0, true),
+      (7.0, false), (8.0, false), (9.0, false)).toDF("v", "isA")
+    val a = df.filter(col("isA"))
+    val b = df.filter(!col("isA"))
+    // identical slices: every term is p·ln(1) = 0 — exactly zero
+    val same = Drift.jsd(a, a, "v", 0.0, 10.0, 10).collect()(0).getDouble(0)
+    assert(same == 0.0)
+    // disjoint supports: JSD = ln 2 (its upper bound) — PSI here would
+    // report an eps-floored arbitrary magnitude instead
+    val dis = Drift.jsd(a, b, "v", 0.0, 10.0, 10).collect()(0).getDouble(0)
+    assert(math.abs(dis - math.log(2.0)) < 1e-12, s"expected ln2, got $dis")
+    // symmetric
+    val rev = Drift.jsd(b, a, "v", 0.0, 10.0, 10).collect()(0).getDouble(0)
+    assert(rev == dis, s"asymmetric: $dis vs $rev")
+  }
+
   test("native MinHashBands expression is bit-identical to the HOF formulation") {
     import org.apache.spark.sql.GraftShims
     val corpus = docs.unionAll(Seq((6L, "one"), (7L, "two words"),
