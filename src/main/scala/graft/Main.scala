@@ -55,7 +55,10 @@ import graft.sources.CommitLog
   * median/MAD robust-z watchdog ([[operators.Anomaly]]) over the
   * per-partition failure rates in the commit log — computed from commit
   * bytes only, no corpus rescan — and reports outlier partitions on
-  * stderr.
+  * stderr. `--outlier-spans` flags documents whose span COUNT is a
+  * within-partition robust-z outlier (truncated/exploded docs a fixed
+  * min/maxItems bound misses) to `out/global_outlier_spans` — advisory,
+  * not part of the exit verdict.
   */
 object Main {
 
@@ -67,7 +70,7 @@ object Main {
       infer: String = "", scorecard: Boolean = false,
       catalog: String = "", unique: List[String] = Nil,
       quarantine: String = "", clean: String = "",
-      anomalyParts: Boolean = false)
+      anomalyParts: Boolean = false, outlierSpans: Boolean = false)
 
   private def parse(argv: List[String], a: Args): Args = argv match {
     case Nil => a
@@ -90,6 +93,7 @@ object Main {
     case "--quarantine" :: v :: rest => parse(rest, a.copy(quarantine = v))
     case "--clean" :: v :: rest => parse(rest, a.copy(clean = v))
     case "--anomaly-parts" :: rest => parse(rest, a.copy(anomalyParts = true))
+    case "--outlier-spans" :: rest => parse(rest, a.copy(outlierSpans = true))
     case other :: _ => throw new IllegalArgumentException(s"Unknown argument: $other")
   }
 
@@ -354,6 +358,22 @@ object Main {
         }
         System.err.println(
           s"[graft] part-anomaly: ${flagged.length} of ${pm.size} parts flagged")
+      }
+      // `--outlier-spans`: ROW-level robust-z watchdog over per-doc span
+      // counts within each partition ([[operators.Anomaly.rowOutliers]],
+      // histogram med/MAD — one tiny agg + one broadcast flag pass): flags
+      // truncated / exploded documents a fixed min/maxItems rule would
+      // miss. Advisory (stderr + out/global_outlier_spans), not exit-1:
+      // an outlier is a hygiene signal, not a rule violation.
+      if (args.outlierSpans) {
+        operators.Anomaly.rowOutliers(
+            docs.withColumn("n_spans", size(col("spans"))), Seq("part"), "n_spans")
+          .filter(col("is_outlier"))
+          .select(col("part"), col("doc_id"), col("n_spans"),
+            col("med"), col("mad"), col("z"))
+          .write.mode("overwrite").parquet(s"${args.out}/global_outlier_spans")
+        val n = spark.read.parquet(s"${args.out}/global_outlier_spans").count()
+        System.err.println(s"[graft] outlier-spans: $n docs flagged")
       }
       if (args.scorecard) {
         // per-(path, rule) data-quality report on stdout, one JSON line per
