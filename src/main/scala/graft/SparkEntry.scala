@@ -517,6 +517,15 @@ object SparkEntry {
         0.0, 120000.0, 101)
         .select(round(col("ks"), 4).as("ks"))
     }),
+    "g_drift_chi2" -> ((s, dir) => {
+      // Pearson chi-square homogeneity on the PSI bins — the classical
+      // count-based drift test (statistic only; null dist is chi2(bins-1))
+      val li = t(s, dir, "lineitem")
+      Drift.chiSquare(li.filter(col("l_returnflag") === "R"),
+        li.filter(col("l_returnflag") === "N"),
+        "l_extendedprice", 0.0, 120000.0, 10)
+        .select(round(col("chi2"), 4).as("chi2"))
+    }),
     "g_drift_jsd" -> ((s, dir) => {
       // Jensen-Shannon divergence on the same bins as g_drift_psi —
       // symmetric, bounded, and defined on empty bins (no eps floor):
@@ -1646,6 +1655,20 @@ object SparkEntry {
         |    CAST(cca AS DOUBLE) / (SELECT na FROM tot)
         |  - CAST(ccb AS DOUBLE) / (SELECT nb FROM tot))), 4) AS ks
         |FROM cum""".stripMargin,
+    "g_drift_chi2" ->
+      """WITH a AS (SELECT CAST(least(greatest(floor(((l_extendedprice - 0.0) / 120000.0)
+        |    * 10), 0.0), 9.0) AS INT) AS bucket FROM lineitem WHERE l_returnflag = 'R'),
+        |b AS (SELECT CAST(least(greatest(floor(((l_extendedprice - 0.0) / 120000.0)
+        |    * 10), 0.0), 9.0) AS INT) AS bucket FROM lineitem WHERE l_returnflag = 'N'),
+        |ha AS (SELECT bucket, count(*) AS ca FROM a GROUP BY 1),
+        |hb AS (SELECT bucket, count(*) AS cb FROM b GROUP BY 1),
+        |j AS (SELECT coalesce(ha.ca, 0) AS ca, coalesce(hb.cb, 0) AS cb
+        |      FROM ha FULL OUTER JOIN hb ON ha.bucket = hb.bucket),
+        |tot AS (SELECT ca, cb, sum(ca) OVER () AS na, sum(cb) OVER () AS nb FROM j),
+        |e AS (SELECT ca, cb, CAST(ca + cb AS DOUBLE) * na / (na + nb) AS ea,
+        |             CAST(ca + cb AS DOUBLE) * nb / (na + nb) AS eb FROM tot)
+        |SELECT round(sum((ca - ea) * (ca - ea) / ea
+        |                + (cb - eb) * (cb - eb) / eb), 4) AS chi2 FROM e""".stripMargin,
     "g_drift_jsd" ->
       """WITH a AS (SELECT CAST(least(greatest(floor(((l_extendedprice - 0.0) / 120000.0)
         |    * 10), 0.0), 9.0) AS INT) AS bucket FROM lineitem WHERE l_returnflag = 'R'),

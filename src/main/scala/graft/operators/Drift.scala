@@ -105,6 +105,50 @@ object Drift {
       .agg((sum(col("t")) / lit(2.0)).as("jsd"))
   }
 
+  /** Pearson chi-square two-sample HOMOGENEITY statistic between `a` and
+    * `b` on the same fixed bins as [[psi]]/[[jsd]] — the classical
+    * count-based drift test (its null distribution is χ²(bins−1), so a
+    * monitoring stack can turn it into a p-value with a plain CDF table;
+    * the STATISTIC is emitted, engine-replayable, not the p-value):
+    *
+    *   χ² = Σ_bins (ca − Ea)²/Ea + (cb − Eb)²/Eb,
+    *   Ea = (ca+cb)·na/(na+nb),  Eb = (ca+cb)·nb/(na+nb)
+    *
+    * Expected counts are never zero (a bin exists only if ca+cb > 0 after
+    * the full-outer join). Same shape as [[psi]]: two map-side-combined
+    * histograms; everything after on the ≤ bins-row join.
+    */
+  def chiSquare(a: DataFrame, b: DataFrame, c: String, lo: Double, hi: Double,
+      bins: Int = 10): DataFrame = {
+    require(hi > lo, s"chiSquare: need hi > lo, got [$lo, $hi]")
+    require(bins >= 1, s"chiSquare: need bins >= 1, got $bins")
+    def hist(df: DataFrame, side: String): DataFrame =
+      df.filter(col(c).isNotNull)
+        .select(least(greatest(floor(((col(c).cast("double") - lit(lo)) / lit(hi - lo))
+          * lit(bins)), lit(0.0)), lit((bins - 1).toDouble)).cast("int").as("bucket"))
+        .groupBy("bucket").agg(count(lit(1)).as(s"cnt_$side"))
+    val joined = hist(a, "a").join(hist(b, "b"), Seq("bucket"), "full_outer")
+      .select(
+        coalesce(col("cnt_a"), lit(0L)).as("ca"),
+        coalesce(col("cnt_b"), lit(0L)).as("cb"))
+    val guardA = assert_true(col("na") > 0,
+      lit(s"chiSquare: no non-null rows in column '$c' on side 'a'"))
+    val guardB = assert_true(col("nb") > 0,
+      lit(s"chiSquare: no non-null rows in column '$c' on side 'b'"))
+    joined
+      .select(col("ca"), col("cb"),
+        sum(col("ca")).over().as("na"), sum(col("cb")).over().as("nb"))
+      .select(col("ca"), col("cb"),
+        // expected counts in DOUBLE from the first multiply: a long
+        // (ca+cb)*na product overflows silently past ~3e9 rows per side
+        when(guardA.isNull,
+          (col("ca") + col("cb")).cast("double") * col("na") / (col("na") + col("nb"))).as("ea"),
+        when(guardB.isNull,
+          (col("ca") + col("cb")).cast("double") * col("nb") / (col("na") + col("nb"))).as("eb"))
+      .agg(sum((col("ca") - col("ea")) * (col("ca") - col("ea")) / col("ea") +
+        (col("cb") - col("eb")) * (col("cb") - col("eb")) / col("eb")).as("chi2"))
+  }
+
   /** PSI OVER TIME: one row per event-time day with that day's PSI against
     * the WHOLE corpus distribution — the continuous-monitoring form of
     * [[psi]] ("which day drifted?"), same clamped floor bucketing so any

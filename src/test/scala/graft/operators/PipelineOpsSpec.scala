@@ -1174,6 +1174,22 @@ class PipelineOpsSpec extends SparkSpec {
     assert(rev == dis, s"asymmetric: $dis vs $rev")
   }
 
+  test("chi-square homogeneity: zero on identical, N on disjoint, symmetric") {
+    val df = Seq((1.0, true), (2.0, true), (3.0, true),
+      (7.0, false), (8.0, false), (9.0, false)).toDF("v", "isA")
+    val a = df.filter(col("isA"))
+    val b = df.filter(!col("isA"))
+    // identical slices with equal sizes: Ea == ca in every bin — exactly 0
+    val same = Drift.chiSquare(a, a, "v", 0.0, 10.0, 10).collect()(0).getDouble(0)
+    assert(same == 0.0)
+    // disjoint equal-size samples: chi2 == N (each occupied bin adds
+    // (1-0.5)^2/0.5 twice = 1.0; six occupied bins)
+    val dis = Drift.chiSquare(a, b, "v", 0.0, 10.0, 10).collect()(0).getDouble(0)
+    assert(dis == 6.0, s"expected N=6 for disjoint supports, got $dis")
+    val rev = Drift.chiSquare(b, a, "v", 0.0, 10.0, 10).collect()(0).getDouble(0)
+    assert(rev == dis, s"asymmetric: $dis vs $rev")
+  }
+
   test("native MinHashBands expression is bit-identical to the HOF formulation") {
     import org.apache.spark.sql.GraftShims
     val corpus = docs.unionAll(Seq((6L, "one"), (7L, "two words"),
