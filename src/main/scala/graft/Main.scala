@@ -239,7 +239,13 @@ object Main {
         // table, write the inferred YAML schema, and stop — the natural
         // next run is `--rules <inferred.yaml>` over fresh data
         val yaml = operators.Inference.toYaml(operators.Inference.inferRule(docs))
-        java.nio.file.Files.writeString(java.nio.file.Paths.get(args.infer), yaml)
+        // Hadoop FS, not java.nio: --infer must honor the same URI schemes
+        // (hdfs://, s3a://, file://, bare) as --docs/--out and the commit log
+        val outPath = new org.apache.hadoop.fs.Path(args.infer)
+        val fs = outPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val os = fs.create(outPath, true)
+        try os.write(yaml.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        finally os.close()
         System.err.println(s"[graft] inferred schema written to ${args.infer}")
         0
       } else {

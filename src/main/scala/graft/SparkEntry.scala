@@ -266,6 +266,36 @@ object SparkEntry {
         .select(col("doc_id"), col("v.rule").as("rule"), col("v.message").as("message"))
         .orderBy("doc_id")
     }),
+    "v_map_props" -> ((s, dir) => {
+      // OPEN-object keywords on a MAP column (dynamic keys — the struct
+      // form resolves these at compile time; the map form is the runtime
+      // half): patternProperties value checks with dynamic violation
+      // paths, propertyNames, min/maxProperties. Keys per doc: lang +
+      // srcN always, 'Note!' on doc_id%11 (bad name), 'extra' on doc_id%7.
+      val df = t(s, dir, "documents").select(
+        col("doc_id").cast("string").as("doc_id"),
+        map_filter(
+          map(
+            lit("lang"), col("lang"),
+            concat(lit("src"), pmod(col("doc_id"), lit(10L)).cast("string")),
+            col("source"),
+            lit("Note!"),
+            when(pmod(col("doc_id"), lit(11L)) === 0L, col("lang")),
+            lit("extra"),
+            when(pmod(col("doc_id"), lit(7L)) === 0L, col("source"))),
+          (_, v) => v.isNotNull).as("props"))
+      val rule = Rule.Check(Keywords(properties = Map(
+        "props" -> Rule.Check(Keywords(
+          patternProperties = Map(
+            "^src[0-9]$" -> Rule.Check(Keywords(maxLength = Some(4)))),
+          propertyNames = Some(Rule.Check(Keywords(pattern = Some("^[a-z0-9]+$")))),
+          minProperties = Some(3), maxProperties = Some(3))))))
+      Validate.withViolations(df, rule)
+        .select(col("doc_id"), explode(col("violations")).as("v"))
+        .select(col("doc_id"), col("v.path").as("path"), col("v.rule").as("rule"),
+          col("v.message").as("message"))
+        .orderBy(col("doc_id").cast("long"), col("path"), col("rule"))
+    }),
     "v_min_items" -> ((s, dir) => {
       val rule = Rule.Check(Keywords(properties = Map(
         "spans" -> Rule.Check(Keywords(minItems = Some(3), maxItems = Some(6))))))
@@ -488,8 +518,25 @@ object SparkEntry {
         .orderBy("day", "column")
     }),
     "g_stats_hll" -> ((s, dir) => {
-      // HLL-sketch profile (approximate — no SQL oracle; rows-only check)
-      Stats.profile(t(s, dir, "lineitem"), Seq("l_orderkey", "l_partkey", "l_returnflag"))
+      // HLL cardinality profile as a CHECKED row: exact counts ride in the
+      // output for the hash compare, and the HLL estimate is folded into a
+      // value-bound FLAG (within 5% of exact — far looser than HLL lgK=12's
+      // ~1.6% typical error) that the oracle asserts as literal TRUE. No
+      // engine-internal sketch bytes or estimates leave the query.
+      val li = t(s, dir, "lineitem")
+      val cols = Seq("l_orderkey", "l_partkey", "l_returnflag")
+      val aggs = cols.flatMap { c => Seq(
+        count(col(c)).as(s"${c}__cnt"),
+        countDistinct(col(c)).as(s"${c}__ex"),
+        hll_sketch_estimate(hll_sketch_agg(col(c).cast("string"))).as(s"${c}__hll")) }
+      val stacked = cols.map(c =>
+        s"'$c', `${c}__cnt`, `${c}__ex`, `${c}__hll`").mkString(", ")
+      li.agg(aggs.head, aggs.tail: _*)
+        .select(expr(s"stack(${cols.size}, $stacked) as " +
+          "(column, non_null_count, exact_distinct, hll_est)"))
+        .select(col("column"), col("non_null_count"), col("exact_distinct"),
+          (abs(col("hll_est") - col("exact_distinct"))
+            <= col("exact_distinct") * 0.05).as("hll_within_5pct"))
         .orderBy("column")
     }),
     "g_drift_psi" -> ((s, dir) => {
@@ -1047,6 +1094,43 @@ object SparkEntry {
       Drift.ksFromCellCounts(s, s.table(name).collect(), 101)
         .select(round(col("ks"), 4).as("ks"))
     }),
+    "g_stream_drift_inc" -> ((s, dir) => {
+      // INCREMENTAL (update-style) streaming drift: 4 slice files with
+      // strictly increasing mtimes + maxFilesPerTrigger=1 pin the
+      // micro-batch order, each trigger aggregates only its own rows, the
+      // driver merges grid-sized cell deltas, and EVERY emission must
+      // equal the batch KS over the prefix consumed so far — the oracle
+      // replays all 4 prefixes, not just the final statistic
+      val li = t(s, dir, "lineitem")
+      val base = genDriftSlicesPath(dir)
+      val conf = s.sparkContext.hadoopConfiguration
+      val basePath = new org.apache.hadoop.fs.Path(base)
+      val fs = basePath.getFileSystem(conf)
+      fs.delete(basePath, true)
+      fs.mkdirs(basePath)
+      (0 until 4).foreach { i =>
+        val tmp = new org.apache.hadoop.fs.Path(basePath, s"_tmp_$i")
+        li.filter(pmod(col("l_orderkey"), lit(4L)) === i.toLong)
+          .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        val part = fs.listStatus(tmp).map(_.getPath)
+          .find(_.getName.startsWith("part-"))
+          .getOrElse(throw new IllegalStateException(s"no part file in $tmp"))
+        val dst = new org.apache.hadoop.fs.Path(basePath, s"slice_$i.parquet")
+        fs.rename(part, dst)
+        fs.delete(tmp, true)
+        // oldest-first is the file source's pick order; 60s gaps leave no
+        // room for clock-granularity ties
+        fs.setTimes(dst, 1700000000000L + i * 60000L, -1L)
+      }
+      val stream = s.readStream.schema(li.schema)
+        .option("maxFilesPerTrigger", "1").parquet(base)
+      graft.streaming.StreamValidate.driftKsIncremental(stream,
+        "l_extendedprice",
+        col("l_returnflag") === "R", col("l_returnflag") === "N",
+        0.0, 120000.0, 101)
+        .select(col("batch_seq"), round(col("ks"), 4).as("ks"))
+        .orderBy("batch_seq")
+    }),
     // ---------- data layout (z-order clustering) ----------
     "l_compact" -> ((s, dir) => {
       // small-file compaction plan over a simulated ingestion manifest
@@ -1067,6 +1151,19 @@ object SparkEntry {
       Layout.compactionBins(
         Layout.compactionPlan(manifest, targetBytes = 2000L, smallFileBytes = 500L))
         .orderBy("part", "bin")
+    }),
+    "l_vacuum" -> ((s, dir) => {
+      // snapshot-retention plan over a simulated snapshot→file manifest:
+      // 113 files (prime, so each is referenced by SEVERAL distinct
+      // snapshot seqs and the newest-reference max is what decides);
+      // keeping the last 2 snapshots (seq 4,5) keeps exactly the files
+      // some kept snapshot still references — pure metadata math
+      val manifest = t(s, dir, "documents").select(
+        concat(lit("f-"),
+          lpad(pmod(col("doc_id"), lit(113L)).cast("string"), 3, "0")).as("path"),
+        pmod(col("doc_id"), lit(6L)).as("snapshot_seq"),
+        col("n_chars").cast("long").as("bytes"))
+      Layout.vacuumPlan(manifest, keepSnapshots = 2).orderBy("path")
     }),
     "l_zorder" -> ((s, dir) => {
       // Morton key over (doc_id, text length): the clustering key an
@@ -1169,6 +1266,12 @@ object SparkEntry {
     */
   def genStreamDocsPath(dir: String): String =
     s"${System.getProperty("java.io.tmpdir")}/graft_gen_stream_docs_${dir.hashCode}"
+
+  /** g_stream_drift_inc's mtime-ordered lineitem slice files (own dir —
+    * see [[genStreamDocsPath]] on why queries never share one).
+    */
+  def genDriftSlicesPath(dir: String): String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_gen_drift_slices_${dir.hashCode}"
 
   /** i_validate's snapshot pair (own paths — see [[genStreamDocsPath]] on
     * why queries never share a materialization dir).
@@ -1305,6 +1408,26 @@ object SparkEntry {
         |  'Required property ''source2'' is missing!' AS message
         |FROM documents WHERE lang != 'zh' AND source = 'src3'
         |ORDER BY doc_id""".stripMargin,
+    "v_map_props" ->
+      """SELECT * FROM (
+        |  SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+        |    'props.src' || CAST(doc_id % 10 AS VARCHAR) AS path,
+        |    'maxLength' AS rule,
+        |    'String is too long! (max length: 4)' AS message
+        |  FROM documents WHERE length(source) > 4
+        |  UNION ALL
+        |  SELECT CAST(doc_id AS VARCHAR), 'props', 'propertyNames',
+        |    'Property name ''Note!'' is not valid!'
+        |  FROM documents WHERE doc_id % 11 = 0
+        |  UNION ALL
+        |  SELECT CAST(doc_id AS VARCHAR), 'props', 'minProperties',
+        |    'Object has too few properties! Minimum is 3!'
+        |  FROM documents WHERE doc_id % 7 != 0 AND doc_id % 11 != 0
+        |  UNION ALL
+        |  SELECT CAST(doc_id AS VARCHAR), 'props', 'maxProperties',
+        |    'Object has too many properties! Maximum is 3!'
+        |  FROM documents WHERE doc_id % 7 = 0 AND doc_id % 11 = 0)
+        |ORDER BY CAST(doc_id AS BIGINT), path, rule""".stripMargin,
     "v_min_items" ->
       """WITH n AS (SELECT l_orderkey, count(*) AS c FROM lineitem GROUP BY 1)
         |SELECT * FROM (
@@ -1479,11 +1602,15 @@ object SparkEntry {
         |        + (1.96*1.96) / (4.0 * n.n * n.n)))
         |    / (1.0 + (1.96*1.96) / n.n), 6) AS wilson_low
         |FROM g, n ORDER BY path, rule""".stripMargin,
+    // enforce oracles are null-EXPLICIT: the engine treats an absent (null)
+    // property as passing, while bare `NOT regexp_matches(NULL,..)` /
+    // `NULL NOT IN (..)` yield SQL NULL — the IS NOT NULL guards encode the
+    // absent-property-passes contract rather than relying on a null-free fixture
     "v_enforce_metrics" ->
       """WITH m AS (SELECT CAST(count(*) AS BIGINT) AS docs,
-        |  CAST(sum(CASE WHEN lang NOT IN ('en','de','fr','es') THEN 1 ELSE 0 END) AS BIGINT) AS f_lang,
-        |  CAST(sum(CASE WHEN n_chars > 500 THEN 1 ELSE 0 END) AS BIGINT) AS f_len,
-        |  CAST(sum(CASE WHEN NOT regexp_matches(source, '^src[0-3]$') THEN 1 ELSE 0 END) AS BIGINT) AS f_src
+        |  CAST(sum(CASE WHEN lang IS NOT NULL AND lang NOT IN ('en','de','fr','es') THEN 1 ELSE 0 END) AS BIGINT) AS f_lang,
+        |  CAST(sum(CASE WHEN n_chars IS NOT NULL AND n_chars > 500 THEN 1 ELSE 0 END) AS BIGINT) AS f_len,
+        |  CAST(sum(CASE WHEN source IS NOT NULL AND NOT regexp_matches(source, '^src[0-3]$') THEN 1 ELSE 0 END) AS BIGINT) AS f_src
         |  FROM documents)
         |SELECT 'e_lang' AS expectation, 'quarantine' AS action, f_lang AS failed_docs, docs FROM m
         |UNION ALL SELECT 'e_len', 'quarantine', f_len, docs FROM m
@@ -1491,22 +1618,26 @@ object SparkEntry {
         |ORDER BY expectation""".stripMargin,
     "v_enforce_kept" ->
       """SELECT doc_id, lang, n_chars FROM documents
-        |WHERE lang IN ('en','de','fr','es') AND n_chars <= 500
-        |  AND regexp_matches(source, '^src[0-3]$')
+        |WHERE (lang IS NULL OR lang IN ('en','de','fr','es'))
+        |  AND (n_chars IS NULL OR n_chars <= 500)
+        |  AND (source IS NULL OR regexp_matches(source, '^src[0-3]$'))
         |ORDER BY doc_id""".stripMargin,
     "v_enforce_quarantine" ->
       """WITH q AS (SELECT doc_id, lang, n_chars, source FROM documents
-        |  WHERE lang NOT IN ('en','de','fr','es') OR n_chars > 500)
+        |  WHERE (lang IS NOT NULL AND lang NOT IN ('en','de','fr','es'))
+        |     OR (n_chars IS NOT NULL AND n_chars > 500))
         |SELECT doc_id, 'e_lang' AS expectation FROM q
-        |  WHERE lang NOT IN ('en','de','fr','es')
-        |UNION ALL SELECT doc_id, 'e_len' FROM q WHERE n_chars > 500
+        |  WHERE lang IS NOT NULL AND lang NOT IN ('en','de','fr','es')
+        |UNION ALL SELECT doc_id, 'e_len' FROM q
+        |  WHERE n_chars IS NOT NULL AND n_chars > 500
         |UNION ALL SELECT doc_id, 'e_src' FROM q
-        |  WHERE NOT regexp_matches(source, '^src[0-3]$')
+        |  WHERE source IS NOT NULL AND NOT regexp_matches(source, '^src[0-3]$')
         |ORDER BY doc_id, expectation""".stripMargin,
     "v_enforce_dropped" ->
       """SELECT doc_id FROM documents
-        |WHERE NOT regexp_matches(source, '^src[0-3]$')
-        |  AND lang IN ('en','de','fr','es') AND n_chars <= 500
+        |WHERE source IS NOT NULL AND NOT regexp_matches(source, '^src[0-3]$')
+        |  AND (lang IS NULL OR lang IN ('en','de','fr','es'))
+        |  AND (n_chars IS NULL OR n_chars <= 500)
         |ORDER BY doc_id""".stripMargin,
     "v_repair" ->
       """SELECT doc_id,
@@ -1598,6 +1729,21 @@ object SparkEntry {
         |  round(max(l_discount), 4) AS l_discount_max,
         |  CAST(count(DISTINCT l_discount) AS BIGINT) AS l_discount_distinct
         |FROM lineitem""".stripMargin,
+    // the HLL estimate itself is engine-internal; the query folds it into a
+    // 5%-of-exact bound flag the oracle asserts as literal TRUE, so the row
+    // is fully hash-checked (exact counts) + value-bounded (estimate)
+    "g_stats_hll" ->
+      """SELECT 'l_orderkey' AS "column",
+        |  CAST(count(l_orderkey) AS BIGINT) AS non_null_count,
+        |  CAST(count(DISTINCT l_orderkey) AS BIGINT) AS exact_distinct,
+        |  TRUE AS hll_within_5pct FROM lineitem
+        |UNION ALL
+        |SELECT 'l_partkey', CAST(count(l_partkey) AS BIGINT),
+        |  CAST(count(DISTINCT l_partkey) AS BIGINT), TRUE FROM lineitem
+        |UNION ALL
+        |SELECT 'l_returnflag', CAST(count(l_returnflag) AS BIGINT),
+        |  CAST(count(DISTINCT l_returnflag) AS BIGINT), TRUE FROM lineitem
+        |ORDER BY "column"""".stripMargin,
     "g_drift_psi" ->
       """WITH a AS (SELECT CAST(least(greatest(floor(((l_extendedprice - 0.0) / 120000.0)
         |    * 10), 0.0), 9.0) AS INT) AS bucket FROM lineitem WHERE l_returnflag = 'R'),
@@ -2463,6 +2609,38 @@ object SparkEntry {
         |    CAST(cca AS DOUBLE) / (SELECT na FROM tot)
         |  - CAST(ccb AS DOUBLE) / (SELECT nb FROM tot))), 4) AS ks
         |FROM cum""".stripMargin,
+    // incremental streaming drift: emission b must equal the batch KS over
+    // the prefix of slices 0..b (slice = l_orderkey % 4, the pinned
+    // micro-batch order) — all four prefixes replayed, not just the final
+    "g_stream_drift_inc" ->
+      """WITH b AS (SELECT l_orderkey % 4 AS slice, l_returnflag AS f,
+        |    CASE WHEN CAST(l_extendedprice AS DOUBLE) > 120000.0 THEN NULL
+        |         ELSE least(greatest(CAST(ceil(
+        |           (CAST(l_extendedprice AS DOUBLE) - 0.0) / 1200.0) AS INT), 0), 100)
+        |    END AS cell
+        |  FROM lineitem
+        |  WHERE l_returnflag IN ('R', 'N') AND l_extendedprice IS NOT NULL),
+        |seqs AS (SELECT unnest(generate_series(0, 3)) AS batch_seq),
+        |cnt AS (SELECT s.batch_seq, cell,
+        |    sum(CASE WHEN f = 'R' THEN 1 ELSE 0 END) AS ca,
+        |    sum(CASE WHEN f = 'N' THEN 1 ELSE 0 END) AS cb
+        |  FROM b JOIN seqs s ON b.slice <= s.batch_seq
+        |  GROUP BY s.batch_seq, cell),
+        |tot AS (SELECT batch_seq, sum(ca) AS na, sum(cb) AS nb FROM cnt
+        |  GROUP BY batch_seq),
+        |pts AS (SELECT s.batch_seq, g.i FROM seqs s,
+        |  (SELECT unnest(generate_series(0, 100)) AS i) g),
+        |cum AS (SELECT p.batch_seq, p.i,
+        |    (SELECT coalesce(sum(ca), 0) FROM cnt
+        |     WHERE batch_seq = p.batch_seq AND cell IS NOT NULL AND cell <= p.i) AS cca,
+        |    (SELECT coalesce(sum(cb), 0) FROM cnt
+        |     WHERE batch_seq = p.batch_seq AND cell IS NOT NULL AND cell <= p.i) AS ccb
+        |  FROM pts p)
+        |SELECT c.batch_seq AS batch_seq,
+        |  round(max(abs(CAST(cca AS DOUBLE) / t.na
+        |              - CAST(ccb AS DOUBLE) / t.nb)), 4) AS ks
+        |FROM cum c JOIN tot t USING (batch_seq)
+        |GROUP BY c.batch_seq ORDER BY batch_seq""".stripMargin,
     // z-order: exact-integer rank scaling (numerator is long-exact, one
     // IEEE-double division) then bit interleave — both reproduced verbatim
     "l_compact" ->
@@ -2490,6 +2668,19 @@ object SparkEntry {
         |SELECT part, bin, CAST(count(*) AS BIGINT) AS n_files,
         |  CAST(sum(bytes) AS BIGINT) AS bytes
         |FROM small GROUP BY part, bin ORDER BY part, bin""".stripMargin,
+    // vacuum: a file survives iff its newest referencing snapshot is one
+    // of the kept ones (seq >= 4 of 0..5 when keeping the last 2)
+    "l_vacuum" ->
+      """WITH m AS (SELECT
+        |    'f-' || lpad(CAST(doc_id % 113 AS VARCHAR), 3, '0') AS path,
+        |    doc_id % 6 AS snapshot_seq, CAST(n_chars AS BIGINT) AS bytes
+        |  FROM documents),
+        |g AS (SELECT path, CAST(max(bytes) AS BIGINT) AS bytes,
+        |    CAST(max(snapshot_seq) AS BIGINT) AS last_ref
+        |  FROM m GROUP BY path)
+        |SELECT path, bytes, last_ref,
+        |  CASE WHEN last_ref >= 4 THEN 'keep' ELSE 'delete' END AS action
+        |FROM g ORDER BY path""".stripMargin,
     "l_zorder" ->
       """WITH d AS (SELECT doc_id, length(text) AS tlen FROM documents),
         |bnd AS (SELECT min(doc_id) lo0, max(doc_id) hi0,

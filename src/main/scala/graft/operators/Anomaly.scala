@@ -108,10 +108,17 @@ object Anomaly {
       .groupBy((keys.map(col) :+ col("v")): _*)
       .agg(sum(col("cnt")).as("cnt"))
     val mad = medianOfHist(madHist, keys).withColumnRenamed("med", "mad")
-    df.join(broadcast(med.join(mad, keys)), keys)
-      .withColumn("z", when(col("mad") === 0.0, lit(null).cast("double"))
-        .otherwise((v - col("med")) / (lit(1.4826) * col("mad"))))
+    // LEFT join: a row whose group produced no statistics (all-null values,
+    // or a null group key, which never matches) still flows through with
+    // (med, mad, z) null and is_outlier false — "every row of df gains the
+    // columns" is the contract, not "every row with a computable group"
+    df.join(broadcast(med.join(mad, keys)), keys, "left")
+      .withColumn("z",
+        when(col("mad").isNull || col("mad") === 0.0, lit(null).cast("double"))
+          .otherwise((v - col("med")) / (lit(1.4826) * col("mad"))))
       .withColumn("is_outlier",
-        when(col("mad") === 0.0, v =!= col("med")).otherwise(abs(col("z")) > k))
+        when(col("mad").isNull, lit(false))
+          .when(col("mad") === 0.0, coalesce(v =!= col("med"), lit(false)))
+          .otherwise(coalesce(abs(col("z")) > k, lit(false))))
   }
 }

@@ -314,17 +314,29 @@ object Drift {
   /** Fold collected (cell, ca, cb) rows into the grid-KS statistic. */
   def ksFromCellCounts(spark: SparkSession, rows: Array[Row],
       gridSize: Int): DataFrame = {
-    val na = rows.map(_.getLong(1)).sum
-    val nb = rows.map(_.getLong(2)).sum
+    val ks = ksValueFromCells(rows.toSeq.map(r =>
+      (if (r.isNullAt(0)) None else Some(r.getInt(0)),
+        r.getLong(1), r.getLong(2))), gridSize)
+    import spark.implicits._
+    Seq(ks).toDF("ks")
+  }
+
+  /** Value-level twin of [[ksFromCellCounts]] for callers that hold the
+    * grid state themselves (the incremental streaming monitor merges
+    * per-micro-batch cell deltas into exactly this shape): cells are
+    * (cell, ca, cb) with cell = None for the x > hi mass, which counts in
+    * the denominators only — same convention as the DataFrame fold.
+    */
+  def ksValueFromCells(cells: Iterable[(Option[Int], Long, Long)],
+      gridSize: Int): Double = {
+    val na = cells.iterator.map(_._2).sum
+    val nb = cells.iterator.map(_._3).sum
     require(na > 0, "ksFromCellCounts: no rows on side 'a'")
     require(nb > 0, "ksFromCellCounts: no rows on side 'b'")
     val binA = new Array[Long](gridSize)
     val binB = new Array[Long](gridSize)
-    rows.foreach { r =>
-      if (!r.isNullAt(0)) {
-        binA(r.getInt(0)) += r.getLong(1)
-        binB(r.getInt(0)) += r.getLong(2)
-      }
+    cells.foreach { case (cell, ca, cb) =>
+      cell.foreach { i => binA(i) += ca; binB(i) += cb }
     }
     var (cumA, cumB, ksStat) = (0L, 0L, 0.0)
     (0 until gridSize).foreach { i =>
@@ -332,8 +344,7 @@ object Drift {
       ksStat = math.max(ksStat,
         math.abs(cumA.toDouble / na - cumB.toDouble / nb))
     }
-    import spark.implicits._
-    Seq(ksStat).toDF("ks")
+    ksStat
   }
 
   /** Binned 1-D Wasserstein-1 (earth-mover) distance between two slices

@@ -46,6 +46,25 @@ object Inference {
     */
   private def num(d: Double): String = graft.rules.Num.fmt(d)
 
+  /** Escape a string for a double-quoted YAML scalar: backslash, quote and
+    * control characters must not pass through bare, or a corpus value like
+    * `he said "hi"\n` would render malformed YAML and break the documented
+    * loadString round-trip (inference output must always re-load).
+    */
+  private[operators] def yamlEscape(s: String): String = {
+    val sb = new StringBuilder(s.length + 8)
+    s.foreach {
+      case '\\' => sb ++= "\\\\"
+      case '"' => sb ++= "\\\""
+      case '\n' => sb ++= "\\n"
+      case '\t' => sb ++= "\\t"
+      case '\r' => sb ++= "\\r"
+      case c if c < 0x20 || c == 0x7f => sb ++= f"\\u${c.toInt}%04x"
+      case c => sb += c
+    }
+    sb.result()
+  }
+
   private case class ColProfile(name: String, jtype: String, required: Boolean,
       lo: Option[Double], hi: Option[Double],
       minLen: Option[Long], maxLen: Option[Long],
@@ -123,7 +142,8 @@ object Inference {
       b += ((p.name, "type", p.jtype))
       if (p.required) b += ((p.name, "required", "true"))
       p.enumVals.foreach { vs =>
-        b += ((p.name, "enum", vs.map(v => "\"" + v + "\"").mkString("[", ", ", "]")))
+        b += ((p.name, "enum",
+          vs.map(v => "\"" + yamlEscape(v) + "\"").mkString("[", ", ", "]")))
       }
       p.lo.foreach(v => b += ((p.name, "minimum", num(v))))
       p.hi.foreach(v => b += ((p.name, "maximum", num(v))))
@@ -174,7 +194,7 @@ object Inference {
               k.enum_.foreach { vs =>
                 sb ++= "    enum:\n"
                 vs.foreach {
-                  case ConstVal.VStr(s) => sb ++= s"      - \"$s\"\n"
+                  case ConstVal.VStr(s) => sb ++= s"      - \"${yamlEscape(s)}\"\n"
                   case other => sb ++= s"      - ${ConstVal.render(other)}\n"
                 }
               }

@@ -195,4 +195,76 @@ object Layout {
     plan.filter(col("action") === "compact")
       .groupBy(col("part"), col("bin"))
       .agg(count(lit(1)).as("n_files"), sum(col("bytes")).as("bytes"))
+
+  /** Snapshot-retention (vacuum) plan — the third leg of table maintenance
+    * next to z-order and compaction: given a snapshot→file reference
+    * manifest (`snapshot_seq`, `path`, `bytes` — one row per file per
+    * snapshot that references it, the shape of an Iceberg/Delta manifest
+    * list), report per file whether it survives keeping only the last
+    * `keepSnapshots` snapshots. A file is `keep` iff ANY kept snapshot
+    * still references it; everything else is `delete` (safe by
+    * construction: no retained snapshot can resolve a deleted path).
+    *
+    * Output: (path, bytes, last_ref, action) — `last_ref` is the newest
+    * snapshot referencing the file, so `action` is the pure comparison
+    * `last_ref >= cutoff` and any engine replays the plan.
+    *
+    * Scale shape: the manifest is METADATA (files × snapshots rows, not
+    * corpus rows). One tiny distinct-seq aggregate finds the cutoff
+    * (keepSnapshots-th newest snapshot), then one map-side-combined
+    * groupBy(path). Nothing here touches file contents.
+    */
+  def vacuumPlan(manifest: DataFrame, keepSnapshots: Int): DataFrame = {
+    require(keepSnapshots >= 1, s"need keepSnapshots >= 1, got $keepSnapshots")
+    val kept = manifest.select(col("snapshot_seq").cast("long")).distinct()
+      .orderBy(col("snapshot_seq").desc).limit(keepSnapshots)
+    val cutoffRow = kept.agg(min(col("snapshot_seq"))).collect()(0)
+    require(!cutoffRow.isNullAt(0), "vacuumPlan: empty manifest")
+    val cutoff = cutoffRow.getLong(0)
+    manifest.groupBy(col("path"))
+      .agg(max(col("bytes")).cast("long").as("bytes"),
+        max(col("snapshot_seq")).cast("long").as("last_ref"))
+      .select(col("path"), col("bytes"), col("last_ref"),
+        when(col("last_ref") >= cutoff, lit("keep"))
+          .otherwise(lit("delete")).as("action"))
+  }
+
+  /** FS-level vacuum report for a [[ResumableValidate]] output dir: every
+    * `violations_batch_X/part=N` data dir, flagged `keep` iff the commit
+    * log's CURRENT commit for part N names batch X (re-running a part
+    * lands it in a NEW batch dir and re-points its commit, leaving the old
+    * dir as dead bytes readers already skip — this report is the cleanup
+    * planner for them). Commit JSONs themselves are always `keep`: one
+    * latest-wins commit per part IS the retention policy of the log.
+    * Executing the plan (deleting `delete` rows) never changes what
+    * [[ResumableValidate.violations]] reads or how a run resumes — the
+    * spec asserts both. Driver-side listing is batches × parts metadata.
+    */
+  def vacuumReport(spark: org.apache.spark.sql.SparkSession,
+      outDir: String): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    val conf = spark.sparkContext.hadoopConfiguration
+    val base = new Path(outDir)
+    val fs = base.getFileSystem(conf)
+    val live: Map[Int, String] =
+      graft.sources.CommitLog.committedBatches(outDir, conf)
+    val rows = if (!fs.exists(base)) Seq.empty else
+      fs.listStatus(base).toSeq
+        .filter(st => st.isDirectory &&
+          st.getPath.getName.startsWith("violations_batch_"))
+        .flatMap { b =>
+          fs.listStatus(b.getPath).toSeq
+            .filter(st => st.isDirectory && st.getPath.getName.startsWith("part="))
+            .map { pd =>
+              val part = pd.getPath.getName.stripPrefix("part=").toInt
+              val bytes = fs.getContentSummary(pd.getPath).getLength
+              val referenced = live.get(part).contains(b.getPath.getName)
+              (b.getPath.getName, part, bytes,
+                if (referenced) "keep" else "delete")
+            }
+        }
+    import spark.implicits._
+    rows.toDF("batch", "part", "bytes", "action")
+      .orderBy("batch", "part")
+  }
 }

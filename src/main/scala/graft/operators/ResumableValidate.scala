@@ -62,6 +62,18 @@ object ResumableValidate {
   /** Commit-sketch key for a user-named drift column (`--drift-col`). */
   def kllColKey(c: String): String = s"kll_col_$c"
 
+  /** The ONE composition of user rule + built-in span invariant the engine
+    * validates with — [[run]] and the CLI scorecard both lower through
+    * this, so a report can never cover a different rule set than the
+    * verdicts did.
+    */
+  def compositeViolations(docs: org.apache.spark.sql.DataFrame, rule: Rule,
+      defs: Map[String, Rule] = Map.empty): org.apache.spark.sql.DataFrame =
+    Validate.withViolations(docs, rule, defs)
+      .withColumn("violations",
+        concat(col("violations"), SpanInvariant.violationsCol(col("spans"))))
+      .withColumn("pass", size(col("violations")) === 0)
+
   /** Validate `docs` (must carry a `part` column) against `rule` + the span
     * invariant, checkpointing per part. `failAfterParts` kills the run after
     * N parts (test hook simulating a mid-run crash).
@@ -86,18 +98,6 @@ object ResumableValidate {
     * (merge with [[mergedDocIdSketch]] / [[mergedNSpansSketch]], no re-scan
     * of committed parts).
     */
-  /** The ONE composition of user rule + built-in span invariant the engine
-    * validates with — [[run]] and the CLI scorecard both lower through
-    * this, so a report can never cover a different rule set than the
-    * verdicts did.
-    */
-  def compositeViolations(docs: org.apache.spark.sql.DataFrame, rule: Rule,
-      defs: Map[String, Rule] = Map.empty): org.apache.spark.sql.DataFrame =
-    Validate.withViolations(docs, rule, defs)
-      .withColumn("violations",
-        concat(col("violations"), SpanInvariant.violationsCol(col("spans"))))
-      .withColumn("pass", size(col("violations")) === 0)
-
   def run(spark: SparkSession, docs: DataFrame, rule: Rule, outDir: String,
       manifest: Seq[String] = Nil, failAfterParts: Int = Int.MaxValue,
       partsPerBatch: Int = 8, defs: Map[String, Rule] = Map.empty,
