@@ -1043,6 +1043,17 @@ object SparkEntry {
         .select(col("media_ref"), size(col("frame_indices")).as("n_sampled"))
         .orderBy("media_ref")
     }),
+    "m_features" -> ((s, dir) => {
+      // CONTENT-derived features: Spark really inflates the PNG IDAT zlib
+      // stream, reconstructs scanlines through all 5 standard filters
+      // (the builder cycles them per row), and reads PCM frames from the
+      // WAV data chunk; the oracle replays the id-derived pixel/sample
+      // FORMULAS — equality proves the whole decode chain, not the header
+      // walk. All statistics are exact integers (moment inputs), so the
+      // hash compare is engine-portable.
+      val media = Multimodal.syntheticMediaFull(s, 1000)
+      Multimodal.contentFeatures(media).toDF().orderBy("media_ref")
+    }),
     "v_stream_validate" -> ((s, dir) => {
       // the CORE validation path under Structured Streaming, oracle-checked:
       // the same compiled span-invariant expressions run over a streamed
@@ -2561,6 +2572,38 @@ object SparkEntry {
         |SELECT printf('m-%08x', id) AS media_ref,
         |  CAST((id % 300) // 50 + 1 AS INT) AS n_sampled
         |FROM ids ORDER BY media_ref""".stripMargin,
+    // content features: the oracle replays the PRODUCER's pixel/sample
+    // formulas ((7x+13y+id) mod 256 gray; ((37k+id) mod 65536)-32768 PCM)
+    // over generate_series grids; Spark's numbers come from the DECODED
+    // bytes (Inflater + 5-filter reconstruction / PCM frame read), so a
+    // bug anywhere in encode->deflate->inflate->unfilter fails the hash
+    "m_features" ->
+      """WITH ids AS (SELECT range AS id FROM range(0, 1000)),
+        |png AS (SELECT id, 8 + id % 25 AS w, 8 + (id // 5) % 21 AS h
+        |  FROM ids WHERE id % 2 = 0),
+        |ppx AS (SELECT p.id, (x.range * 7 + y.range * 13 + p.id) % 256 AS v
+        |  FROM png p, range(0, 33) x, range(0, 29) y
+        |  WHERE x.range < p.w AND y.range < p.h),
+        |pfeat AS (SELECT printf('m-%08x', id) AS media_ref, 'image' AS kind,
+        |    CAST(count(*) AS BIGINT) AS n, CAST(sum(v) AS BIGINT) AS vsum,
+        |    CAST(sum(v * v) AS BIGINT) AS sqsum,
+        |    CAST(min(v) AS BIGINT) AS vmin, CAST(max(v) AS BIGINT) AS vmax,
+        |    CAST(NULL AS BIGINT) AS duration_ms
+        |  FROM ppx GROUP BY id),
+        |wav AS (SELECT id, 8000 + (id % 8) * 1000 AS rate,
+        |    1 + (id // 3) % 2 AS ch, 40 + id % 80 AS frames
+        |  FROM ids WHERE id % 2 = 1),
+        |ws AS (SELECT w.id, w.rate, w.frames,
+        |    (k.range * 37 + w.id) % 65536 - 32768 AS s
+        |  FROM wav w, range(0, 240) k WHERE k.range < w.frames * w.ch),
+        |wfeat AS (SELECT printf('m-%08x', id) AS media_ref, 'audio' AS kind,
+        |    CAST(count(*) AS BIGINT) AS n, CAST(sum(s) AS BIGINT) AS vsum,
+        |    CAST(sum(s * s) AS BIGINT) AS sqsum,
+        |    CAST(min(s) AS BIGINT) AS vmin, CAST(max(s) AS BIGINT) AS vmax,
+        |    CAST(frames * 1000 // rate AS BIGINT) AS duration_ms
+        |  FROM ws GROUP BY id, rate, frames)
+        |SELECT * FROM pfeat UNION ALL SELECT * FROM wfeat
+        |ORDER BY media_ref""".stripMargin,
     // verdicts over the WRITTEN generated corpus — DuckDB replays the span
     // invariant (same five per-span checks + strict offset order as
     // SpanInvariant.spanChecks) over the exact parquet gen_validate wrote

@@ -13,8 +13,15 @@ import org.apache.spark.sql.functions._
   * `parsed = false` and zeros, and [[probeViolations]] turns it into the
   * same violation-row shape the validators emit — corrupt media is a data
   * QUALITY fact, not something to paper over with fabricated dimensions.
-  * (Only FEATURE extraction, which would need a real decode, remains a
-  * declared stub: [[StubFeatures]].)
+  * CONTENT decode is real too ([[ContentCodec]]): PNG IDAT inflates with
+  * `java.util.zip.Inflater` and scanlines unfilter through all five
+  * standard filters (None/Sub/Up/Average/Paeth), WAV PCM frames read
+  * straight from the data chunk — so [[contentFeatures]] (pixel/sample
+  * statistics) and [[extractFeatures]] (histogram feature vectors) are
+  * computed from DECODED content, not from header fields. Formats whose
+  * content needs an entropy codec this container doesn't ship (JPEG
+  * bitstreams, MP4 video tracks) probe their headers but yield no content
+  * features — absent, never fabricated.
   *
   * Design notes for 100 TB of media:
   *   - media bytes live in their own column; metadata-only queries never
@@ -45,17 +52,17 @@ object Multimodal {
     * string (a mislabeled file reports what it IS).
     */
   object HeaderCodec {
-    private def beInt(b: Array[Byte], o: Int): Int =
+    private[operators] def beInt(b: Array[Byte], o: Int): Int =
       ((b(o) & 0xff) << 24) | ((b(o + 1) & 0xff) << 16) |
         ((b(o + 2) & 0xff) << 8) | (b(o + 3) & 0xff)
     private def beShort(b: Array[Byte], o: Int): Int =
       ((b(o) & 0xff) << 8) | (b(o + 1) & 0xff)
-    private def leInt(b: Array[Byte], o: Int): Int =
+    private[operators] def leInt(b: Array[Byte], o: Int): Int =
       (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8) |
         ((b(o + 2) & 0xff) << 16) | ((b(o + 3) & 0xff) << 24)
-    private def leShort(b: Array[Byte], o: Int): Int =
+    private[operators] def leShort(b: Array[Byte], o: Int): Int =
       (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
-    private def ascii(b: Array[Byte], o: Int, s: String): Boolean =
+    private[operators] def ascii(b: Array[Byte], o: Int, s: String): Boolean =
       b.length >= o + s.length && s.indices.forall(i => b(o + i) == s.charAt(i).toByte)
 
     def isPng(b: Array[Byte]): Boolean =
@@ -180,28 +187,127 @@ object Multimodal {
     }
   }
 
-  /** STUB feature extractor: deterministic pseudo-embedding derived from the
-    * content bytes — `???` in spirit (a real image/audio embedding needs
-    * decode + a model this container doesn't ship); the Spark-side plumbing
-    * (schema, batch shape, per-partition init) is the real contract, swap
-    * this body for a real encoder without touching it. Unlike the retired
-    * probe stub, a FAKE FEATURE VECTOR is the declared output of this stage,
-    * not fiction presented as parsed metadata.
+  /** REAL content decode — pure-JVM, no codec libraries: PNG grayscale-8
+    * (IDAT inflate + full 5-filter scanline reconstruction) and WAV 16-bit
+    * PCM (frame read from the data chunk). Anything else returns None —
+    * JPEG/MP4 content needs entropy codecs this container doesn't ship, so
+    * their rows probe headers only and never reach the feature stage.
     */
-  object StubFeatures {
-    def features(content: Array[Byte], dim: Int): Array[Float] = {
-      val bytes = if (content == null) Array.emptyByteArray else content
-      val out = new Array[Float](dim)
-      var acc = 1125899906842597L
-      var i = 0
-      while (i < bytes.length) { acc = acc * 31 + bytes(i); i += 1 }
-      var j = 0
-      while (j < dim) {
-        acc = acc * 6364136223846793005L + 1442695040888963407L
-        out(j) = ((acc >>> 33).toInt % 1000) / 1000.0f
-        j += 1
+  object ContentCodec {
+    import HeaderCodec.{ascii, beInt, leInt, leShort, isPng, isWav}
+
+    /** The PNG filter predictor shared by encode ([[HeaderBytes.pngGray]])
+      * and decode — left/up/upper-left neighbors, bpp = 1 (grayscale-8).
+      */
+    private[operators] def predict(filter: Int, left: Int, up: Int, ul: Int): Int =
+      filter match {
+        case 0 => 0
+        case 1 => left
+        case 2 => up
+        case 3 => (left + up) / 2
+        case 4 => // Paeth (PNG spec 9.4): nearest of the three to p=l+u-ul
+          val p = left + up - ul
+          val pa = math.abs(p - left); val pb = math.abs(p - up)
+          val pc = math.abs(p - ul)
+          if (pa <= pb && pa <= pc) left else if (pb <= pc) up else ul
+        case _ => -1 // invalid filter byte: caller rejects the image
       }
-      out
+
+    /** Decode a grayscale-8 PNG to (width, height, pixels row-major,
+      * values 0..255). None for: non-PNG, other bit depths / color types
+      * (feature extraction is declared for gray-8 only), truncated or
+      * corrupt IDAT, invalid filter bytes, or implausible dimensions
+      * (>64M px — a decoded-buffer bomb guard for adversarial headers).
+      */
+    def decodePngGray(b: Array[Byte]): Option[(Int, Int, Array[Int])] = {
+      if (!isPng(b) || b.length < 33) return None
+      val w = beInt(b, 16); val h = beInt(b, 20)
+      val bitDepth = b(24) & 0xff; val colorType = b(25) & 0xff
+      if (bitDepth != 8 || colorType != 0) return None
+      if (w <= 0 || h <= 0 || w.toLong * h > (1L << 26)) return None
+      // concatenate IDAT payloads (the stream may be split across chunks)
+      val idat = new java.io.ByteArrayOutputStream()
+      var i = 8
+      var walking = true
+      while (walking && i + 8 <= b.length) {
+        val len = beInt(b, i)
+        if (len < 0 || i + 12 + len > b.length) walking = false
+        else {
+          if (ascii(b, i + 4, "IDAT")) idat.write(b, i + 8, len)
+          if (ascii(b, i + 4, "IEND")) walking = false
+          i += 12 + len
+        }
+      }
+      if (idat.size() == 0) return None
+      val raw = new Array[Byte]((w + 1) * h)
+      val inflater = new java.util.zip.Inflater()
+      inflater.setInput(idat.toByteArray)
+      try {
+        var off = 0
+        var stalled = false
+        while (off < raw.length && !inflater.finished() && !stalled) {
+          val n = inflater.inflate(raw, off, raw.length - off)
+          if (n == 0 && (inflater.needsInput() || inflater.needsDictionary()))
+            stalled = true // truncated / preset-dictionary stream
+          off += n
+        }
+        if (off < raw.length) return None
+      } catch {
+        case _: java.util.zip.DataFormatException => return None
+      } finally inflater.end()
+      val px = new Array[Int](w * h)
+      var y = 0
+      while (y < h) {
+        val f = raw(y * (w + 1)) & 0xff
+        if (f > 4) return None
+        var x = 0
+        while (x < w) {
+          val v = raw(y * (w + 1) + 1 + x) & 0xff
+          val left = if (x > 0) px(y * w + x - 1) else 0
+          val up = if (y > 0) px((y - 1) * w + x) else 0
+          val ul = if (x > 0 && y > 0) px((y - 1) * w + x - 1) else 0
+          px(y * w + x) = (v + predict(f, left, up, ul)) & 0xff
+          x += 1
+        }
+        y += 1
+      }
+      Some((w, h, px))
+    }
+
+    /** Decode 16-bit PCM WAV to (sampleRate, channels, interleaved
+      * samples). None for non-WAV, non-PCM (format != 1), other bit
+      * depths, or a data chunk whose declared payload isn't materialized
+      * (the header-only probe fixtures).
+      */
+    def decodeWavPcm(b: Array[Byte]): Option[(Int, Int, Array[Short])] = {
+      if (!isWav(b)) return None
+      var i = 12
+      var fmt = -1; var rate = -1; var ch = -1; var bits = -1
+      var dataOff = -1; var dataLen = -1
+      var walking = true
+      while (walking && i + 8 <= b.length) {
+        val size = leInt(b, i + 4)
+        if (size < 0) walking = false
+        else {
+          if (ascii(b, i, "fmt ") && i + 8 + 16 <= b.length) {
+            fmt = leShort(b, i + 8); ch = leShort(b, i + 10)
+            rate = leInt(b, i + 12); bits = leShort(b, i + 22)
+          } else if (ascii(b, i, "data")) {
+            dataOff = i + 8; dataLen = size
+          }
+          i += 8 + size + (size & 1)
+        }
+      }
+      if (fmt != 1 || bits != 16 || rate <= 0 || ch <= 0 ||
+        dataOff < 0 || dataLen < 0 || dataOff + dataLen > b.length) return None
+      val n = dataLen / 2
+      val out = new Array[Short](n)
+      var k = 0
+      while (k < n) {
+        out(k) = ((b(dataOff + 2 * k) & 0xff) | (b(dataOff + 2 * k + 1) << 8)).toShort
+        k += 1
+      }
+      Some((rate, ch, out))
     }
   }
 
@@ -285,6 +391,94 @@ object Multimodal {
         .putInt(0).putInt(0x00010000).putInt(0)
         .putInt(0).putInt(0).putInt(0x40000000)
     }
+
+    private def pngChunk(tpe: String, data: Array[Byte]): Array[Byte] = {
+      val out = java.nio.ByteBuffer.allocate(12 + data.length)
+      out.putInt(data.length).put(tpe.getBytes("US-ASCII")).put(data)
+      val crc = new java.util.zip.CRC32()
+      crc.update(tpe.getBytes("US-ASCII")); crc.update(data)
+      out.putInt(crc.getValue.toInt)
+      out.array()
+    }
+
+    /** The id-derived pixel formula [[pngGray]] encodes (and any oracle
+      * replays): gray(x, y) = (7x + 13y + id) mod 256.
+      */
+    def grayPixel(x: Int, y: Int, id: Long): Int =
+      ((x * 7L + y * 13L + id) % 256L).toInt
+
+    /** A COMPLETE valid grayscale-8 PNG (signature, IHDR, one IDAT with a
+      * real zlib stream, IEND, all CRCs real): pixels from [[grayPixel]],
+      * scanline y filtered with type y mod 5 — so a decoder only
+      * reconstructs the formula if it implements ALL FIVE standard filters,
+      * not just None.
+      */
+    def pngGray(width: Int, height: Int, id: Long): Array[Byte] = {
+      require(width > 0 && height > 0)
+      val raw = new Array[Byte]((width + 1) * height)
+      var prevRow = new Array[Int](width)
+      var o = 0
+      var y = 0
+      while (y < height) {
+        val filter = y % 5
+        raw(o) = filter.toByte; o += 1
+        val row = Array.tabulate(width)(x => grayPixel(x, y, id))
+        var x = 0
+        while (x < width) {
+          val left = if (x > 0) row(x - 1) else 0
+          val up = if (y > 0) prevRow(x) else 0
+          val ul = if (x > 0 && y > 0) prevRow(x - 1) else 0
+          raw(o) = ((row(x) - ContentCodec.predict(filter, left, up, ul)) & 0xff).toByte
+          o += 1; x += 1
+        }
+        prevRow = row
+        y += 1
+      }
+      val deflater = new java.util.zip.Deflater()
+      deflater.setInput(raw); deflater.finish()
+      val bos = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](4096)
+      while (!deflater.finished()) bos.write(buf, 0, deflater.deflate(buf))
+      deflater.end()
+      val ihdr = java.nio.ByteBuffer.allocate(13)
+        .putInt(width).putInt(height)
+        .put(8.toByte).put(0.toByte) // bit depth 8, color type 0 (gray)
+        .put(0.toByte).put(0.toByte).put(0.toByte)
+        .array()
+      val sig = Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+      sig ++ pngChunk("IHDR", ihdr) ++ pngChunk("IDAT", bos.toByteArray) ++
+        pngChunk("IEND", Array.emptyByteArray)
+    }
+
+    /** The id-derived sample formula [[wavPcm]] encodes: interleaved
+      * sample k = ((37k + id) mod 65536) − 32768.
+      */
+    def pcmSample(k: Int, id: Long): Int =
+      (((k * 37L + id) % 65536L) - 32768L).toInt
+
+    /** A COMPLETE 16-bit PCM WAV: the 44-byte header plus the full
+      * materialized data chunk, samples from [[pcmSample]].
+      */
+    def wavPcm(sampleRate: Int, channels: Int, frames: Int, id: Long): Array[Byte] = {
+      require(sampleRate > 0 && channels > 0 && frames >= 0)
+      val blockAlign = channels * 2
+      val dataSize = frames * blockAlign
+      val out = java.nio.ByteBuffer.allocate(44 + dataSize)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      out.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataSize)
+        .put("WAVE".getBytes("US-ASCII"))
+      out.put("fmt ".getBytes("US-ASCII")).putInt(16)
+        .putShort(1.toShort).putShort(channels.toShort).putInt(sampleRate)
+        .putInt(sampleRate * blockAlign).putShort(blockAlign.toShort)
+        .putShort(16.toShort)
+      out.put("data".getBytes("US-ASCII")).putInt(dataSize)
+      var k = 0
+      while (k < frames * channels) {
+        out.putShort(pcmSample(k, id).toShort)
+        k += 1
+      }
+      out.array()
+    }
   }
 
   /** Deterministic synthetic media table — PNG, WAV and MP4 rows all
@@ -350,13 +544,118 @@ object Multimodal {
         concat(lit("Unrecognized media payload ("), col("bytes"),
           lit(" bytes, declared "), col("mime"), lit(")")).as("message"))
 
-  /** Feature-extraction stage: binary → fixed-dim float vector. */
-  def extractFeatures(media: DataFrame, dim: Int = 64): Dataset[MediaFeature] = {
+  /** Deterministic synthetic media with FULL content payloads (complete
+    * PNG pixel streams and PCM data chunks, unlike [[syntheticMedia]]'s
+    * header-only probe fixtures): even ids are small grayscale PNGs, odd
+    * ids PCM WAVs, every pixel/sample from the id formulas
+    * ([[HeaderBytes.grayPixel]] / [[HeaderBytes.pcmSample]]) so
+    * content-derived features are value-checkable by any engine.
+    */
+  def syntheticMediaFull(spark: SparkSession, n: Long): DataFrame = {
+    import spark.implicits._
+    spark.range(n).map { id =>
+      val ref = "m-" + ("%08x".format(id))
+      if (id % 2 == 0) {
+        val w = 8 + (id % 25).toInt
+        val h = 8 + ((id / 5) % 21).toInt
+        (ref, "image/png", HeaderBytes.pngGray(w, h, id))
+      } else {
+        val rate = 8000 + (id % 8).toInt * 1000
+        val ch = 1 + ((id / 3) % 2).toInt
+        val frames = 40 + (id % 80).toInt
+        (ref, "audio/wav", HeaderBytes.wavPcm(rate, ch, frames, id))
+      }
+    }.toDF("media_ref", "mime", "content")
+  }
+
+  /** One content-statistics row per DECODABLE media row. All fields are
+    * exact integers over decoded values (gray pixels 0..255 / PCM samples
+    * −32768..32767): n values, their sum, sum of squares, min, max — the
+    * moment inputs for mean/variance at any rollup level — plus
+    * duration_ms (audio only; floor(frames·1000 / rate)). Computed from
+    * DECODED content, never from header fields, so an oracle replaying
+    * the producer's pixel/sample formulas checks the whole decode chain
+    * (inflate, 5-filter reconstruction, PCM frame read). Undecodable rows
+    * produce nothing here — headers feed [[probeMeta]]; corrupt payloads,
+    * [[probeViolations]].
+    */
+  final case class MediaContentStats(media_ref: String, kind: String,
+      n: Long, vsum: Long, sqsum: Long, vmin: Long, vmax: Long,
+      duration_ms: Option[Long])
+
+  def contentFeatures(media: DataFrame): Dataset[MediaContentStats] = {
     val spark = media.sparkSession
     import spark.implicits._
+    def stats(vs: Iterator[Int]): (Long, Long, Long, Long, Long) = {
+      var n = 0L; var sum = 0L; var sq = 0L
+      var mn = Long.MaxValue; var mx = Long.MinValue
+      vs.foreach { v =>
+        n += 1; sum += v; sq += v.toLong * v
+        if (v < mn) mn = v
+        if (v > mx) mx = v
+      }
+      (n, sum, sq, mn, mx)
+    }
     media.select(col("media_ref"), col("mime"), col("content")).as[MediaRow]
       .mapPartitions { rows =>
-        rows.map(r => MediaFeature(r.media_ref, dim, StubFeatures.features(r.content, dim)))
+        rows.flatMap { r =>
+          if (r.content == null) None
+          else ContentCodec.decodePngGray(r.content) match {
+            case Some((_, _, px)) =>
+              val (n, sum, sq, mn, mx) = stats(px.iterator)
+              Some(MediaContentStats(r.media_ref, "image", n, sum, sq, mn, mx, None))
+            case None => ContentCodec.decodeWavPcm(r.content) match {
+              case Some((rate, ch, samples)) =>
+                val (n, sum, sq, mn, mx) = stats(samples.iterator.map(_.toInt))
+                val frames = samples.length / ch
+                Some(MediaContentStats(r.media_ref, "audio", n, sum, sq, mn, mx,
+                  Some(frames.toLong * 1000L / rate)))
+              case None => None
+            }
+          }
+        }
+      }
+  }
+
+  /** Feature-extraction stage: binary → fixed-dim float vector, computed
+    * from DECODED content — a `dim`-bin normalized value histogram (gray
+    * levels for images, shifted PCM amplitudes for audio): bin
+    * = v·dim/range, weight 1/n — a real, model-free content embedding
+    * (histograms are the classic pre-learned-embedding similarity
+    * feature). Undecodable rows yield no feature row. Decode runs
+    * per-partition; swap the histogram for a learned encoder without
+    * touching the plumbing.
+    */
+  def extractFeatures(media: DataFrame, dim: Int = 16): Dataset[MediaFeature] = {
+    require(dim >= 1, s"extractFeatures: dim must be >= 1, got $dim")
+    val spark = media.sparkSession
+    import spark.implicits._
+    def hist(vs: Iterator[Int], range: Int): Array[Float] = {
+      val counts = new Array[Long](dim)
+      var n = 0L
+      vs.foreach { v => counts(math.min(v.toLong * dim / range, dim - 1L).toInt) += 1; n += 1 }
+      val out = new Array[Float](dim)
+      if (n > 0) {
+        var i = 0
+        while (i < dim) { out(i) = (counts(i).toDouble / n).toFloat; i += 1 }
+      }
+      out
+    }
+    media.select(col("media_ref"), col("mime"), col("content")).as[MediaRow]
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          if (r.content == null) None
+          else ContentCodec.decodePngGray(r.content) match {
+            case Some((_, _, px)) =>
+              Some(MediaFeature(r.media_ref, dim, hist(px.iterator, 256)))
+            case None => ContentCodec.decodeWavPcm(r.content) match {
+              case Some((_, _, samples)) =>
+                Some(MediaFeature(r.media_ref, dim,
+                  hist(samples.iterator.map(_ + 32768), 65536)))
+              case None => None
+            }
+          }
+        }
       }
   }
 

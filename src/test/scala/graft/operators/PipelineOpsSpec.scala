@@ -231,8 +231,10 @@ class PipelineOpsSpec extends SparkSpec {
     assert(meta.forall(_.parsed))
     val meta2 = Multimodal.probeMeta(media).collect()
     assert(meta.sortBy(_.media_ref).sameElements(meta2.sortBy(_.media_ref)))
+    // features come from DECODED content — header-only probe fixtures
+    // (no IDAT pixels, no PCM data) yield NO feature rows, never fakes
     val feats = Multimodal.extractFeatures(media, dim = 8).collect()
-    assert(feats.forall(_.feature.length == 8))
+    assert(feats.isEmpty, s"header-only media must yield no features, got ${feats.length}")
     // an UNPARSEABLE payload is a violation row, not fabricated metadata
     val junk = Seq(("m-junk", "video/mp4", Array[Byte](1, 2, 3)),
       ("m-null", "image/png", null.asInstanceOf[Array[Byte]]))
@@ -311,6 +313,57 @@ class PipelineOpsSpec extends SparkSpec {
     assert(HeaderCodec.probePng(Array[Byte](1, 2, 3)).isEmpty)
     assert(HeaderCodec.probe(Array[Byte](0x89.toByte)).isEmpty)
     assert(HeaderCodec.probe(null).isEmpty)
+  }
+
+  test("content codec: real PNG inflate + 5-filter reconstruction, PCM read") {
+    import Multimodal.{ContentCodec, HeaderBytes}
+    // a 9-row image exercises every scanline filter (y % 5 covers 0..4
+    // twice, with non-zero up/upper-left context on the repeats); decode
+    // must reproduce the generator formula pixel for pixel
+    val (w, h, id) = (13, 9, 42L)
+    val png = HeaderBytes.pngGray(w, h, id)
+    val Some((dw, dh, px)) = ContentCodec.decodePngGray(png): @unchecked
+    assert(dw == w && dh == h && px.length == w * h)
+    for (y <- 0 until h; x <- 0 until w)
+      assert(px(y * w + x) == HeaderBytes.grayPixel(x, y, id),
+        s"pixel ($x,$y) filter ${y % 5}")
+    // the zlib stream is real: a flipped IDAT payload byte must fail soft
+    val corrupt = png.clone()
+    corrupt(8 + 25 + 8 + 5) = (corrupt(8 + 25 + 8 + 5) ^ 0x5a).toByte
+    assert(ContentCodec.decodePngGray(corrupt).isEmpty
+      || ContentCodec.decodePngGray(corrupt).exists(_._3.length == w * h))
+    // truncation mid-IDAT fails soft, never throws
+    assert(ContentCodec.decodePngGray(png.take(png.length - 20)).isEmpty)
+    // header-only fixture (no pixel data) is probe-able but not decodable
+    assert(ContentCodec.decodePngGray(HeaderBytes.png(64, 64)).isEmpty)
+    // WAV PCM: every interleaved sample back bit-exact
+    val wav = HeaderBytes.wavPcm(8000, 2, 50, 7L)
+    val Some((rate, ch, samples)) = ContentCodec.decodeWavPcm(wav): @unchecked
+    assert(rate == 8000 && ch == 2 && samples.length == 100)
+    samples.zipWithIndex.foreach { case (s, k) =>
+      assert(s.toInt == HeaderBytes.pcmSample(k, 7L), s"sample $k")
+    }
+    // header-only WAV declares data it never materialized -> not decodable
+    assert(ContentCodec.decodeWavPcm(HeaderBytes.wav(8000, 1, 100)).isEmpty)
+    // content stats + histogram features ride the decode, distributed
+    val media = Multimodal.syntheticMediaFull(spark, 40)
+    val stats = Multimodal.contentFeatures(media).collect()
+    assert(stats.length == 40) // every full-payload row decodes
+    val img = stats.filter(_.kind == "image")
+    assert(img.nonEmpty && img.forall(s =>
+      s.vmin >= 0 && s.vmax <= 255 && s.n > 0 && s.duration_ms.isEmpty))
+    val aud = stats.filter(_.kind == "audio")
+    assert(aud.nonEmpty && aud.forall(s =>
+      s.vmin >= -32768 && s.vmax <= 32767 && s.duration_ms.exists(_ >= 0)))
+    // spot-check one audio row against the formula
+    val a1 = aud.find(_.media_ref == "m-00000001").get
+    val exp = (0 until (40 + 1) * 1).map(k => HeaderBytes.pcmSample(k, 1L))
+    assert(a1.n == exp.length && a1.vsum == exp.map(_.toLong).sum &&
+      a1.sqsum == exp.map(v => v.toLong * v).sum)
+    val feats = Multimodal.extractFeatures(media, dim = 8).collect()
+    assert(feats.length == 40 && feats.forall { f =>
+      f.feature.length == 8 && math.abs(f.feature.map(_.toDouble).sum - 1.0) < 1e-5
+    })
   }
 
   test("row diff: added/removed/changed only, unchanged rows never emitted") {
