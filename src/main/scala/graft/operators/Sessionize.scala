@@ -37,38 +37,54 @@ object Sessionize {
     * last event CONTINUES that session (its local session 0 merges), so
     * day edges never split or renumber sessions.
     */
-  def withSessions(df: DataFrame, userCol: String, tsCol: String,
-      gapMinutes: Int = 30): DataFrame = {
-    // ONE window spec (over the materialized _bucket column) for both the
-    // lag and the running sum — partitioning by the date_trunc EXPRESSION
-    // in one and the _bucket ATTRIBUTE in the other would be semantically
-    // identical but not syntactically equal, so CollapseWindow could not
-    // merge them and the event table would sort twice
-    val byBucket = Window.partitionBy(col(userCol), col("_bucket"))
-      .orderBy(col(tsCol))
-    val prev = lag(col(tsCol), 1).over(byBucket)
+  private def gapInterval(gapMinutes: Int): Column =
     // interval comparison works for both TIMESTAMP and TIMESTAMP_NTZ (a
     // cast-to-long epoch diff is rejected for NTZ under ANSI)
-    val gap = expr(s"INTERVAL $gapMinutes MINUTES")
-    val isNewLocal = when(prev.isNull || col(tsCol) > prev + gap, 1L)
-      .otherwise(0L)
-    val withLocal = df
-      .withColumn("_bucket", date_trunc("DAY", col(tsCol)))
-      .withColumn("_new_local", isNewLocal)
-      .withColumn("_local_idx",
-        sum(col("_new_local")).over(byBucket
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)) - 1L)
+    expr(s"INTERVAL $gapMinutes MINUTES")
 
-    // per-(user, day) summary: ONE row per bucket — the only thing the
-    // cross-bucket Window ever sorts
-    val summary = withLocal.groupBy(col(userCol), col("_bucket"))
+  /** ONE window spec (over the materialized _bucket column) for the
+    * bucket-local lag AND the running sum — partitioning by the
+    * date_trunc EXPRESSION in one and the _bucket ATTRIBUTE in the other
+    * would be semantically identical but not syntactically equal, so
+    * CollapseWindow could not merge them and the event table would sort
+    * twice (PlanSpec asserts the merge: one Window node on the event
+    * side).
+    */
+  private def byBucket(userCol: String, tsCol: String) =
+    Window.partitionBy(col(userCol), col("_bucket")).orderBy(col(tsCol))
+
+  /** Events + (_bucket, _new_local): the bucket-local new-session flag
+    * from one lag over [[byBucket]].
+    */
+  private def withNewFlag(df: DataFrame, userCol: String, tsCol: String,
+      gapMinutes: Int): DataFrame = {
+    val prev = lag(col(tsCol), 1).over(byBucket(userCol, tsCol))
+    df.withColumn("_bucket", date_trunc("DAY", col(tsCol)))
+      .withColumn("_new_local",
+        when(prev.isNull || col(tsCol) > prev + gapInterval(gapMinutes), 1L)
+          .otherwise(0L))
+  }
+
+  /** Per-(user, day) stitched summary — ONE row per bucket (the only
+    * thing the cross-bucket Window ever sorts): _n_local local sessions,
+    * _n_events, _stitch (1 when the bucket's first event continues the
+    * previous bucket's last session), _contrib = sessions this bucket
+    * adds globally, _cum_before = global sessions before this bucket.
+    * Both byUser window functions (the lag and the running sum) share one
+    * spec, so they too collapse to a single sort of the summary.
+    */
+  private def stitchedSummary(flagged: DataFrame, userCol: String,
+      tsCol: String, gapMinutes: Int): DataFrame = {
+    val summary = flagged.groupBy(col(userCol), col("_bucket"))
       .agg(min(col(tsCol)).as("_first_ts"), max(col(tsCol)).as("_last_ts"),
-        sum(col("_new_local")).as("_n_local"))
+        sum(col("_new_local")).as("_n_local"),
+        count(lit(1)).as("_n_events"))
     val byUser = Window.partitionBy(col(userCol)).orderBy(col("_bucket"))
     val prevLast = lag(col("_last_ts"), 1).over(byUser)
-    val stitched = summary
+    summary
       .withColumn("_stitch",
-        when(prevLast.isNotNull && col("_first_ts") <= prevLast + gap, 1L)
+        when(prevLast.isNotNull &&
+          col("_first_ts") <= prevLast + gapInterval(gapMinutes), 1L)
           .otherwise(0L))
       // sessions this bucket ADDS globally (a stitched first session merges
       // into the previous bucket's last session)
@@ -76,7 +92,14 @@ object Sessionize {
       .withColumn("_cum_before",
         coalesce(sum(col("_contrib")).over(
           byUser.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .select(col(userCol), col("_bucket"), col("_stitch"), col("_cum_before"))
+  }
+
+  def withSessions(df: DataFrame, userCol: String, tsCol: String,
+      gapMinutes: Int = 30): DataFrame = {
+    val flagged = withNewFlag(df, userCol, tsCol, gapMinutes)
+    val withLocal = flagged.withColumn("_local_idx",
+      sum(col("_new_local")).over(byBucket(userCol, tsCol)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)) - 1L)
 
     // NULL-SAFE stitch join (<=> on both keys): a null timestamp makes
     // `_bucket` null and a Seq-join's EqualTo would silently drop those
@@ -89,7 +112,8 @@ object Sessionize {
     // hint: summary cardinality is users × days, which a planet-scale
     // slice can push past the broadcast hard limit, and a forced hint
     // would then OOM the driver where a shuffle join just works.
-    val st = stitched
+    val st = stitchedSummary(flagged, userCol, tsCol, gapMinutes)
+      .select(col(userCol), col("_bucket"), col("_stitch"), col("_cum_before"))
       .withColumnRenamed(userCol, "_st_user").withColumnRenamed("_bucket", "_st_bucket")
     withLocal
       .join(st,
@@ -100,13 +124,22 @@ object Sessionize {
         "_stitch", "_cum_before")
   }
 
-  /** Per-user session stats: sessions, events, events per session. */
+  /** Per-user session stats: sessions, events, events per session.
+    *
+    * Computed from the stitched SUMMARY alone — n_sessions = Σ _contrib,
+    * n_events = Σ _n_events — so unlike [[withSessions]] there is no
+    * join back to the event table and no per-event running sum: one
+    * bucket-bounded lag over the events, one summary aggregation, two
+    * collapsed summary-sized windows, one final groupBy. Identical output
+    * to aggregating withSessions (max(session_index)+1 ≡ Σ contrib).
+    */
   def sessionStats(df: DataFrame, userCol: String, tsCol: String,
       gapMinutes: Int = 30): DataFrame =
-    withSessions(df, userCol, tsCol, gapMinutes)
+    stitchedSummary(withNewFlag(df, userCol, tsCol, gapMinutes),
+      userCol, tsCol, gapMinutes)
       .groupBy(col(userCol))
-      .agg((max(col("session_index")) + 1L).as("n_sessions"),
-        count(lit(1)).as("n_events"))
+      .agg(sum(col("_contrib")).as("n_sessions"),
+        sum(col("_n_events")).as("n_events"))
 
   /** Tumbling-window verdicts: per (window start, group) event count and
     * failed count under `failPred` — the batch form of the streaming

@@ -246,6 +246,41 @@ class PlanSpec extends SparkSpec {
       s"no partial aggregation before shuffle:\n$plan")
   }
 
+  test("sessionize: lag + running sum share one Exchange+Sort; sessionStats is join-free") {
+    val ev = spark.range(5000).select((col("id") % 50).as("user_id"),
+      timestamp_seconds(lit(1700000000L) + (col("id") % 977) * lit(700)).as("ts"))
+
+    // withSessions event side: the bucket-local running sum (_local_idx)
+    // must sit DIRECTLY on the lag Window — same (user, _bucket, ts) spec,
+    // so the sort/shuffle done for the lag also serves the sum. Any Sort
+    // or Exchange between the two Window nodes means the event table is
+    // sorted twice.
+    val wsPlan = planOf(Sessionize.withSessions(ev, "user_id", "ts"))
+    val between = "(?s)Window \\[sum\\(_new_local.*?Window \\[lag\\(ts".r
+      .findFirstIn(wsPlan)
+      .getOrElse(fail(s"expected sum-over-lag Window pair:\n$wsPlan"))
+    assert(!between.contains("Sort [") && !between.contains("Exchange"),
+      s"second sort/shuffle between the event-side Windows:\n$wsPlan")
+    // same for the summary side: cumulative _contrib sum over the _stitch lag
+    val betweenSummary = "(?s)Window \\[sum\\(_contrib.*?Window \\[lag\\(_last_ts".r
+      .findFirstIn(wsPlan)
+      .getOrElse(fail(s"expected summary Window pair:\n$wsPlan"))
+    assert(!betweenSummary.contains("Sort [") && !betweenSummary.contains("Exchange"),
+      s"second sort/shuffle between the summary Windows:\n$wsPlan")
+
+    // sessionStats aggregates the stitched summary directly: no join back
+    // to the event table, the unused _cum_before window pruned away, and
+    // the final per-user groupBy reuses the byUser window's partitioning
+    // (2 Windows, 2 Exchanges total).
+    val stPlan = planOf(Sessionize.sessionStats(ev, "user_id", "ts"))
+    assert(!"(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin)".r
+      .findFirstIn(stPlan).isDefined, s"join in sessionStats plan:\n$stPlan")
+    assert("Window \\[".r.findAllIn(stPlan).length == 2,
+      s"expected 2 Windows in sessionStats:\n$stPlan")
+    assert("Exchange hashpartitioning".r.findAllIn(stPlan).length == 2,
+      s"expected 2 Exchanges in sessionStats:\n$stPlan")
+  }
+
   test("compaction plan: one running-sum Window per partition, keep branch window-free") {
     val manifest = spark.range(1000).select(
       (col("id") % 8).cast("int").as("part"),
