@@ -121,12 +121,14 @@ object Bench {
     * (median ALU ops/core, median memory-stream ops/core) with `width`
     * cores busy. Zero Spark noise — what it measures is the box.
     */
-  private def spinCalibration(width: Int): (Double, Double) = {
+  private def spinProbe(width: Int, quick: Boolean): (Double, Double) = {
     val javaBin = System.getProperty("java.home") + "/bin/java"
     val cp = System.getProperty("java.class.path")
+    val probeArgs = Seq("graft.SpinProbe", width.toString) ++
+      (if (quick) Seq("quick") else Nil)
     def launch(prefix: Seq[String]): String = {
       val cmd = prefix ++ Seq("taskset", "-c", s"0-${width - 1}",
-        javaBin, "-Xmx8g", "-cp", cp, "graft.SpinProbe", width.toString)
+        javaBin, "-Xmx8g", "-cp", cp) ++ probeArgs
       val pb = new ProcessBuilder(cmd: _*)
       pb.redirectError(ProcessBuilder.Redirect.DISCARD)
       val proc = pb.start()
@@ -143,6 +145,18 @@ object Bench {
       .map(_.group(1).toDouble).getOrElse(0.0) // 0.0, not NaN: NaN breaks JSON
     (grab("median_alu_ops"), grab("median_mem_ops"))
   }
+
+  private def spinCalibration(width: Int): (Double, Double) =
+    spinProbe(width, quick = false)
+
+  /** Same-width memory-bandwidth fingerprint (~3 s): the contention gate
+    * for one scaling-level measurement. Steal alone misses bandwidth
+    * contention (the round-4 artifact: t4 ~1.8x clean with w4 steal at
+    * 0.67%), so each level's window is additionally judged by how far its
+    * quick-probe throughput falls below the best same-width probe of the
+    * whole bench run.
+    */
+  private def memProbeQuick(width: Int): Double = spinProbe(width, quick = true)._2
 
   /** (steal, total) jiffies from /proc/stat — the VM's noisy-neighbor
     * signal. Levels measured during a steal burst are poisoned samples.
@@ -223,33 +237,76 @@ object Bench {
     val pinned = haveTaskset
     val levels = Seq(4, 8, 16, 32)
     // the headline pair (4 -> 16) gets extra rounds; min over rounds damps
-    // the host VM's noisy-neighbor bursts. A level whose window shows
-    // > 1.5% hypervisor steal is a poisoned sample and is re-measured
-    // (bounded). The 8/32 levels carry the attributed secondary pair — one
-    // round each keeps total wall in budget.
-    val roundsFor = Map(4 -> 2, 8 -> 1, 16 -> 3, 32 -> 1)
+    // the host VM's noisy-neighbor bursts. Two gates decide whether a
+    // level's window was clean: (a) > 1.5% hypervisor steal during the
+    // run, and (b) a same-width quick memory-stream probe around the run
+    // falling > 25% below the best same-width probe seen anywhere in this
+    // bench invocation — bandwidth contention does not always show as
+    // steal (round-4 driver artifact: t4 1.8x clean at 0.67% steal).
+    // A dirty window is re-measured from a shared bounded budget; if the
+    // budget runs out the slow number is still reported but the level is
+    // flagged `contended` in the output instead of standing as silent
+    // evidence. The 8/32 levels carry the attributed secondary pair.
+    val roundsFor = Map(4 -> 2, 8 -> 2, 16 -> 3, 32 -> 1)
     val maxSteal = 0.015
-    var retries = 4
+    // idle-box quick-probe spread measured at ~19% peak-to-peak even
+    // after the best-sub-window damping (the box's own frequency /
+    // neighbor-bandwidth variance); 0.75 clears that noise while still
+    // catching the round-4 artifact class, whose windows ran ~1.6-2.1x
+    // slow — a bandwidth deficit far beyond 25%
+    val memTol = 0.75
+    var retries = 8
     val mins = scala.collection.mutable.Map.empty[Int, Double]
     val stealSeen = scala.collection.mutable.Map.empty[Int, Double]
+    val refMem = scala.collection.mutable.Map.empty[Int, Double]
+    // the probe and steal of the window that produced each level's min —
+    // judged against the FINAL refs after all rounds (the live ref only
+    // grows, so an early accept is re-checked at the end)
+    val bestWindow = scala.collection.mutable.Map.empty[Int, (Double, Double)]
+    def probe(n: Int): Double =
+      if (!pinned) 0.0
+      else {
+        val p = memProbeQuick(n)
+        refMem(n) = math.max(refMem(n), p)
+        p
+      }
+    if (pinned) levels.foreach(n => refMem(n) = 0.0)
     (1 to 3).foreach { round =>
       levels.filter(n => roundsFor(n) >= round).foreach { n =>
         var done = false
         while (!done) {
-          val (s0, j0) = stealTotal()
-          val t =
-            if (pinned) pinnedLevel(n, docsPath, warmups = 1, runs = 2)
-            else unpinnedLevel(n, docsPath, runs = 2)
-          val (s1, j1) = stealTotal()
-          val stealFrac =
-            if (j1 > j0) (s1 - s0).toDouble / (j1 - j0).toDouble else 0.0
-          stealSeen(n) = math.max(stealSeen.getOrElse(n, 0.0), stealFrac)
-          if (stealFrac > maxSteal && retries > 0) retries -= 1 // re-measure
-          else {
-            mins(n) = math.min(mins.getOrElse(n, Double.MaxValue), t)
-            done = true
+          val pre = probe(n)
+          if (pinned && pre < memTol * refMem(n) && retries > 0) {
+            retries -= 1 // contended before the run even starts: re-probe
+          } else {
+            val (s0, j0) = stealTotal()
+            val t =
+              if (pinned) pinnedLevel(n, docsPath, warmups = 1, runs = 2)
+              else unpinnedLevel(n, docsPath, runs = 2)
+            val (s1, j1) = stealTotal()
+            val stealFrac =
+              if (j1 > j0) (s1 - s0).toDouble / (j1 - j0).toDouble else 0.0
+            stealSeen(n) = math.max(stealSeen.getOrElse(n, 0.0), stealFrac)
+            val post = probe(n)
+            val windowMem = math.min(pre, post)
+            val dirty = stealFrac > maxSteal ||
+              (pinned && windowMem < memTol * refMem(n))
+            if (dirty && retries > 0) retries -= 1 // re-measure the level
+            else {
+              if (t < mins.getOrElse(n, Double.MaxValue)) {
+                mins(n) = t
+                bestWindow(n) = (windowMem, stealFrac)
+              }
+              done = true
+            }
           }
         }
+      }
+    }
+    // final contention verdict per level, against the run's best refs
+    val contended = levels.filter { n =>
+      pinned && bestWindow.get(n).exists { case (m, s) =>
+        s > maxSteal || m < memTol * refMem(n)
       }
     }
     val t4 = mins(4); val t8 = mins(8); val t16 = mins(16); val t32 = mins(32)
@@ -312,7 +369,7 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
     val qErrs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     println(
-      f"""{"metric":"validated docs/sec at 32 pinned cores (rules+span invariant+verdicts, $BenchDocs%d docs)","value":$dps32%.0f,"unit":"docs/sec","queries":$qs,"sf":"$sfDir","query_repeats":$queryRepeats%d,"query_errors":$qErrs,"queries_total_sec":$total%.2f,"scaling":{"docs":$BenchDocs%d,"pinned_cores":$pinned%b,"t_4core_sec":$t4%.2f,"t_8core_sec":$t8%.2f,"t_16core_sec":$t16%.2f,"t_32core_sec":$t32%.2f,"docs_per_sec_4core":${docsTotal / t4}%.0f,"docs_per_sec_16core":${docsTotal / t16}%.0f,"docs_per_sec_32core":$dps32%.0f,"efficiency_4_to_16":$eff4to16%.3f,"efficiency_8_to_32":$eff8to32%.3f,"efficiency":$effBest%.3f,"alu_ops_per_core":{"w4":${cal(4)._1}%.0f,"w8":${cal(8)._1}%.0f,"w16":${cal(16)._1}%.0f,"w32":${cal(32)._1}%.0f},"memstream_ops_per_core":{"w4":${cal(4)._2}%.0f,"w8":${cal(8)._2}%.0f,"w16":${cal(16)._2}%.0f,"w32":${cal(32)._2}%.0f},"mem_ceiling_4_to_16":$ceil4to16%.3f,"mem_ceiling_8_to_32":$ceil8to32%.3f,"max_steal_frac_seen":{"w4":${stealSeen.getOrElse(4, 0.0)}%.4f,"w8":${stealSeen.getOrElse(8, 0.0)}%.4f,"w16":${stealSeen.getOrElse(16, 0.0)}%.4f,"w32":${stealSeen.getOrElse(32, 0.0)}%.4f}}}""")
+      f"""{"metric":"validated docs/sec at 32 pinned cores (rules+span invariant+verdicts, $BenchDocs%d docs)","value":$dps32%.0f,"unit":"docs/sec","queries":$qs,"sf":"$sfDir","query_repeats":$queryRepeats%d,"query_errors":$qErrs,"queries_total_sec":$total%.2f,"scaling":{"docs":$BenchDocs%d,"pinned_cores":$pinned%b,"t_4core_sec":$t4%.2f,"t_8core_sec":$t8%.2f,"t_16core_sec":$t16%.2f,"t_32core_sec":$t32%.2f,"docs_per_sec_4core":${docsTotal / t4}%.0f,"docs_per_sec_16core":${docsTotal / t16}%.0f,"docs_per_sec_32core":$dps32%.0f,"efficiency_4_to_16":$eff4to16%.3f,"efficiency_8_to_32":$eff8to32%.3f,"efficiency":$effBest%.3f,"alu_ops_per_core":{"w4":${cal(4)._1}%.0f,"w8":${cal(8)._1}%.0f,"w16":${cal(16)._1}%.0f,"w32":${cal(32)._1}%.0f},"memstream_ops_per_core":{"w4":${cal(4)._2}%.0f,"w8":${cal(8)._2}%.0f,"w16":${cal(16)._2}%.0f,"w32":${cal(32)._2}%.0f},"mem_ceiling_4_to_16":$ceil4to16%.3f,"mem_ceiling_8_to_32":$ceil8to32%.3f,"max_steal_frac_seen":{"w4":${stealSeen.getOrElse(4, 0.0)}%.4f,"w8":${stealSeen.getOrElse(8, 0.0)}%.4f,"w16":${stealSeen.getOrElse(16, 0.0)}%.4f,"w32":${stealSeen.getOrElse(32, 0.0)}%.4f},"mem_probe_ref_ops":{"w4":${refMem.getOrElse(4, 0.0)}%.0f,"w8":${refMem.getOrElse(8, 0.0)}%.0f,"w16":${refMem.getOrElse(16, 0.0)}%.0f,"w32":${refMem.getOrElse(32, 0.0)}%.0f},"mem_probe_min_window_ops":{"w4":${bestWindow.get(4).map(_._1).getOrElse(0.0)}%.0f,"w8":${bestWindow.get(8).map(_._1).getOrElse(0.0)}%.0f,"w16":${bestWindow.get(16).map(_._1).getOrElse(0.0)}%.0f,"w32":${bestWindow.get(32).map(_._1).getOrElse(0.0)}%.0f},"contended_levels":${contended.map("\"w" + _ + "\"").mkString("[", ",", "]")},"contended":${contended.nonEmpty}%b}}""")
     spark.stop()
   }
 }
@@ -330,42 +387,72 @@ object SpinProbe {
   def main(args: Array[String]): Unit = {
     java.util.Locale.setDefault(java.util.Locale.ROOT)
     val width = args(0).toInt
+    // quick mode: memory-stream phase only, smaller arrays, shorter wall —
+    // the per-measurement contention gate (a same-width bandwidth
+    // fingerprint, ~3 s). Full mode is the box-ceiling calibration.
+    val quick = args.length > 1 && args(1) == "quick"
     val warmNanos = 2_000_000_000L // let C2 compile + clocks settle first
     val wallNanos = 3_000_000_000L
+    val arrWords = if (quick) 8 * 1024 * 1024 else 16 * 1024 * 1024 // 64/128 MB
     val alu = new java.util.concurrent.atomic.AtomicLongArray(width)
     val mem = new java.util.concurrent.atomic.AtomicLongArray(width)
     val gate = new java.util.concurrent.CyclicBarrier(width)
     val threads = (0 until width).map { i =>
       val t = new Thread(() => {
         var x = i + 1L
-        val arr = new Array[Long](16 * 1024 * 1024) // 128 MB per thread
+        val arr = new Array[Long](arrWords)
         var w = 0
         while (w < arr.length) { arr(w) = w; w += 1 }
         gate.await()
-        // phase a: ALU (register-only LCG)
-        val warmEnd = System.nanoTime() + warmNanos
-        while (System.nanoTime() < warmEnd) {
-          var k = 0
-          while (k < 100000) { x = x * 6364136223846793005L + 1442695040888963407L; k += 1 }
+        if (!quick) {
+          // phase a: ALU (register-only LCG)
+          val warmEnd = System.nanoTime() + warmNanos
+          while (System.nanoTime() < warmEnd) {
+            var k = 0
+            while (k < 100000) { x = x * 6364136223846793005L + 1442695040888963407L; k += 1 }
+          }
+          var end = System.nanoTime() + wallNanos
+          var n = 0L
+          while (System.nanoTime() < end) {
+            var k = 0
+            while (k < 100000) { x = x * 6364136223846793005L + 1442695040888963407L; k += 1 }
+            n += 100000
+          }
+          alu.set(i, n)
+          gate.await()
         }
-        var end = System.nanoTime() + wallNanos
-        var n = 0L
-        while (System.nanoTime() < end) {
-          var k = 0
-          while (k < 100000) { x = x * 6364136223846793005L + 1442695040888963407L; k += 1 }
-          n += 100000
+        // phase b: sequential stream over the private array (read+write);
+        // in quick mode the init pass above is the JIT warm-up.
+        // Quick mode reports the BEST of 3 sub-windows (scaled to the full
+        // wall): a transient background blip in one sub-window must not
+        // read as contention, while sustained contention lowers every
+        // sub-window and is still caught. Full mode keeps the plain total
+        // (the ceiling calibration wants the average regime).
+        if (quick) {
+          var best = 0L
+          var sw = 0
+          while (sw < 3) {
+            val end = System.nanoTime() + wallNanos / 3
+            var m = 0L
+            while (System.nanoTime() < end) {
+              var k = 0
+              while (k < arr.length) { x += arr(k); arr(k) = x; k += 1 }
+              m += arr.length
+            }
+            if (m > best) best = m
+            sw += 1
+          }
+          mem.set(i, if (x == 42L) -1L else best * 3)
+        } else {
+          val end = System.nanoTime() + wallNanos
+          var m = 0L
+          while (System.nanoTime() < end) {
+            var k = 0
+            while (k < arr.length) { x += arr(k); arr(k) = x; k += 1 }
+            m += arr.length
+          }
+          mem.set(i, if (x == 42L) -1L else m) // keep x observable
         }
-        alu.set(i, n)
-        gate.await()
-        // phase b: sequential stream over the private array (read+write)
-        end = System.nanoTime() + wallNanos
-        var m = 0L
-        while (System.nanoTime() < end) {
-          var k = 0
-          while (k < arr.length) { x += arr(k); arr(k) = x; k += 1 }
-          m += arr.length
-        }
-        mem.set(i, if (x == 42L) -1L else m) // keep x observable
       })
       t.start(); t
     }
