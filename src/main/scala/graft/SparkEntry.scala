@@ -21,6 +21,33 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
+  /** DuckDB replay of Integrity's 40-bit digest: the first 10 hex chars of
+    * an md5 column as a BIGINT polynomial with literal 16^j weights
+    * (DuckDB has no base-conversion function; integer literals keep the
+    * sum exact where float powers would not).
+    */
+  private def hex10ToBigintSql(h: String): String = {
+    val weights = Seq(68719476736L, 4294967296L, 268435456L, 16777216L,
+      1048576L, 65536L, 4096L, 256L, 16L, 1L)
+    weights.zipWithIndex.map { case (w, i) =>
+      s"(strpos('0123456789abcdef', substr($h, ${i + 1}, 1)) - 1) * CAST($w AS BIGINT)"
+    }.mkString("(", " + ", ")")
+  }
+
+  /** DuckDB twin of [[manifestContent]]. */
+  private def manifestContentSql: String =
+    "concat_ws(chr(1), CAST(doc_id AS VARCHAR), text, " +
+      "coalesce(lang, '?'), CAST(n_chars AS VARCHAR))"
+
+  /** Canonical row serialization of the documents table for the content
+    * manifests (d_manifest / d_manifest_diff): chr(1)-separated fields with
+    * an explicit null sentinel (concat_ws SKIPS nulls in both engines,
+    * which would make ("a", null) and ("a") collide).
+    */
+  private def manifestContent =
+    concat_ws("\u0001", col("doc_id"), col("text"),
+      coalesce(col("lang"), lit("?")), col("n_chars"))
+
   /** Unique memory-sink names for streaming queries (a query name can't be
     * reused while its temp view exists; bench repeats run each query 3×).
     * The PREVIOUS view of the same prefix is dropped on each new
@@ -118,6 +145,20 @@ object SparkEntry {
     "source" -> Rule.Check(Keywords(pattern = Some("^src[0-3]$"))))))
   private def repairDefaults: Map[String, Column] =
     Map("lang" -> lit("en"), "source" -> lit("src0"))
+
+  /** Migration targets for v_migrate*: narrow o_custkey, lossy-cast
+    * o_orderstatus (every value fails -> audited), timestamp -> date,
+    * add a defaulted channel column; o_totalprice/o_orderpriority drop.
+    */
+  private def migrateTargets: Seq[Migrate.Target] = {
+    import org.apache.spark.sql.types.{DateType, IntegerType, LongType}
+    Seq(
+      Migrate.Target("o_orderkey"),
+      Migrate.Target("o_custkey", toType = Some(IntegerType)),
+      Migrate.Target("o_orderstatus", toType = Some(LongType)),
+      Migrate.Target("o_orderdate", toType = Some(DateType)),
+      Migrate.Target("channel", default = Some(lit("web"))))
+  }
 
   /** Deterministic URL injection shared by t_urls / t_domains (the corpus
     * carries no URLs of its own; the oracle replays the same append).
@@ -358,6 +399,13 @@ object SparkEntry {
         .groupBy(col("media_ref")).agg(count(lit(1)).as("n_docs"))
         .orderBy("media_ref")
     }),
+    "g_fk_card" -> ((s, dir) =>
+      // the cardinality half of referential integrity: customers whose
+      // order count falls outside the [1, 25] contract (0-order customers
+      // = below_min, bulk accounts = above_max); output is violator-sized
+      RefIntegrity.cardinalityViolations(t(s, dir, "customer"), "c_custkey",
+          t(s, dir, "orders"), "o_custkey", minPerParent = 1L, maxPerParent = 25L)
+        .orderBy("key")),
     "g_ref_bloom" -> ((s, dir) => {
       // Bloom-tier RI: same catalog hole as g_ref_integrity; output is the
       // DISTINCT dangling refs — exact despite the probabilistic tier 1
@@ -448,6 +496,19 @@ object SparkEntry {
       Repair.log(t(s, dir, "documents"), repairRule, repairDefaults)
         .orderBy("doc_id", "path", "rule")
     }),
+    "v_migrate" -> ((s, dir) =>
+      // schema-migration audit over orders: per-column action + how many
+      // values the lossy casts nulled (o_orderstatus -> bigint fails for
+      // every 'O'/'F'/'P'; o_custkey -> int and timestamp -> date never do)
+      Migrate.audit(t(s, dir, "orders"), migrateTargets).orderBy("column")),
+    "v_migrate_rows" -> ((s, dir) =>
+      // the migrated table itself: try_cast semantics, added default
+      // column, extras dropped; dates rendered as strings for the oracle
+      Migrate.migrate(t(s, dir, "orders"), migrateTargets)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_date"),
+          col("channel"))
+        .orderBy("o_orderkey")),
     "g_reconcile" -> ((s, dir) => {
       // aggregate reconciliation of the orders fact vs a deterministically
       // corrupted replica (okey % 97 rows dropped; okey % 101 totals +10.00):
@@ -654,6 +715,44 @@ object SparkEntry {
       Dedup.ngramJaccard(docs, pairs, "doc_id", "text", k = 1)
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
         .orderBy("id_a")
+    }),
+    "d_dedup_incr" -> ((s, dir) => {
+      // INCREMENTAL dedup: the "new batch" (doc_id % 7 == 3) against the
+      // indexed history (the rest). History is banded once at index-build
+      // time and never re-shingled at probe time; with bands == numHashes
+      // the verified output equals brute-force new-x-base (same
+      // oracle-equivalence argument as d_dedup_minhash).
+      val docs = t(s, dir, "documents")
+      val base = docs.filter(pmod(col("doc_id"), lit(7L)) =!= 3L)
+      val fresh = docs.filter(pmod(col("doc_id"), lit(7L)) === 3L)
+      val idx = s"${System.getProperty("java.io.tmpdir")}/graft_mh_idx_${dir.hashCode}"
+      if (!new java.io.File(idx + "/_SUCCESS").exists())
+        Dedup.minHashWriteIndex(base, "doc_id", "text", idx,
+          k = 3, numHashes = 32, bands = 32)
+      Dedup.incrementalNearDups(fresh, base, idx, "doc_id", "text",
+          k = 3, numHashes = 32, bands = 32, threshold = 0.5)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+        .orderBy("id_a", "id_b")
+    }),
+    "d_manifest" -> ((s, dir) => {
+      // order-independent per-source content manifest (the cross-copy
+      // integrity check): 40-bit md5-prefix digests summed per partition
+      Integrity.contentManifest(t(s, dir, "documents"), col("source"),
+          manifestContent)
+        .orderBy("part")
+    }),
+    "d_manifest_diff" -> ((s, dir) => {
+      // manifest comparison of the corpus vs a deliberately mutated copy
+      // (doc_id % 101 == 7 corrupted, src3 dropped): one row per differing
+      // part — digest catches the content change row counts can't see
+      val docs = t(s, dir, "documents")
+      val a = Integrity.contentManifest(docs, col("source"), manifestContent)
+      val mutated = docs.filter(col("source") =!= "src3")
+        .withColumn("text",
+          when(pmod(col("doc_id"), lit(101L)) === 7L, lit("corrupted"))
+            .otherwise(col("text")))
+      val b = Integrity.contentManifest(mutated, col("source"), manifestContent)
+      Integrity.manifestDiff(a, b).orderBy("part")
     }),
     "d_contamination" -> ((s, dir) => {
       // benchmark-contamination: every 50th doc doubles as a "benchmark
@@ -1897,6 +1996,79 @@ object SparkEntry {
         |SELECT id_a, id_b, round(CASE WHEN u = 0 THEN 0.0 ELSE i / u END, 4) AS jaccard
         |FROM pairs WHERE (CASE WHEN u = 0 THEN 0.0 ELSE i / u END) >= 0.5
         |ORDER BY id_a, id_b""".stripMargin,
+    "d_dedup_incr" ->
+      """WITH toks AS (SELECT doc_id,
+        |    string_split(lower(regexp_replace(trim(text), '\s+', ' ', 'g')), ' ') AS t
+        |  FROM documents),
+        |sh AS (SELECT doc_id,
+        |    CASE WHEN len(t) >= 3 THEN list_distinct(list_transform(
+        |      generate_series(1, len(t) - 2), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+        |    ELSE CAST([] AS VARCHAR[]) END AS s
+        |  FROM toks),
+        |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) AS i,
+        |    CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS DOUBLE) AS u
+        |  FROM sh a JOIN sh b ON a.doc_id % 7 = 3 AND b.doc_id % 7 <> 3)
+        |SELECT id_a, id_b, round(CASE WHEN u = 0 THEN 0.0 ELSE i / u END, 4) AS jaccard
+        |FROM pairs WHERE (CASE WHEN u = 0 THEN 0.0 ELSE i / u END) >= 0.5
+        |ORDER BY id_a, id_b""".stripMargin,
+    "d_manifest" ->
+      s"""WITH c AS (SELECT source AS part, md5($manifestContentSql) AS fp
+        |  FROM documents)
+        |SELECT part, count(*) AS n_rows, sum(${hex10ToBigintSql("fp")}) AS digest_sum,
+        |  min(fp) AS fp_min, max(fp) AS fp_max
+        |FROM c GROUP BY part ORDER BY part""".stripMargin,
+    "d_manifest_diff" ->
+      s"""WITH ca AS (SELECT source AS part, md5($manifestContentSql) AS fp
+        |  FROM documents),
+        |a AS (SELECT part, count(*) AS rows_a, sum(${hex10ToBigintSql("fp")}) AS dig_a
+        |  FROM ca GROUP BY part),
+        |cb AS (SELECT source AS part, md5(concat_ws(chr(1), CAST(doc_id AS VARCHAR),
+        |    CASE WHEN doc_id % 101 = 7 THEN 'corrupted' ELSE text END,
+        |    coalesce(lang, '?'), CAST(n_chars AS VARCHAR))) AS fp
+        |  FROM documents WHERE source <> 'src3'),
+        |b AS (SELECT part, count(*) AS rows_b, sum(${hex10ToBigintSql("fp")}) AS dig_b
+        |  FROM cb GROUP BY part)
+        |SELECT coalesce(a.part, b.part) AS part,
+        |  CASE WHEN a.part IS NULL THEN 'added'
+        |       WHEN b.part IS NULL THEN 'removed' ELSE 'changed' END AS status,
+        |  rows_a, rows_b, dig_a, dig_b
+        |FROM a FULL OUTER JOIN b ON a.part = b.part
+        |WHERE a.part IS NULL OR b.part IS NULL
+        |   OR rows_a <> rows_b OR dig_a <> dig_b
+        |ORDER BY part""".stripMargin,
+    "g_fk_card" ->
+      """WITH cnt AS (SELECT o_custkey AS k, count(*) AS n FROM orders GROUP BY 1),
+        |p AS (SELECT DISTINCT c_custkey AS key FROM customer)
+        |SELECT key, coalesce(n, CAST(0 AS BIGINT)) AS n_children,
+        |  CASE WHEN coalesce(n, 0) < 1 THEN 'below_min' ELSE 'above_max' END AS reason
+        |FROM p LEFT JOIN cnt ON key = k
+        |WHERE coalesce(n, 0) < 1 OR coalesce(n, 0) > 25
+        |ORDER BY key""".stripMargin,
+    "v_migrate" ->
+      """WITH f AS (SELECT
+        |  sum(CASE WHEN o_custkey IS NOT NULL
+        |      AND TRY_CAST(o_custkey AS INTEGER) IS NULL THEN 1 ELSE 0 END) AS f_cust,
+        |  sum(CASE WHEN o_orderstatus IS NOT NULL
+        |      AND TRY_CAST(o_orderstatus AS BIGINT) IS NULL THEN 1 ELSE 0 END) AS f_status,
+        |  sum(CASE WHEN o_orderdate IS NOT NULL
+        |      AND TRY_CAST(o_orderdate AS DATE) IS NULL THEN 1 ELSE 0 END) AS f_date
+        |  FROM orders)
+        |SELECT * FROM (
+        |  SELECT 'channel' AS "column", 'add' AS action, CAST(0 AS BIGINT) AS cast_failures
+        |  UNION ALL SELECT 'o_custkey', 'cast', f_cust FROM f
+        |  UNION ALL SELECT 'o_orderdate', 'cast', f_date FROM f
+        |  UNION ALL SELECT 'o_orderkey', 'keep', 0
+        |  UNION ALL SELECT 'o_orderpriority', 'drop', 0
+        |  UNION ALL SELECT 'o_orderstatus', 'cast', f_status FROM f
+        |  UNION ALL SELECT 'o_totalprice', 'drop', 0)
+        |ORDER BY "column"""".stripMargin,
+    "v_migrate_rows" ->
+      """SELECT o_orderkey, TRY_CAST(o_custkey AS INTEGER) AS o_custkey,
+        |  TRY_CAST(o_orderstatus AS BIGINT) AS o_orderstatus,
+        |  strftime(TRY_CAST(o_orderdate AS DATE), '%Y-%m-%d') AS o_date,
+        |  'web' AS channel
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
     "p_split_heal" ->
       s"""WITH RECURSIVE toks AS (SELECT doc_id,
         |    string_split(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')), ' ') AS t

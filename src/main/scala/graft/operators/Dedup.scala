@@ -383,6 +383,56 @@ object Dedup {
       .filter(col("containment") >= minContainment)
   }
 
+  /** Persist the LSH band-bucket index of a corpus for INCREMENTAL dedup:
+    * (id, band_idx, band_hash) rows, band-partitioned on disk. A daily
+    * increment is then deduplicated against the full history by hashing
+    * only the NEW docs and joining their bands against this index — the
+    * historical corpus is never re-read, never re-shingled. Oversized
+    * buckets (> maxBucket members — boilerplate) are dropped at BUILD
+    * time, same policy as the batch path, so every later probe pays zero
+    * bucket-size accounting.
+    *
+    * One corpus scan; `repartition(band_idx)` gives one writer per band
+    * directory (no small-file explosion — the same fix the ANN index
+    * needed, Similarity.lshWriteIndex).
+    */
+  def minHashWriteIndex(df: DataFrame, idCol: String, textCol: String,
+      dir: String, k: Int = 3, numHashes: Int = 32, bands: Int = 32,
+      maxBucket: Int = 1000): Unit =
+    dropOversizedBuckets(lshBands(df, idCol, textCol, k, numHashes, bands),
+      Seq("band_idx", "band_hash"), maxBucket)
+      .repartition(col("band_idx"))
+      .write.mode("overwrite").partitionBy("band_idx").parquet(dir)
+
+  /** Near-duplicates of a NEW batch against an indexed historical corpus:
+    * (id_a = new id, id_b = base id, jaccard), exact-verified at >=
+    * threshold. Candidates come from joining the new batch's bands against
+    * the persisted index (shuffle is band-row-sized on the new side — the
+    * small side — and candidate-mass-bounded); verification shingles only
+    * the docs that appear in a candidate pair (`ngramJaccard` over the
+    * union of both text sources). New-batch ids must be disjoint from base
+    * ids. With bands == numHashes the output equals the brute-force
+    * new-x-base answer at the usual (1-j)^numHashes miss bound, which is
+    * what makes the incremental path oracle-checkable.
+    */
+  def incrementalNearDups(newDocs: DataFrame, baseDocs: DataFrame,
+      indexDir: String, idCol: String, textCol: String, k: Int = 3,
+      numHashes: Int = 32, bands: Int = 32, threshold: Double = 0.5,
+      maxBucket: Int = 1000): DataFrame = {
+    val idx = newDocs.sparkSession.read.parquet(indexDir)
+      .select(col("band_idx"), col("band_hash"), col("id").as("id_b"))
+    val nb = dropOversizedBuckets(
+      lshBands(newDocs, idCol, textCol, k, numHashes, bands),
+      Seq("band_idx", "band_hash"), maxBucket)
+      .select(col("band_idx"), col("band_hash"), col("id").as("id_a"))
+    val cands = nb.join(idx, Seq("band_idx", "band_hash"))
+      .select("id_a", "id_b").distinct()
+    val texts = newDocs.select(col(idCol), col(textCol))
+      .unionByName(baseDocs.select(col(idCol), col(textCol)))
+    ngramJaccard(texts, cands, idCol, textCol, k)
+      .filter(col("jaccard") >= threshold)
+  }
+
   /** Exact n-gram Jaccard similarity for given candidate pairs — the
     * verification stage after LSH narrows candidates (never run all-pairs at
     * scale). `pairs` must have (id_a, id_b).

@@ -112,4 +112,31 @@ object RefIntegrity {
         maybePresent(col("media_ref")) && col("media_ref") === col("_cat_ref"),
         "left_anti")
   }
+
+  /** Foreign-key cardinality contract: every parent key must have between
+    * `minPerParent` and `maxPerParent` child rows. Returns one row per
+    * violating parent: (key, n_children, reason) with reason `below_min`
+    * (including parents with zero children) or `above_max`. The existence
+    * half of referential integrity is [[dangling]]; this is the
+    * cardinality half (an order with 10^6 line items, a customer with no
+    * orders) — the shape drift that silently breaks per-parent
+    * aggregations downstream.
+    *
+    * Scale shape: child counts come from a map-side-combined groupBy (one
+    * row per distinct key crosses the wire), the parent join is key-sized
+    * on both sides, and only violators survive the filter — output is
+    * violation-sized, never child-sized.
+    */
+  def cardinalityViolations(parent: DataFrame, parentKey: String,
+      child: DataFrame, childKey: String,
+      minPerParent: Long, maxPerParent: Long): DataFrame = {
+    val counts = child.groupBy(col(childKey).as("_k"))
+      .agg(count(lit(1)).as("_n"))
+    parent.select(col(parentKey).as("key")).distinct()
+      .join(counts, col("key") <=> col("_k"), "left")
+      .select(col("key"), coalesce(col("_n"), lit(0L)).as("n_children"))
+      .filter(col("n_children") < minPerParent || col("n_children") > maxPerParent)
+      .withColumn("reason",
+        when(col("n_children") < minPerParent, "below_min").otherwise("above_max"))
+  }
 }
