@@ -2015,19 +2015,19 @@ object SparkEntry {
     "d_manifest" ->
       s"""WITH c AS (SELECT source AS part, md5($manifestContentSql) AS fp
         |  FROM documents)
-        |SELECT part, count(*) AS n_rows, sum(${hex10ToBigintSql("fp")}) AS digest_sum,
+        |SELECT part, count(*) AS n_rows, CAST(sum(${hex10ToBigintSql("fp")}) AS BIGINT) AS digest_sum,
         |  min(fp) AS fp_min, max(fp) AS fp_max
         |FROM c GROUP BY part ORDER BY part""".stripMargin,
     "d_manifest_diff" ->
       s"""WITH ca AS (SELECT source AS part, md5($manifestContentSql) AS fp
         |  FROM documents),
-        |a AS (SELECT part, count(*) AS rows_a, sum(${hex10ToBigintSql("fp")}) AS dig_a
+        |a AS (SELECT part, count(*) AS rows_a, CAST(sum(${hex10ToBigintSql("fp")}) AS BIGINT) AS dig_a
         |  FROM ca GROUP BY part),
         |cb AS (SELECT source AS part, md5(concat_ws(chr(1), CAST(doc_id AS VARCHAR),
         |    CASE WHEN doc_id % 101 = 7 THEN 'corrupted' ELSE text END,
         |    coalesce(lang, '?'), CAST(n_chars AS VARCHAR))) AS fp
         |  FROM documents WHERE source <> 'src3'),
-        |b AS (SELECT part, count(*) AS rows_b, sum(${hex10ToBigintSql("fp")}) AS dig_b
+        |b AS (SELECT part, count(*) AS rows_b, CAST(sum(${hex10ToBigintSql("fp")}) AS BIGINT) AS dig_b
         |  FROM cb GROUP BY part)
         |SELECT coalesce(a.part, b.part) AS part,
         |  CASE WHEN a.part IS NULL THEN 'added'

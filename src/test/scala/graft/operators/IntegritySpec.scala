@@ -125,11 +125,20 @@ class IntegritySpec extends SparkSpec {
     assert(incr.nonEmpty, "expected at least one incremental near-dup")
     assert(incr.sameElements(batch),
       s"incr=${incr.mkString(",")} batch=${batch.mkString(",")}")
-    // the probe plan re-shingles ONLY the new batch for banding: exactly
-    // one MinHash banding kernel appears (the index side is a plain read)
+    // the probe plan re-shingles ONLY the new batch for banding; the
+    // historical corpus arrives as a bare parquet read of precomputed
+    // (band_idx, band_hash, id) rows. Asserted on the analyzed plan (the
+    // optimizer constant-folds the kernel over this suite's literal
+    // LocalRelation inputs, which a real parquet corpus never triggers).
+    // The single logical banding of the new batch renders as exactly 2
+    // textual occurrences — the oversized-bucket anti-join duplicates the
+    // subtree; re-banding the base corpus would add 2 more and drop the
+    // parquet relation.
     val plan = Dedup.incrementalNearDups(fresh, baseDocs, idx, "doc_id", "text")
-      .queryExecution.optimizedPlan.toString
+      .queryExecution.analyzed.toString
     val kernels = "minhashbands|MinHashBands".r.findAllIn(plan).length
-    assert(kernels == 1, s"expected 1 banding kernel in probe plan, got $kernels:\n$plan")
+    assert(kernels == 2, s"expected 2 textual banding kernels (new batch only) in probe plan, got $kernels:\n$plan")
+    assert("Relation \\[band_hash".r.findAllIn(plan).length == 1,
+      s"expected the index side to be a bare parquet band relation:\n$plan")
   }
 }
