@@ -34,6 +34,18 @@ object SparkEntry {
     }.mkString("(", " + ", ")")
   }
 
+  /** 8-hex-char twin of [[hex10ToBigintSql]] — replays the md5 coin of
+    * [[graft.operators.Mixture.sampleByRates]] (first 8 hex chars as an
+    * integer in [0, 2^32)).
+    */
+  private def hex8ToBigintSql(h: String): String = {
+    val weights = Seq(268435456L, 16777216L, 1048576L, 65536L, 4096L,
+      256L, 16L, 1L)
+    weights.zipWithIndex.map { case (w, i) =>
+      s"(strpos('0123456789abcdef', substr($h, ${i + 1}, 1)) - 1) * CAST($w AS BIGINT)"
+    }.mkString("(", " + ", ")")
+  }
+
   /** DuckDB twin of [[manifestContent]]. */
   private def manifestContentSql: String =
     "concat_ws(chr(1), CAST(doc_id AS VARCHAR), text, " +
@@ -958,6 +970,13 @@ object SparkEntry {
       // distinct-language and row counts
       Stats.fdViolations(t(s, dir, "documents"), "source", "lang")
     }),
+    "g_entropy" -> ((s, dir) => {
+      // per-column entropy/concentration health check on the enum-ish
+      // columns; H via the exact transform log2(N) - sum(c*log2 c)/N so
+      // the only floats are one log2 per distinct value
+      Stats.entropy(t(s, dir, "documents"), Seq("lang", "source"))
+        .orderBy("column")
+    }),
     "d_dup_clusters" -> ((s, dir) => {
       // transitive closure of the verified near-dup pairs: every doc in a
       // dup cluster gets the cluster's min doc_id + a keep flag for the
@@ -965,6 +984,18 @@ object SparkEntry {
       DupClusters.clusters(Dedup.nearDupPairsExact(t(s, dir, "documents"),
           "doc_id", "text", k = 3, numHashes = 32, bands = 16, threshold = 0.5))
         .select(col("id").as("doc_id"), col("cluster_id"), col("keep"))
+        .orderBy("doc_id")
+    }),
+    "d_dedup_keep" -> ((s, dir) => {
+      // quality-based retention over the same clusters: keep the LONGEST
+      // doc of each cluster (ties -> min id) and point every dropped doc
+      // at its replacement — the drop list a dedup pass actually applies
+      val docs = t(s, dir, "documents")
+      val cl = DupClusters.clusters(Dedup.nearDupPairsExact(docs,
+        "doc_id", "text", k = 3, numHashes = 32, bands = 16, threshold = 0.5))
+      DupClusters.retention(cl, docs, "doc_id", "n_chars")
+        .select(col("id").as("doc_id"), col("cluster_id"),
+          col("score").cast("long").as("n_chars"), col("keep"), col("kept_id"))
         .orderBy("doc_id")
     }),
     // ---------- deterministic sampling / curation ----------
@@ -1071,6 +1102,31 @@ object SparkEntry {
           date_format(col("last_ts"), "yyyy-MM-dd HH:mm:ss").as("last_ts"))
         .orderBy("user_id", "session_start")
     }),
+    "e_stream_dedup" -> ((s, dir) => {
+      // streaming exact dedup actually EXECUTED: re-send suppression via
+      // dropDuplicatesWithinWatermark over the documents stream (synthetic
+      // event time — documents carry none). WHICH physical row survives a
+      // within-batch tie is engine-internal, so the deterministic contract
+      // — and the oracle — is the distinct CONTENT set; the trailing
+      // distinct also absorbs any cross-batch re-emission beyond the
+      // watermark horizon (the operator's documented at-least-once edge)
+      val batch = t(s, dir, "documents")
+      val stream = s.readStream.schema(batch.schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(dir)
+        .filter(col("text").isNotNull)
+        .withColumn("ts", timestamp_seconds(
+          lit(1700000000L) + pmod(col("doc_id"), lit(86400L))))
+      val out = graft.streaming.StreamValidate.dedupStream(stream, "text", "ts")
+        .select(col("content_hash"))
+      val name = streamViewName(s, "stream_dedup")
+      val q = out.writeStream.format("memory").queryName(name)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table(name).distinct().orderBy("content_hash")
+    }),
     "e_json_props" -> ((s, dir) => {
       // semi-structured extraction: props is a JSON string; k in [0,100),
       // flag k >= 80 as out-of-policy per event_type
@@ -1105,6 +1161,39 @@ object SparkEntry {
         capacity = 512, shards = 8, shardCol = Some("_shard"))
       Packing.binFill(manifest, capacity = 512)
         .orderBy("shard", "bin")
+    }),
+    "p_pack_texts" -> ((s, dir) => {
+      // materialized training shards: the packed bins AS TEXT — straddling
+      // docs cut at the 512-token boundary, slices joined in stream order.
+      // Deterministic token-slice math, so the oracle replays every bin's
+      // full text
+      val docs = t(s, dir, "documents")
+        .withColumn("_shard", pmod(col("doc_id"), lit(8L)))
+        .withColumn("_nt", TextAnalysis.tokenCountWs(col("text")).cast("long"))
+      val manifest = Packing.packConcatCounted(docs, "doc_id", "_nt",
+        capacity = 512, shards = 8, shardCol = Some("_shard"))
+      Packing.packedTexts(manifest, docs, "doc_id", "text", capacity = 512)
+        .orderBy("shard", "bin")
+    }),
+    "p_mixture" -> ((s, dir) => {
+      // data-mixture plan: target shares by character mass with a 0.8
+      // per-source rate ceiling — the binding source sits exactly at 0.8,
+      // the others scale to keep the requested proportions
+      Mixture.rates(t(s, dir, "documents"), "source", "n_chars",
+          Map("src0" -> 0.4, "src1" -> 0.35, "src2" -> 0.25), maxRate = 0.8)
+        .select(col("source"), col("mass"), col("target_w"),
+          round(col("rate"), 6).as("rate"), col("planned_mass"))
+        .orderBy("source")
+    }),
+    "p_mixture_sample" -> ((s, dir) => {
+      // the mixture materialized: md5-coin per doc under its source's
+      // data-dependent rate — deterministic, so the oracle re-derives the
+      // exact row set
+      val docs = t(s, dir, "documents")
+      val plan = Mixture.rates(docs, "source", "n_chars",
+        Map("src0" -> 0.4, "src1" -> 0.35, "src2" -> 0.25), maxRate = 0.8)
+      Mixture.sampleByRates(docs, "doc_id", "source", plan)
+        .select(col("doc_id"), col("source")).orderBy("doc_id")
     }),
     "s_quantize" -> ((s, dir) => {
       // int8 embedding quantization in long form (id, scale, dim, q):
@@ -2108,6 +2197,22 @@ object SparkEntry {
         |FROM documents WHERE source IS NOT NULL
         |GROUP BY source HAVING count(DISTINCT lang) > 1
         |ORDER BY det""".stripMargin,
+    // entropy: NULL is a value; the only floats are one log2 per distinct
+    // value, 6dp-rounded per the cross-engine float policy
+    "g_entropy" ->
+      """WITH c AS (
+        |  SELECT 'lang' AS colname, CAST(lang AS VARCHAR) AS value FROM documents
+        |  UNION ALL
+        |  SELECT 'source', CAST(source AS VARCHAR) FROM documents),
+        |g AS (SELECT colname, value, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM c GROUP BY 1, 2)
+        |SELECT colname AS "column", CAST(sum(cnt) AS BIGINT) AS n,
+        |  CAST(count(*) AS BIGINT) AS n_distinct,
+        |  round(log2(CAST(sum(cnt) AS DOUBLE))
+        |    - sum(CAST(cnt AS DOUBLE) * log2(cnt)) / CAST(sum(cnt) AS DOUBLE), 6)
+        |    AS entropy_bits,
+        |  round(CAST(max(cnt) AS DOUBLE) / CAST(sum(cnt) AS DOUBLE), 6) AS top_share
+        |FROM g GROUP BY 1 ORDER BY "column"""".stripMargin,
     "p_split_leak" ->
       s"""WITH toks AS (SELECT doc_id,
         |    string_split(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')), ' ') AS t
@@ -2309,6 +2414,13 @@ object SparkEntry {
         |  strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS last_ts
         |FROM sess GROUP BY user_id, sid
         |ORDER BY user_id, session_start""".stripMargin,
+    // streaming dedup: the surviving row of a tie is engine-internal, the
+    // distinct normalized-content set is the contract
+    "e_stream_dedup" ->
+      """SELECT DISTINCT md5(lower(regexp_replace(text, '\s+', ' ', 'g')))
+        |  AS content_hash
+        |FROM documents WHERE text IS NOT NULL
+        |ORDER BY content_hash""".stripMargin,
     "e_sessions" ->
       """WITH gaps AS (SELECT user_id, ts,
         |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev
@@ -2470,6 +2582,63 @@ object SparkEntry {
         |    - greatest(start_off, bin * 512)) AS BIGINT) AS fill,
         |  CAST(count(*) AS BIGINT) AS n_docs
         |FROM x GROUP BY shard, bin ORDER BY shard, bin""".stripMargin,
+    // packed-bin materialization: identical manifest CTE, then 1-based
+    // inclusive list_slice == Spark's slice(from, len), slices joined in
+    // stream order
+    "p_pack_texts" ->
+      """WITH d AS (SELECT doc_id AS id,
+        |    regexp_split_to_array(trim(text), '\s+') AS toks,
+        |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+        |         ELSE len(regexp_split_to_array(trim(text), '\s+')) END
+        |      AS BIGINT) AS n_tokens,
+        |    CAST(doc_id % 8 AS INT) AS shard
+        |  FROM documents),
+        |p AS (SELECT shard, id, toks, n_tokens,
+        |    CAST(coalesce(sum(n_tokens) OVER (PARTITION BY shard ORDER BY id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |      AS start_off
+        |  FROM d WHERE n_tokens > 0),
+        |x AS (SELECT shard, toks, n_tokens, start_off,
+        |    CAST(unnest(generate_series(CAST(floor(start_off / 512) AS BIGINT),
+        |      CAST(floor((start_off + n_tokens - 1) / 512) AS BIGINT)))
+        |      AS BIGINT) AS bin
+        |  FROM p),
+        |sl AS (SELECT shard, bin, start_off,
+        |    array_to_string(list_slice(toks,
+        |      CAST(greatest(start_off, bin * 512) - start_off + 1 AS INT),
+        |      CAST(least(start_off + n_tokens, bin * 512 + 512) - start_off
+        |        AS INT)), ' ') AS piece
+        |  FROM x)
+        |SELECT shard, bin, CAST(count(*) AS BIGINT) AS n_docs,
+        |  string_agg(piece, ' ' ORDER BY start_off) AS text
+        |FROM sl GROUP BY shard, bin ORDER BY shard, bin""".stripMargin,
+    // mixture plan: exact BIGINT masses, rate arithmetic in the same IEEE
+    // expression order as the engine; the binding source sits at maxRate
+    "p_mixture" ->
+      """WITH m AS (SELECT source, CAST(sum(n_chars) AS BIGINT) AS mass
+        |  FROM documents GROUP BY 1),
+        |t(source, target_w) AS (VALUES ('src0', 0.4), ('src1', 0.35),
+        |  ('src2', 0.25)),
+        |j AS (SELECT m.source, mass, target_w FROM m JOIN t ON m.source = t.source),
+        |tot AS (SELECT min(0.8 * mass / target_w) AS t_mass FROM j)
+        |SELECT source, mass, target_w,
+        |  round(target_w * t_mass / mass, 6) AS rate,
+        |  CAST(floor((target_w * t_mass / mass) * mass) AS BIGINT) AS planned_mass
+        |FROM j, tot ORDER BY source""".stripMargin,
+    "p_mixture_sample" ->
+      s"""WITH m AS (SELECT source, CAST(sum(n_chars) AS BIGINT) AS mass
+        |  FROM documents GROUP BY 1),
+        |t(source, target_w) AS (VALUES ('src0', 0.4), ('src1', 0.35),
+        |  ('src2', 0.25)),
+        |j AS (SELECT m.source, mass, target_w FROM m JOIN t ON m.source = t.source),
+        |tot AS (SELECT min(0.8 * mass / target_w) AS t_mass FROM j),
+        |r AS (SELECT source, target_w * t_mass / mass AS rate FROM j, tot),
+        |c AS (SELECT doc_id, d.source,
+        |    substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS h, rate
+        |  FROM documents d JOIN r ON d.source = r.source)
+        |SELECT doc_id, source FROM c
+        |WHERE ${hex8ToBigintSql("h")} < CAST(floor(rate * 4294967296.0) AS BIGINT)
+        |ORDER BY doc_id""".stripMargin,
     // int8 quantization: floor(x/scale*127 + 0.5) over exact float->double
     // casts reproduces bit-for-bit in any IEEE engine
     "s_quantize" ->
@@ -2674,6 +2843,37 @@ object SparkEntry {
         |  SELECT e.x, r.y FROM edges e JOIN reach r ON e.y = r.x)
         |SELECT x AS doc_id, min(y) AS cluster_id, (x = min(y)) AS keep
         |FROM reach GROUP BY x ORDER BY doc_id""".stripMargin,
+    // same transitive closure, then quality retention: longest doc wins,
+    // ties -> min id; every member learns the winner's id
+    "d_dedup_keep" ->
+      """WITH RECURSIVE toks AS (SELECT doc_id,
+        |    string_split(lower(regexp_replace(trim(text), '\s+', ' ', 'g')), ' ') AS t
+        |  FROM documents),
+        |sh AS (SELECT doc_id,
+        |    CASE WHEN len(t) >= 3 THEN list_distinct(list_transform(
+        |      generate_series(1, len(t) - 2), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+        |    ELSE CAST([] AS VARCHAR[]) END AS s
+        |  FROM toks),
+        |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE (CASE WHEN len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) = 0
+        |    THEN 0.0 ELSE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+        |      / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) END) >= 0.5),
+        |edges AS (SELECT id_a AS x, id_b AS y FROM pairs
+        |  UNION SELECT id_b AS x, id_a AS y FROM pairs),
+        |reach(x, y) AS (
+        |  SELECT s.x AS x, s.x AS y FROM (SELECT DISTINCT x FROM edges) s
+        |  UNION
+        |  SELECT e.x, r.y FROM edges e JOIN reach r ON e.y = r.x),
+        |cl AS (SELECT x AS doc_id, min(y) AS cluster_id FROM reach GROUP BY x),
+        |mem AS (SELECT c.doc_id, c.cluster_id, d.n_chars
+        |  FROM cl c JOIN documents d ON c.doc_id = d.doc_id)
+        |SELECT doc_id, cluster_id, n_chars,
+        |  (doc_id = first_value(doc_id) OVER wq) AS keep,
+        |  first_value(doc_id) OVER wq AS kept_id
+        |FROM mem
+        |WINDOW wq AS (PARTITION BY cluster_id ORDER BY n_chars DESC, doc_id)
+        |ORDER BY doc_id""".stripMargin,
     // LSH replay: the plane matrix is injected as literals; buckets are
     // bit-identical because both engines fold the same doubles in the same
     // order (list_reduce is left-to-right like Spark's aggregate HOF)

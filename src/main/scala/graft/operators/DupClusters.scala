@@ -103,4 +103,31 @@ object DupClusters {
     connectedComponents(pairs, idA, idB, maxIter)
       .select(col("id"), col("comp").as("cluster_id"),
         (col("id") === col("comp")).as("keep"))
+
+  /** Quality-based retention: instead of keep-min-id, keep the HIGHEST
+    * `scoreCol` doc of each cluster (ties → min id), and tell every
+    * dropped doc which doc replaced it — the drop list a dedup pass
+    * actually applies, and the redirect map downstream provenance needs.
+    * Output: (id, cluster_id, score, keep, kept_id), one row per
+    * CLUSTERED doc (docs in no cluster are trivially kept and not
+    * re-emitted — the output stays drop-list-sized, never corpus-sized).
+    *
+    * Scale: one join of the cluster membership (pair-list-sized) against
+    * the docs' (id, score) projection; the winner per cluster is a
+    * map-side-combined `min(struct(-score, id))` aggregate (1 row per
+    * cluster per upstream partition in the shuffle — a mega-cluster never
+    * buffers its membership), joined back cluster-count-sized (AQE
+    * broadcasts it when small).
+    */
+  def retention(clusterDf: DataFrame, docs: DataFrame, idCol: String,
+      scoreCol: String): DataFrame = {
+    val members = clusterDf.select(col("id"), col("cluster_id"))
+      .join(docs.select(col(idCol).as("id"), col(scoreCol).as("score")), Seq("id"))
+    val winners = members.groupBy(col("cluster_id"))
+      .agg(min(struct((col("score") * -1).as("neg_score"), col("id"))).as("w"))
+      .select(col("cluster_id"), col("w.id").as("kept_id"))
+    members.join(winners, Seq("cluster_id"))
+      .select(col("id"), col("cluster_id"), col("score"),
+        (col("id") === col("kept_id")).as("keep"), col("kept_id"))
+  }
 }

@@ -85,4 +85,46 @@ object Packing {
       .groupBy(col("shard"), col("bin"))
       .agg(sum(col("tokens_in_bin")).as("fill"),
         count(lit(1)).as("n_docs"))
+
+  /** Materialize the packed bins as text — the training-shard writer that
+    * turns manifest + corpus into actual fixed-capacity sequences. Each
+    * document contributes the token slice that falls inside each bin it
+    * touches (straddlers are cut at the boundary, exactly as the manifest
+    * math says); a bin's text is its slices joined in stream order with a
+    * single space. Whitespace runs inside documents collapse to one space
+    * (the token stream has no "wide" separators).
+    *
+    * Output: (shard, bin, n_docs, text). `manifest` must come from
+    * [[packConcatCounted]] over whitespace token counts of `textCol` — the
+    * slice math relies on n_tokens == size(split(trim(text), "\\s+")).
+    *
+    * Scale: one join manifest × docs on id (both sides corpus-sized, AQE
+    * picks the strategy), a bin-overlap explode (output rows = stream
+    * slices, same cardinality [[binFill]] handles), and ONE shuffle to
+    * group slices into bins. The per-bin state is `capacity` tokens by
+    * construction — no skew risk. Output is the packed corpus itself, so
+    * output size == input token mass: inherent to materialization, not a
+    * plan defect.
+    */
+  def packedTexts(manifest: DataFrame, docs: DataFrame, idCol: String,
+      textCol: String, capacity: Int): DataFrame =
+    manifest
+      .join(docs.select(col(idCol).as("id"),
+        split(trim(col(textCol)), "\\s+").as("_toks")), Seq("id"))
+      .withColumn("bin", explode(sequence(col("first_bin"),
+        col("first_bin") + col("n_bins") - 1L)))
+      .withColumn("bin_start", col("bin") * capacity)
+      .withColumn("_from",
+        (greatest(col("start_off"), col("bin_start")) - col("start_off") + 1L)
+          .cast("int"))
+      .withColumn("_len",
+        (least(col("start_off") + col("n_tokens"), col("bin_start") + capacity)
+          - greatest(col("start_off"), col("bin_start"))).cast("int"))
+      .withColumn("_piece",
+        array_join(slice(col("_toks"), col("_from"), col("_len")), " "))
+      .groupBy(col("shard"), col("bin"))
+      .agg(count(lit(1)).as("n_docs"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("start_off"), col("_piece")))),
+          s => s.getField("_piece")), " ").as("text"))
 }

@@ -114,6 +114,37 @@ object Stats {
       hll_sketch_estimate(hll_union_agg(col("sketch"))).as("distinct_estimate"),
       sum(col("rows")).as("rows"))
 
+  /** Per-column Shannon entropy and concentration — the "is this column
+    * degenerate / skewed / leaking a constant" signal a corpus health
+    * check reads next to null rates: (column, n, n_distinct, entropy_bits,
+    * top_share). Uses the exact transform H = log2(N) - (Σ c·log2 c)/N
+    * over per-value counts, so the only floating point is one log2 per
+    * DISTINCT value — replayable by any IEEE engine (output rounded 6dp;
+    * cross-engine float-sum policy).
+    *
+    * Scale: one map-side-combined groupBy per requested column
+    * (distinct-value-sized shuffles — cheap for the enum-ish columns this
+    * is for; for unbounded-cardinality columns use the HLL/CMS tier,
+    * [[partitionSketches]] / [[heavyHittersSketch]], instead). NULL is a
+    * value (a 99%-null column IS concentrated).
+    */
+  def entropy(df: DataFrame, columns: Seq[String]): DataFrame = {
+    require(columns.nonEmpty, "entropy: need at least one column")
+    columns.map { c =>
+      df.groupBy(col(c).cast(StringType).as("value"))
+        .agg(count(lit(1)).as("cnt"))
+        .select(lit(c).as("column"), col("cnt"))
+    }.reduce(_ unionByName _)
+      .groupBy(col("column"))
+      .agg(sum(col("cnt")).as("n"),
+        count(lit(1)).as("n_distinct"),
+        max(col("cnt")).as("top_cnt"),
+        sum(col("cnt").cast("double") * log2(col("cnt"))).as("clogc"))
+      .select(col("column"), col("n"), col("n_distinct"),
+        round(log2(col("n")) - col("clogc") / col("n"), 6).as("entropy_bits"),
+        round(col("top_cnt").cast("double") / col("n"), 6).as("top_share"))
+  }
+
   /** Functional-dependency audit: determinant values that map to MORE than
     * one dependent value — the violation report for an expected
     * `det → dep` dependency (producer id → schema version, media_ref →
