@@ -385,6 +385,25 @@ object SparkEntry {
           SpanInvariant.predCol(col("spans")).as("pass"))
         .orderBy(col("doc_id").cast("long"))
     }),
+    "v_span_patterns" -> ((s, dir) => {
+      // interleave-structure profile of the multimodal corpus: each doc's
+      // kind sequence compressed to a 't'/'m' pattern string, histogrammed
+      // with span/media totals — how text and media actually interleave,
+      // by doc shape. Scan + one map-side-combined groupBy on a
+      // bounded-cardinality pattern key
+      derivedDocs(s, dir)
+        .select(
+          array_join(transform(col("spans"),
+            x => substring(x.getField("kind"), 1, 1)), "").as("pattern"),
+          size(col("spans")).cast("long").as("n_spans"),
+          size(filter(col("spans"),
+            x => x.getField("kind") === "media")).cast("long").as("n_media"))
+        .groupBy(col("pattern"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_spans")).as("spans_total"),
+          sum(col("n_media")).as("media_total"))
+        .orderBy("pattern")
+    }),
     "q_verdicts" -> ((s, dir) => {
       val docs = derivedDocs(s, dir)
         .withColumn("violations", SpanInvariant.violationsCol(col("spans")))
@@ -611,6 +630,27 @@ object SparkEntry {
           (abs(col("hll_est") - col("exact_distinct"))
             <= col("exact_distinct") * 0.05).as("hll_within_5pct"))
         .orderBy("column")
+    }),
+    "g_stats_merge" -> ((s, dir) => {
+      // INCREMENTAL cardinality: per-partition mergeable HLL sketches
+      // materialized first (the resumable building block — each shard
+      // profiles independently, a coordinator unions sketch bytes without
+      // rescanning), then unioned to a global estimate. Checked-row shape
+      // like g_stats_hll: exact values hash-compare, the merged estimate
+      // rides as a value-bound flag the oracle asserts literally true.
+      val docs = t(s, dir, "documents")
+        .withColumn("part", pmod(col("doc_id"), lit(16L)))
+      val sketches = Stats.partitionSketches(docs, "text", "part")
+      val merged = Stats.unionSketches(sketches)
+        .select(col("distinct_estimate"), col("rows").as("sketch_rows"))
+      val exact = docs.agg(
+        countDistinct(col("text")).as("exact_distinct"),
+        count(lit(1)).as("n_rows"))
+      merged.crossJoin(exact)
+        .select(col("n_rows"), col("exact_distinct"),
+          (col("sketch_rows") === col("n_rows")).as("merged_rows_match"),
+          (abs(col("distinct_estimate") - col("exact_distinct"))
+            <= col("exact_distinct") * 0.05).as("merged_hll_within_5pct"))
     }),
     "g_drift_psi" -> ((s, dir) => {
       val li = t(s, dir, "lineitem")
@@ -1680,6 +1720,25 @@ object SparkEntry {
         |    AS n_viol,
         |  count(CASE WHEN prev IS NOT NULL AND off <= prev THEN 1 END) = 0 AS pass
         |FROM adj GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin,
+    // the synthetic lineitem does NOT have unique l_linenumber per order
+    // (unlike real TPC-H) — the derivedDocs sort key (ln, pk, sk, qt, ep)
+    // IS total on this data (0 five-key duplicates), so the oracle must
+    // order by all five, exactly like v_span_invariant's lag
+    "v_span_patterns" ->
+      """WITH sp AS (SELECT l_orderkey,
+        |    CASE WHEN l_returnflag = 'R' THEN 'm' ELSE 't' END AS k,
+        |    l_linenumber, l_partkey, l_suppkey, l_quantity, l_extendedprice
+        |  FROM lineitem),
+        |pat AS (SELECT l_orderkey,
+        |    string_agg(k, '' ORDER BY l_linenumber, l_partkey, l_suppkey,
+        |      l_quantity, l_extendedprice) AS pattern,
+        |    CAST(count(*) AS BIGINT) AS n_spans,
+        |    CAST(sum(CASE WHEN k = 'm' THEN 1 ELSE 0 END) AS BIGINT) AS n_media
+        |  FROM sp GROUP BY l_orderkey)
+        |SELECT pattern, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_spans) AS BIGINT) AS spans_total,
+        |  CAST(sum(n_media) AS BIGINT) AS media_total
+        |FROM pat GROUP BY pattern ORDER BY pattern""".stripMargin,
     "q_verdicts" ->
       """WITH spans AS (SELECT l_orderkey, l_linenumber,
         |  CASE WHEN l_quantity > 45 THEN 0 ELSE l_linenumber*10 END AS off,
@@ -1943,6 +2002,13 @@ object SparkEntry {
         |SELECT 'l_returnflag', CAST(count(l_returnflag) AS BIGINT),
         |  CAST(count(DISTINCT l_returnflag) AS BIGINT), TRUE FROM lineitem
         |ORDER BY "column"""".stripMargin,
+    // merged per-partition sketches == one global profile: exact columns
+    // hashed, both merge-quality flags asserted literal TRUE
+    "g_stats_merge" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(count(DISTINCT text) AS BIGINT) AS exact_distinct,
+        |  TRUE AS merged_rows_match, TRUE AS merged_hll_within_5pct
+        |FROM documents""".stripMargin,
     "g_drift_psi" ->
       """WITH a AS (SELECT CAST(least(greatest(floor(((l_extendedprice - 0.0) / 120000.0)
         |    * 10), 0.0), 9.0) AS INT) AS bucket FROM lineitem WHERE l_returnflag = 'R'),

@@ -290,4 +290,56 @@ class PlanSpec extends SparkSpec {
     assert("Window".r.findAllIn(plan).length == 1,
       s"expected exactly one Window (small branch):\n$plan")
   }
+
+  test("mixture sample: broadcast-joined scan filter — no shuffle of the corpus") {
+    val docs = spark.range(0, 5000)
+      .select(col("id"), concat(lit("s"), pmod(col("id"), lit(3))).as("source"),
+        (col("id") % 7 + 1).as("mass"))
+    val plan = Mixture.rates(docs, "source", "mass",
+      Map("s0" -> 0.5, "s1" -> 0.3, "s2" -> 0.2), maxRate = 0.9)
+    val sampled = Mixture.sampleByRates(docs, "id", "source", plan)
+    val p = planOf(sampled)
+    // the corpus side reaches the join through scan+filter only: the only
+    // Exchanges belong to the tiny rates sub-plan (per-source agg + 1-row
+    // min), and the corpus joins via BroadcastHashJoin
+    assert(p.contains("BroadcastHashJoin"), s"mixture join not broadcast:\n$p")
+    val corpusSide = p.linesIterator.toSeq
+      .takeWhile(l => !l.contains("BroadcastExchange"))
+    assert(!corpusSide.exists(_.contains("Exchange hashpartitioning")),
+      s"corpus shuffled before the mixture filter:\n$p")
+  }
+
+  test("retention winner agg is partially aggregated before its shuffle") {
+    val clusters = spark.range(100).select(col("id"),
+      (col("id") % 10).as("cluster_id"))
+    val docs = spark.range(100).select(col("id").as("doc_id"),
+      (col("id") % 13).as("quality"))
+    val p = planOf(DupClusters.retention(clusters, docs, "doc_id", "quality"))
+    // min(struct(...)) must map-side combine: a partial HashAggregate
+    // appears under the winners' Exchange (a mega-cluster contributes one
+    // row per upstream partition, not its membership)
+    assert("HashAggregate.*partial_min".r.findFirstIn(p.replace("\n", " "))
+      .isDefined || p.contains("partial_min") ||
+      ("HashAggregate\\(keys=\\[cluster_id".r.findAllIn(p).length >= 2),
+      s"no partial aggregation for the retention winner:\n$p")
+  }
+
+  test("packedTexts: exactly one shuffle groups slices into bins " +
+      "(plus the manifest's per-shard window)") {
+    val docs = spark.range(1, 200).select(col("id").as("doc_id"),
+        concat(lit("tok "), col("id"), lit(" end")).as("text"))
+      .withColumn("_shard", lit(0))
+      .withColumn("_nt", TextAnalysis.tokenCountWs(col("text")).cast("long"))
+    val manifest = Packing.packConcatCounted(docs, "doc_id", "_nt",
+      capacity = 16, shards = 1, shardCol = Some("_shard"))
+    val p = planOf(Packing.packedTexts(manifest, docs, "doc_id", "text",
+      capacity = 16))
+    // shuffles: 1 for the manifest running-sum window, 1 for the bin
+    // groupBy, plus at most the join's own distribution — but never a
+    // re-shuffle of already-grouped slices
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges <= 3, s"too many shuffles ($exchanges) in packedTexts:\n$p")
+    assert("Window".r.findAllIn(p).length == 1,
+      s"expected exactly the manifest window:\n$p")
+  }
 }
