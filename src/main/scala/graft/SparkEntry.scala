@@ -527,6 +527,18 @@ object SparkEntry {
       Repair.log(t(s, dir, "documents"), repairRule, repairDefaults)
         .orderBy("doc_id", "path", "rule")
     }),
+    "v_quarantine_replay" -> ((s, dir) => {
+      // the dead-letter lifecycle end to end: quarantined rows -> repair
+      // -> RE-ENFORCE. This rule set's repairs heal every quarantine cause
+      // (enum fallback, bound clamp, pattern fallback), so the whole queue
+      // re-admits; the oracle replays the exact readmitted values
+      val q = Enforce.quarantined(t(s, dir, "documents"), enforceExpectations)
+        .drop("_graft_failed")
+      val healed = Repair.repaired(q, repairRule, repairDefaults)
+      Enforce.kept(healed, enforceExpectations)
+        .select(col("doc_id"), col("lang"), col("n_chars"), col("source"))
+        .orderBy("doc_id")
+    }),
     "v_migrate" -> ((s, dir) =>
       // schema-migration audit over orders: per-column action + how many
       // values the lossy casts nulled (o_orderstatus -> bigint fails for
@@ -910,6 +922,22 @@ object SparkEntry {
     "t_top_tokens" -> ((s, dir) => {
       TextAnalysis.topTokens(t(s, dir, "documents"), "text", 20)
     }),
+    "t_boilerplate" -> ((s, dir) => {
+      // corpus boilerplate report: 3-shingles in >= 5 distinct docs (the
+      // synthetic corpus' shingle doc-frequency tops out small, so 5 is
+      // the interesting tail here; real corpora use hundreds)
+      Dedup.boilerplateShingles(t(s, dir, "documents"), "doc_id", "text",
+          k = 3, minDocs = 5)
+        .orderBy("shingle")
+    }),
+    "t_boiler_docs" -> ((s, dir) => {
+      // per-doc boilerplate share against the same strip list: the
+      // template-dominated-page gate
+      Dedup.boilerplateShare(t(s, dir, "documents"), "doc_id", "text",
+          k = 3, minDocs = 5)
+        .filter(col("n_boiler") > 0)
+        .orderBy("id")
+    }),
     "t_repetition" -> ((s, dir) => {
       TextAnalysis.repetitionSignals(t(s, dir, "documents"), "doc_id", "text")
         .withColumnRenamed("id", "doc_id")
@@ -1004,6 +1032,20 @@ object SparkEntry {
         .select(col("id").as("doc_id"), col("split"), col("healed_split"))
         .orderBy("doc_id")
     }),
+    "p_shuffle" -> ((s, dir) => {
+      // deterministic global shuffle: shard + epoch-0 position from
+      // md5('r5:'||id) — same order on any cluster size / input layout
+      Sampling.shuffleShards(t(s, dir, "documents"), "doc_id",
+          seed = "r5", nShards = 8)
+        .orderBy("shard", "pos")
+    }),
+    "g_corpus_card" -> ((s, dir) => {
+      // dataset-card summary per ingestion source: docs, corpus share,
+      // languages, character mass, exact median length
+      Stats.corpusCard(t(s, dir, "documents"), Seq("source"),
+          langCol = "lang", charCol = "n_chars")
+        .orderBy("source")
+    }),
     "g_fd" -> ((s, dir) => {
       // functional-dependency audit: `source -> lang` (each ingestion
       // source should emit one language); violating sources with their
@@ -1082,6 +1124,41 @@ object SparkEntry {
       // gap-based sessionization (30 min): per-user session/event counts
       Sessionize.sessionStats(t(s, dir, "events"), "user_id", "ts", gapMinutes = 30)
         .orderBy("user_id")
+    }),
+    "e_asof" -> ((s, dir) => {
+      // as-of join: every event picks the user's latest purchase at or
+      // before its timestamp (attribution / feature-at-event-time lookup).
+      // Oracle = DuckDB's NATIVE `ASOF LEFT JOIN` — a fully independent
+      // implementation of the same semantics.
+      val ev = t(s, dir, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"),
+          col("event_id").as("purchase_id"), col("value").as("purchase_value"))
+      Temporal.asofJoin(
+          ev.select(col("event_id"), col("user_id"), col("ts")),
+          purchases, "user_id", "ts", "ts",
+          Seq("purchase_id", "purchase_value"), tieBreak = col("purchase_id"))
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("t_us"),
+          col("asof_purchase_id"), col("asof_purchase_value"))
+        .orderBy("event_id")
+    }),
+    "e_range" -> ((s, dir) => {
+      // interval range join: events falling inside any purchase's 2-hour
+      // attribution window [ts, ts+2h), chunked on the hour so the
+      // inequality is a residual filter on an equi-join, never a theta-join
+      val ev = t(s, dir, "events")
+      val points = ev.select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("t_us"))
+      val windows = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"),
+          unix_micros(col("ts")).as("w_start"),
+          (unix_micros(col("ts")) + lit(7200000000L)).as("w_end"),
+          col("event_id").as("purchase_id"))
+      Temporal.rangeJoin(points, windows, "user_id", "t_us",
+          "w_start", "w_end", Seq("purchase_id"), chunk = 3600000000L)
+        .select(col("event_id"), col("purchase_id"))
+        .orderBy("event_id", "purchase_id")
     }),
     "e_stream_verdicts" -> ((s, dir) => {
       // STRUCTURED STREAMING through the driver oracle: the same events
@@ -1403,6 +1480,17 @@ object SparkEntry {
         pmod(col("doc_id"), lit(6L)).as("snapshot_seq"),
         col("n_chars").cast("long").as("bytes"))
       Layout.vacuumPlan(manifest, keepSnapshots = 2).orderBy("path")
+    }),
+    "l_asof" -> ((s, dir) => {
+      // time travel over the same synthetic manifest: VERSION AS OF 3
+      // resolves to snapshot seq 3 (newest <= 3) and lists its files —
+      // the fourth leg of table maintenance
+      val manifest = t(s, dir, "documents").select(
+        concat(lit("f-"),
+          lpad(pmod(col("doc_id"), lit(113L)).cast("string"), 3, "0")).as("path"),
+        pmod(col("doc_id"), lit(6L)).as("snapshot_seq"),
+        col("n_chars").cast("long").as("bytes"))
+      Layout.asOfFiles(manifest, asOfSeq = 3L).orderBy("path")
     }),
     "l_zorder" -> ((s, dir) => {
       // Morton key over (doc_id, text length): the clustering key an
@@ -1916,6 +2004,21 @@ object SparkEntry {
         |SELECT doc_id, 'source', 'pattern', source, 'src0'
         |FROM documents WHERE NOT regexp_matches(source, '^src[0-3]$')
         |ORDER BY doc_id, path, rule""".stripMargin,
+    // quarantine -> repair -> re-enforce: the repaired values of exactly
+    // the quarantined set (null-explicit per the enforce-oracle contract)
+    "v_quarantine_replay" ->
+      """WITH q AS (SELECT doc_id, lang, n_chars, source FROM documents
+        |  WHERE (lang IS NOT NULL AND lang NOT IN ('en','de','fr','es'))
+        |     OR (n_chars IS NOT NULL AND n_chars > 500))
+        |SELECT doc_id,
+        |  CASE WHEN lang IS NOT NULL AND lang NOT IN ('en','de','fr','es')
+        |       THEN 'en' ELSE lang END AS lang,
+        |  CAST(CASE WHEN n_chars IS NOT NULL AND n_chars > 500
+        |       THEN 500 ELSE n_chars END AS BIGINT) AS n_chars,
+        |  CASE WHEN source IS NOT NULL
+        |        AND NOT regexp_matches(source, '^src[0-3]$')
+        |       THEN 'src0' ELSE source END AS source
+        |FROM q ORDER BY doc_id""".stripMargin,
     "g_reconcile" ->
       """WITH base AS (SELECT strftime(o_orderdate, '%Y-%m') AS month, o_orderkey,
         |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders),
@@ -2279,6 +2382,27 @@ object SparkEntry {
         |    AS entropy_bits,
         |  round(CAST(max(cnt) AS DOUBLE) / CAST(sum(cnt) AS DOUBLE), 6) AS top_share
         |FROM g GROUP BY 1 ORDER BY "column"""".stripMargin,
+    // deterministic shuffle: replay the 40-bit md5 shard coin and the
+    // in-shard rank (md5 hex identical in both engines)
+    "p_shuffle" ->
+      s"""WITH k AS (SELECT doc_id,
+        |    md5('r5:' || CAST(doc_id AS VARCHAR)) AS key FROM documents),
+        |s AS (SELECT doc_id, key,
+        |    ${hex10ToBigintSql("key")} % 8 AS shard FROM k)
+        |SELECT doc_id, CAST(shard AS BIGINT) AS shard,
+        |  CAST(row_number() OVER (PARTITION BY shard ORDER BY key, doc_id)
+        |    AS BIGINT) AS pos
+        |FROM s ORDER BY shard, pos""".stripMargin,
+    "g_corpus_card" ->
+      """WITH g AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+        |    CAST(sum(n_chars) AS BIGINT) AS chars_total,
+        |    median(n_chars) AS chars_p50
+        |  FROM documents GROUP BY source)
+        |SELECT source, n_docs, n_langs, chars_total, chars_p50,
+        |  round(CAST(n_docs AS DOUBLE) /
+        |    (SELECT CAST(sum(n_docs) AS DOUBLE) FROM g), 6) AS doc_share
+        |FROM g ORDER BY source""".stripMargin,
     "p_split_leak" ->
       s"""WITH toks AS (SELECT doc_id,
         |    string_split(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')), ' ') AS t
@@ -2498,6 +2622,27 @@ object SparkEntry {
         |SELECT user_id, CAST(sum(is_new) AS BIGINT) AS n_sessions,
         |  CAST(count(*) AS BIGINT) AS n_events
         |FROM flags GROUP BY user_id ORDER BY user_id""".stripMargin,
+    // as-of join: DuckDB's NATIVE ASOF LEFT JOIN is the independent oracle
+    // (inclusive >= like the engine; right side unique per (user, ts))
+    "e_asof" ->
+      """SELECT e.event_id, e.user_id, epoch_us(e.ts) AS t_us,
+        |  p.purchase_id AS asof_purchase_id,
+        |  p.purchase_value AS asof_purchase_value
+        |FROM events e ASOF LEFT JOIN (
+        |  SELECT user_id, ts, event_id AS purchase_id, value AS purchase_value
+        |  FROM events WHERE event_type = 'purchase') p
+        |ON e.user_id = p.user_id AND e.ts >= p.ts
+        |ORDER BY e.event_id""".stripMargin,
+    // interval containment replayed as a plain inequality join (DuckDB is
+    // free to theta-join at oracle scale; the engine never does)
+    "e_range" ->
+      """WITH p AS (SELECT user_id, event_id AS purchase_id, epoch_us(ts) AS s,
+        |    epoch_us(ts) + 7200000000 AS e
+        |  FROM events WHERE event_type = 'purchase'),
+        |ev AS (SELECT event_id, user_id, epoch_us(ts) AS t FROM events)
+        |SELECT ev.event_id, p.purchase_id
+        |FROM ev JOIN p ON ev.user_id = p.user_id AND ev.t >= p.s AND ev.t < p.e
+        |ORDER BY event_id, purchase_id""".stripMargin,
     "e_json_props" ->
       """WITH ev AS (SELECT event_type,
         |    CAST(json_extract_string(props, '$.k') AS INT) AS k FROM events)
@@ -2793,6 +2938,34 @@ object SparkEntry {
         |SELECT token, CAST(count(*) AS BIGINT) AS occurrences
         |FROM w WHERE token <> ''
         |GROUP BY token ORDER BY occurrences DESC, token LIMIT 20""".stripMargin,
+    // boilerplate shingles: per-doc DISTINCT 3-shingles, doc-frequency >= 5
+    "t_boilerplate" ->
+      """WITH toks AS (SELECT doc_id,
+        |    string_split(lower(regexp_replace(trim(text), '\s+', ' ', 'g')), ' ') AS t
+        |  FROM documents),
+        |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+        |    generate_series(1, len(t) - 2),
+        |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS shingle
+        |  FROM toks)
+        |SELECT shingle, CAST(count(*) AS BIGINT) AS n_docs
+        |FROM sh GROUP BY shingle HAVING count(*) >= 5
+        |ORDER BY shingle""".stripMargin,
+    "t_boiler_docs" ->
+      """WITH toks AS (SELECT doc_id,
+        |    string_split(lower(regexp_replace(trim(text), '\s+', ' ', 'g')), ' ') AS t
+        |  FROM documents),
+        |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+        |    generate_series(1, len(t) - 2),
+        |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS shingle
+        |  FROM toks),
+        |b AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) >= 5),
+        |per AS (SELECT doc_id AS id, CAST(count(*) AS BIGINT) AS n_shingles,
+        |    CAST(sum(CASE WHEN shingle IN (SELECT shingle FROM b)
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler
+        |  FROM sh GROUP BY doc_id)
+        |SELECT id, n_shingles, n_boiler,
+        |  round(CAST(n_boiler AS DOUBLE) / n_shingles, 6) AS boiler_share
+        |FROM per WHERE n_boiler > 0 ORDER BY id""".stripMargin,
     "t_repetition" ->
       """WITH toks AS (SELECT doc_id,
         |    list_filter(string_split(lower(text), ' '), t -> len(t) > 0) AS t
@@ -3162,6 +3335,16 @@ object SparkEntry {
         |SELECT path, bytes, last_ref,
         |  CASE WHEN last_ref >= 4 THEN 'keep' ELSE 'delete' END AS action
         |FROM g ORDER BY path""".stripMargin,
+    // VERSION AS OF 3: newest snapshot seq <= 3 is 3 itself; list its files
+    "l_asof" ->
+      """WITH m AS (SELECT
+        |    'f-' || lpad(CAST(doc_id % 113 AS VARCHAR), 3, '0') AS path,
+        |    doc_id % 6 AS snapshot_seq, CAST(n_chars AS BIGINT) AS bytes
+        |  FROM documents),
+        |r AS (SELECT max(snapshot_seq) AS rs FROM m WHERE snapshot_seq <= 3)
+        |SELECT path, CAST(max(bytes) AS BIGINT) AS bytes,
+        |  CAST(max(snapshot_seq) AS BIGINT) AS snapshot_seq
+        |FROM m, r WHERE snapshot_seq = rs GROUP BY path ORDER BY path""".stripMargin,
     "l_zorder" ->
       """WITH d AS (SELECT doc_id, length(text) AS tlen FROM documents),
         |bnd AS (SELECT min(doc_id) lo0, max(doc_id) hi0,

@@ -433,6 +433,48 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Corpus boilerplate shingles: the k-shingles that appear in at least
+    * `minDocs` DISTINCT documents — headers, footers, license blurbs,
+    * navigation chrome. This is the report form of the policy the LSH
+    * paths already apply implicitly (oversized band buckets == boilerplate
+    * mass); a curation pipeline reads it to build strip lists.
+    *
+    * Output (shingle, n_docs). Scale: per-doc DISTINCT shingles explode
+    * into one map-side-combined groupBy; the shuffle carries one row per
+    * distinct shingle per partition, and the output is vocabulary-bounded
+    * (≤ distinct-shingle count), never corpus-sized. For truly unbounded
+    * shingle vocabularies the CMS tier ([[Stats.heavyHittersSketch]]) is
+    * the fixed-state twin.
+    */
+  def boilerplateShingles(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 3, minDocs: Int = 100): DataFrame =
+    df.select(explode(array_distinct(shingles(col(textCol), k))).as("shingle"))
+      .groupBy(col("shingle"))
+      .agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") >= minDocs)
+
+  /** Per-document boilerplate share: what fraction of each doc's distinct
+    * k-shingles are corpus boilerplate (per [[boilerplateShingles]] at
+    * `minDocs`) — the quality gate that catches template-dominated pages.
+    * Output (id, n_shingles, n_boiler, boiler_share) for docs with ≥ 1
+    * shingle. One extra join of the exploded shingles against the
+    * boilerplate set (AQE broadcasts it when small).
+    */
+  def boilerplateShare(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 3, minDocs: Int = 100): DataFrame = {
+    val boiler = boilerplateShingles(df, idCol, textCol, k, minDocs)
+      .select(col("shingle"), lit(1L).as("_is_boiler"))
+    val perDoc = df.select(col(idCol).as("id"),
+      explode(array_distinct(shingles(col(textCol), k))).as("shingle"))
+    perDoc.join(boiler, Seq("shingle"), "left")
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        coalesce(sum(col("_is_boiler")), lit(0L)).as("n_boiler"))
+      .select(col("id"), col("n_shingles"), col("n_boiler"),
+        round(col("n_boiler").cast("double") / col("n_shingles"), 6)
+          .as("boiler_share"))
+  }
+
   /** Exact n-gram Jaccard similarity for given candidate pairs — the
     * verification stage after LSH narrows candidates (never run all-pairs at
     * scale). `pairs` must have (id_a, id_b).

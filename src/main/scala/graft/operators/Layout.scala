@@ -229,6 +229,31 @@ object Layout {
           .otherwise(lit("delete")).as("action"))
   }
 
+  /** Time-travel file listing — the fourth leg of table maintenance next
+    * to z-order, compaction and vacuum: the file set visible AS OF
+    * `asOfSeq`, i.e. the files referenced by the newest snapshot whose
+    * seq ≤ asOfSeq (exactly how an Iceberg/Delta reader resolves
+    * `VERSION AS OF`). Same manifest shape as [[vacuumPlan]]; duplicate
+    * (path, snapshot) rows collapse to max(bytes), matching its
+    * convention. Output (path, bytes, snapshot_seq).
+    *
+    * Metadata-only: a 1-row max-seq aggregate broadcast against the
+    * manifest, then one map-side-combined groupBy(path). An `asOfSeq`
+    * older than every snapshot yields an empty listing (nothing was
+    * visible yet), not an error.
+    */
+  def asOfFiles(manifest: DataFrame, asOfSeq: Long): DataFrame = {
+    val resolved = manifest
+      .filter(col("snapshot_seq") <= asOfSeq)
+      .agg(max(col("snapshot_seq").cast("long")).as("resolved_seq"))
+      .filter(col("resolved_seq").isNotNull)
+    manifest.join(broadcast(resolved),
+        col("snapshot_seq").cast("long") === col("resolved_seq"))
+      .groupBy(col("path"))
+      .agg(max(col("bytes")).cast("long").as("bytes"),
+        max(col("snapshot_seq")).cast("long").as("snapshot_seq"))
+  }
+
   /** FS-level vacuum report for a [[ResumableValidate]] output dir: every
     * `violations_batch_X/part=N` data dir, flagged `keep` iff the commit
     * log's CURRENT commit for part N names batch X (re-running a part

@@ -186,4 +186,33 @@ object Sampling {
     clusters.select(col("id"),
       splitCol(col("id"), weights).as("split"),
       splitCol(col("cluster_id"), weights).as("healed_split"))
+
+  /** Deterministic global shuffle + shard assignment — the "shuffle the
+    * corpus before training" step, reproducible by construction instead of
+    * seed-and-pray: each row's shard is the low bits of md5(seed:id), and
+    * its position within the shard is its rank by the same hash. The same
+    * (seed, corpus) always yields the same shard files in the same order,
+    * on any cluster size and any input layout — experiment lineage for the
+    * epoch-0 data order.
+    *
+    * Output (id, shard, pos); writers then `repartition(shard)` +
+    * `sortWithinPartitions(pos)` — one shuffle, one task per shard. The
+    * rank Window partitions by shard, so the sort is shard-sized
+    * (corpus/nShards): pick nShards so a shard fits a task (same knob the
+    * writer needs anyway). `pos` is 1-based.
+    */
+  def shuffleShards(df: DataFrame, idCol: String, seed: String,
+      nShards: Int): DataFrame = {
+    require(nShards > 0, s"nShards must be positive: $nShards")
+    import org.apache.spark.sql.expressions.Window
+    val key = md5(concat(lit(seed + ":"), col(idCol).cast("string")))
+    // first 40 bits of the md5 as the shard coin (exactly replayable in
+    // any engine as a 10-hex-digit polynomial; see SparkEntry's oracle)
+    val shard = pmod(conv(substring(key, 1, 10), 16, 10).cast("long"),
+      lit(nShards.toLong))
+    df.select(col(idCol), key.as("_key"), shard.as("shard"))
+      .withColumn("pos", row_number().over(
+        Window.partitionBy(col("shard")).orderBy(col("_key"), col(idCol))))
+      .select(col(idCol), col("shard"), col("pos").cast("long").as("pos"))
+  }
 }

@@ -280,4 +280,33 @@ object Stats {
       .orderBy(col("est_count").desc, col("key"))
       .limit(k)
   }
+
+  /** Dataset-card summary: one row per group (e.g. source, or
+    * source×lang) with doc count, corpus share, distinct-language count,
+    * total and median character mass — the table a dataset card or
+    * mixture-planning review starts from. `median` is the exact
+    * interpolating percentile (matches SQL `median()` on even n).
+    *
+    * One map-side-combined groupBy over the corpus plus a 1-row total
+    * broadcast back onto the group-sized summary; the exact median is a
+    * per-group `percentile`, whose state is per-distinct-VALUE of the
+    * measure within the group (n_chars-like measures have few thousand
+    * distinct values, so this stays small; for a truly continuous measure
+    * swap in `percentile_approx`/KLL — same shape, bounded state). The
+    * corpus total comes from an unpartitioned Window over the GROUP-SIZED
+    * summary (never a second corpus scan; the single-partition window
+    * holds one row per group).
+    */
+  def corpusCard(df: DataFrame, groupCols: Seq[String], langCol: String,
+      charCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    df.groupBy(groupCols.map(col): _*)
+      .agg(
+        count(lit(1)).as("n_docs"),
+        count_distinct(col(langCol)).as("n_langs"),
+        sum(col(charCol)).cast("long").as("chars_total"),
+        expr(s"percentile($charCol, 0.5)").as("chars_p50"))
+      .withColumn("doc_share",
+        round(col("n_docs") / sum(col("n_docs")).over(Window.partitionBy()), 6))
+  }
 }

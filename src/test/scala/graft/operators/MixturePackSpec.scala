@@ -80,6 +80,40 @@ class MixturePackSpec extends SparkSpec {
     assert(!r.exists(_._1 == 99L))
   }
 
+  test("boilerplate: shingles over the doc-frequency threshold, per-doc share") {
+    val docs = Seq(
+      (1L, "legal header text alpha beta"),
+      (2L, "legal header text gamma delta"),
+      (3L, "legal header text"),
+      (4L, "completely original content here today")).toDF("doc_id", "text")
+    val b = Dedup.boilerplateShingles(docs, "doc_id", "text", k = 3, minDocs = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(b.toSeq == Seq(("legal header text", 3L)))
+    val share = Dedup.boilerplateShare(docs, "doc_id", "text", k = 3, minDocs = 3)
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    // doc 3 has 3 tokens -> 1 shingle, 100% boilerplate; doc 4 has none
+    assert(share.find(_._1 == 3L).get == ((3L, 1L, 1L, 1.0)))
+    assert(share.find(_._1 == 4L).get._3 == 0L)
+    assert(share.find(_._1 == 1L).get == ((1L, 3L, 1L, round6(1.0 / 3))))
+  }
+
+  private def round6(x: Double): Double =
+    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  test("asOfFiles: resolves the newest snapshot <= asOf; pre-history is empty") {
+    val manifest = Seq(
+      ("f1", 1L, 10L), ("f2", 1L, 20L),
+      ("f1", 2L, 11L), ("f3", 2L, 30L)).toDF("path", "snapshot_seq", "bytes")
+    def ls(asOf: Long) = Layout.asOfFiles(manifest, asOf)
+      .orderBy("path").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(ls(1L).toSeq == Seq(("f1", 10L, 1L), ("f2", 20L, 1L)))
+    assert(ls(2L).toSeq == Seq(("f1", 11L, 2L), ("f3", 30L, 2L)))
+    assert(ls(5L).toSeq == Seq(("f1", 11L, 2L), ("f3", 30L, 2L))) // newest <= 5 is 2
+    assert(ls(0L).isEmpty)
+  }
+
   test("entropy: uniform is log2(k) bits, constant is 0, null is a value") {
     val df = (Seq.fill(5)("a") ++ Seq.fill(5)("b") ++ Seq.fill(5)("c") ++
       Seq.fill(5)("d")).map(v => (v, "k", null.asInstanceOf[String]))
@@ -118,5 +152,39 @@ class MixturePackSpec extends SparkSpec {
       .orderBy("bin").collect().map(r => (r.getLong(1), r.getLong(2)))
     val counted = bins.map { case (b, _, txt) => (b, txt.split(" ").length.toLong) }
     assert(counted.toSeq == fills.toSeq.map(f => (f._1, f._2)))
+  }
+
+  test("shuffleShards: deterministic, layout-invariant, dense 1-based ranks") {
+    val ids = (1L to 500L).toDF("doc_id")
+    val a = Sampling.shuffleShards(ids, "doc_id", seed = "s1", nShards = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+    val b = Sampling.shuffleShards(ids.repartition(13), "doc_id", "s1", 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+    assert(a.toSeq == b.toSeq)                   // layout-invariant
+    assert(a.map(_._1).distinct.length == 500)   // every row exactly once
+    // positions within each shard are exactly 1..shardSize
+    a.groupBy(_._2).foreach { case (_, rows) =>
+      assert(rows.map(_._3).sorted.toSeq == (1L to rows.length).toSeq)
+    }
+    // a different seed yields a different permutation
+    val c = Sampling.shuffleShards(ids, "doc_id", "s2", 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+    assert(c.toSeq != a.toSeq)
+  }
+
+  test("corpusCard: counts, shares, exact interpolating median per group") {
+    val docs = Seq(
+      (1L, "a", "en", 10L), (2L, "a", "en", 20L),
+      (3L, "a", "de", 30L), (4L, "a", "en", 40L),
+      (5L, "b", "fr", 7L)).toDF("doc_id", "source", "lang", "n_chars")
+    val card = Stats.corpusCard(docs, Seq("source"), "lang", "n_chars")
+      .orderBy("source").collect()
+    val a = card(0)
+    assert(a.getString(0) == "a" && a.getLong(1) == 4L && a.getLong(2) == 2L)
+    assert(a.getLong(3) == 100L)
+    assert(a.getDouble(4) == 25.0)      // even n: (20+30)/2 interpolated
+    assert(a.getDouble(5) == 0.8)
+    val b = card(1)
+    assert(b.getString(0) == "b" && b.getLong(1) == 1L && b.getDouble(4) == 7.0)
   }
 }
