@@ -1562,6 +1562,154 @@ object SparkEntry {
             .as("failed_docs"))
         .orderBy("part")
     }),
+    // ---------- right-to-be-forgotten / delete propagation ----------
+    "d_forget" -> ((s, dir) => {
+      // tombstone list (doc_id % 43) applied to the corpus AND its derived
+      // embedding table; audit = per-table removed/kept counts plus the
+      // compliance re-check (residual tombstoned ids after apply — must
+      // be 0, computed on the applied output, never assumed)
+      val docs = t(s, dir, "documents")
+      val emb = t(s, dir, "embeddings")
+      val deletes = docs.filter(pmod(col("doc_id"), lit(43L)) === 0L)
+        .select(col("doc_id").as("del_id"))
+      Forget.audit(s, Seq(("documents", docs, "doc_id"),
+          ("embeddings", emb, "vec_id")), deletes, "del_id")
+        .orderBy("tbl")
+    }),
+    "d_forget_plan" -> ((s, dir) => {
+      // copy-on-write rewrite plan: which files of a 100-docs-per-file
+      // manifest contain a tombstone (doc_id % 199) — metadata-only, the
+      // corpus itself is never scanned by the planner
+      val docs = t(s, dir, "documents")
+      val manifest = docs
+        .groupBy(concat(lit("f"), floor(col("doc_id") / 100).cast("string"))
+          .as("file"))
+        .agg(min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
+      val deletes = docs.filter(pmod(col("doc_id"), lit(199L)) === 0L)
+        .select(col("doc_id").as("del_id"))
+      Forget.plan(manifest, deletes, "file", "min_id", "max_id", "del_id",
+          chunk = 64L)
+        .orderBy("file")
+    }),
+    // ---------- rule-set coverage triage ----------
+    "v_rule_coverage" -> ((s, dir) => {
+      // which rules fire, which are dead, which are mis-specified — one
+      // aggregation scan for the whole rule set; the silent and always
+      // classes are planted (n_chars >= 0 never fails; doc_id <= -1
+      // always fails) so all three triage classes appear
+      val rules = Seq(
+        "lang_enum" -> Rule.Check(Keywords(properties = Map(
+          "lang" -> Rule.Check(Keywords(enum_ = Some(langEnum)))))),
+        "chars_nonneg" -> Rule.Check(Keywords(properties = Map(
+          "n_chars" -> Rule.Check(Keywords(minimum = Some(0)))))),
+        "impossible_id" -> Rule.Check(Keywords(properties = Map(
+          "doc_id" -> Rule.Check(Keywords(maximum = Some(-1)))))),
+        "src_pattern" -> Rule.Check(Keywords(properties = Map(
+          "source" -> Rule.Check(Keywords(pattern = Some("^src[0-3]$")))))))
+      Validate.ruleCoverage(t(s, dir, "documents"), rules)
+        .orderBy("rule")
+    }),
+    // ---------- snapshot verdict regression ----------
+    "v_verdict_regress" -> ((s, dir) => {
+      // validation regression between two snapshot versions: v2 derives
+      // from v1 row-wise (lang corrupted at % 31, n_chars inflated at
+      // % 37, half the bad sources healed), both versions evaluate in the
+      // SAME scan (two struct inputs to the same compiled rules), and only
+      // verdict FLIPS are emitted — regressed (pass -> fail) and fixed
+      // (fail -> pass); the |delta|-sized diff a snapshot review reads
+      val docs = t(s, dir, "documents")
+      val srcOk = col("source").isNull || col("source").rlike("^src[0-3]$")
+      val v2Lang = when(pmod(col("doc_id"), lit(31L)) === 0L, lit("xx"))
+        .otherwise(col("lang"))
+      val v2Chars = when(pmod(col("doc_id"), lit(37L)) === 0L,
+        col("n_chars") + 600L).otherwise(col("n_chars"))
+      val v2Src = when(pmod(col("doc_id"), lit(2L)) === 0L && !srcOk,
+        lit("src0")).otherwise(col("source"))
+      val both = docs.select(col("doc_id").as("id"),
+        struct(docs.columns.map(col): _*).as("_r1"),
+        struct(col("doc_id"), col("text"), v2Lang.as("lang"),
+          v2Src.as("source"), v2Chars.as("n_chars")).as("_r2"))
+      val rules = Seq(
+        "lang_enum" -> Rule.Check(Keywords(properties = Map(
+          "lang" -> Rule.Check(Keywords(enum_ = Some(langEnum)))))),
+        "len_max" -> Rule.Check(Keywords(properties = Map(
+          "n_chars" -> Rule.Check(Keywords(maximum = Some(500)))))),
+        "src_pattern" -> Rule.Check(Keywords(properties = Map(
+          "source" -> Rule.Check(Keywords(pattern = Some("^src[0-3]$")))))))
+      val flips = rules.map { case (name, r) =>
+        val p1 = coalesce(RuleCompiler.compile(r, col("_r1"), docs.schema,
+          Map.empty).pred, lit(false))
+        val p2 = coalesce(RuleCompiler.compile(r, col("_r2"), docs.schema,
+          Map.empty).pred, lit(false))
+        struct(lit(name).as("rule"),
+          when(p1 && !p2, "regressed").when(!p1 && p2, "fixed").as("change"))
+      }
+      both.select(col("id").as("doc_id"), explode(array(flips: _*)).as("f"))
+        .select(col("doc_id"), col("f.rule").as("rule"),
+          col("f.change").as("change"))
+        .filter(col("change").isNotNull)
+        .orderBy("doc_id", "rule")
+    }),
+    // ---------- slice-lift failure attribution ----------
+    "g_slice_lift" -> ((s, dir) => {
+      // which language / source cohort produces the violations: per-value
+      // failure rate vs the corpus-global rate, one fan-out scan
+      val failRow =
+        !(col("lang").isNull || col("lang").isin("en", "de", "fr", "es")) ||
+          !(col("n_chars").isNull || col("n_chars") <= 500)
+      Stats.sliceLift(t(s, dir, "documents"), Seq("lang", "source"), failRow,
+          minRows = 5L, minLift = 1.5)
+        .orderBy("dim", "value")
+    }),
+    // ---------- curriculum ordering ----------
+    "p_curriculum" -> ((s, dir) => {
+      // exact global rank + ntile-semantics buckets WITHOUT a
+      // single-partition sort: longest-docs-first curriculum in 4 stages
+      Sampling.curriculum(
+          t(s, dir, "documents").select(col("doc_id"), col("n_chars")),
+          Seq(col("n_chars").desc, col("doc_id")), n = 4)
+        .select(col("doc_id"), col("rank"), col("bucket"))
+        .orderBy("doc_id")
+    }),
+    // ---------- BPE merge-pair induction ----------
+    "t_bpe_pairs" -> ((s, dir) =>
+      // most frequent adjacent token pairs = the first BPE merges /
+      // collocation head of the corpus; pairs form in-plan from the token
+      // array, no self-join
+      TextAnalysis.topTokenPairs(t(s, dir, "documents"), "text", k = 20)),
+    // ---------- ANN index recall audit ----------
+    "s_ann_recall" -> ((s, dir) => {
+      // IVF recall against PLANTED ground truth: each query's known
+      // nearest neighbor is its perturbed twin (dim0 + 0.5 → cosine ~0.9
+      // vs ~0.5 natural max); the twin assigns to its own IVF list and the
+      // audit asks whether the query's nProbe=2 probe set covers it — IVF
+      // returns the exact top-k within probed lists, so coverage IS
+      // per-query recall@1. Centroids are the trained literals the oracle
+      // replays (__IVF_CENTROIDS__).
+      val cents = ivfCentroids(s, dir)
+      val emb = t(s, dir, "embeddings")
+      val qs = emb.filter(pmod(col("vec_id"), lit(20L)) === 0L)
+        .select(col("vec_id").as("qid"),
+          transform(col("embedding"), x => x.cast("double")).as("qvec"),
+          transform(col("embedding"), (x, i) =>
+            when(i === 0, x.cast("double") + 0.5)
+              .otherwise(x.cast("double"))).as("tvec"))
+      def scored(vec: Column) = cents.zipWithIndex.map { case (c, i) =>
+        struct(Similarity.cosine(vec, typedlit(c)).as("sim"),
+          lit(i).as("cid"))
+      }
+      // twin's list = argmax (greatest = sim desc, cid desc on ties);
+      // probe set = top-2 for the query by the same order
+      val probes = sort_array(array(scored(col("qvec")): _*), asc = false)
+      qs.select(col("qid"), (col("qid") + 100000L).as("twin_id"),
+          greatest(scored(col("tvec")): _*).getField("cid").as("twin_list"),
+          probes.getItem(0).getField("cid").as("probe_1"),
+          probes.getItem(1).getField("cid").as("probe_2"))
+        .withColumn("covered",
+          col("twin_list") === col("probe_1") ||
+            col("twin_list") === col("probe_2"))
+        .orderBy("qid")
+    }),
     // ---------- generated north-rule corpus ----------
     "gen_validate" -> ((s, dir) => {
       // the generated corpus is WRITTEN to parquet first and validated from
@@ -3389,6 +3537,175 @@ object SparkEntry {
         |FROM tf JOIN dfreq USING (token)
         |GROUP BY id ORDER BY id""".stripMargin,
     // incremental revalidation: delta = v2 rows new or changed vs v1
+    // right-to-be-forgotten audit: per-table removed/kept counts plus the
+    // post-apply residual re-check (independently recomputed, not assumed)
+    "d_forget" ->
+      """WITH del AS (SELECT DISTINCT doc_id AS d FROM documents
+        |  WHERE doc_id % 43 = 0)
+        |SELECT 'documents' AS tbl,
+        |  CAST(count(*) AS BIGINT) AS rows_total,
+        |  CAST(sum(CASE WHEN doc_id IN (SELECT d FROM del) THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS rows_removed,
+        |  CAST(sum(CASE WHEN doc_id IN (SELECT d FROM del) THEN 0 ELSE 1 END)
+        |    AS BIGINT) AS rows_kept,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM
+        |    (SELECT doc_id FROM documents
+        |     WHERE doc_id NOT IN (SELECT d FROM del)) k
+        |   WHERE k.doc_id IN (SELECT d FROM del)) AS residual
+        |FROM documents
+        |UNION ALL
+        |SELECT 'embeddings',
+        |  CAST(count(*) AS BIGINT),
+        |  CAST(sum(CASE WHEN vec_id IN (SELECT d FROM del) THEN 1 ELSE 0 END)
+        |    AS BIGINT),
+        |  CAST(sum(CASE WHEN vec_id IN (SELECT d FROM del) THEN 0 ELSE 1 END)
+        |    AS BIGINT),
+        |  (SELECT CAST(count(*) AS BIGINT) FROM
+        |    (SELECT vec_id FROM embeddings
+        |     WHERE vec_id NOT IN (SELECT d FROM del)) k
+        |   WHERE k.vec_id IN (SELECT d FROM del))
+        |FROM embeddings
+        |ORDER BY tbl""".stripMargin,
+    // copy-on-write rewrite plan over the 100-docs-per-file manifest
+    "d_forget_plan" ->
+      """WITH m AS (SELECT 'f' || CAST(CAST(floor(doc_id / 100) AS BIGINT)
+        |      AS VARCHAR) AS file,
+        |    min(doc_id) AS min_id, max(doc_id) AS max_id
+        |  FROM documents GROUP BY 1),
+        |del AS (SELECT DISTINCT doc_id AS d FROM documents
+        |  WHERE doc_id % 199 = 0),
+        |hits AS (SELECT m.file, CAST(count(*) AS BIGINT) AS n
+        |  FROM m JOIN del ON del.d BETWEEN m.min_id AND m.max_id
+        |  GROUP BY m.file)
+        |SELECT m.file, m.min_id, m.max_id,
+        |  coalesce(hits.n, 0) AS n_tombstones,
+        |  CASE WHEN coalesce(hits.n, 0) > 0 THEN 'rewrite' ELSE 'keep' END
+        |    AS action
+        |FROM m LEFT JOIN hits ON m.file = hits.file
+        |ORDER BY m.file""".stripMargin,
+    // rule-coverage triage (null-explicit: an absent property passes)
+    "v_rule_coverage" ->
+      """WITH g AS (SELECT CAST(count(*) AS BIGINT) AS docs,
+        |  CAST(sum(CASE WHEN NOT (lang IS NULL
+        |    OR lang IN ('en','de','fr','es')) THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS f_lang,
+        |  CAST(sum(CASE WHEN NOT (n_chars IS NULL OR n_chars >= 0)
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS f_chars,
+        |  CAST(sum(CASE WHEN NOT (doc_id IS NULL OR doc_id <= -1)
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS f_id,
+        |  CAST(sum(CASE WHEN NOT (source IS NULL
+        |    OR regexp_matches(source, '^src[0-3]$')) THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS f_src
+        |  FROM documents),
+        |r AS (
+        |  SELECT 'lang_enum' AS rule, f_lang AS failed_docs, docs FROM g
+        |  UNION ALL SELECT 'chars_nonneg', f_chars, docs FROM g
+        |  UNION ALL SELECT 'impossible_id', f_id, docs FROM g
+        |  UNION ALL SELECT 'src_pattern', f_src, docs FROM g)
+        |SELECT rule, failed_docs, docs,
+        |  round(CAST(failed_docs AS DOUBLE) / docs, 6) AS fail_rate,
+        |  CASE WHEN failed_docs = 0 THEN 'silent'
+        |       WHEN failed_docs = docs THEN 'always'
+        |       ELSE 'firing' END AS status
+        |FROM r ORDER BY rule""".stripMargin,
+    // snapshot verdict regression: only the verdict FLIPS between v1 and
+    // the row-wise derived v2 (null-explicit pass predicates)
+    "v_verdict_regress" ->
+      """WITH v AS (SELECT doc_id,
+        |  (lang IS NULL OR lang IN ('en','de','fr','es')) AS lp1,
+        |  (CASE WHEN doc_id % 31 = 0 THEN 'xx' ELSE lang END IS NULL
+        |   OR CASE WHEN doc_id % 31 = 0 THEN 'xx' ELSE lang END
+        |      IN ('en','de','fr','es')) AS lp2,
+        |  (n_chars IS NULL OR n_chars <= 500) AS np1,
+        |  (CASE WHEN doc_id % 37 = 0 THEN n_chars + 600 ELSE n_chars END
+        |     IS NULL
+        |   OR CASE WHEN doc_id % 37 = 0 THEN n_chars + 600 ELSE n_chars END
+        |      <= 500) AS np2,
+        |  (source IS NULL OR regexp_matches(source, '^src[0-3]$')) AS sp1,
+        |  (CASE WHEN doc_id % 2 = 0 AND NOT (source IS NULL
+        |       OR regexp_matches(source, '^src[0-3]$'))
+        |     THEN 'src0' ELSE source END IS NULL
+        |   OR regexp_matches(CASE WHEN doc_id % 2 = 0 AND NOT (source IS NULL
+        |       OR regexp_matches(source, '^src[0-3]$'))
+        |     THEN 'src0' ELSE source END, '^src[0-3]$')) AS sp2
+        |  FROM documents),
+        |f AS (
+        |  SELECT doc_id, 'lang_enum' AS rule, lp1 AS p1, lp2 AS p2 FROM v
+        |  UNION ALL SELECT doc_id, 'len_max', np1, np2 FROM v
+        |  UNION ALL SELECT doc_id, 'src_pattern', sp1, sp2 FROM v)
+        |SELECT doc_id, rule,
+        |  CASE WHEN p1 AND NOT p2 THEN 'regressed' ELSE 'fixed' END AS change
+        |FROM f WHERE (p1 AND NOT p2) OR (NOT p1 AND p2)
+        |ORDER BY doc_id, rule""".stripMargin,
+    // slice-lift failure attribution over (lang, source)
+    "g_slice_lift" ->
+      """WITH d AS (SELECT lang, source,
+        |  CASE WHEN NOT (lang IS NULL OR lang IN ('en','de','fr','es'))
+        |    OR NOT (n_chars IS NULL OR n_chars <= 500)
+        |    THEN 1 ELSE 0 END AS fail FROM documents),
+        |g AS (SELECT CAST(count(*) AS BIGINT) AS grows,
+        |  CAST(sum(fail) AS BIGINT) AS gfailed FROM d),
+        |s AS (
+        |  SELECT 'lang' AS dim, lang AS value, CAST(count(*) AS BIGINT)
+        |      AS rows, CAST(sum(fail) AS BIGINT) AS failed
+        |    FROM d GROUP BY lang
+        |  UNION ALL
+        |  SELECT 'source', source, CAST(count(*) AS BIGINT),
+        |      CAST(sum(fail) AS BIGINT)
+        |    FROM d GROUP BY source)
+        |SELECT dim, value, rows, failed,
+        |  round(CAST(failed AS DOUBLE) / rows, 6) AS fail_rate,
+        |  CASE WHEN gfailed > 0 THEN
+        |    round((CAST(failed AS DOUBLE) / rows) /
+        |          (CAST(gfailed AS DOUBLE) / grows), 6) END AS lift,
+        |  (rows >= 5 AND coalesce(
+        |    round((CAST(failed AS DOUBLE) / rows) /
+        |          (CAST(gfailed AS DOUBLE) / grows), 6) >= 1.5, false))
+        |    AS flagged
+        |FROM s, g ORDER BY dim, value""".stripMargin,
+    // exact global rank + ntile buckets (longest docs first)
+    "p_curriculum" ->
+      """SELECT doc_id,
+        |  CAST(row_number() OVER (ORDER BY n_chars DESC, doc_id) AS BIGINT)
+        |    AS rank,
+        |  CAST(ntile(4) OVER (ORDER BY n_chars DESC, doc_id) AS BIGINT)
+        |    AS bucket
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // top adjacent token pairs (first BPE merge candidates)
+    "t_bpe_pairs" ->
+      """WITH toks AS (SELECT list_filter(string_split_regex(
+        |    lower(regexp_replace(trim(text), '[^\p{L}\p{N}\s]', ' ', 'g')),
+        |    '\s+'), x -> x <> '') AS t FROM documents),
+        |pr AS (SELECT t[i] || ' ' || t[i + 1] AS pair
+        |  FROM toks, unnest(generate_series(1, len(t) - 1)) AS u(i)
+        |  WHERE len(t) > 1)
+        |SELECT pair, CAST(count(*) AS BIGINT) AS occurrences
+        |FROM pr GROUP BY pair ORDER BY occurrences DESC, pair
+        |LIMIT 20""".stripMargin,
+    // IVF recall audit vs planted twins: twin list assignment and probe
+    // set replayed over the same trained centroid literals
+    "s_ann_recall" ->
+      """WITH c(cid, cvec) AS (VALUES __IVF_CENTROIDS__),
+        |q AS (SELECT vec_id AS qid,
+        |    CAST(embedding AS DOUBLE[]) AS qvec,
+        |    list_concat([CAST(embedding[1] AS DOUBLE) + 0.5],
+        |      CAST(embedding[2:] AS DOUBLE[])) AS tvec
+        |  FROM embeddings WHERE vec_id % 20 = 0),
+        |tl AS (SELECT qid, (SELECT c.cid FROM c
+        |    ORDER BY list_cosine_similarity(q.tvec, c.cvec) DESC, c.cid DESC
+        |    LIMIT 1) AS twin_list FROM q),
+        |pr AS (SELECT qid,
+        |    max(CASE WHEN rn = 1 THEN cid END) AS probe_1,
+        |    max(CASE WHEN rn = 2 THEN cid END) AS probe_2
+        |  FROM (SELECT q.qid, c.cid, row_number() OVER (PARTITION BY q.qid
+        |      ORDER BY list_cosine_similarity(q.qvec, c.cvec) DESC,
+        |        c.cid DESC) AS rn FROM q, c) x
+        |  WHERE rn <= 2 GROUP BY qid)
+        |SELECT tl.qid, tl.qid + 100000 AS twin_id, tl.twin_list,
+        |  pr.probe_1, pr.probe_2,
+        |  (tl.twin_list = pr.probe_1 OR tl.twin_list = pr.probe_2) AS covered
+        |FROM tl JOIN pr ON tl.qid = pr.qid
+        |ORDER BY tl.qid""".stripMargin,
     // (null-safe deep spans equality replays the engine's content-hash
     // anti-join), then the span invariant over the delta only
     "i_validate" ->

@@ -215,4 +215,71 @@ object Sampling {
         Window.partitionBy(col("shard")).orderBy(col("_key"), col(idCol))))
       .select(col(idCol), col("shard"), col("pos").cast("long").as("pos"))
   }
+
+  /** Exact global 1-based rank by `orderCols` WITHOUT a single-partition
+    * sort (the naive `row_number() OVER (ORDER BY ...)` funnels the whole
+    * corpus through one task — a non-starter at 10^12 rows). Two-phase
+    * distributed rank instead:
+    *
+    *   1. `repartitionByRange(orderCols)` — Spark's RangePartitioner puts
+    *      partition i strictly before partition i+1 in the order;
+    *   2. per-partition row counts (ONE #partitions-sized collect) prefix-
+    *      sum into offsets on the driver;
+    *   3. `row_number()` windowed per partition id (partition-bounded
+    *      sorts) + the broadcast offset.
+    *
+    * `orderCols` MUST be a total order (append the row id as the last
+    * column) — ties at a range boundary may land in either partition, and
+    * only a total order makes the resulting rank well-defined. Cost: one
+    * range exchange + one hash exchange on the partition id, every sort
+    * partition-sized. Output: `df` + `rank` (long).
+    */
+  def globalRank(df: DataFrame, orderCols: Seq[Column]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(orderCols.nonEmpty, "globalRank needs ordering columns")
+    val parted = df.repartitionByRange(orderCols: _*)
+      .withColumn("_pid", spark_partition_id())
+    // #partitions rows — driver-bounded by construction
+    val counts = parted.groupBy(col("_pid")).count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    val offsets = counts.scanLeft(0L)(_ + _._2).init
+    val offMap = counts.map(_._1).zip(offsets).toMap
+    val offCol =
+      if (offMap.isEmpty) lit(0L)
+      else offMap.foldLeft(lit(0L)) { case (acc, (pid, off)) =>
+        when(col("_pid") === pid, off).otherwise(acc) }
+    val w = Window.partitionBy(col("_pid")).orderBy(orderCols: _*)
+    parted
+      .withColumn("rank", (offCol + row_number().over(w)).cast("long"))
+      .drop("_pid")
+  }
+
+  /** Curriculum-ordered training buckets: every row gains its exact
+    * global `rank` by `orderCols` (easiest-first or highest-quality-first
+    * — the caller's ordering) and its `bucket` in 1..n with standard SQL
+    * `ntile` semantics (first `N mod n` buckets get the extra row), so
+    * bucket 1 is the first curriculum stage. Built on [[globalRank]];
+    * the bucket is pure arithmetic on the rank — deterministic on any
+    * cluster size or input layout, unlike `ntile()` over a global window
+    * (which is also a single-task sort).
+    */
+  def curriculum(df: DataFrame, orderCols: Seq[Column], n: Int): DataFrame = {
+    require(n > 0, s"bucket count must be positive: $n")
+    val ranked = globalRank(df, orderCols)
+    // total row count rides along as max(rank) — no second scan: rank is
+    // dense and 1-based, so N = max(rank); a 1-row broadcast join carries it
+    val nRows = ranked.agg(max(col("rank")).as("_total"))
+    val withN = ranked.crossJoin(broadcast(nRows))
+    val q = floor(col("_total") / n)
+    val r = col("_total") % n
+    val cut = (q + 1) * r // ranks <= cut live in the (q+1)-sized buckets
+    // greatest(q, 1): when N < n the otherwise-branch is never selected
+    // (cut = N covers every rank), but its divisor must still be nonzero
+    // under ANSI evaluation
+    withN.withColumn("bucket",
+        when(col("rank") <= cut, floor((col("rank") - 1) / (q + 1)) + 1)
+          .otherwise(r + floor((col("rank") - 1 - cut) / greatest(q, lit(1L))) + 1)
+          .cast("long"))
+      .drop("_total")
+  }
 }

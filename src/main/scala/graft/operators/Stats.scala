@@ -145,6 +145,44 @@ object Stats {
         round(col("top_cnt").cast("double") / col("n"), 6).as("top_share"))
   }
 
+  /** Slice-lift failure attribution: for every value of every requested
+    * dimension column, the failure rate of that slice vs the corpus-global
+    * rate — "which language / source / day is producing the violations?".
+    * Output one row per (dim, value): rows, failed, fail_rate, lift
+    * (slice rate ÷ global rate), and `flagged` when the slice has both
+    * enough support (`minRows`) and a lift ≥ `minLift`. NULL dimension
+    * values form their own slice (a null-source cohort failing 10× the
+    * corpus rate is exactly what this exists to surface); lift is null
+    * when the corpus-global rate is zero.
+    *
+    * Scale: the row fans out to |dims| (dim, value) entries in-plan
+    * (explode of a literal-built array), then ONE map-side-combined
+    * groupBy — slice-count-sized shuffle; the global rate joins back as a
+    * broadcast 1-row crossJoin. Dimensions here are enum-ish columns; for
+    * unbounded cardinality use [[heavyHittersSketch]] to pick candidate
+    * values first.
+    */
+  def sliceLift(df: DataFrame, dims: Seq[String], failCol: Column,
+      minRows: Long = 1L, minLift: Double = 2.0): DataFrame = {
+    require(dims.nonEmpty, "sliceLift: need at least one dimension")
+    val fail = when(failCol, 1L).otherwise(0L)
+    val entries = array(dims.map(d =>
+      struct(lit(d).as("dim"), col(d).cast(StringType).as("value"))): _*)
+    val global = df.agg(
+      count(lit(1)).as("_g_rows"), sum(fail).as("_g_failed"))
+    df.select(explode(entries).as("e"), fail.as("_fail"))
+      .groupBy(col("e.dim").as("dim"), col("e.value").as("value"))
+      .agg(count(lit(1)).as("rows"), sum(col("_fail")).as("failed"))
+      .crossJoin(broadcast(global))
+      .select(col("dim"), col("value"), col("rows"), col("failed"),
+        round(col("failed") / col("rows"), 6).as("fail_rate"),
+        when(col("_g_failed") > 0L,
+          round((col("failed") / col("rows")) /
+            (col("_g_failed") / col("_g_rows")), 6)).as("lift"))
+      .withColumn("flagged",
+        col("rows") >= minRows && coalesce(col("lift") >= minLift, lit(false)))
+  }
+
   /** Functional-dependency audit: determinant values that map to MORE than
     * one dependent value — the violation report for an expected
     * `det → dep` dependency (producer id → schema version, media_ref →

@@ -73,6 +73,30 @@ object TextAnalysis {
       .orderBy(col("occurrences").desc, col("token"))
       .limit(k)
 
+  /** Top-k adjacent token-pair frequencies — the first iteration of BPE-
+    * style merge induction at the token level (the most frequent adjacent
+    * pair is the first merge a tokenizer-training run would make) and the
+    * standard collocation head of a corpus. Pairs form IN-PLAN from the
+    * materialized token array (`transform` over a 1-shifted slice — no
+    * self-join, no posexplode+lag shuffle); then the same shape as
+    * [[topTokens]]: explode → map-side-combined groupBy (shuffle carries
+    * one row per distinct pair per partition) → `TakeOrderedAndProject`.
+    * Deterministic ties: count desc, then pair asc.
+    */
+  def topTokenPairs(df: DataFrame, textCol: String, k: Int): DataFrame = {
+    // materialize the filtered token array ONCE (interpreted HOFs get no
+    // CSE — slice + element_at below both reference it)
+    val tk = col("_tk")
+    val pairs = transform(
+      slice(tk, lit(1), greatest(size(tk) - 1, lit(0))),
+      (t, i) => concat(t, lit(" "), element_at(tk, i + 2)))
+    df.select(filter(toks(col(textCol)), t => t =!= "").as("_tk"))
+      .select(explode(pairs).as("pair"))
+      .groupBy(col("pair")).agg(count(lit(1)).as("occurrences"))
+      .orderBy(col("occurrences").desc, col("pair"))
+      .limit(k)
+  }
+
   /** BPE-ish token count: GPT-2-style pre-tokenizer regex pieces
     * (word / number / punctuation runs with leading-space affinity).
     */

@@ -146,4 +146,40 @@ object Validate {
       .select(col("part"), col("docs"), col("failed_docs"), col("violations"), col("pass"))
       .as[Verdict]
   }
+
+  /** Rule-coverage report: one row per named rule with its failure count,
+    * failure rate, and a `status` triage class —
+    *
+    *   - `"silent"`  (0 fails): the rule never fired — either the corpus is
+    *     clean on it or the rule is dead/mis-targeted; a rule-set review
+    *     starts here,
+    *   - `"always"`  (every doc fails): almost certainly a mis-specified
+    *     rule (wrong column, impossible bound) rather than a 100%-bad corpus,
+    *   - `"firing"`  (anything between): the healthy case.
+    *
+    * Same guarded-predicate lowering as [[withViolations]] (null compiled
+    * predicate = fail), ONE aggregation scan for the whole rule set —
+    * at 10^12 docs this is the same single pass regardless of how many
+    * rules the set carries.
+    */
+  def ruleCoverage(df: DataFrame, rules: Seq[(String, Rule)],
+      defs: Map[String, Rule] = Map.empty): DataFrame = {
+    require(rules.nonEmpty, "ruleCoverage: no rules")
+    val row = struct(df.columns.map(col): _*)
+    val sums = count(lit(1)).as("_docs") +:
+      rules.zipWithIndex.map { case ((_, r), i) =>
+        val pred = coalesce(
+          RuleCompiler.compile(r, row, df.schema, defs).pred, lit(false))
+        sum(when(!pred, 1L).otherwise(0L)).as(s"_f$i")
+      }
+    df.agg(sums.head, sums.tail: _*)
+      .select(explode(array(rules.zipWithIndex.map { case ((name, _), i) =>
+        struct(lit(name).as("rule"), col(s"_f$i").as("failed_docs"),
+          col("_docs").as("docs")) }: _*)).as("m"))
+      .select(col("m.rule"), col("m.failed_docs"), col("m.docs"),
+        round(col("m.failed_docs") / col("m.docs"), 6).as("fail_rate"),
+        when(col("m.failed_docs") === 0L, "silent")
+          .when(col("m.failed_docs") === col("m.docs"), "always")
+          .otherwise("firing").as("status"))
+  }
 }
