@@ -1710,6 +1710,91 @@ object SparkEntry {
             col("twin_list") === col("probe_2"))
         .orderBy("qid")
     }),
+    // ---------- incremental manifest maintenance ----------
+    "d_manifest_incr" -> ((s, dir) => {
+      // a commit edits docs (% 41 within the first 1000 ids): the manifest
+      // refreshes by recomputing ONLY the dirty 500-doc partitions and
+      // splicing — the oracle recomputes the v2 manifest IN FULL, so a
+      // green row proves incremental == full recompute
+      val docs = t(s, dir, "documents")
+      val partC = floor(col("doc_id") / 500).cast("long")
+      val edited = pmod(col("doc_id"), lit(41L)) === 0L && col("doc_id") < 1000L
+      val v2 = docs.withColumn("text",
+        when(edited, concat(col("text"), lit(" v2"))).otherwise(col("text")))
+      val oldM = Integrity.contentManifest(docs, partC, manifestContent)
+      val dirty = v2.filter(edited).select(partC.as("part")).distinct()
+      Integrity.manifestUpdate(oldM, v2, partC, manifestContent, dirty)
+        .orderBy("part")
+    }),
+    // ---------- streaming tombstone application ----------
+    "e_stream_forget" -> ((s, dir) => {
+      // right-to-be-forgotten on the ingest path, actually EXECUTED:
+      // stream-static anti-join against the broadcast delete list
+      // (doc_id % 43); stateless per-row suppression, no watermark needed
+      val batch = t(s, dir, "documents")
+      val stream = s.readStream.schema(batch.schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(dir)
+      val deletes = batch.filter(pmod(col("doc_id"), lit(43L)) === 0L)
+        .select(col("doc_id").as("del"))
+      val out = graft.streaming.StreamValidate
+        .forgetStream(stream, deletes, "doc_id", "del")
+        .select(col("doc_id"))
+      val name = streamViewName(s, "stream_forget")
+      val q = out.writeStream.format("memory").queryName(name)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table(name).orderBy("doc_id")
+    }),
+    // ---------- violation evidence sampling ----------
+    "v_rule_examples" -> ((s, dir) => {
+      // triage view: first 3 violating docs per (path, rule) — the
+      // row_number filter lowers to WindowGroupLimit (map-side group
+      // truncation before the shuffle)
+      val rule = Rule.Check(Keywords(properties = Map(
+        "lang" -> Rule.Check(Keywords(enum_ = Some(langEnum))),
+        "n_chars" -> Rule.Check(Keywords(maximum = Some(500))),
+        "source" -> Rule.Check(Keywords(pattern = Some("^src[0-3]$"))))))
+      Validate.evidence(
+          Validate.flatViolations(
+            Validate.withViolations(t(s, dir, "documents"), rule)), k = 3)
+        .select(col("doc_id"), col("path"), col("rule"), col("rn"))
+        .orderBy("path", "rule", "rn")
+    }),
+    // ---------- exact group quantiles ----------
+    "g_quantiles" -> ((s, dir) =>
+      // per-language length quantiles, exact percentile_cont semantics —
+      // value->count aggregation state, the oracle tier under the KLL
+      // sketches the drift checks use
+      Stats.groupQuantiles(t(s, dir, "documents"), Seq("lang"), "n_chars",
+          Seq(0.25, 0.5, 0.75, 0.95))
+        .orderBy("lang")),
+    // ---------- prefix-containment duplicates ----------
+    "d_prefix_dups" -> ((s, dir) => {
+      // truncation dups: half-length twins injected at % 17; the operator
+      // buckets on the first 32 chars so containment pairs meet in an
+      // equi-join, never a corpus x corpus theta-join
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val twins = docs
+        .filter(pmod(col("doc_id"), lit(17L)) === 0L &&
+          length(col("text")) >= 64)
+        .select((col("doc_id") + 200000L).as("doc_id"),
+          col("text").substr(lit(1), floor(length(col("text")) / 2))
+            .as("text"))
+      Dedup.prefixDups(docs.unionByName(twins), "doc_id", "text",
+          minPrefix = 32)
+        .orderBy("id_a", "id_b")
+    }),
+    // ---------- id-continuity islands ----------
+    "g_id_gaps" -> ((s, dir) =>
+      // coverage audit after a partial restore: every % 13 id removed ->
+      // islands of consecutive survivors (gaps are the complement)
+      Stats.idIslands(
+          t(s, dir, "documents").filter(pmod(col("doc_id"), lit(13L)) =!= 0L),
+          "doc_id")
+        .orderBy("start_id")),
     // ---------- generated north-rule corpus ----------
     "gen_validate" -> ((s, dir) => {
       // the generated corpus is WRITTEN to parquet first and validated from
@@ -3537,6 +3622,68 @@ object SparkEntry {
         |FROM tf JOIN dfreq USING (token)
         |GROUP BY id ORDER BY id""".stripMargin,
     // incremental revalidation: delta = v2 rows new or changed vs v1
+    // incremental manifest splice must equal a FULL recompute of v2
+    "d_manifest_incr" ->
+      s"""WITH v2 AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 41 = 0 AND doc_id < 1000
+        |      THEN text || ' v2' ELSE text END AS text,
+        |    lang, n_chars FROM documents),
+        |c AS (SELECT CAST(floor(doc_id / 500) AS BIGINT) AS part,
+        |    md5($manifestContentSql) AS fp FROM v2)
+        |SELECT part, count(*) AS n_rows,
+        |  CAST(sum(${hex10ToBigintSql("fp")}) AS BIGINT) AS digest_sum,
+        |  min(fp) AS fp_min, max(fp) AS fp_max
+        |FROM c GROUP BY part ORDER BY part""".stripMargin,
+    // streaming tombstone application == batch anti-join result
+    "e_stream_forget" ->
+      """SELECT doc_id FROM documents WHERE doc_id % 43 <> 0
+        |ORDER BY doc_id""".stripMargin,
+    // first 3 violating docs per (path, rule), null-explicit passes
+    "v_rule_examples" ->
+      """WITH viol AS (
+        |  SELECT doc_id, 'lang' AS path, 'enum' AS rule FROM documents
+        |    WHERE NOT (lang IS NULL OR lang IN ('en','de','fr','es'))
+        |  UNION ALL
+        |  SELECT doc_id, 'n_chars', 'maximum' FROM documents
+        |    WHERE NOT (n_chars IS NULL OR n_chars <= 500)
+        |  UNION ALL
+        |  SELECT doc_id, 'source', 'pattern' FROM documents
+        |    WHERE NOT (source IS NULL OR regexp_matches(source, '^src[0-3]$')))
+        |SELECT doc_id, path, rule, CAST(rn AS INT) AS rn FROM (
+        |  SELECT doc_id, path, rule, row_number() OVER (
+        |    PARTITION BY path, rule ORDER BY doc_id) AS rn FROM viol) x
+        |WHERE rn <= 3 ORDER BY path, rule, rn""".stripMargin,
+    // exact interpolating quantiles per language (percentile_cont)
+    "g_quantiles" ->
+      """SELECT lang,
+        |  round(quantile_cont(n_chars, 0.25), 6) AS p25,
+        |  round(quantile_cont(n_chars, 0.5), 6) AS p50,
+        |  round(quantile_cont(n_chars, 0.75), 6) AS p75,
+        |  round(quantile_cont(n_chars, 0.95), 6) AS p95
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    // prefix-containment pairs over the truncation-injected corpus
+    "d_prefix_dups" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 200000,
+        |    substr(text, 1, CAST(floor(len(text) / 2) AS INT))
+        |  FROM documents WHERE doc_id % 17 = 0 AND len(text) >= 64),
+        |k AS (SELECT doc_id, text, substr(text, 1, 32) AS b
+        |  FROM corpus WHERE text IS NOT NULL AND len(text) >= 32)
+        |SELECT a.doc_id AS id_a, c.doc_id AS id_b,
+        |  CAST(len(a.text) AS BIGINT) AS prefix_len
+        |FROM k a JOIN k c ON a.b = c.b AND len(a.text) < len(c.text)
+        |  AND starts_with(c.text, a.text)
+        |ORDER BY id_a, id_b""".stripMargin,
+    // islands of consecutive surviving ids (id - rank grouping)
+    "g_id_gaps" ->
+      """WITH ids AS (SELECT DISTINCT doc_id AS id FROM documents
+        |  WHERE doc_id % 13 <> 0),
+        |r AS (SELECT id, row_number() OVER (ORDER BY id) AS rn FROM ids)
+        |SELECT min(id) AS start_id, max(id) AS end_id,
+        |  CAST(count(*) AS BIGINT) AS n_ids
+        |FROM r GROUP BY id - rn ORDER BY start_id""".stripMargin,
     // right-to-be-forgotten audit: per-table removed/kept counts plus the
     // post-apply residual re-check (independently recomputed, not assumed)
     "d_forget" ->

@@ -475,6 +475,41 @@ object Dedup {
           .as("boiler_share"))
   }
 
+  /** Prefix-containment duplicates: pairs where the shorter document's
+    * FULL text is a strict prefix of the longer one — the truncation-dup
+    * family (crawler cutoffs, token-limit clippings, partial re-scrapes)
+    * that shingle-Jaccard under-scores (a 10% prefix shares only ~10% of
+    * shingles) and exact dedup misses entirely.
+    *
+    * Bucketing: both sides key on their first `minPrefix` characters —
+    * any containment pair whose shorter side has ≥ minPrefix chars shares
+    * the bucket by construction, so candidates meet in an equi-join on
+    * the bucket (never a corpus×corpus theta-join) and the `startswith`
+    * check is a residual filter. Docs shorter than minPrefix are out of
+    * the audit's scope by contract (raise/lower the knob per corpus; 32
+    * chars already makes natural bucket collisions rare, keeping bucket
+    * fan-out ~1). Output: (id_a, id_b, prefix_len) with id_a the shorter
+    * (contained) side; exact-equal texts are NOT emitted (that is
+    * [[exact]]'s contract).
+    */
+  def prefixDups(df: DataFrame, idCol: String, textCol: String,
+      minPrefix: Int = 32): DataFrame = {
+    require(minPrefix > 0, s"minPrefix must be positive: $minPrefix")
+    val keyed = df
+      .filter(col(textCol).isNotNull && length(col(textCol)) >= minPrefix)
+      .select(col(idCol).as("id"), col(textCol).as("text"),
+        substring(col(textCol), 1, minPrefix).as("_bucket"))
+    val a = keyed.select(col("_bucket"), col("id").as("id_a"),
+      col("text").as("_text_a"))
+    val b = keyed.select(col("_bucket"), col("id").as("id_b"),
+      col("text").as("_text_b"))
+    a.join(b, Seq("_bucket"))
+      .filter(length(col("_text_a")) < length(col("_text_b")) &&
+        col("_text_b").startsWith(col("_text_a")))
+      .select(col("id_a"), col("id_b"),
+        length(col("_text_a")).cast("long").as("prefix_len"))
+  }
+
   /** Exact n-gram Jaccard similarity for given candidate pairs — the
     * verification stage after LSH narrows candidates (never run all-pairs at
     * scale). `pairs` must have (id_a, id_b).

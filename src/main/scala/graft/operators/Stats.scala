@@ -145,6 +145,48 @@ object Stats {
         round(col("top_cnt").cast("double") / col("n"), 6).as("top_share"))
   }
 
+  /** Exact per-group quantiles (linear interpolation — SQL
+    * `percentile_cont` semantics, so any engine replays them) of a
+    * numeric column: one row per group with one column per requested
+    * quantile. Nulls are ignored (standard aggregate contract); a NULL
+    * group key is its own group.
+    *
+    * Scale: Spark's exact `percentile` aggregates a value→count map, so
+    * per-group state is (distinct values), NOT (rows) — the right tier
+    * for bounded-domain columns (lengths, counts, scores on a grid) at
+    * any row count. For genuinely continuous columns switch to the
+    * mergeable-sketch tier (KLL, [[graft.plans.KllSketchAgg]]) and keep
+    * this as its oracle.
+    */
+  def groupQuantiles(df: DataFrame, groupCols: Seq[String], valueCol: String,
+      qs: Seq[Double]): DataFrame = {
+    require(qs.nonEmpty && qs.forall(q => q >= 0 && q <= 1),
+      s"quantiles must be in [0,1]: $qs")
+    val aggs = qs.map(q =>
+      round(percentile(col(valueCol), lit(q)), 6)
+        .as(s"p${(q * 100).round}"))
+    df.groupBy(groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Id-continuity islands: maximal runs of consecutive ids, as
+    * (start_id, end_id, n_ids) — the gap/coverage audit for id-keyed
+    * corpora ("which ranges are missing after a partial restore?"). The
+    * classic islands transform: ids ranked globally, grouped by
+    * `id - rank` (constant exactly within a consecutive run). Built on
+    * [[Sampling.globalRank]], so there is no single-partition sort; the
+    * groupBy is map-side combined and island-sized. Output is
+    * islands-sized — gaps are the complement (end_id + 1 .. next
+    * start_id - 1).
+    */
+  def idIslands(df: DataFrame, idCol: String): DataFrame =
+    Sampling.globalRank(df.select(col(idCol).as("id")).distinct(),
+        Seq(col("id")))
+      .groupBy((col("id") - col("rank")).as("_island"))
+      .agg(min(col("id")).as("start_id"), max(col("id")).as("end_id"),
+        count(lit(1)).as("n_ids"))
+      .drop("_island")
+      .select(col("start_id"), col("end_id"), col("n_ids"))
+
   /** Slice-lift failure attribution: for every value of every requested
     * dimension column, the failure rate of that slice vs the corpus-global
     * rate — "which language / source / day is producing the violations?".

@@ -147,6 +147,26 @@ object Validate {
       .as[Verdict]
   }
 
+  /** Evidence sampling over a flat violation table
+    * ([[flatViolations]] shape): the first `k` violating documents per
+    * (path, rule), ordered by `doc_id` — the "show me three examples of
+    * each failure" triage view. Emitting EVERY violation of a 10^12-doc
+    * corpus into a report is corpus-sized output; k examples per rule is
+    * rule-set-sized.
+    *
+    * The `row_number <= k` filter lowers to Spark's `WindowGroupLimit`:
+    * each map task pre-truncates its groups to k rows BEFORE the shuffle,
+    * so the exchange carries ≤ k·groups·tasks rows, not every violation.
+    */
+  def evidence(viols: DataFrame, k: Int): DataFrame = {
+    require(k > 0, s"evidence: k must be positive: $k")
+    import org.apache.spark.sql.expressions.Window
+    viols
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("path"), col("rule")).orderBy(col("doc_id"))))
+      .filter(col("rn") <= k)
+  }
+
   /** Rule-coverage report: one row per named rule with its failure count,
     * failure rate, and a `status` triage class —
     *

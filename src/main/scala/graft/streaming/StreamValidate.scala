@@ -75,6 +75,21 @@ object StreamValidate {
       .withWatermark(eventTime, watermark)
       .dropDuplicatesWithinWatermark("content_hash")
 
+  /** Streaming tombstone application — the streaming twin of
+    * `Forget.forget`: a stream of documents anti-joined against the
+    * STATIC delete list, so tombstoned ids never reach the sink while the
+    * compliance window is open (the batch rewrite handles data already at
+    * rest). Stream-static LEFT ANTI is stateless on the stream side: the
+    * static side broadcasts once per trigger plan, per-row cost is one
+    * hash probe, no watermark or state store involved. Null ids survive
+    * (same explicit-ids-only contract as the batch form).
+    */
+  def forgetStream(docs: DataFrame, deletes: DataFrame, idCol: String,
+      delCol: String): DataFrame =
+    docs.join(
+      broadcast(deletes.select(col(delCol).as("_del_id")).distinct()),
+      col(idCol) === col("_del_id"), "left_anti")
+
   /** Streaming gap sessionization — the streaming twin of
     * `Sessionize.sessionStats`, on Spark's native `session_window`
     * (merging session state per (user, window), finalized by the
