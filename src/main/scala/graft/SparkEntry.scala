@@ -1795,6 +1795,74 @@ object SparkEntry {
           t(s, dir, "documents").filter(pmod(col("doc_id"), lit(13L)) =!= 0L),
           "doc_id")
         .orderBy("start_id")),
+    // ---------- embedding hygiene ----------
+    "s_vec_health" -> ((s, dir) => {
+      // defects injected in priority order (null %97 > truncated %83 >
+      // NaN %71 > zeroed %50); the audit must classify each vector into
+      // exactly one class so the counts sum to the corpus
+      val emb = t(s, dir, "embeddings")
+      val vecType = emb.schema("embedding").dataType
+      val vec = when(pmod(col("vec_id"), lit(97L)) === 0L,
+          lit(null).cast(vecType))
+        .when(pmod(col("vec_id"), lit(83L)) === 0L,
+          slice(col("embedding"), 1, 32))
+        .when(pmod(col("vec_id"), lit(71L)) === 0L,
+          transform(col("embedding"), (x, i) =>
+            when(i === 3, lit(Float.NaN)).otherwise(x)))
+        .when(pmod(col("vec_id"), lit(50L)) === 0L,
+          transform(col("embedding"), _ => lit(0.0f)))
+        .otherwise(col("embedding"))
+      Similarity.vecHealth(emb.select(vec.as("embedding")), "embedding",
+          expectedDim = 64)
+        .orderBy("issue")
+    }),
+    // ---------- cross-source duplicate provenance ----------
+    "d_source_overlap" -> ((s, dir) => {
+      // which sources share content: natural exact dups plus an injected
+      // srcX mirror (every % 61 doc re-ingested under a new source)
+      val docs = t(s, dir, "documents").select(col("text"), col("source"))
+      val mirror = t(s, dir, "documents")
+        .filter(pmod(col("doc_id"), lit(61L)) === 0L)
+        .select(col("text"), lit("srcX").as("source"))
+      Dedup.sourceOverlap(docs.unionByName(mirror), "text", "source")
+        .orderBy("src_a", "src_b")
+    }),
+    // ---------- canonical text normalization ----------
+    "t_normalize" -> ((s, dir) => {
+      // messy wrappers injected at % 23 (tab/control padding, trailing
+      // runs); output = every doc normalization changes, with the
+      // canonical text the dedup/fingerprint stages hash
+      val aug = when(pmod(col("doc_id"), lit(23L)) === 0L,
+          concat(lit(" \t"), col("text"), lit("  ")))
+        .otherwise(col("text"))
+      t(s, dir, "documents")
+        .select(col("doc_id"), aug.as("raw"))
+        .withColumn("normalized", TextAnalysis.normalizeText(col("raw")))
+        .filter(col("normalized") =!= col("raw"))
+        .select(col("doc_id"), length(col("raw")).cast("long").as("n_before"),
+          length(col("normalized")).cast("long").as("n_after"),
+          col("normalized"))
+        .orderBy("doc_id")
+    }),
+    // ---------- IQR outlier fences ----------
+    "g_iqr_outliers" -> ((s, dir) =>
+      // boxplot-fence twin of the robust-z watchdog: per-language length
+      // quartiles -> fences -> one scan of out-of-fence counts
+      Stats.iqrOutliers(t(s, dir, "documents"), Seq("lang"), "n_chars",
+          k = 1.5)
+        .orderBy("lang")),
+    // ---------- partition layout health ----------
+    "l_partition_health" -> ((s, dir) => {
+      // metadata-only layout dashboard per source partition over a
+      // 50-docs-per-file manifest: size quantiles, skew, small-file share
+      val manifest = t(s, dir, "documents")
+        .groupBy(col("source").as("part"),
+          concat(lit("f"), floor(col("doc_id") / 50).cast("string"))
+            .as("path"))
+        .agg(sum(col("n_chars")).as("bytes"))
+      Layout.partitionHealth(manifest, smallFileBytes = 3000L)
+        .orderBy("part")
+    }),
     // ---------- generated north-rule corpus ----------
     "gen_validate" -> ((s, dir) => {
       // the generated corpus is WRITTEN to parquet first and validated from
@@ -3622,6 +3690,87 @@ object SparkEntry {
         |FROM tf JOIN dfreq USING (token)
         |GROUP BY id ORDER BY id""".stripMargin,
     // incremental revalidation: delta = v2 rows new or changed vs v1
+    // embedding hygiene classes over the defect-injected corpus
+    "s_vec_health" ->
+      """WITH inj AS (SELECT CASE
+        |    WHEN vec_id % 97 = 0 THEN NULL
+        |    WHEN vec_id % 83 = 0 THEN embedding[1:32]
+        |    WHEN vec_id % 71 = 0 THEN list_concat(list_concat(
+        |      embedding[1:3], [CAST('nan' AS FLOAT)]), embedding[5:])
+        |    WHEN vec_id % 50 = 0 THEN
+        |      list_transform(embedding, x -> CAST(0.0 AS FLOAT))
+        |    ELSE embedding END AS v FROM embeddings)
+        |SELECT CASE
+        |    WHEN v IS NULL THEN 'null_vec'
+        |    WHEN len(v) <> 64 THEN 'wrong_dim'
+        |    WHEN len(list_filter(v, x -> isnan(x)
+        |      OR abs(x) = 'infinity'::FLOAT)) > 0 THEN 'has_nan'
+        |    WHEN list_aggregate(list_transform(v,
+        |      x -> CAST(x AS DOUBLE) * x), 'sum') = 0.0 THEN 'zero_vec'
+        |    ELSE 'ok' END AS issue,
+        |  CAST(count(*) AS BIGINT) AS n_vecs
+        |FROM inj GROUP BY 1 ORDER BY issue""".stripMargin,
+    // cross-source shared-content matrix (srcX mirror injected)
+    "d_source_overlap" ->
+      """WITH corpus AS (
+        |  SELECT text, source FROM documents
+        |  UNION ALL
+        |  SELECT text, 'srcX' FROM documents WHERE doc_id % 61 = 0),
+        |cs AS (SELECT DISTINCT
+        |    md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS c,
+        |    source AS s
+        |  FROM corpus WHERE text IS NOT NULL AND source IS NOT NULL)
+        |SELECT a.s AS src_a, b.s AS src_b,
+        |  CAST(count(*) AS BIGINT) AS shared_contents
+        |FROM cs a JOIN cs b ON a.c = b.c AND a.s < b.s
+        |GROUP BY a.s, b.s ORDER BY src_a, src_b""".stripMargin,
+    // canonical normalization: changed rows with the canonical text
+    "t_normalize" ->
+      """WITH aug AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 23 = 0
+        |      THEN ' ' || chr(9) || text || chr(1) || '  '
+        |      ELSE text END AS raw FROM documents),
+        |n AS (SELECT doc_id, raw,
+        |    lower(trim(regexp_replace(regexp_replace(raw,
+        |      '[\p{Cc}\p{Cf}]', ' ', 'g'), '\s+', ' ', 'g'))) AS normalized
+        |  FROM aug)
+        |SELECT doc_id, CAST(len(raw) AS BIGINT) AS n_before,
+        |  CAST(len(normalized) AS BIGINT) AS n_after, normalized
+        |FROM n WHERE normalized <> raw ORDER BY doc_id""".stripMargin,
+    // IQR fences per language (quartiles rounded before the fences, as
+    // the engine does)
+    "g_iqr_outliers" ->
+      """WITH q AS (SELECT lang,
+        |    round(quantile_cont(n_chars, 0.25), 6) AS p25,
+        |    round(quantile_cont(n_chars, 0.75), 6) AS p75
+        |  FROM documents GROUP BY lang),
+        |f AS (SELECT lang, p25, p75,
+        |    round(p25 - 1.5 * (p75 - p25), 6) AS lo_fence,
+        |    round(p75 + 1.5 * (p75 - p25), 6) AS hi_fence FROM q)
+        |SELECT f.lang, f.p25, f.p75, f.lo_fence, f.hi_fence,
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(CASE WHEN d.n_chars < f.lo_fence
+        |    OR d.n_chars > f.hi_fence THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_outliers
+        |FROM documents d JOIN f ON d.lang IS NOT DISTINCT FROM f.lang
+        |GROUP BY f.lang, f.p25, f.p75, f.lo_fence, f.hi_fence
+        |ORDER BY f.lang""".stripMargin,
+    // partition layout health over the 50-docs-per-file manifest
+    "l_partition_health" ->
+      """WITH m AS (SELECT source AS part,
+        |    'f' || CAST(CAST(floor(doc_id / 50) AS BIGINT) AS VARCHAR)
+        |      AS path,
+        |    CAST(sum(n_chars) AS BIGINT) AS bytes
+        |  FROM documents GROUP BY 1, 2)
+        |SELECT part, CAST(count(*) AS BIGINT) AS n_files,
+        |  CAST(sum(bytes) AS BIGINT) AS total_bytes,
+        |  round(quantile_cont(bytes, 0.5), 6) AS p50_bytes,
+        |  round(quantile_cont(bytes, 0.95), 6) AS p95_bytes,
+        |  round(max(bytes) / round(quantile_cont(bytes, 0.5), 6), 6)
+        |    AS skew_ratio,
+        |  round(CAST(sum(CASE WHEN bytes < 3000 THEN 1 ELSE 0 END)
+        |    AS DOUBLE) / count(*), 6) AS small_frac
+        |FROM m GROUP BY part ORDER BY part""".stripMargin,
     // incremental manifest splice must equal a FULL recompute of v2
     "d_manifest_incr" ->
       s"""WITH v2 AS (SELECT doc_id,

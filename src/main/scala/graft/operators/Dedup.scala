@@ -475,6 +475,30 @@ object Dedup {
           .as("boiler_share"))
   }
 
+  /** Cross-source duplicate provenance matrix: for every source pair,
+    * how many DISTINCT normalized contents appear in both — "which feeds
+    * copy from which" (mirror detection, double-ingestion, licensing
+    * audits). Contents project to (content_hash, source) pairs, distinct,
+    * then a hash-keyed self-join emits one row per (content, src_a <
+    * src_b) co-occurrence; the groupBy rolls them up to the matrix.
+    *
+    * Scale: the join key is the content hash, so both sides shuffle once
+    * on it (map-side-combined distinct first); join fan-out per content is
+    * (#sources-holding-it choose 2) — bounded by the SOURCE count, not the
+    * corpus; the output is at most |sources|² rows.
+    */
+  def sourceOverlap(df: DataFrame, textCol: String,
+      srcCol: String): DataFrame = {
+    val cs = df.filter(col(textCol).isNotNull && col(srcCol).isNotNull)
+      .select(contentHash(col(textCol)).as("c"), col(srcCol).as("s"))
+      .distinct()
+    cs.select(col("c"), col("s").as("src_a"))
+      .join(cs.select(col("c"), col("s").as("src_b")), Seq("c"))
+      .filter(col("src_a") < col("src_b"))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(count(lit(1)).as("shared_contents"))
+  }
+
   /** Prefix-containment duplicates: pairs where the shorter document's
     * FULL text is a strict prefix of the longer one — the truncation-dup
     * family (crawler cutoffs, token-limit clippings, partial re-scrapes)

@@ -188,6 +188,29 @@ object Layout {
     small.unionByName(keep)
   }
 
+  /** Partition-layout health report over a file manifest (part, path,
+    * bytes): per partition — file count, total bytes, exact p50/p95 file
+    * size (percentile_cont semantics), max/median skew ratio, and the
+    * small-file fraction under `smallFileBytes`. The dashboard row that
+    * decides whether [[compactionPlan]] / [[zOrderBy]] are worth running;
+    * metadata-only (manifest-sized input, partition-sized output, zero
+    * corpus IO).
+    */
+  def partitionHealth(manifest: DataFrame, smallFileBytes: Long): DataFrame =
+    manifest.groupBy(col("part"))
+      .agg(count(lit(1)).as("n_files"),
+        sum(col("bytes")).as("total_bytes"),
+        round(percentile(col("bytes"), lit(0.5)), 6).as("p50_bytes"),
+        round(percentile(col("bytes"), lit(0.95)), 6).as("p95_bytes"),
+        max(col("bytes")).as("max_bytes"),
+        sum(when(col("bytes") < smallFileBytes, 1L).otherwise(0L))
+          .as("n_small"))
+      .select(col("part"), col("n_files"), col("total_bytes"),
+        col("p50_bytes"), col("p95_bytes"),
+        round(col("max_bytes") / col("p50_bytes"), 6).as("skew_ratio"),
+        round(col("n_small").cast("double") / col("n_files"), 6)
+          .as("small_frac"))
+
   /** Per-(part, bin) rollup of a [[compactionPlan]]: files merged and bytes
     * written per output file — the report that sizes the rewrite job.
     */

@@ -248,6 +248,35 @@ object Similarity {
     * does not), so the quantized corpus is bit-reproducible and
     * oracle-checkable. Pure scan-stage projection: no shuffle, codegen HOFs.
     */
+  /** Embedding-corpus hygiene audit: classify every row's vector into the
+    * FIRST matching defect class and count per class —
+    *
+    *   - `null_vec`:  the column is null (missing embedding),
+    *   - `wrong_dim`: length != expectedDim (pipeline version skew),
+    *   - `has_nan`:   any non-finite component (upstream fp blowup —
+    *     poisons every dot product it touches),
+    *   - `zero_vec`:  all components zero (cosine undefined; a common
+    *     "encoder failed, wrote zeros" sentinel),
+    *   - `ok`:        everything else.
+    *
+    * The checks every ANN/near-dup consumer should gate on before
+    * indexing. One scan, pure HOF expressions, class-count-sized output;
+    * the priority order makes classes disjoint so the counts sum to the
+    * corpus size.
+    */
+  def vecHealth(df: DataFrame, vecCol: String, expectedDim: Int): DataFrame = {
+    val v = col(vecCol)
+    val sumsq = aggregate(transform(v, x => x.cast("double")),
+      lit(0.0d), (acc, x) => acc + x * x)
+    val cls = when(v.isNull, "null_vec")
+      .when(size(v) =!= expectedDim, "wrong_dim")
+      .when(exists(v, x => isnan(x.cast("double")) ||
+        abs(x.cast("double")) === Double.PositiveInfinity), "has_nan")
+      .when(sumsq === 0.0d, "zero_vec")
+      .otherwise("ok")
+    df.groupBy(cls.as("issue")).agg(count(lit(1)).as("n_vecs"))
+  }
+
   def quantizeInt8(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
     val v = transform(col(vecCol), x => x.cast("double"))
     val scale = aggregate(v, lit(0.0d), (acc, x) => greatest(acc, abs(x)))

@@ -168,6 +168,35 @@ object Stats {
     df.groupBy(groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
   }
 
+  /** Per-group IQR (boxplot) outlier report — the quantile-fence twin of
+    * the robust-z watchdog ([[Anomaly]] uses median/MAD): fences at
+    * q1 − k·IQR and q3 + k·IQR from [[groupQuantiles]]-exact quartiles,
+    * then one corpus scan counts each group's out-of-fence rows. Output
+    * per group: quartiles, fences, n_rows, n_outliers.
+    *
+    * Two passes by construction (fences are a global-per-group property);
+    * the quartile table is group-sized and broadcasts back, so the second
+    * pass is a scan-stage filter — no corpus shuffle beyond the quartile
+    * aggregation itself.
+    */
+  def iqrOutliers(df: DataFrame, groupCols: Seq[String], valueCol: String,
+      k: Double = 1.5): DataFrame = {
+    val q = groupQuantiles(df, groupCols, valueCol, Seq(0.25, 0.75))
+      .withColumn("lo_fence", round(col("p25") - lit(k) * (col("p75") - col("p25")), 6))
+      .withColumn("hi_fence", round(col("p75") + lit(k) * (col("p75") - col("p25")), 6))
+    // null-safe join keys: a null group key is a real group (same lesson
+    // as Anomaly.rowOutliers — an equi-join would silently drop it)
+    val qr = q.select(groupCols.map(g => col(g).as(s"_g_$g")) ++
+      Seq(col("p25"), col("p75"), col("lo_fence"), col("hi_fence")): _*)
+    val cond = groupCols.map(g => col(g) <=> col(s"_g_$g")).reduce(_ && _)
+    df.join(broadcast(qr), cond)
+      .groupBy(groupCols.map(g => col(s"_g_$g").as(g)) ++
+        Seq(col("p25"), col("p75"), col("lo_fence"), col("hi_fence")): _*)
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(col(valueCol) < col("lo_fence") ||
+          col(valueCol) > col("hi_fence"), 1L).otherwise(0L)).as("n_outliers"))
+  }
+
   /** Id-continuity islands: maximal runs of consecutive ids, as
     * (start_id, end_id, n_ids) — the gap/coverage audit for id-keyed
     * corpora ("which ranges are missing after a partial restore?"). The

@@ -314,6 +314,18 @@ object TextAnalysis {
   // PII detection / redaction
   // ------------------------------------------------------------------
 
+  /** Canonical text normalization — the transform every dedup/fingerprint
+    * consumer should agree on BEFORE hashing: strip control characters
+    * (except the whitespace they often masquerade as), collapse every
+    * whitespace run to one space, trim, lowercase. Idempotent by
+    * construction (normalize ∘ normalize = normalize — spec-asserted), so
+    * re-running a pipeline stage never changes fingerprints. Pure codegen
+    * regex/string expressions; apply at scan time, one pass.
+    */
+  def normalizeText(text: Column): Column =
+    lower(trim(regexp_replace(
+      regexp_replace(text, "[\\p{Cc}\\p{Cf}]", " "), "\\s+", " ")))
+
   /** PII patterns — the regex subset shared by Java (Spark codegen) and
     * RE2-family engines (no lookaround, no backrefs), so detection counts
     * and redactions reproduce in any oracle engine.
