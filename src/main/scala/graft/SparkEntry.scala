@@ -1139,7 +1139,7 @@ object SparkEntry {
           purchases, "user_id", "ts", "ts",
           Seq("purchase_id", "purchase_value"), tieBreak = col("purchase_id"))
         .select(col("event_id"), col("user_id"),
-          unix_micros(col("ts")).as("t_us"),
+          unix_micros(col("ts").cast("timestamp")).as("t_us"),
           col("asof_purchase_id"), col("asof_purchase_value"))
         .orderBy("event_id")
     }),
@@ -1149,11 +1149,11 @@ object SparkEntry {
       // inequality is a residual filter on an equi-join, never a theta-join
       val ev = t(s, dir, "events")
       val points = ev.select(col("event_id"), col("user_id"),
-        unix_micros(col("ts")).as("t_us"))
+        unix_micros(col("ts").cast("timestamp")).as("t_us"))
       val windows = ev.filter(col("event_type") === "purchase")
         .select(col("user_id"),
-          unix_micros(col("ts")).as("w_start"),
-          (unix_micros(col("ts")) + lit(7200000000L)).as("w_end"),
+          unix_micros(col("ts").cast("timestamp")).as("w_start"),
+          (unix_micros(col("ts").cast("timestamp")) + lit(7200000000L)).as("w_end"),
           col("event_id").as("purchase_id"))
       Temporal.rangeJoin(points, windows, "user_id", "t_us",
           "w_start", "w_end", Seq("purchase_id"), chunk = 3600000000L)
@@ -1862,6 +1862,67 @@ object SparkEntry {
         .agg(sum(col("n_chars")).as("bytes"))
       Layout.partitionHealth(manifest, smallFileBytes = 3000L)
         .orderBy("part")
+    }),
+    // ---------- categorical association ----------
+    "g_assoc" -> ((s, dir) =>
+      // is source predictive of language? chi-square + Cramer's V per
+      // column pair; the self-pair pins the V = 1 end of the scale
+      Stats.cramersV(t(s, dir, "documents"),
+          Seq(("lang", "source"), ("lang", "lang")))
+        .orderBy("col_a", "col_b")),
+    // ---------- token-budget-capped assembly ----------
+    "p_budget_cap" -> ((s, dir) =>
+      // at most 50k chars per source, chosen in deterministic hash order:
+      // the reproducible last step of a mixture plan
+      Sampling.budgetCap(t(s, dir, "documents"), "doc_id", "source",
+          "n_chars", budget = 50000L, seed = "bud")
+        .orderBy("source", "cum_tokens")),
+    // ---------- dedup savings summary ----------
+    "d_cluster_stats" -> ((s, dir) =>
+      // cluster-size histogram + rows a keep-one pass drops, over the
+      // verified near-dup transitive clusters
+      DupClusters.clusterStats(
+          DupClusters.clusters(Dedup.nearDupPairsExact(
+            t(s, dir, "documents"), "doc_id", "text",
+            k = 3, numHashes = 32, bands = 16, threshold = 0.5)))
+        .orderBy("cluster_size")),
+    // ---------- retention cohorts ----------
+    "e_retention" -> ((s, dir) => {
+      // day-0 cohort -> day-k distinct returning users over the event
+      // stream: two shuffles on user_id (cohort agg + co-partitioned
+      // join), then a map-side-combined (cohort, offset) rollup
+      val ev = t(s, dir, "events")
+        .select(col("user_id"), to_date(col("ts")).as("d"))
+      val cohort = ev.groupBy(col("user_id"))
+        .agg(min(col("d")).as("cohort_day"))
+      ev.join(cohort, Seq("user_id"))
+        .groupBy(col("cohort_day"),
+          datediff(col("d"), col("cohort_day")).as("day_offset"))
+        .agg(count_distinct(col("user_id")).as("users"))
+        // date rendered as a string so both engines (and their pandas
+        // readers) agree byte-for-byte on the value
+        .select(date_format(col("cohort_day"), "yyyy-MM-dd")
+          .as("cohort_day"), col("day_offset"), col("users"))
+        .orderBy("cohort_day", "day_offset")
+    }),
+    // ---------- sampled pre-flight validation ----------
+    "v_sample_validate" -> ((s, dir) => {
+      // validate a deterministic 25% hash sample and extrapolate the
+      // corpus failure counts — the cheap pre-flight before committing a
+      // full 100 TB validation run to a rule-set change
+      val p = 0.25
+      val rules = Seq(
+        "lang_enum" -> Rule.Check(Keywords(properties = Map(
+          "lang" -> Rule.Check(Keywords(enum_ = Some(langEnum)))))),
+        "src_pattern" -> Rule.Check(Keywords(properties = Map(
+          "source" -> Rule.Check(Keywords(pattern = Some("^src[0-3]$")))))))
+      Validate.ruleCoverage(
+          Sampling.sample(t(s, dir, "documents"), "doc_id", p), rules)
+        .select(col("rule"), col("docs").as("sample_docs"),
+          col("failed_docs"), col("fail_rate"),
+          round(col("failed_docs") / lit(p)).cast("long")
+            .as("est_corpus_fails"))
+        .orderBy("rule")
     }),
     // ---------- generated north-rule corpus ----------
     "gen_validate" -> ((s, dir) => {
@@ -3690,6 +3751,105 @@ object SparkEntry {
         |FROM tf JOIN dfreq USING (token)
         |GROUP BY id ORDER BY id""".stripMargin,
     // incremental revalidation: delta = v2 rows new or changed vs v1
+    // chi-square + Cramer's V per pair (null-sentinel categories; V from
+    // the unrounded chi2, both rounded on output — engine parity)
+    "g_assoc" ->
+      """WITH c AS (SELECT coalesce(CAST(lang AS VARCHAR), '<null>') AS va,
+        |    coalesce(CAST(source AS VARCHAR), '<null>') AS vb,
+        |    CAST(count(*) AS BIGINT) AS o
+        |  FROM documents GROUP BY 1, 2),
+        |m AS (SELECT va, vb, o,
+        |    sum(o) OVER (PARTITION BY va) AS rt,
+        |    sum(o) OVER (PARTITION BY vb) AS ct FROM c),
+        |g AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+        |s AS (SELECT g.n AS n,
+        |    count(DISTINCT va) AS ca, count(DISTINCT vb) AS cb,
+        |    sum(o * o / (rt * ct / g.n)) - g.n AS chi2
+        |  FROM m, g GROUP BY g.n),
+        |c2 AS (SELECT coalesce(CAST(lang AS VARCHAR), '<null>') AS va,
+        |    CAST(count(*) AS BIGINT) AS o FROM documents GROUP BY 1),
+        |s2 AS (SELECT g.n AS n, count(DISTINCT va) AS ca,
+        |    sum(o * o / (o * o * 1.0 / g.n)) - g.n AS chi2
+        |  FROM c2, g GROUP BY g.n)
+        |SELECT 'lang' AS col_a, 'source' AS col_b, n,
+        |  round(chi2, 6) AS chi2,
+        |  CASE WHEN least(ca, cb) > 1 THEN
+        |    round(sqrt(chi2 / (n * (least(ca, cb) - 1))), 6) END
+        |    AS cramers_v
+        |FROM s
+        |UNION ALL
+        |SELECT 'lang', 'lang', n, round(chi2, 6),
+        |  CASE WHEN ca > 1 THEN
+        |    round(sqrt(chi2 / (n * (ca - 1))), 6) END
+        |FROM s2
+        |ORDER BY col_a, col_b""".stripMargin,
+    // deterministic hash-order running sum capped per source
+    "p_budget_cap" ->
+      """WITH w AS (SELECT doc_id, source, n_chars,
+        |    CAST(sum(n_chars) OVER (PARTITION BY source
+        |      ORDER BY md5('bud:' || CAST(doc_id AS VARCHAR)), doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS cum_tokens
+        |  FROM documents)
+        |SELECT doc_id, source, n_chars, cum_tokens FROM w
+        |WHERE cum_tokens <= 50000 ORDER BY source, cum_tokens""".stripMargin,
+    // cluster-size histogram over the same transitive closure as
+    // d_dup_clusters
+    "d_cluster_stats" ->
+      """WITH RECURSIVE toks AS (SELECT doc_id,
+        |    string_split(lower(regexp_replace(trim(text), '\s+', ' ', 'g')), ' ') AS t
+        |  FROM documents),
+        |sh AS (SELECT doc_id,
+        |    CASE WHEN len(t) >= 3 THEN list_distinct(list_transform(
+        |      generate_series(1, len(t) - 2), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+        |    ELSE CAST([] AS VARCHAR[]) END AS s
+        |  FROM toks),
+        |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE (CASE WHEN len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) = 0
+        |    THEN 0.0 ELSE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+        |      / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) END) >= 0.5),
+        |edges AS (SELECT id_a AS x, id_b AS y FROM pairs
+        |  UNION SELECT id_b AS x, id_a AS y FROM pairs),
+        |reach(x, y) AS (
+        |  SELECT s.x AS x, s.x AS y FROM (SELECT DISTINCT x FROM edges) s
+        |  UNION
+        |  SELECT e.x, r.y FROM edges e JOIN reach r ON e.y = r.x),
+        |comp AS (SELECT x AS doc_id, min(y) AS cluster_id FROM reach GROUP BY x),
+        |sz AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS s
+        |  FROM comp GROUP BY cluster_id)
+        |SELECT s AS cluster_size, CAST(count(*) AS BIGINT) AS n_clusters,
+        |  CAST((s - 1) * count(*) AS BIGINT) AS rows_dropped
+        |FROM sz GROUP BY s ORDER BY cluster_size""".stripMargin,
+    // day-0 cohort -> day-k distinct returning users
+    "e_retention" ->
+      """WITH e AS (SELECT user_id, CAST(ts AS DATE) AS d FROM events),
+        |c AS (SELECT user_id, min(d) AS cohort_day FROM e GROUP BY user_id)
+        |SELECT CAST(c.cohort_day AS VARCHAR) AS cohort_day,
+        |  CAST(date_diff('day', c.cohort_day, e.d) AS INT) AS day_offset,
+        |  CAST(count(DISTINCT e.user_id) AS BIGINT) AS users
+        |FROM e JOIN c ON e.user_id = c.user_id
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // 25% hash-sample validation with extrapolated corpus counts
+    "v_sample_validate" ->
+      """WITH s AS (SELECT * FROM documents
+        |  WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '40000000'),
+        |g AS (SELECT CAST(count(*) AS BIGINT) AS docs,
+        |  CAST(sum(CASE WHEN NOT (lang IS NULL
+        |    OR lang IN ('en','de','fr','es')) THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS f0,
+        |  CAST(sum(CASE WHEN NOT (source IS NULL
+        |    OR regexp_matches(source, '^src[0-3]$')) THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS f1
+        |  FROM s)
+        |SELECT 'lang_enum' AS rule, docs AS sample_docs, f0 AS failed_docs,
+        |  round(CAST(f0 AS DOUBLE) / docs, 6) AS fail_rate,
+        |  CAST(round(f0 / 0.25) AS BIGINT) AS est_corpus_fails FROM g
+        |UNION ALL
+        |SELECT 'src_pattern', docs, f1,
+        |  round(CAST(f1 AS DOUBLE) / docs, 6),
+        |  CAST(round(f1 / 0.25) AS BIGINT) FROM g
+        |ORDER BY rule""".stripMargin,
     // embedding hygiene classes over the defect-injected corpus
     "s_vec_health" ->
       """WITH inj AS (SELECT CASE

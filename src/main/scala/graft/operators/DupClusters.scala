@@ -104,6 +104,22 @@ object DupClusters {
       .select(col("id"), col("comp").as("cluster_id"),
         (col("id") === col("comp")).as("keep"))
 
+  /** Cluster-size histogram + dedup savings: from a [[clusters]] table,
+    * one row per distinct cluster size with the number of clusters of
+    * that size and the rows a keep-one-per-cluster pass would drop
+    * ((size − 1) · n_clusters) — the "how much does dedup buy us" summary
+    * a curation review reads before committing to the rewrite. Two
+    * map-side-combined groupBys (members → cluster sizes → histogram);
+    * output is distinct-size-sized.
+    */
+  def clusterStats(clusterDf: DataFrame): DataFrame =
+    clusterDf.groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("_size"))
+      .groupBy(col("_size").as("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"))
+      .select(col("cluster_size"), col("n_clusters"),
+        ((col("cluster_size") - 1) * col("n_clusters")).as("rows_dropped"))
+
   /** Quality-based retention: instead of keep-min-id, keep the HIGHEST
     * `scoreCol` doc of each cluster (ties → min id), and tell every
     * dropped doc which doc replaced it — the drop list a dedup pass

@@ -216,6 +216,31 @@ object Sampling {
       .select(col(idCol), col("shard"), col("pos").cast("long").as("pos"))
   }
 
+  /** Token-budget-capped corpus assembly: per group (source, language,
+    * ...), keep documents — in deterministic md5(seed:id) order, the same
+    * unbiased coin as [[sample]] — until the group's running token sum
+    * exceeds `budget`; the kept set is exactly the docs whose cumulative
+    * sum (inclusive) stays ≤ budget. "Give me at most 10B tokens per
+    * source, chosen reproducibly" is the last step of most mixture plans;
+    * hash order makes the selection layout- and cluster-size-invariant
+    * (a random() coin is neither).
+    *
+    * One Window per group (running sum over the hash order): partition-
+    * bounded sort, group-count parallelism — same scaling knob as every
+    * per-source operator here. Output: (id, group, tokens, cum_tokens).
+    */
+  def budgetCap(df: DataFrame, idCol: String, groupCol: String,
+      tokensCol: String, budget: Long, seed: String): DataFrame = {
+    require(budget > 0, s"budget must be positive: $budget")
+    import org.apache.spark.sql.expressions.Window
+    val key = md5(concat(lit(seed + ":"), col(idCol).cast("string")))
+    val w = Window.partitionBy(col(groupCol)).orderBy(key, col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.select(col(idCol), col(groupCol), col(tokensCol))
+      .withColumn("cum_tokens", sum(col(tokensCol)).over(w))
+      .filter(col("cum_tokens") <= budget)
+  }
+
   /** Exact global 1-based rank by `orderCols` WITHOUT a single-partition
     * sort (the naive `row_number() OVER (ORDER BY ...)` funnels the whole
     * corpus through one task — a non-starter at 10^12 rows). Two-phase

@@ -197,6 +197,53 @@ object Stats {
           col(valueCol) > col("hi_fence"), 1L).otherwise(0L)).as("n_outliers"))
   }
 
+  /** Categorical association (Pearson chi² + Cramér's V) between column
+    * pairs — the cross-COLUMN twin of the drift family's chi² (which
+    * compares distributions of ONE column): "is source predictive of
+    * language?" is a dependency question every mixture/split design needs
+    * answered (a lang-skewed source breaks per-source sampling
+    * assumptions). V in [0, 1]; 0 = independent, 1 = fully determined.
+    *
+    * One map-side-combined contingency groupBy per pair; margins and the
+    * chi² fold run over the CELL table (≤ card(a)·card(b) rows), never the
+    * corpus. NULL is a real category (coalesced to a sentinel so the
+    * cardinality in V's denominator counts it — `count distinct` would
+    * silently drop it and V could exceed 1). Statistics are rounded
+    * (cross-engine float-sum policy).
+    */
+  def cramersV(df: DataFrame, pairs: Seq[(String, String)]): DataFrame = {
+    require(pairs.nonEmpty, "cramersV: need at least one column pair")
+    pairs.map { case (a, b) =>
+      val cells = df.groupBy(
+          coalesce(col(a).cast(StringType), lit("<null>")).as("va"),
+          coalesce(col(b).cast(StringType), lit("<null>")).as("vb"))
+        .agg(count(lit(1)).as("o"))
+      val withMargins = cells
+        .withColumn("row_tot", sum(col("o")).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("va"))))
+        .withColumn("col_tot", sum(col("o")).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("vb"))))
+      // chi2 = sum(o^2/e) - n: the algebraic identity that makes EMPTY
+      // cells free — summing (o-e)^2/e over observed cells only would
+      // silently drop every absent combination's e contribution
+      val e = col("row_tot") * col("col_tot") / col("n")
+      withMargins
+        .crossJoin(broadcast(df.agg(count(lit(1)).as("n"))))
+        .agg(first(col("n")).as("nn"),
+          count_distinct(col("va")).as("ca"),
+          count_distinct(col("vb")).as("cb"),
+          (sum(col("o").cast("double") * col("o") / e) -
+            first(col("n"))).as("chi2"))
+        .select(lit(a).as("col_a"), lit(b).as("col_b"),
+          col("nn").as("n"), round(col("chi2"), 6).as("chi2"),
+          // V undefined when either column is constant (min card 1)
+          when(least(col("ca"), col("cb")) > 1,
+            round(sqrt(col("chi2") /
+              (col("nn") * (least(col("ca"), col("cb")) - 1))), 6))
+            .as("cramers_v"))
+    }.reduce(_ unionByName _)
+  }
+
   /** Id-continuity islands: maximal runs of consecutive ids, as
     * (start_id, end_id, n_ids) — the gap/coverage audit for id-keyed
     * corpora ("which ranges are missing after a partial restore?"). The
