@@ -1924,6 +1924,64 @@ object SparkEntry {
             .as("est_corpus_fails"))
         .orderBy("rule")
     }),
+    // ---------- span-kind mass per partition ----------
+    "v_span_kinds" -> ((s, dir) =>
+      // the axes-A+B profile at span granularity: per (part, kind) span
+      // counts, doc coverage, offset mass — explode + one map-side
+      // groupBy over the interleaved corpus
+      derivedDocs(s, dir)
+        .select(col("part"), col("doc_id"), explode(col("spans")).as("sp"))
+        .groupBy(col("part"), col("sp.kind").as("kind"))
+        .agg(count(lit(1)).as("n_spans"),
+          count_distinct(col("doc_id")).as("docs"),
+          sum(col("sp.offset")).cast("long").as("offset_sum"),
+          max(col("sp.offset")).cast("long").as("max_offset"))
+        .orderBy("part", "kind")),
+    // ---------- signup -> purchase funnel ----------
+    "e_funnel" -> ((s, dir) => {
+      // conversion within a 7-day attribution window of the user's FIRST
+      // signup: user-keyed join (co-partitioned with the signup agg),
+      // distinct converted users, per-day rollup
+      val ev = t(s, dir, "events")
+      val su = ev.filter(col("event_type") === "signup")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("su_ts"))
+      val conv = su.join(
+          ev.filter(col("event_type") === "purchase")
+            .select(col("user_id"), col("ts").as("p_ts")), Seq("user_id"))
+        .filter(col("p_ts") >= col("su_ts") &&
+          col("p_ts") <= col("su_ts") + expr("INTERVAL 7 DAYS"))
+        .select(col("user_id")).distinct()
+        .withColumn("_c", lit(1L))
+      su.join(conv, Seq("user_id"), "left")
+        .groupBy(date_format(to_date(col("su_ts")), "yyyy-MM-dd")
+          .as("signup_day"))
+        .agg(count(lit(1)).as("signups"),
+          coalesce(sum(col("_c")), lit(0L)).as("converted"))
+        .withColumn("conv_rate",
+          round(col("converted") / col("signups"), 6))
+        .orderBy("signup_day")
+    }),
+    // ---------- k-anonymity release gate ----------
+    "g_kanon" -> ((s, dir) =>
+      // quasi-identifier combinations shared by fewer than 5 docs — the
+      // re-identification risk rows a privacy review reads
+      Stats.kAnonymityRisk(t(s, dir, "documents"), Seq("lang", "source"),
+          k = 5L)
+        .orderBy("lang", "source")),
+    // ---------- event-sequence ordering audit ----------
+    "e_order_violations" -> ((s, dir) => {
+      // the event-level twin of the span-offset invariant: ids were
+      // assigned in time order; injected regressions (ts - 1h at % 37)
+      // must surface with their running-max witness
+      val ev = t(s, dir, "events").select(col("user_id"), col("event_id"),
+        when(pmod(col("event_id"), lit(37L)) === 0L,
+          col("ts") - expr("INTERVAL 1 HOUR")).otherwise(col("ts")).as("ts"))
+      Temporal.orderViolations(ev, "user_id", "event_id", "ts")
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts").cast("timestamp")).as("t_us"),
+          unix_micros(col("prev_max_ts").cast("timestamp")).as("prev_us"))
+        .orderBy("user_id", "event_id")
+    }),
     // ---------- generated north-rule corpus ----------
     "gen_validate" -> ((s, dir) => {
       // the generated corpus is WRITTEN to parquet first and validated from
@@ -3751,6 +3809,51 @@ object SparkEntry {
         |FROM tf JOIN dfreq USING (token)
         |GROUP BY id ORDER BY id""".stripMargin,
     // incremental revalidation: delta = v2 rows new or changed vs v1
+    // span-kind mass per partition over the derived interleaved corpus
+    "v_span_kinds" ->
+      """SELECT CAST(l_orderkey % 8 AS INT) AS part,
+        |  CASE WHEN l_returnflag = 'R' THEN 'media' ELSE 'text' END AS kind,
+        |  CAST(count(*) AS BIGINT) AS n_spans,
+        |  CAST(count(DISTINCT l_orderkey) AS BIGINT) AS docs,
+        |  CAST(sum(CASE WHEN l_quantity > 45 THEN 0
+        |    ELSE l_linenumber * 10 END) AS BIGINT) AS offset_sum,
+        |  CAST(max(CASE WHEN l_quantity > 45 THEN 0
+        |    ELSE l_linenumber * 10 END) AS BIGINT) AS max_offset
+        |FROM lineitem GROUP BY 1, 2 ORDER BY part, kind""".stripMargin,
+    // signup -> purchase conversion within 7 days of the FIRST signup
+    "e_funnel" ->
+      """WITH su AS (SELECT user_id, min(ts) AS su_ts FROM events
+        |  WHERE event_type = 'signup' GROUP BY user_id),
+        |conv AS (SELECT DISTINCT su.user_id
+        |  FROM su JOIN events p ON p.user_id = su.user_id
+        |  WHERE p.event_type = 'purchase' AND p.ts >= su.su_ts
+        |    AND p.ts <= su.su_ts + INTERVAL 7 DAY)
+        |SELECT CAST(CAST(su.su_ts AS DATE) AS VARCHAR) AS signup_day,
+        |  CAST(count(*) AS BIGINT) AS signups,
+        |  CAST(sum(CASE WHEN conv.user_id IS NULL THEN 0 ELSE 1 END)
+        |    AS BIGINT) AS converted,
+        |  round(CAST(sum(CASE WHEN conv.user_id IS NULL THEN 0 ELSE 1 END)
+        |    AS DOUBLE) / count(*), 6) AS conv_rate
+        |FROM su LEFT JOIN conv ON su.user_id = conv.user_id
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // quasi-identifier combinations below the k = 5 anonymity floor
+    "g_kanon" ->
+      """SELECT lang, source, CAST(count(*) AS BIGINT) AS n_rows
+        |FROM documents GROUP BY lang, source HAVING count(*) < 5
+        |ORDER BY lang, source""".stripMargin,
+    // injected time regressions vs the running max over id order
+    "e_order_violations" ->
+      """WITH e AS (SELECT user_id, event_id,
+        |    CASE WHEN event_id % 37 = 0 THEN ts - INTERVAL 1 HOUR
+        |      ELSE ts END AS ts FROM events),
+        |w AS (SELECT user_id, event_id, ts,
+        |    max(ts) OVER (PARTITION BY user_id ORDER BY event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |      AS prev_max_ts FROM e)
+        |SELECT user_id, event_id, epoch_us(ts) AS t_us,
+        |  epoch_us(prev_max_ts) AS prev_us
+        |FROM w WHERE ts < prev_max_ts
+        |ORDER BY user_id, event_id""".stripMargin,
     // chi-square + Cramer's V per pair (null-sentinel categories; V from
     // the unrounded chi2, both rounded on output — engine parity)
     "g_assoc" ->

@@ -197,6 +197,21 @@ object Stats {
           col(valueCol) > col("hi_fence"), 1L).otherwise(0L)).as("n_outliers"))
   }
 
+  /** k-anonymity risk audit over quasi-identifier columns: every
+    * combination of `quasiCols` values shared by FEWER than k rows — the
+    * cohorts where joining an external table re-identifies individuals,
+    * and the release-gate check privacy reviews ask for. NULL values are
+    * real combination members. One map-side-combined groupBy; output is
+    * risky-combination-sized (small exactly when the corpus is safe).
+    */
+  def kAnonymityRisk(df: DataFrame, quasiCols: Seq[String],
+      k: Long): DataFrame = {
+    require(quasiCols.nonEmpty && k > 1, "need quasi columns and k > 1")
+    df.groupBy(quasiCols.map(col): _*)
+      .agg(count(lit(1)).as("n_rows"))
+      .filter(col("n_rows") < k)
+  }
+
   /** Categorical association (Pearson chi² + Cramér's V) between column
     * pairs — the cross-COLUMN twin of the drift family's chi² (which
     * compares distributions of ONE column): "is source predictive of

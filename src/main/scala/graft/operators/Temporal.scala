@@ -88,6 +88,25 @@ object Temporal {
         rightPayload.map(v => col(s"_asof.$v").as(s"asof_$v")): _*)
   }
 
+  /** Sequence-ordering audit: rows whose `tsCol` runs BACKWARD against the
+    * running maximum over `seqCol` order within a key — the event-level
+    * twin of the span-offset invariant ("event ids were assigned in time
+    * order; where does the stream disagree?"). Output: the violating rows
+    * (key, seq, ts, prev_max_ts), |violations|-sized.
+    *
+    * One Window per key (running max over the seq order, exclusive of the
+    * current row): partition-bounded sort, same skew caveat as
+    * [[asofJoin]] for single mega-keys.
+    */
+  def orderViolations(df: DataFrame, keyCol: String, seqCol: String,
+      tsCol: String): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(seqCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    df.select(col(keyCol), col(seqCol), col(tsCol))
+      .withColumn("prev_max_ts", max(col(tsCol)).over(w))
+      .filter(col(tsCol) < col("prev_max_ts"))
+  }
+
   /** Interval range join: `points` (with `pointTime`) against `intervals`
     * (with `startCol` inclusive, `endCol` exclusive), both keyed by `key`.
     * Returns every point row joined to each containing interval's

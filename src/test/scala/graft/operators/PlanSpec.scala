@@ -342,4 +342,52 @@ class PlanSpec extends SparkSpec {
     assert("Window".r.findAllIn(p).length == 1,
       s"expected exactly the manifest window:\n$p")
   }
+
+  test("forget: broadcast anti-join, zero shuffle of the corpus") {
+    val corpus = spark.range(0, 100000).select(col("id"),
+      concat(lit("d"), col("id")).as("payload"))
+    val dels = spark.range(0, 100000, 997).select(col("id").as("del"))
+    val p = planOf(Forget.forget(corpus, dels, "id", "del"))
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
+      s"tombstone anti-join did not broadcast:\n$p")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"corpus shuffled for a broadcast-sized delete list:\n$p")
+  }
+
+  test("curriculum: range exchange + per-pid windows, never a " +
+      "single-partition global sort") {
+    val df = spark.range(0, 50000).select(col("id"),
+      (col("id") % 997).as("s"))
+    val p = planOf(Sampling.curriculum(df,
+      Seq(col("s").desc, col("id")), n = 8))
+    assert(p.contains("rangepartitioning"),
+      s"no range repartition phase:\n$p")
+    // every Window must partition by the pid — an empty partitionBy
+    // ('windowspecdefinition(s#...' with no partition spec) would funnel
+    // the corpus through one task
+    assert(p.contains("windowspecdefinition(_pid"),
+      s"rank window not partitioned by pid:\n$p")
+    assert(!"windowspecdefinition\\((s|id)#".r.findFirstIn(p).isDefined,
+      s"global (single-partition) window in the plan:\n$p")
+  }
+
+  test("evidence sampling lowers to WindowGroupLimit (map-side truncation)") {
+    val viols = spark.range(0, 10000).select(
+      col("id").as("doc_id"),
+      concat(lit("p"), col("id") % 3).as("path"),
+      concat(lit("r"), col("id") % 2).as("rule"))
+    val p = planOf(Validate.evidence(viols, k = 3))
+    assert(p.contains("WindowGroupLimit"),
+      s"rn <= k filter did not lower to WindowGroupLimit:\n$p")
+  }
+
+  test("budgetCap: one Exchange on the group, sort bounded by it") {
+    val df = spark.range(0, 10000).select(col("id"),
+      (col("id") % 7).cast("string").as("g"), lit(10L).as("tok"))
+    val p = planOf(Sampling.budgetCap(df, "id", "g", "tok", 1000L, "z"))
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 1,
+      s"budgetCap should shuffle once on the group key:\n$p")
+    assert(p.contains("windowspecdefinition(g#"),
+      s"running sum not partitioned by group:\n$p")
+  }
 }
