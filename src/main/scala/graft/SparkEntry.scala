@@ -1982,6 +1982,43 @@ object SparkEntry {
           unix_micros(col("prev_max_ts").cast("timestamp")).as("prev_us"))
         .orderBy("user_id", "event_id")
     }),
+    // ---------- declared-vs-detected language QA ----------
+    "t_lang_confusion" -> ((s, dir) =>
+      // confusion matrix of the declared lang column against the n-gram
+      // heuristic's verdict — the labeling-QA view over the corpus; one
+      // scan + a matrix-sized groupBy
+      t(s, dir, "documents")
+        .groupBy(coalesce(col("lang"), lit("<null>")).as("lang"),
+          TextAnalysis.langId(col("text")).as("detected"))
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy("lang", "detected")),
+    // ---------- rule failure co-occurrence ----------
+    "v_rule_cooccur" -> ((s, dir) => {
+      // redundancy / independence of the rule set: all pair counters in
+      // ONE aggregation scan
+      val rules = Seq(
+        "lang_enum" -> Rule.Check(Keywords(properties = Map(
+          "lang" -> Rule.Check(Keywords(enum_ = Some(langEnum)))))),
+        "len_max" -> Rule.Check(Keywords(properties = Map(
+          "n_chars" -> Rule.Check(Keywords(maximum = Some(500)))))),
+        "src_pattern" -> Rule.Check(Keywords(properties = Map(
+          "source" -> Rule.Check(Keywords(pattern = Some("^src[0-3]$")))))))
+      Validate.ruleCooccurrence(t(s, dir, "documents"), rules)
+        .orderBy("rule_a", "rule_b")
+    }),
+    // ---------- streaming incremental top-k ----------
+    "e_stream_topk" -> ((s, dir) => {
+      // heavy hitters maintained ACROSS micro-batches (foreachBatch
+      // partial counts merged on the driver): the final top-k must equal
+      // the batch answer over the whole stream — counts are associative
+      val batch = t(s, dir, "events")
+      val stream = s.readStream.schema(batch.schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(dir)
+      graft.streaming.StreamValidate
+        .topKIncremental(stream, "event_type", k = 5)
+        .orderBy(col("occurrences").desc, col("event_type"))
+    }),
     // ---------- generated north-rule corpus ----------
     "gen_validate" -> ((s, dir) => {
       // the generated corpus is WRITTEN to parquet first and validated from
@@ -3809,6 +3846,57 @@ object SparkEntry {
         |FROM tf JOIN dfreq USING (token)
         |GROUP BY id ORDER BY id""".stripMargin,
     // incremental revalidation: delta = v2 rows new or changed vs v1
+    // declared vs detected language confusion matrix (same marker-hit
+    // argmax + tie order as the t_lang_id oracle)
+    "t_lang_confusion" ->
+      s"""WITH toks AS (SELECT doc_id, lang, string_split_regex(
+        |    lower(regexp_replace(trim(text), '[^\\p{L}\\p{N}\\s]', ' ', 'g')), '\\s+') AS tk
+        |  FROM documents),
+        |h AS (SELECT doc_id, lang,
+        |  len(list_filter(tk, x -> x IN (${sqlList(TextAnalysis.markers("en"))}))) AS h_en,
+        |  len(list_filter(tk, x -> x IN (${sqlList(TextAnalysis.markers("de"))}))) AS h_de,
+        |  len(list_filter(tk, x -> x IN (${sqlList(TextAnalysis.markers("fr"))}))) AS h_fr,
+        |  len(list_filter(tk, x -> x IN (${sqlList(TextAnalysis.markers("es"))}))) AS h_es
+        |  FROM toks),
+        |d AS (SELECT coalesce(lang, '<null>') AS lang,
+        |  CASE WHEN greatest(h_en, h_de, h_fr, h_es) = 0 THEN 'und'
+        |       WHEN h_fr >= h_es AND h_fr >= h_en AND h_fr >= h_de THEN 'fr'
+        |       WHEN h_es >= h_en AND h_es >= h_de THEN 'es'
+        |       WHEN h_en >= h_de THEN 'en'
+        |       ELSE 'de' END AS detected
+        |  FROM h)
+        |SELECT lang, detected, CAST(count(*) AS BIGINT) AS n_docs
+        |FROM d GROUP BY lang, detected ORDER BY lang, detected""".stripMargin,
+    // all rule-pair co-failure counters from one scan (null-explicit)
+    "v_rule_cooccur" ->
+      """WITH f AS (SELECT
+        |    CASE WHEN NOT (lang IS NULL OR lang IN ('en','de','fr','es'))
+        |      THEN 1 ELSE 0 END AS f0,
+        |    CASE WHEN NOT (n_chars IS NULL OR n_chars <= 500)
+        |      THEN 1 ELSE 0 END AS f1,
+        |    CASE WHEN NOT (source IS NULL
+        |      OR regexp_matches(source, '^src[0-3]$')) THEN 1 ELSE 0 END AS f2
+        |  FROM documents),
+        |g AS (SELECT CAST(sum(f0) AS BIGINT) AS a0,
+        |    CAST(sum(f1) AS BIGINT) AS a1, CAST(sum(f2) AS BIGINT) AS a2,
+        |    CAST(sum(f0 * f1) AS BIGINT) AS b01,
+        |    CAST(sum(f0 * f2) AS BIGINT) AS b02,
+        |    CAST(sum(f1 * f2) AS BIGINT) AS b12 FROM f),
+        |p AS (
+        |  SELECT 'lang_enum' AS rule_a, 'len_max' AS rule_b,
+        |    a0 AS a_failed, a1 AS b_failed, b01 AS both_failed FROM g
+        |  UNION ALL SELECT 'lang_enum', 'src_pattern', a0, a2, b02 FROM g
+        |  UNION ALL SELECT 'len_max', 'src_pattern', a1, a2, b12 FROM g)
+        |SELECT rule_a, rule_b, a_failed, b_failed, both_failed,
+        |  CASE WHEN a_failed + b_failed - both_failed > 0 THEN
+        |    round(CAST(both_failed AS DOUBLE)
+        |      / (a_failed + b_failed - both_failed), 6) END AS jaccard
+        |FROM p ORDER BY rule_a, rule_b""".stripMargin,
+    // streaming incremental top-k == batch top-k (counts associative)
+    "e_stream_topk" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS occurrences
+        |FROM events GROUP BY event_type
+        |ORDER BY occurrences DESC, event_type LIMIT 5""".stripMargin,
     // span-kind mass per partition over the derived interleaved corpus
     "v_span_kinds" ->
       """SELECT CAST(l_orderkey % 8 AS INT) AS part,

@@ -147,6 +147,40 @@ object Validate {
       .as[Verdict]
   }
 
+  /** Rule co-occurrence: for every rule PAIR, how many documents fail
+    * both, with the Jaccard overlap of the two failure sets — "are these
+    * two rules catching the same broken cohort or independent problems?"
+    * (a pair with Jaccard ≈ 1 is a redundant rule; ≈ 0 under high
+    * individual rates means disjoint failure modes). ONE aggregation scan
+    * computes all |rules|² / 2 pair counters at once — at 10^12 docs the
+    * pass costs the same as a single rule's metrics.
+    */
+  def ruleCooccurrence(df: DataFrame, rules: Seq[(String, Rule)],
+      defs: Map[String, Rule] = Map.empty): DataFrame = {
+    require(rules.size >= 2, "ruleCooccurrence: need at least two rules")
+    val row = struct(df.columns.map(col): _*)
+    val fails = rules.map { case (_, r) =>
+      when(!coalesce(RuleCompiler.compile(r, row, df.schema, defs).pred,
+        lit(false)), 1L).otherwise(0L)
+    }
+    val idx = rules.indices
+    val singles = idx.map(i => sum(fails(i)).as(s"_f$i"))
+    val pairsIdx = for { i <- idx; j <- idx if i < j } yield (i, j)
+    val pairSums = pairsIdx.map { case (i, j) =>
+      sum(fails(i) * fails(j)).as(s"_b${i}_$j") }
+    val one = df.agg(singles.head, (singles.tail ++ pairSums): _*)
+    one.select(explode(array(pairsIdx.map { case (i, j) =>
+        struct(lit(rules(i)._1).as("rule_a"), lit(rules(j)._1).as("rule_b"),
+          col(s"_f$i").as("a_failed"), col(s"_f$j").as("b_failed"),
+          col(s"_b${i}_$j").as("both_failed")) }: _*)).as("m"))
+      .select(col("m.rule_a"), col("m.rule_b"), col("m.a_failed"),
+        col("m.b_failed"), col("m.both_failed"),
+        when(col("m.a_failed") + col("m.b_failed") - col("m.both_failed") > 0,
+          round(col("m.both_failed") /
+            (col("m.a_failed") + col("m.b_failed") - col("m.both_failed")),
+            6)).as("jaccard"))
+  }
+
   /** Evidence sampling over a flat violation table
     * ([[flatViolations]] shape): the first `k` violating documents per
     * (path, rule), ordered by `doc_id` — the "show me three examples of

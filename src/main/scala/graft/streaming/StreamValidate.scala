@@ -164,4 +164,43 @@ object StreamValidate {
     import spark.implicits._
     emissions.toSeq.toDF("batch_seq", "ks")
   }
+
+  /** INCREMENTAL top-k over a stream: per micro-batch, ONE map-side-
+    * combined partial count of the batch's own rows (`foreachBatch` —
+    * per-trigger cost O(batch)), merged into a running key→count map on
+    * the driver. Returns the final top-k (count desc, key asc — same
+    * deterministic contract as the batch `topTokens`/`heavyHitters`),
+    * which equals the batch answer over the whole stream by construction
+    * (counts are associative).
+    *
+    * State is (distinct keys seen) — the right tier for enum-ish keys
+    * (event types, sources, langs). For unbounded key domains swap the
+    * merge map for the CMS + Misra-Gries tier
+    * ([[graft.operators.Stats.heavyHittersSketch]] per batch, sketches
+    * merged instead of maps) — same foreachBatch shape, fixed-size state.
+    */
+  def topKIncremental(stream: DataFrame, keyCol: String, k: Int): DataFrame = {
+    val spark = stream.sparkSession
+    val state = scala.collection.mutable.Map.empty[Option[String], Long]
+    val q = stream.writeStream
+      .foreachBatch { (batchDf: DataFrame, _: Long) =>
+        val delta = batchDf
+          .groupBy(col(keyCol).cast("string").as("k"))
+          .agg(count(lit(1)).as("c"))
+          .collect()
+        delta.foreach { r =>
+          val key = if (r.isNullAt(0)) None else Some(r.getString(0))
+          state.update(key, state.getOrElse(key, 0L) + r.getLong(1))
+        }
+        ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    import spark.implicits._
+    state.toSeq.map { case (key, c) => (key.orNull, c) }
+      .sortBy { case (key, c) => (-c, Option(key).getOrElse("")) }
+      .take(k)
+      .toDF(keyCol, "occurrences")
+  }
 }
