@@ -14,8 +14,13 @@ import graft.sources.CommitLog
   * spark-submit --class graft.Main <jar> \
   *   --rules rules.yaml [--rules more.yaml]... \
   *   --docs /path/to/docs_parquet --out /path/to/out \
-  *   [--fail-fast] [--json] [--parts-per-batch N] [--files-per-part N]
+  *   [--fail-fast] [--json] [--parts-per-batch N] [--files-per-part N] \
+  *   [--forget deletes.parquet [--forget-col doc_id]]
   * }}}
+  *
+  * `--forget` applies a tombstone list (right-to-be-forgotten) to the
+  * docs table before any rule runs — broadcast anti-join, audit with the
+  * recomputed zero residual written to `out/forget_audit`.
   *
   * `--rules` is repeatable like the reference's `-f` (`ys.rs:133-177`): the
   * first file is the evaluation root; all files are preloaded for `$ref`
@@ -70,7 +75,30 @@ object Main {
       infer: String = "", scorecard: Boolean = false,
       catalog: String = "", unique: List[String] = Nil,
       quarantine: String = "", clean: String = "",
-      anomalyParts: Boolean = false, outlierSpans: Boolean = false)
+      anomalyParts: Boolean = false, outlierSpans: Boolean = false,
+      forget: String = "", forgetCol: String = "doc_id")
+
+  /** Apply a tombstone list (`--forget deletes.parquet`, id column
+    * `--forget-col`, same name on both sides) to the docs table: writes
+    * the per-table audit — including the independently recomputed
+    * post-apply residual, which must be 0 — to `out/forget_audit`, logs
+    * the counts, and returns the surviving rows. Broadcast anti-join;
+    * the corpus never shuffles ([[operators.Forget]]).
+    */
+  private[graft] def applyForget(spark: SparkSession,
+      docs: org.apache.spark.sql.DataFrame, forgetPath: String,
+      idCol: String, out: String): org.apache.spark.sql.DataFrame = {
+    val del = spark.read.parquet(forgetPath)
+    val audit = operators.Forget.audit(spark,
+      Seq(("docs", docs, idCol)), del, idCol)
+    if (out.nonEmpty)
+      audit.coalesce(1).write.mode("overwrite")
+        .parquet(s"$out/forget_audit")
+    val a = audit.collect()(0)
+    System.err.println(s"[graft] forget: removed=${a.getLong(2)} " +
+      s"kept=${a.getLong(3)} residual=${a.getLong(4)}")
+    operators.Forget.forget(docs, del, idCol, idCol)
+  }
 
   private def parse(argv: List[String], a: Args): Args = argv match {
     case Nil => a
@@ -94,6 +122,8 @@ object Main {
     case "--clean" :: v :: rest => parse(rest, a.copy(clean = v))
     case "--anomaly-parts" :: rest => parse(rest, a.copy(anomalyParts = true))
     case "--outlier-spans" :: rest => parse(rest, a.copy(outlierSpans = true))
+    case "--forget" :: v :: rest => parse(rest, a.copy(forget = v))
+    case "--forget-col" :: v :: rest => parse(rest, a.copy(forgetCol = v))
     case other :: _ => throw new IllegalArgumentException(s"Unknown argument: $other")
   }
 
@@ -233,7 +263,14 @@ object Main {
     spark.sparkContext.setLogLevel("WARN")
 
     val exit = try {
-      val docs = spark.read.parquet(args.docs)
+      val docsRaw = spark.read.parquet(args.docs)
+      // right-to-be-forgotten on the validation path: tombstones applied
+      // BEFORE any rule runs, audit (incl. the recomputed zero residual)
+      // written next to the violation outputs — a validated corpus is also
+      // a deletion-compliant one
+      val docs =
+        if (args.forget.isEmpty) docsRaw
+        else applyForget(spark, docsRaw, args.forget, args.forgetCol, args.out)
       if (args.infer.nonEmpty) {
         // schema-inference mode (the validator's inverse): profile the
         // table, write the inferred YAML schema, and stop — the natural

@@ -2019,6 +2019,63 @@ object SparkEntry {
         .topKIncremental(stream, "event_type", k = 5)
         .orderBy(col("occurrences").desc, col("event_type"))
     }),
+    // ---------- per-source duplicate rate ----------
+    "d_dup_rate" -> ((s, dir) =>
+      // which feed sends duplicates: per source, docs vs distinct
+      // normalized contents; two-phase count_distinct, source-sized output
+      t(s, dir, "documents")
+        .filter(col("text").isNotNull)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("docs"),
+          count_distinct(Dedup.contentHash(col("text")))
+            .as("distinct_contents"))
+        .withColumn("dup_rate",
+          round(lit(1.0) - col("distinct_contents") / col("docs"), 6))
+        .orderBy("source")),
+    // ---------- quantile drift between snapshots ----------
+    "g_quantile_drift" -> ((s, dir) => {
+      // the distribution-shift view a drift alert links to: per-language
+      // p50/p95 deltas between v1 and the row-wise derived v2 (n_chars
+      // inflated at % 37) — group-sized join of two exact quantile tables
+      val docs = t(s, dir, "documents")
+      val v2 = docs.withColumn("n_chars",
+        when(pmod(col("doc_id"), lit(37L)) === 0L, col("n_chars") + 600L)
+          .otherwise(col("n_chars")))
+      val q1 = Stats.groupQuantiles(docs, Seq("lang"), "n_chars",
+        Seq(0.5, 0.95)).select(col("lang"), col("p50").as("p50_v1"),
+        col("p95").as("p95_v1"))
+      val q2 = Stats.groupQuantiles(v2, Seq("lang"), "n_chars",
+        Seq(0.5, 0.95)).select(col("lang").as("_l2"),
+        col("p50").as("p50_v2"), col("p95").as("p95_v2"))
+      q1.join(q2, col("lang") <=> col("_l2"))
+        .select(col("lang"), col("p50_v1"), col("p50_v2"),
+          round(col("p50_v2") - col("p50_v1"), 6).as("p50_delta"),
+          col("p95_v1"), col("p95_v2"),
+          round(col("p95_v2") - col("p95_v1"), 6).as("p95_delta"))
+        .orderBy("lang")
+    }),
+    // ---------- event lateness histogram ----------
+    "e_lateness" -> ((s, dir) => {
+      // how late does the stream run: per event, lateness = running max
+      // event-time (in id order, per user) minus own time; bucketed —
+      // the histogram that sizes a watermark before deploying one
+      val ev = t(s, dir, "events").select(col("user_id"), col("event_id"),
+        when(pmod(col("event_id"), lit(37L)) === 0L,
+          col("ts") - expr("INTERVAL 1 HOUR")).otherwise(col("ts")).as("ts"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("event_id"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+      val lateUs = greatest(
+        unix_micros(max(col("ts")).over(w).cast("timestamp")) -
+          unix_micros(col("ts").cast("timestamp")), lit(0L))
+      ev.withColumn("_late", coalesce(lateUs, lit(0L)))
+        .groupBy(when(col("_late") === 0L, "on_time")
+          .when(col("_late") < 60000000L, "lt_1m")
+          .when(col("_late") < 3600000000L, "lt_1h")
+          .otherwise("ge_1h").as("bucket"))
+        .agg(count(lit(1)).as("n_events"))
+        .orderBy("bucket")
+    }),
     // ---------- generated north-rule corpus ----------
     "gen_validate" -> ((s, dir) => {
       // the generated corpus is WRITTEN to parquet first and validated from
@@ -3846,6 +3903,48 @@ object SparkEntry {
         |FROM tf JOIN dfreq USING (token)
         |GROUP BY id ORDER BY id""".stripMargin,
     // incremental revalidation: delta = v2 rows new or changed vs v1
+    // per-source duplicate rate over normalized contents
+    "d_dup_rate" ->
+      """SELECT source, CAST(count(*) AS BIGINT) AS docs,
+        |  CAST(count(DISTINCT md5(lower(regexp_replace(text, '\s+', ' ',
+        |    'g')))) AS BIGINT) AS distinct_contents,
+        |  round(1.0 - CAST(count(DISTINCT md5(lower(regexp_replace(text,
+        |    '\s+', ' ', 'g')))) AS DOUBLE) / count(*), 6) AS dup_rate
+        |FROM documents WHERE text IS NOT NULL
+        |GROUP BY source ORDER BY source""".stripMargin,
+    // per-language p50/p95 deltas between v1 and the derived v2
+    "g_quantile_drift" ->
+      """WITH v2 AS (SELECT lang,
+        |    CASE WHEN doc_id % 37 = 0 THEN n_chars + 600 ELSE n_chars END
+        |      AS n_chars FROM documents),
+        |q1 AS (SELECT lang, round(quantile_cont(n_chars, 0.5), 6) AS p50_v1,
+        |    round(quantile_cont(n_chars, 0.95), 6) AS p95_v1
+        |  FROM documents GROUP BY lang),
+        |q2 AS (SELECT lang, round(quantile_cont(n_chars, 0.5), 6) AS p50_v2,
+        |    round(quantile_cont(n_chars, 0.95), 6) AS p95_v2
+        |  FROM v2 GROUP BY lang)
+        |SELECT q1.lang, p50_v1, p50_v2,
+        |  round(p50_v2 - p50_v1, 6) AS p50_delta,
+        |  p95_v1, p95_v2, round(p95_v2 - p95_v1, 6) AS p95_delta
+        |FROM q1 JOIN q2 ON q1.lang IS NOT DISTINCT FROM q2.lang
+        |ORDER BY q1.lang""".stripMargin,
+    // lateness histogram vs the per-user running max in id order
+    "e_lateness" ->
+      """WITH e AS (SELECT user_id, event_id,
+        |    CASE WHEN event_id % 37 = 0 THEN ts - INTERVAL 1 HOUR
+        |      ELSE ts END AS ts FROM events),
+        |w AS (SELECT user_id, event_id, ts,
+        |    max(ts) OVER (PARTITION BY user_id ORDER BY event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |      AS pm FROM e),
+        |l AS (SELECT CASE WHEN pm IS NULL OR pm <= ts THEN 0
+        |    ELSE epoch_us(pm) - epoch_us(ts) END AS late FROM w)
+        |SELECT CASE WHEN late = 0 THEN 'on_time'
+        |    WHEN late < 60000000 THEN 'lt_1m'
+        |    WHEN late < 3600000000 THEN 'lt_1h'
+        |    ELSE 'ge_1h' END AS bucket,
+        |  CAST(count(*) AS BIGINT) AS n_events
+        |FROM l GROUP BY 1 ORDER BY bucket""".stripMargin,
     // declared vs detected language confusion matrix (same marker-hit
     // argmax + tie order as the t_lang_id oracle)
     "t_lang_confusion" ->

@@ -1,9 +1,9 @@
 package graft
 
-import org.scalatest.funsuite.AnyFunSuite
-
-/** CLI helper goldens that need no Spark session. */
-class MainSpec extends AnyFunSuite {
+/** CLI helper goldens (path parsing is session-free; the --forget helper
+  * drives the shared test session).
+  */
+class MainSpec extends SparkSpec {
 
   test("localDocsParent: bare paths, encoded and unencoded file URIs") {
     assert(Main.localDocsParent("/data/corpus/docs.parquet").toString
@@ -21,5 +21,22 @@ class MainSpec extends AnyFunSuite {
       Main.localDocsParent("s3a://bucket/docs.parquet")
     }
     assert(e.getMessage.contains("pass --rules"))
+  }
+
+  test("--forget path: tombstones applied before validation, " +
+      "audit written with zero residual") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft_forget").toString
+    val docs = Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d"))
+      .toDF("doc_id", "text")
+    val dels = Seq(2L, 4L).toDF("doc_id")
+    dels.write.mode("overwrite").parquet(s"$dir/deletes")
+    val kept = Main.applyForget(spark, docs, s"$dir/deletes", "doc_id",
+      s"$dir/out")
+    assert(kept.select("doc_id").as[Long].collect().toSet == Set(1L, 3L))
+    val audit = spark.read.parquet(s"$dir/out/forget_audit").collect()(0)
+    assert(audit.getLong(1) == 4L && audit.getLong(2) == 2L &&
+      audit.getLong(3) == 2L && audit.getLong(4) == 0L)
   }
 }
