@@ -2076,6 +2076,28 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_events"))
         .orderBy("bucket")
     }),
+    // ---------- Benford first-digit audit ----------
+    "g_benford" -> ((s, dir) =>
+      // organically-grown magnitudes follow log10(1 + 1/d); the per-digit
+      // chi2 terms localize where a price column deviates
+      Stats.benford(t(s, dir, "orders"), "o_totalprice")
+        .orderBy("digit")),
+    // ---------- missingness structure ----------
+    "g_null_patterns" -> ((s, dir) => {
+      // which columns go missing together: null-bitmap pattern histogram
+      // over (lang, source, text) with nulls injected in a correlated
+      // block (% 19: lang AND source together) plus an independent one
+      // (% 29: text alone) — rates alone cannot tell these apart
+      val docs = t(s, dir, "documents").select(col("doc_id"),
+        when(pmod(col("doc_id"), lit(19L)) === 0L, lit(null))
+          .otherwise(col("lang")).as("lang"),
+        when(pmod(col("doc_id"), lit(19L)) === 0L, lit(null))
+          .otherwise(col("source")).as("source"),
+        when(pmod(col("doc_id"), lit(29L)) === 0L, lit(null))
+          .otherwise(col("text")).as("text"))
+      Stats.nullPatterns(docs, Seq("lang", "source", "text"))
+        .orderBy("pattern")
+    }),
     // ---------- generated north-rule corpus ----------
     "gen_validate" -> ((s, dir) => {
       // the generated corpus is WRITTEN to parquet first and validated from
@@ -3903,6 +3925,32 @@ object SparkEntry {
         |FROM tf JOIN dfreq USING (token)
         |GROUP BY id ORDER BY id""".stripMargin,
     // incremental revalidation: delta = v2 rows new or changed vs v1
+    // Benford first-digit audit (first significant digit by regex — no
+    // log10 float edges at powers of ten)
+    "g_benford" ->
+      """WITH d AS (SELECT CAST(regexp_extract(
+        |    CAST(o_totalprice AS VARCHAR), '[1-9]') AS INT) AS digit
+        |  FROM orders WHERE o_totalprice IS NOT NULL AND o_totalprice > 0),
+        |c AS (SELECT digit, CAST(count(*) AS BIGINT) AS observed
+        |  FROM d GROUP BY digit),
+        |t AS (SELECT CAST(sum(observed) AS BIGINT) AS n FROM c)
+        |SELECT digit, observed,
+        |  round(log10(1.0 + 1.0 / digit) * n, 6) AS expected,
+        |  round(pow(observed - log10(1.0 + 1.0 / digit) * n, 2)
+        |    / (log10(1.0 + 1.0 / digit) * n), 6) AS chi2_term
+        |FROM c, t ORDER BY digit""".stripMargin,
+    // null-bitmap pattern histogram (correlated + independent injections)
+    "g_null_patterns" ->
+      """WITH d AS (SELECT
+        |    CASE WHEN doc_id % 19 = 0 THEN NULL ELSE lang END AS lang,
+        |    CASE WHEN doc_id % 19 = 0 THEN NULL ELSE source END AS source,
+        |    CASE WHEN doc_id % 29 = 0 THEN NULL ELSE text END AS text
+        |  FROM documents)
+        |SELECT (CASE WHEN lang IS NULL THEN 'N' ELSE '-' END ||
+        |        CASE WHEN source IS NULL THEN 'N' ELSE '-' END ||
+        |        CASE WHEN text IS NULL THEN 'N' ELSE '-' END) AS pattern,
+        |  CAST(count(*) AS BIGINT) AS n_rows
+        |FROM d GROUP BY 1 ORDER BY pattern""".stripMargin,
     // per-source duplicate rate over normalized contents
     "d_dup_rate" ->
       """SELECT source, CAST(count(*) AS BIGINT) AS docs,

@@ -197,6 +197,47 @@ object Stats {
           col(valueCol) > col("hi_fence"), 1L).otherwise(0L)).as("n_outliers"))
   }
 
+  /** Benford first-digit audit of a positive numeric column: observed
+    * leading-digit counts vs Benford's log10(1 + 1/d) expectation, with
+    * the per-digit contribution to the chi² statistic — the classic
+    * fabricated-/synthetic-data tell for organically-grown magnitudes
+    * (prices, populations, file sizes). Rows ≤ 0 or null are out of scope
+    * (Benford is defined on positive magnitudes). One scan, 9-row output.
+    */
+  def benford(df: DataFrame, valueCol: String): DataFrame = {
+    val v = col(valueCol)
+    // first significant digit = first [1-9] of the decimal rendering —
+    // exact (no log10 float edges at powers of ten), and the same
+    // extraction replays in any engine
+    val digit = regexp_extract(v.cast("string"), "[1-9]", 0)
+    val counts = df.filter(v.isNotNull && v > 0)
+      .groupBy(digit.cast("int").as("digit"))
+      .agg(count(lit(1)).as("observed"))
+    val total = counts.agg(sum(col("observed")).as("_n"))
+    val expected = log(10.0, lit(1.0) + lit(1.0) / col("digit")) * col("_n")
+    counts.crossJoin(broadcast(total))
+      .select(col("digit"), col("observed"),
+        round(expected, 6).as("expected"),
+        round(pow(col("observed") - expected, 2.0) / expected, 6)
+          .as("chi2_term"))
+  }
+
+  /** Missingness-structure histogram: which columns go missing TOGETHER —
+    * each row's null bitmap over `columns` rendered as a pattern string
+    * ('-' present, 'N' null, in the given column order), counted. Per-
+    * column null RATES can look healthy while nulls are perfectly
+    * correlated (one upstream joins dropping a whole struct); the pattern
+    * histogram is how that structure becomes visible. One scan, one
+    * map-side-combined groupBy on a ≤ 2^|columns|-cardinality key.
+    */
+  def nullPatterns(df: DataFrame, columns: Seq[String]): DataFrame = {
+    require(columns.nonEmpty, "nullPatterns: need at least one column")
+    val pattern = concat(columns.map(c =>
+      when(col(c).isNull, "N").otherwise("-")): _*)
+    df.groupBy(pattern.as("pattern"))
+      .agg(count(lit(1)).as("n_rows"))
+  }
+
   /** k-anonymity risk audit over quasi-identifier columns: every
     * combination of `quasiCols` values shared by FEWER than k rows — the
     * cohorts where joining an external table re-identifies individuals,

@@ -35,4 +35,28 @@ class Wave9Spec extends SparkSpec {
         r.getLong(2))).toSet
     assert(out == Set((Some("de"), "b", 1L), (None, "c", 2L)))
   }
+
+  test("benford: exact expectations, digit from any rendering") {
+    import spark.implicits._
+    // 30 values: first digits 1 x15, 2 x9, 3 x6 (not Benford; chi2 > 0)
+    val vals = Seq.fill(15)(0.019) ++ Seq.fill(9)(2000.0) ++
+      Seq.fill(6)(3.5e7)
+    val df = vals.toDF("v")
+    val out = Stats.benford(df, "v").orderBy("digit").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
+    assert(out.map(x => (x._1, x._2)).toSeq ==
+      Seq((1, 15L), (2, 9L), (3, 6L)))
+    // expected(1) = log10(2) * 30
+    assert(math.abs(out(0)._3 - math.log10(2.0) * 30) < 1e-5)
+  }
+
+  test("nullPatterns: correlated nulls form one pattern, order fixed") {
+    import spark.implicits._
+    val df = Seq(
+      (Some("a"), Some("b")), (None, None), (Some("c"), None)
+    ).toDF("x", "y")
+    val out = Stats.nullPatterns(df, Seq("x", "y")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out == Map("--" -> 1L, "NN" -> 1L, "-N" -> 1L))
+  }
 }
