@@ -89,12 +89,17 @@ object Main {
       docs: org.apache.spark.sql.DataFrame, forgetPath: String,
       idCol: String, out: String): org.apache.spark.sql.DataFrame = {
     val del = spark.read.parquet(forgetPath)
+    // collect ONCE (the audit itself costs corpus scans) and write the
+    // 1-row result from the collected copy — never run the audit twice
     val audit = operators.Forget.audit(spark,
       Seq(("docs", docs, idCol)), del, idCol)
+    val rows = audit.collect()
     if (out.nonEmpty)
-      audit.coalesce(1).write.mode("overwrite")
+      spark.createDataFrame(
+          java.util.Arrays.asList(rows: _*), audit.schema)
+        .coalesce(1).write.mode("overwrite")
         .parquet(s"$out/forget_audit")
-    val a = audit.collect()(0)
+    val a = rows(0)
     System.err.println(s"[graft] forget: removed=${a.getLong(2)} " +
       s"kept=${a.getLong(3)} residual=${a.getLong(4)}")
     operators.Forget.forget(docs, del, idCol, idCol)

@@ -1833,7 +1833,7 @@ object SparkEntry {
       // runs); output = every doc normalization changes, with the
       // canonical text the dedup/fingerprint stages hash
       val aug = when(pmod(col("doc_id"), lit(23L)) === 0L,
-          concat(lit(" \t"), col("text"), lit("  ")))
+          concat(lit(" \t"), col("text"), lit("\u0001  ")))
         .otherwise(col("text"))
       t(s, dir, "documents")
         .select(col("doc_id"), aug.as("raw"))

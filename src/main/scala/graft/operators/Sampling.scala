@@ -259,24 +259,42 @@ object Sampling {
     * range exchange + one hash exchange on the partition id, every sort
     * partition-sized. Output: `df` + `rank` (long).
     */
-  def globalRank(df: DataFrame, orderCols: Seq[Column]): DataFrame = {
+  def globalRank(df: DataFrame, orderCols: Seq[Column]): DataFrame =
+    globalRankWithTotal(df, orderCols)._1
+
+  /** [[globalRank]] plus the total row count (already on the driver from
+    * the counts phase — callers needing N, like [[curriculum]], must not
+    * pay a second corpus pass for it).
+    */
+  private[graft] def globalRankWithTotal(df: DataFrame,
+      orderCols: Seq[Column]): (DataFrame, Long) = {
     import org.apache.spark.sql.expressions.Window
     require(orderCols.nonEmpty, "globalRank needs ordering columns")
+    // persist the range-partitioned intermediate: the counts job below and
+    // the returned rank plan must see the SAME partition boundaries, and
+    // RangePartitioner SAMPLES to pick them (two independent executions
+    // may disagree at boundaries on skewed data, silently corrupting
+    // ranks). Both consumers share one InMemoryRelation; an evicted block
+    // recomputes through the same RDD lineage, so boundaries stay fixed.
     val parted = df.repartitionByRange(orderCols: _*)
       .withColumn("_pid", spark_partition_id())
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // #partitions rows — driver-bounded by construction
     val counts = parted.groupBy(col("_pid")).count()
       .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
     val offsets = counts.scanLeft(0L)(_ + _._2).init
     val offMap = counts.map(_._1).zip(offsets).toMap
+    // literal-map lookup, not a nested when-chain: thousands of shuffle
+    // partitions would otherwise build a thousands-deep CaseWhen tree
+    // (codegen fallback / stack risk)
     val offCol =
       if (offMap.isEmpty) lit(0L)
-      else offMap.foldLeft(lit(0L)) { case (acc, (pid, off)) =>
-        when(col("_pid") === pid, off).otherwise(acc) }
+      else element_at(typedlit(offMap), col("_pid"))
     val w = Window.partitionBy(col("_pid")).orderBy(orderCols: _*)
-    parted
+    val ranked = parted
       .withColumn("rank", (offCol + row_number().over(w)).cast("long"))
       .drop("_pid")
+    (ranked, counts.map(_._2).sum)
   }
 
   /** Curriculum-ordered training buckets: every row gains its exact
@@ -290,21 +308,17 @@ object Sampling {
     */
   def curriculum(df: DataFrame, orderCols: Seq[Column], n: Int): DataFrame = {
     require(n > 0, s"bucket count must be positive: $n")
-    val ranked = globalRank(df, orderCols)
-    // total row count rides along as max(rank) — no second scan: rank is
-    // dense and 1-based, so N = max(rank); a 1-row broadcast join carries it
-    val nRows = ranked.agg(max(col("rank")).as("_total"))
-    val withN = ranked.crossJoin(broadcast(nRows))
-    val q = floor(col("_total") / n)
-    val r = col("_total") % n
+    // N comes back from the rank phase's own driver-side counts — the
+    // bucket boundaries below are pure literals, no second corpus pass
+    val (ranked, total) = globalRankWithTotal(df, orderCols)
+    val q = total / n
+    val r = total % n
     val cut = (q + 1) * r // ranks <= cut live in the (q+1)-sized buckets
-    // greatest(q, 1): when N < n the otherwise-branch is never selected
+    // math.max(q, 1): when N < n the otherwise-branch is never selected
     // (cut = N covers every rank), but its divisor must still be nonzero
-    // under ANSI evaluation
-    withN.withColumn("bucket",
-        when(col("rank") <= cut, floor((col("rank") - 1) / (q + 1)) + 1)
-          .otherwise(r + floor((col("rank") - 1 - cut) / greatest(q, lit(1L))) + 1)
-          .cast("long"))
-      .drop("_total")
+    ranked.withColumn("bucket",
+      when(col("rank") <= cut, floor((col("rank") - 1) / (q + 1)) + 1)
+        .otherwise(floor((col("rank") - 1 - cut) / math.max(q, 1L)) + (r + 1))
+        .cast("long"))
   }
 }

@@ -281,8 +281,10 @@ object Stats {
           org.apache.spark.sql.expressions.Window.partitionBy(col("vb"))))
       // chi2 = sum(o^2/e) - n: the algebraic identity that makes EMPTY
       // cells free — summing (o-e)^2/e over observed cells only would
-      // silently drop every absent combination's e contribution
-      val e = col("row_tot") * col("col_tot") / col("n")
+      // silently drop every absent combination's e contribution.
+      // Margins multiply in DOUBLE: long*long overflows past ~3e9-row
+      // margins (the 10^12 target regime)
+      val e = col("row_tot").cast("double") * col("col_tot") / col("n")
       withMargins
         .crossJoin(broadcast(df.agg(count(lit(1)).as("n"))))
         .agg(first(col("n")).as("nn"),

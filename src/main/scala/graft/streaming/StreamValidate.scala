@@ -86,9 +86,9 @@ object StreamValidate {
     */
   def forgetStream(docs: DataFrame, deletes: DataFrame, idCol: String,
       delCol: String): DataFrame =
-    docs.join(
-      broadcast(deletes.select(col(delCol).as("_del_id")).distinct()),
-      col(idCol) === col("_del_id"), "left_anti")
+    // ONE definition of tombstone application — stream and batch lower
+    // through the same join, so the two paths cannot drift
+    graft.operators.Forget.forget(docs, deletes, idCol, delCol)
 
   /** Streaming gap sessionization — the streaming twin of
     * `Sessionize.sessionStats`, on Spark's native `session_window`
@@ -198,8 +198,11 @@ object StreamValidate {
       .start()
     q.awaitTermination()
     import spark.implicits._
+    // tie order matches the batch/SQL contract exactly: count desc, key
+    // asc with NULLS LAST (a null key must not masquerade as "")
     state.toSeq.map { case (key, c) => (key.orNull, c) }
-      .sortBy { case (key, c) => (-c, Option(key).getOrElse("")) }
+      .sortBy { case (key, c) =>
+        (-c, key == null, Option(key).getOrElse("")) }
       .take(k)
       .toDF(keyCol, "occurrences")
   }
