@@ -2098,6 +2098,24 @@ object SparkEntry {
       Stats.nullPatterns(docs, Seq("lang", "source", "text"))
         .orderBy("pattern")
     }),
+    // ---------- exact media dedup by bytes ----------
+    "m_media_dup" -> ((s, dir) => {
+      // the same payload re-ingested under a new ref (every % 11 id
+      // cloned): byte-identical content must land in one group. The
+      // oracle groups by the id FORMULAS — equal bytes iff equal
+      // formulas, so the hash-compare validates the whole
+      // build -> write -> hash path over BINARY content
+      val media = Multimodal.syntheticMedia(s, 2000)
+        .withColumn("_id",
+          conv(substring(col("media_ref"), 3, 8), 16, 10).cast("long"))
+      val clones = media.filter(pmod(col("_id"), lit(11L)) === 0L)
+        .select(concat(lit("m-"),
+            lpad(lower(hex(col("_id") + 100000L)), 8, "0")).as("media_ref"),
+          col("mime"), col("content"))
+      Multimodal.exactMediaDups(
+          media.drop("_id").unionByName(clones), "media_ref", "content")
+        .orderBy("group_id")
+    }),
     // ---------- generated north-rule corpus ----------
     "gen_validate" -> ((s, dir) => {
       // the generated corpus is WRITTEN to parquet first and validated from
@@ -3925,6 +3943,29 @@ object SparkEntry {
         |FROM tf JOIN dfreq USING (token)
         |GROUP BY id ORDER BY id""".stripMargin,
     // incremental revalidation: delta = v2 rows new or changed vs v1
+    // exact media dedup: bytes equal iff the generator formulas are equal,
+    // so the oracle groups by the formula tuple
+    "m_media_dup" ->
+      """WITH ids AS (SELECT range AS id FROM range(0, 2000)),
+        |refs AS (SELECT id, printf('m-%08x', id) AS ref FROM ids
+        |  UNION ALL
+        |  SELECT id, printf('m-%08x', id + 100000) FROM ids
+        |  WHERE id % 11 = 0),
+        |keyed AS (SELECT ref,
+        |    CASE WHEN id % 3 = 0 THEN 'image/png'
+        |         WHEN id % 3 = 1 THEN 'audio/wav'
+        |         ELSE 'video/mp4' END AS mime,
+        |    CASE WHEN id % 3 = 0 THEN 'p:' || (16 + id % 1920) || ':'
+        |        || (16 + (id // 7) % 1080)
+        |      WHEN id % 3 = 1 THEN 'w:' || (8000 + (id % 8) * 1000) || ':'
+        |        || (1 + id % 2) || ':' || (100 + id % 1000)
+        |      ELSE 'v:' || (16 + id % 640) || ':' || (16 + (id // 3) % 480)
+        |        || ':' || (1 + id % 300) END AS k
+        |  FROM refs)
+        |SELECT min(ref) AS group_id, mime,
+        |  CAST(count(*) AS BIGINT) AS n_copies
+        |FROM keyed GROUP BY k, mime HAVING count(*) > 1
+        |ORDER BY group_id""".stripMargin,
     // Benford first-digit audit (first significant digit by regex — no
     // log10 float edges at powers of ten)
     "g_benford" ->

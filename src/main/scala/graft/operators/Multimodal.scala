@@ -531,6 +531,23 @@ object Multimodal {
       }
   }
 
+  /** Exact duplicate media by CONTENT BYTES: groups of byte-identical
+    * payloads (md5 over the binary column) with the canonical (min-ref)
+    * representative — the multimodal twin of [[Dedup.exact]] ("the same
+    * image re-ingested under five refs" is the most common multimodal dup
+    * mode, invisible to any text-side dedup). One map-side-combined
+    * groupBy; the shuffle carries one row per DISTINCT payload hash per
+    * partition, never the bytes themselves.
+    */
+  def exactMediaDups(media: DataFrame, refCol: String,
+      contentCol: String): DataFrame =
+    media.filter(col(contentCol).isNotNull)
+      .groupBy(md5(col(contentCol)).as("_h"), col("mime"))
+      .agg(min(col(refCol)).as("group_id"),
+        count(lit(1)).as("n_copies"))
+      .filter(col("n_copies") > 1)
+      .select(col("group_id"), col("mime"), col("n_copies"))
+
   /** Unparseable payloads as violation rows — the same (path, rule, message)
     * shape the schema validators emit, so corrupt media feeds the SAME
     * verdict/error-sink machinery as any other data-quality failure.

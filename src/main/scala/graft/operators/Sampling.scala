@@ -257,7 +257,13 @@ object Sampling {
     * column) — ties at a range boundary may land in either partition, and
     * only a total order makes the resulting rank well-defined. Cost: one
     * range exchange + one hash exchange on the partition id, every sort
-    * partition-sized. Output: `df` + `rank` (long).
+    * partition-sized, plus a MEMORY_AND_DISK cache of the range-
+    * partitioned input (the price of boundary consistency between the
+    * counts phase and the rank phase — see the persist note in the body).
+    * PROJECT to the ordering + id columns before calling (the cache holds
+    * whatever you pass in); long-running sessions should `unpersist` the
+    * result's lineage or `spark.catalog.clearCache()` once ranks are
+    * consumed. Output: `df` + `rank` (long).
     */
   def globalRank(df: DataFrame, orderCols: Seq[Column]): DataFrame =
     globalRankWithTotal(df, orderCols)._1
