@@ -2116,6 +2116,172 @@ object SparkEntry {
           media.drop("_id").unionByName(clones), "media_ref", "content")
         .orderBy("group_id")
     }),
+    // ---------- verdict rollup cube ----------
+    "v_verdict_cube" -> ((s, dir) => {
+      // drill-down verdict table: per-(lang, source, rule) failure counts
+      // with every ROLLUP subtotal level in one Expand+aggregate scan;
+      // subtotals render as the literal 'ALL' via grouping()
+      val docs = t(s, dir, "documents")
+      val rules = Seq(
+        "lang_enum" -> Rule.Check(Keywords(properties = Map(
+          "lang" -> Rule.Check(Keywords(enum_ = Some(langEnum)))))),
+        "len_max" -> Rule.Check(Keywords(properties = Map(
+          "n_chars" -> Rule.Check(Keywords(maximum = Some(500)))))),
+        "src_pattern" -> Rule.Check(Keywords(properties = Map(
+          "source" -> Rule.Check(Keywords(pattern = Some("^src[0-3]$")))))))
+      Validate.verdictRollup(docs, rules, Seq("lang", "source"))
+        .orderBy("lang", "source", "rule")
+    }),
+    // ---------- sampled validation with Wilson CI ----------
+    "v_sample_ci" -> ((s, dir) => {
+      // the statistical completion of v_sample_validate: a point estimate
+      // from a 25% sample is only actionable with its uncertainty — per
+      // rule, the 95% Wilson score interval on the corpus failure rate
+      // (Wilson, not normal-approx: correct coverage at p near 0, which is
+      // exactly where validation failure rates live)
+      val docs = Sampling.sample(t(s, dir, "documents"), "doc_id", 0.25)
+      val rules = Seq(
+        "lang_enum" -> Rule.Check(Keywords(properties = Map(
+          "lang" -> Rule.Check(Keywords(enum_ = Some(langEnum)))))),
+        "src_pattern" -> Rule.Check(Keywords(properties = Map(
+          "source" -> Rule.Check(Keywords(pattern = Some("^src[0-3]$")))))))
+      val n = col("docs").cast("double")
+      val p = col("failed_docs").cast("double") / n
+      val z = lit(1.96)
+      val denom = lit(1.0) + z * z / n
+      val center = (p + z * z / (lit(2.0) * n)) / denom
+      val half = z * sqrt(p * (lit(1.0) - p) / n
+        + z * z / (lit(4.0) * n * n)) / denom
+      Validate.ruleCoverage(docs, rules)
+        .select(col("rule"), col("docs").as("sample_docs"), col("failed_docs"),
+          round(p, 6).as("fail_rate"),
+          round(greatest(lit(0.0), center - half), 6).as("wilson_lo"),
+          round(least(lit(1.0), center + half), 6).as("wilson_hi"))
+        .orderBy("rule")
+    }),
+    // ---------- Cohen's kappa between snapshot verdicts ----------
+    "v_kappa" -> ((s, dir) => {
+      // chance-corrected verdict agreement between v1 and the
+      // v_verdict_regress v2 derivation, per rule: v_verdict_regress lists
+      // the FLIPS, kappa scores whether the agreement beats what the two
+      // marginal pass rates produce by chance — the one-number answer to
+      // "did the snapshot actually change validation behavior?"
+      val docs = t(s, dir, "documents")
+      val srcOk = col("source").isNull || col("source").rlike("^src[0-3]$")
+      val v2Lang = when(pmod(col("doc_id"), lit(31L)) === 0L, lit("xx"))
+        .otherwise(col("lang"))
+      val v2Chars = when(pmod(col("doc_id"), lit(37L)) === 0L,
+        col("n_chars") + 600L).otherwise(col("n_chars"))
+      val v2Src = when(pmod(col("doc_id"), lit(2L)) === 0L && !srcOk,
+        lit("src0")).otherwise(col("source"))
+      val both = docs.select(
+        struct(docs.columns.map(col): _*).as("_r1"),
+        struct(col("doc_id"), col("text"), v2Lang.as("lang"),
+          v2Src.as("source"), v2Chars.as("n_chars")).as("_r2"))
+      val rules = Seq(
+        "lang_enum" -> Rule.Check(Keywords(properties = Map(
+          "lang" -> Rule.Check(Keywords(enum_ = Some(langEnum)))))),
+        "len_max" -> Rule.Check(Keywords(properties = Map(
+          "n_chars" -> Rule.Check(Keywords(maximum = Some(500)))))),
+        "src_pattern" -> Rule.Check(Keywords(properties = Map(
+          "source" -> Rule.Check(Keywords(pattern = Some("^src[0-3]$")))))))
+      val aggs = count(lit(1)).as("_n") +:
+        rules.zipWithIndex.flatMap { case ((_, r), i) =>
+          val p1 = coalesce(RuleCompiler.compile(r, col("_r1"), docs.schema,
+            Map.empty).pred, lit(false))
+          val p2 = coalesce(RuleCompiler.compile(r, col("_r2"), docs.schema,
+            Map.empty).pred, lit(false))
+          Seq(sum(when(p1 && p2, 1L).otherwise(0L)).as(s"_a$i"),
+            sum(when(p1 && !p2, 1L).otherwise(0L)).as(s"_b$i"),
+            sum(when(!p1 && p2, 1L).otherwise(0L)).as(s"_c$i"),
+            sum(when(!p1 && !p2, 1L).otherwise(0L)).as(s"_d$i"))
+        }
+      val rows = both.agg(aggs.head, aggs.tail: _*)
+        .select(explode(array(rules.zipWithIndex.map { case ((name, _), i) =>
+          struct(lit(name).as("rule"), col("_n").as("n"),
+            col(s"_a$i").as("a"), col(s"_b$i").as("b"),
+            col(s"_c$i").as("c"), col(s"_d$i").as("d"))
+        }: _*)).as("m")).select(col("m.*"))
+      val nD = col("n").cast("double")
+      val po = (col("a") + col("d")) / nD
+      val m1 = (col("a") + col("b")) / nD
+      val m2 = (col("a") + col("c")) / nD
+      val pe = m1 * m2 + (lit(1.0) - m1) * (lit(1.0) - m2)
+      rows.select(col("rule"), col("n").as("n_docs"),
+        round(po, 6).as("agree_rate"),
+        round(pe, 6).as("chance_agree"),
+        round(when(pe === lit(1.0), lit(null))
+          .otherwise((po - pe) / (lit(1.0) - pe)), 6).as("kappa"))
+        .orderBy("rule")
+    }),
+    // ---------- FD confidence ----------
+    "g_fd_confidence" -> ((s, dir) =>
+      // how badly does o_custkey -> o_orderpriority fail: 1 - the minimum
+      // row fraction a repair would have to re-label (the g1 measure);
+      // fdViolations (g_fd) lists WHERE it breaks, this scores HOW BADLY
+      Stats.fdConfidence(t(s, dir, "orders"), "o_custkey",
+        "o_orderpriority")),
+    // ---------- token-mass concentration ----------
+    "g_gini" -> ((s, dir) =>
+      // is the corpus dominated by a few sources: Gini + top share of
+      // char mass across source groups — what a mixture plan rebalances
+      Stats.gini(t(s, dir, "documents"), "source", col("n_chars"))),
+    // ---------- winsorization report ----------
+    "g_winsorize" -> ((s, dir) =>
+      // the numeric repair tier: per-lang p1/p99 fences over n_chars,
+      // rows clipped below/above, and the integer-micro mass the clamp
+      // would move
+      Stats.winsorizeReport(t(s, dir, "documents"), Seq("lang"), "n_chars",
+        0.01, 0.99).orderBy("lang")),
+    // ---------- packing ROI ----------
+    "p_pack_waste" -> ((s, dir) => {
+      // price the training sequence length BEFORE packing commits to one:
+      // pad-alone vs concat-stream waste per candidate capacity, same
+      // corpus + shard assignment as p_pack (doc_id % 8, ws tokens)
+      val d = t(s, dir, "documents").select(col("doc_id"),
+        TextAnalysis.tokenCountWs(col("text")).cast("long").as("_tk"),
+        pmod(col("doc_id"), lit(8L)).cast("int").as("_shard"))
+      Packing.packingRoi(d, "doc_id", "_tk", Seq(256, 512, 1024), 8,
+        Some("_shard")).orderBy("capacity")
+    }),
+    // ---------- completeness by segment ----------
+    "g_null_by_source" -> ((s, dir) => {
+      // which feed sends broken columns: per-(source, column) null rates
+      // over a corpus with injected nulls (lang at % 19, text at % 29) —
+      // the attribution view g_completeness (global) and g_null_patterns
+      // (row structure) both lack
+      val docs = t(s, dir, "documents").select(col("source"),
+        when(pmod(col("doc_id"), lit(19L)) === 0L, lit(null))
+          .otherwise(col("lang")).as("lang"),
+        when(pmod(col("doc_id"), lit(29L)) === 0L, lit(null))
+          .otherwise(col("text")).as("text"),
+        col("n_chars"))
+      Stats.completenessBySegment(docs, "source",
+        Seq("lang", "text", "n_chars")).orderBy("segment", "column")
+    }),
+    // ---------- MinHash sketch-quality audit ----------
+    "d_minhash_quality" -> ((s, dir) => {
+      // estimated vs exact Jaccard per pair over the PORTABLE md5
+      // signature — the audit that justifies the numHashes/threshold the
+      // dedup subsystem rides on; same pair set as d_ngram_jaccard
+      val docs = t(s, dir, "documents")
+      val pairs = docs.filter(pmod(col("doc_id"), lit(2L)) === 0L)
+        .select(col("doc_id").as("id_a"), (col("doc_id") + 1).as("id_b"))
+      Dedup.minHashQuality(docs, pairs, "doc_id", "text",
+        k = 1, numHashes = 16).orderBy("id_a")
+    }),
+    // ---------- dup-cluster purity ----------
+    "d_cluster_purity" -> ((s, dir) => {
+      // per near-dup cluster: dominant-language share + source span — a
+      // low-purity cluster is translations/boilerplate (don't dedup as
+      // equals), a many-source cluster is copy propagation
+      val docs = t(s, dir, "documents")
+      val cl = DupClusters.clusters(Dedup.nearDupPairsExact(docs,
+        "doc_id", "text", k = 3, numHashes = 32, bands = 16,
+        threshold = 0.5))
+      DupClusters.purity(cl, docs, "doc_id", "lang", "source")
+        .orderBy("cluster_id")
+    }),
     // ---------- generated north-rule corpus ----------
     "gen_validate" -> ((s, dir) => {
       // the generated corpus is WRITTEN to parquet first and validated from
@@ -2212,6 +2378,304 @@ object SparkEntry {
     * rows-only check and are golden-tested in ScalaTest instead.
     */
   def oracleSql: Map[String, String] = Map(
+    // verdict rollup cube: GROUP BY ROLLUP with GROUPING() labels — a real
+    // NULL dimension value stays distinct from the 'ALL' subtotal marker
+    "v_verdict_cube" ->
+      """WITH e AS (SELECT lang, source,
+        |  (lang IS NULL OR lang IN ('en','de','fr','es')) AS p0,
+        |  (n_chars IS NULL OR n_chars <= 500) AS p1,
+        |  (source IS NULL OR regexp_matches(source, '^src[0-3]$')) AS p2
+        |  FROM documents),
+        |r AS (SELECT
+        |  CASE WHEN GROUPING(lang) = 1 THEN 'ALL'
+        |       ELSE CAST(lang AS VARCHAR) END AS lang,
+        |  CASE WHEN GROUPING(source) = 1 THEN 'ALL'
+        |       ELSE CAST(source AS VARCHAR) END AS source,
+        |  CAST(count(*) AS BIGINT) AS docs,
+        |  CAST(sum(CASE WHEN NOT p0 THEN 1 ELSE 0 END) AS BIGINT) AS f0,
+        |  CAST(sum(CASE WHEN NOT p1 THEN 1 ELSE 0 END) AS BIGINT) AS f1,
+        |  CAST(sum(CASE WHEN NOT p2 THEN 1 ELSE 0 END) AS BIGINT) AS f2
+        |  FROM e GROUP BY ROLLUP(lang, source)),
+        |u AS (
+        |  SELECT lang, source, 'lang_enum' AS rule, f0 AS failed_docs, docs
+        |    FROM r
+        |  UNION ALL SELECT lang, source, 'len_max', f1, docs FROM r
+        |  UNION ALL SELECT lang, source, 'src_pattern', f2, docs FROM r)
+        |SELECT lang, source, rule, failed_docs, docs,
+        |  round(CAST(failed_docs AS DOUBLE) / docs, 6) AS fail_rate
+        |FROM u ORDER BY lang, source, rule""".stripMargin,
+    // Wilson 95% score interval on the sampled failure rate — identical
+    // expression tree (parenthesization) to the Spark side so the IEEE
+    // doubles match before the round-6
+    "v_sample_ci" ->
+      """WITH s AS (SELECT * FROM documents
+        |  WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '40000000'),
+        |g AS (SELECT CAST(count(*) AS BIGINT) AS docs,
+        |  CAST(sum(CASE WHEN NOT (lang IS NULL
+        |    OR lang IN ('en','de','fr','es')) THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS f0,
+        |  CAST(sum(CASE WHEN NOT (source IS NULL
+        |    OR regexp_matches(source, '^src[0-3]$')) THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS f1
+        |  FROM s),
+        |r AS (
+        |  SELECT 'lang_enum' AS rule, docs, f0 AS failed FROM g
+        |  UNION ALL SELECT 'src_pattern', docs, f1 FROM g),
+        |w AS (SELECT rule, docs, failed,
+        |  CAST(docs AS DOUBLE) AS n,
+        |  CAST(failed AS DOUBLE) / CAST(docs AS DOUBLE) AS p
+        |  FROM r)
+        |SELECT rule, docs AS sample_docs, failed AS failed_docs,
+        |  round(p, 6) AS fail_rate,
+        |  round(greatest(0.0, (p + 1.96 * 1.96 / (2.0 * n))
+        |    / (1.0 + 1.96 * 1.96 / n)
+        |    - 1.96 * sqrt(p * (1.0 - p) / n + 1.96 * 1.96 / (4.0 * n * n))
+        |      / (1.0 + 1.96 * 1.96 / n)), 6) AS wilson_lo,
+        |  round(least(1.0, (p + 1.96 * 1.96 / (2.0 * n))
+        |    / (1.0 + 1.96 * 1.96 / n)
+        |    + 1.96 * sqrt(p * (1.0 - p) / n + 1.96 * 1.96 / (4.0 * n * n))
+        |      / (1.0 + 1.96 * 1.96 / n)), 6) AS wilson_hi
+        |FROM w ORDER BY rule""".stripMargin,
+    // Cohen's kappa per rule between v1 and the v_verdict_regress v2
+    // derivation (null-explicit pass predicates, same as that oracle)
+    "v_kappa" ->
+      """WITH v AS (SELECT
+        |  (lang IS NULL OR lang IN ('en','de','fr','es')) AS lp1,
+        |  (CASE WHEN doc_id % 31 = 0 THEN 'xx' ELSE lang END IS NULL
+        |   OR CASE WHEN doc_id % 31 = 0 THEN 'xx' ELSE lang END
+        |     IN ('en','de','fr','es')) AS lp2,
+        |  (n_chars IS NULL OR n_chars <= 500) AS cp1,
+        |  (CASE WHEN doc_id % 37 = 0 THEN n_chars + 600 ELSE n_chars END
+        |     IS NULL
+        |   OR CASE WHEN doc_id % 37 = 0 THEN n_chars + 600 ELSE n_chars END
+        |     <= 500) AS cp2,
+        |  (source IS NULL OR regexp_matches(source, '^src[0-3]$')) AS sp1,
+        |  (CASE WHEN doc_id % 2 = 0 AND NOT (source IS NULL
+        |       OR regexp_matches(source, '^src[0-3]$'))
+        |     THEN 'src0' ELSE source END IS NULL
+        |   OR regexp_matches(CASE WHEN doc_id % 2 = 0 AND NOT (source IS NULL
+        |       OR regexp_matches(source, '^src[0-3]$'))
+        |     THEN 'src0' ELSE source END, '^src[0-3]$')) AS sp2
+        |  FROM documents),
+        |g AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CASE WHEN lp1 AND lp2 THEN 1 ELSE 0 END) AS BIGINT) AS a0,
+        |  CAST(sum(CASE WHEN lp1 AND NOT lp2 THEN 1 ELSE 0 END) AS BIGINT) AS b0,
+        |  CAST(sum(CASE WHEN NOT lp1 AND lp2 THEN 1 ELSE 0 END) AS BIGINT) AS c0,
+        |  CAST(sum(CASE WHEN NOT lp1 AND NOT lp2 THEN 1 ELSE 0 END) AS BIGINT) AS d0,
+        |  CAST(sum(CASE WHEN cp1 AND cp2 THEN 1 ELSE 0 END) AS BIGINT) AS a1,
+        |  CAST(sum(CASE WHEN cp1 AND NOT cp2 THEN 1 ELSE 0 END) AS BIGINT) AS b1,
+        |  CAST(sum(CASE WHEN NOT cp1 AND cp2 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+        |  CAST(sum(CASE WHEN NOT cp1 AND NOT cp2 THEN 1 ELSE 0 END) AS BIGINT) AS d1,
+        |  CAST(sum(CASE WHEN sp1 AND sp2 THEN 1 ELSE 0 END) AS BIGINT) AS a2,
+        |  CAST(sum(CASE WHEN sp1 AND NOT sp2 THEN 1 ELSE 0 END) AS BIGINT) AS b2,
+        |  CAST(sum(CASE WHEN NOT sp1 AND sp2 THEN 1 ELSE 0 END) AS BIGINT) AS c2,
+        |  CAST(sum(CASE WHEN NOT sp1 AND NOT sp2 THEN 1 ELSE 0 END) AS BIGINT) AS d2
+        |  FROM v),
+        |r AS (
+        |  SELECT 'lang_enum' AS rule, n, a0 AS a, b0 AS b, c0 AS c, d0 AS d
+        |    FROM g
+        |  UNION ALL SELECT 'len_max', n, a1, b1, c1, d1 FROM g
+        |  UNION ALL SELECT 'src_pattern', n, a2, b2, c2, d2 FROM g),
+        |k AS (SELECT rule, n,
+        |  (a + d) / CAST(n AS DOUBLE) AS po,
+        |  (a + b) / CAST(n AS DOUBLE) AS m1,
+        |  (a + c) / CAST(n AS DOUBLE) AS m2
+        |  FROM r),
+        |k2 AS (SELECT rule, n, po,
+        |  m1 * m2 + (1.0 - m1) * (1.0 - m2) AS pe FROM k)
+        |SELECT rule, n AS n_docs, round(po, 6) AS agree_rate,
+        |  round(pe, 6) AS chance_agree,
+        |  round(CASE WHEN pe = 1.0 THEN NULL
+        |    ELSE (po - pe) / (1.0 - pe) END, 6) AS kappa
+        |FROM k2 ORDER BY rule""".stripMargin,
+    // FD confidence: the g1 error measure — rows kept by the best
+    // per-determinant repair over all rows
+    "g_fd_confidence" ->
+      """WITH p AS (SELECT o_custkey AS det, o_orderpriority AS dep,
+        |    count(*) AS cnt
+        |  FROM orders WHERE o_custkey IS NOT NULL GROUP BY 1, 2),
+        |d AS (SELECT det, max(cnt) AS keep, sum(cnt) AS n FROM p GROUP BY det)
+        |SELECT CAST(count(*) AS BIGINT) AS n_determinants,
+        |  CAST(sum(n) AS BIGINT) AS n_rows,
+        |  CAST(sum(n) - sum(keep) AS BIGINT) AS n_violating_rows,
+        |  round(CAST(sum(keep) AS DOUBLE) / CAST(sum(n) AS DOUBLE), 6)
+        |    AS confidence
+        |FROM d""".stripMargin,
+    // Gini concentration of char mass across sources: ascending-rank
+    // window over the group-sized mass table, ties broken by group key
+    "g_gini" ->
+      """WITH g AS (SELECT source AS grp, CAST(sum(n_chars) AS BIGINT) AS mass
+        |  FROM documents GROUP BY source),
+        |r AS (SELECT grp, mass, row_number() OVER (
+        |    ORDER BY mass ASC NULLS FIRST, grp ASC NULLS FIRST) AS i FROM g)
+        |SELECT CAST(count(*) AS BIGINT) AS n_groups,
+        |  CAST(sum(mass) AS BIGINT) AS total_mass,
+        |  round(CAST(max(mass) AS DOUBLE) / CAST(sum(mass) AS DOUBLE), 6)
+        |    AS top_share,
+        |  round(2.0 * sum(CAST(i AS DOUBLE) * mass)
+        |      / (CAST(count(*) AS DOUBLE) * CAST(sum(mass) AS DOUBLE))
+        |    - (count(*) + 1.0) / count(*), 6) AS gini
+        |FROM r""".stripMargin,
+    // winsorization: quantile_cont == Spark's exact interpolating
+    // percentile; fences round-6 BEFORE comparison on both sides; the
+    // clamp mass in integer micro-units so no float-order ambiguity
+    "g_winsorize" ->
+      """WITH q AS (SELECT lang,
+        |    round(quantile_cont(n_chars, 0.01), 6) AS lo_fence,
+        |    round(quantile_cont(n_chars, 0.99), 6) AS hi_fence
+        |  FROM documents GROUP BY lang)
+        |SELECT d.lang AS lang, q.lo_fence, q.hi_fence,
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(CASE WHEN CAST(d.n_chars AS DOUBLE) < q.lo_fence
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_below,
+        |  CAST(sum(CASE WHEN CAST(d.n_chars AS DOUBLE) > q.hi_fence
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_above,
+        |  CAST(round(sum(least(greatest(CAST(d.n_chars AS DOUBLE),
+        |      q.lo_fence), q.hi_fence) - CAST(d.n_chars AS DOUBLE)) * 1e6)
+        |    AS BIGINT) AS mass_delta_micro
+        |FROM documents d JOIN q ON d.lang IS NOT DISTINCT FROM q.lang
+        |GROUP BY d.lang, q.lo_fence, q.hi_fence
+        |ORDER BY lang""".stripMargin,
+    // completeness by segment: per-(source, column) null counts/rates
+    "g_null_by_source" ->
+      """WITH d AS (SELECT source,
+        |  CASE WHEN doc_id % 19 = 0 THEN NULL ELSE lang END AS lang,
+        |  CASE WHEN doc_id % 29 = 0 THEN NULL ELSE text END AS text,
+        |  n_chars FROM documents),
+        |g AS (SELECT source AS segment, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS nl,
+        |  CAST(sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS nt,
+        |  CAST(sum(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS nc
+        |  FROM d GROUP BY source)
+        |SELECT segment, 'lang' AS "column", nl AS nulls, n_rows,
+        |  round(CAST(nl AS DOUBLE) / n_rows, 6) AS null_rate FROM g
+        |UNION ALL SELECT segment, 'text', nt, n_rows,
+        |  round(CAST(nt AS DOUBLE) / n_rows, 6) FROM g
+        |UNION ALL SELECT segment, 'n_chars', nc, n_rows,
+        |  round(CAST(nc AS DOUBLE) / n_rows, 6) FROM g
+        |ORDER BY segment, "column"""".stripMargin,
+    // MinHash quality: portable md5 signature (slot = lexicographic min
+    // of md5(seed || ' ' || word)) vs exact word Jaccard, same pair set
+    // and shingle CTE as d_ngram_jaccard
+    "d_minhash_quality" ->
+      """WITH dw AS (SELECT DISTINCT doc_id, unnest(string_split_regex(
+        |    lower(regexp_replace(trim(text), '\s+', ' ', 'g')), ' ')) AS w
+        |  FROM documents),
+        |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+        |  WHERE a.doc_id % 2 = 0),
+        |sig AS (SELECT doc_id, seed,
+        |    min(md5(CAST(seed AS VARCHAR) || ' ' || w)) AS mh
+        |  FROM dw CROSS JOIN (SELECT unnest(range(16)) AS seed)
+        |  GROUP BY doc_id, seed),
+        |est AS (SELECT p.id_a, p.id_b,
+        |    sum(CASE WHEN sa.mh = sb.mh THEN 1 ELSE 0 END) / 16.0 AS est
+        |  FROM pairs p JOIN sig sa ON sa.doc_id = p.id_a
+        |  JOIN sig sb ON sb.doc_id = p.id_b AND sb.seed = sa.seed
+        |  GROUP BY 1, 2),
+        |ca AS (SELECT doc_id, count(*) AS n FROM dw GROUP BY 1),
+        |inter AS (SELECT p.id_a, p.id_b, count(*) AS i
+        |  FROM pairs p JOIN dw x ON x.doc_id = p.id_a
+        |  JOIN dw y ON y.doc_id = p.id_b AND y.w = x.w GROUP BY 1, 2)
+        |SELECT e.id_a, e.id_b, round(e.est, 4) AS est_jaccard,
+        |  round(coalesce(i.i, 0)
+        |    / (ca1.n + ca2.n - coalesce(i.i, 0)), 4) AS jaccard,
+        |  round(abs(e.est - coalesce(i.i, 0)
+        |    / (ca1.n + ca2.n - coalesce(i.i, 0))), 4) AS abs_err
+        |FROM est e JOIN ca ca1 ON ca1.doc_id = e.id_a
+        |JOIN ca ca2 ON ca2.doc_id = e.id_b
+        |LEFT JOIN inter i ON i.id_a = e.id_a AND i.id_b = e.id_b
+        |ORDER BY e.id_a""".stripMargin,
+    // cluster purity: same transitive-closure CTE as d_dup_clusters, then
+    // dominant-label share (ties -> min label) + distinct-source span
+    "d_cluster_purity" ->
+      """WITH RECURSIVE toks AS (SELECT doc_id,
+        |    string_split(lower(regexp_replace(trim(text), '\s+', ' ', 'g')), ' ') AS t
+        |  FROM documents),
+        |sh AS (SELECT doc_id,
+        |    CASE WHEN len(t) >= 3 THEN list_distinct(list_transform(
+        |      generate_series(1, len(t) - 2), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+        |    ELSE CAST([] AS VARCHAR[]) END AS s
+        |  FROM toks),
+        |prs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE (CASE WHEN len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) = 0
+        |    THEN 0.0 ELSE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+        |      / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) END) >= 0.5),
+        |edges AS (SELECT id_a AS x, id_b AS y FROM prs
+        |  UNION SELECT id_b AS x, id_a AS y FROM prs),
+        |reach(x, y) AS (
+        |  SELECT s.x AS x, s.x AS y FROM (SELECT DISTINCT x FROM edges) s
+        |  UNION
+        |  SELECT e.x, r.y FROM edges e JOIN reach r ON e.y = r.x),
+        |cl AS (SELECT x AS doc_id, min(y) AS cluster_id FROM reach GROUP BY x),
+        |j AS (SELECT c.cluster_id, coalesce(d.lang, '∅') AS label, d.source
+        |  FROM cl c JOIN documents d ON d.doc_id = c.doc_id),
+        |bl AS (SELECT cluster_id, label, count(*) AS c FROM j GROUP BY 1, 2),
+        |r AS (SELECT cluster_id, label, c,
+        |    row_number() OVER (PARTITION BY cluster_id
+        |      ORDER BY c DESC, label ASC) AS rn,
+        |    CAST(sum(c) OVER (PARTITION BY cluster_id) AS BIGINT) AS size,
+        |    CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT)
+        |      AS n_labels
+        |  FROM bl),
+        |srcs AS (SELECT cluster_id,
+        |    CAST(count(DISTINCT source) AS BIGINT) AS n_segments
+        |  FROM j GROUP BY 1)
+        |SELECT r.cluster_id, r.size, r.n_labels, r.label AS top_label,
+        |  round(CAST(r.c AS DOUBLE) / r.size, 4) AS purity, s.n_segments
+        |FROM r JOIN srcs s USING (cluster_id) WHERE rn = 1
+        |ORDER BY r.cluster_id""".stripMargin,
+    // packing ROI: pad-alone vs concat-stream waste per capacity; same
+    // token count + shard CTE as the p_pack family
+    "p_pack_waste" ->
+      """WITH d AS (SELECT CAST(doc_id % 8 AS INT) AS shard,
+        |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+        |         ELSE len(regexp_split_to_array(trim(text), '\s+')) END
+        |      AS BIGINT) AS n
+        |  FROM documents),
+        |f AS (SELECT shard, n FROM d WHERE n > 0),
+        |s AS (SELECT shard, count(*) AS docs, CAST(sum(n) AS BIGINT) AS mass,
+        |    CAST(sum(CAST(ceil(CAST(n AS DOUBLE) / 256) AS BIGINT))
+        |      AS BIGINT) AS solo256,
+        |    CAST(sum(CAST(ceil(CAST(n AS DOUBLE) / 512) AS BIGINT))
+        |      AS BIGINT) AS solo512,
+        |    CAST(sum(CAST(ceil(CAST(n AS DOUBLE) / 1024) AS BIGINT))
+        |      AS BIGINT) AS solo1024
+        |  FROM f GROUP BY shard),
+        |g AS (SELECT CAST(sum(docs) AS BIGINT) AS docs,
+        |    CAST(sum(mass) AS BIGINT) AS mass,
+        |    CAST(sum(solo256) AS BIGINT) AS solo256,
+        |    CAST(sum(solo512) AS BIGINT) AS solo512,
+        |    CAST(sum(solo1024) AS BIGINT) AS solo1024,
+        |    CAST(sum(CAST(ceil(CAST(mass AS DOUBLE) / 256) AS BIGINT))
+        |      AS BIGINT) AS bins256,
+        |    CAST(sum(CAST(ceil(CAST(mass AS DOUBLE) / 512) AS BIGINT))
+        |      AS BIGINT) AS bins512,
+        |    CAST(sum(CAST(ceil(CAST(mass AS DOUBLE) / 1024) AS BIGINT))
+        |      AS BIGINT) AS bins1024
+        |  FROM s)
+        |SELECT 256 AS capacity, docs, mass AS token_mass,
+        |  solo256 AS solo_seqs, solo256 * 256 AS solo_padded_mass,
+        |  round(1.0 - CAST(mass AS DOUBLE) / (solo256 * 256), 6)
+        |    AS solo_waste_frac,
+        |  bins256 AS packed_bins, bins256 * 256 AS packed_padded_mass,
+        |  round(1.0 - CAST(mass AS DOUBLE) / (bins256 * 256), 6)
+        |    AS packed_waste_frac FROM g
+        |UNION ALL
+        |SELECT 512, docs, mass, solo512, solo512 * 512,
+        |  round(1.0 - CAST(mass AS DOUBLE) / (solo512 * 512), 6),
+        |  bins512, bins512 * 512,
+        |  round(1.0 - CAST(mass AS DOUBLE) / (bins512 * 512), 6) FROM g
+        |UNION ALL
+        |SELECT 1024, docs, mass, solo1024, solo1024 * 1024,
+        |  round(1.0 - CAST(mass AS DOUBLE) / (solo1024 * 1024), 6),
+        |  bins1024, bins1024 * 1024,
+        |  round(1.0 - CAST(mass AS DOUBLE) / (bins1024 * 1024), 6) FROM g
+        |ORDER BY capacity""".stripMargin,
     "v_enum" ->
       """SELECT CAST(doc_id AS VARCHAR) AS doc_id, 'lang' AS path, 'enum' AS rule,
         |  'Value "' || lang || '" is not in the enum: ["en", "de", "fr", "es"]' AS message

@@ -550,4 +550,59 @@ object Dedup {
       .select(col("id_a"), col("id_b"),
         when(col("uni") === 0, 0.0).otherwise(col("inter") / col("uni")).as("jaccard"))
   }
+
+  /** PORTABLE MinHash signature (array<string>, length = numHashes):
+    * slot i = the lexicographic minimum of `md5("i " + shingle)` over the
+    * shingle set. Hash-ordering minima are a valid MinHash family, md5 hex
+    * compares bytewise identically in every engine, and the `"g"`
+    * sentinel sorts above every hex digest — so any SQL engine replays
+    * the signature exactly (the [[simHashPortable]] pattern). The
+    * xxhash64 [[minHashSignature]] stays the fast path; this twin exists
+    * to AUDIT it.
+    */
+  def minHashPortableSig(text: Column, k: Int = 3,
+      numHashes: Int = 16): Column =
+    aggregate(
+      shingles(text, k),
+      array_repeat(lit("g"), numHashes),
+      (acc, s) => zip_with(acc, sequence(lit(0), lit(numHashes - 1)),
+        (m, seed) => least(m, md5(concat(seed.cast("string"), lit(" "), s)))),
+      acc => when(element_at(acc, 1) === lit("g"), lit(null)).otherwise(acc))
+
+  /** Sketch-quality audit of MinHash itself: per pair, the signature's
+    * estimated Jaccard (share of agreeing slots) next to the EXACT shingle
+    * Jaccard and the absolute error — the measurement that justifies (or
+    * indicts) the `numHashes`/`threshold` choices the whole dedup
+    * subsystem rides on. Expected |err| ≈ sqrt(J(1−J)/numHashes); a drift
+    * of the observed error above that band means the hash family is
+    * misbehaving on this corpus (adversarial or degenerate shingles).
+    *
+    * Built on the PORTABLE signature so an independent engine can replay
+    * both columns; the estimator (slot agreement) is identical math to
+    * the production [[minHashPairs]] filter.
+    *
+    * Scale: signatures project in the corpus scan; both joins are
+    * pair-list-sized on the probe side. `pairs` must have (id_a, id_b).
+    */
+  def minHashQuality(df: DataFrame, pairs: DataFrame, idCol: String,
+      textCol: String, k: Int = 1, numHashes: Int = 16): DataFrame = {
+    val sigs = df.select(col(idCol).as("id"),
+        minHashPortableSig(col(textCol), k, numHashes).as("sig"))
+      .filter(col("sig").isNotNull)
+    val exact = ngramJaccard(df, pairs, idCol, textCol, k)
+    val est = pairs
+      .join(sigs.select(col("id").as("id_a"), col("sig").as("sig_a")),
+        Seq("id_a"))
+      .join(sigs.select(col("id").as("id_b"), col("sig").as("sig_b")),
+        Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (aggregate(zip_with(col("sig_a"), col("sig_b"), (x, y) =>
+          when(x === y, 1).otherwise(0)), lit(0), (acc, z) => acc + z)
+          .cast("double") / lit(numHashes)).as("est"))
+    est.join(exact, Seq("id_a", "id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(col("est"), 4).as("est_jaccard"),
+        round(col("jaccard"), 4).as("jaccard"),
+        round(abs(col("est") - col("jaccard")), 4).as("abs_err"))
+  }
 }

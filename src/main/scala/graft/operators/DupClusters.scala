@@ -146,4 +146,38 @@ object DupClusters {
       .select(col("id"), col("cluster_id"), col("score"),
         (col("id") === col("kept_id")).as("keep"), col("kept_id"))
   }
+
+  /** Cluster purity against a label column (lang, source, license…): per
+    * cluster, the dominant label's share plus how many distinct segments
+    * the cluster spans. The QA view on the near-dup graph itself: a
+    * LOW-purity language cluster is usually translations or template
+    * boilerplate (don't dedup those as equals), and a cluster spanning
+    * many sources is the copy-propagation signal [[Dedup.sourceOverlap]]
+    * aggregates corpus-wide.
+    *
+    * Labels coalesce to "∅" before grouping so a NULL label is a real,
+    * deterministically-ordered label. Dominant pick = min(struct(−count,
+    * label)) — the [[retention]] winner trick, map-side combined, never
+    * buffers a cluster. All inputs/outputs are cluster-sized.
+    */
+  def purity(clusterDf: DataFrame, docs: DataFrame, idCol: String,
+      labelCol: String, segCol: String): DataFrame = {
+    val members = clusterDf.select(col("id"), col("cluster_id"))
+      .join(docs.select(col(idCol).as("id"),
+        coalesce(col(labelCol).cast("string"), lit("∅")).as("label"),
+        col(segCol).as("seg")), Seq("id"))
+    val byLabel = members.groupBy(col("cluster_id"), col("label"))
+      .agg(count(lit(1)).as("c"))
+    val top = byLabel.groupBy(col("cluster_id"))
+      .agg(sum(col("c")).as("size"), count(lit(1)).as("n_labels"),
+        min(struct((col("c") * -1).as("nc"), col("label"))).as("w"))
+    val segs = members.groupBy(col("cluster_id"))
+      .agg(count_distinct(col("seg")).as("n_segments"))
+    top.join(segs, Seq("cluster_id"))
+      .select(col("cluster_id"), col("size"), col("n_labels"),
+        col("w.label").as("top_label"),
+        round((col("w.nc") * -1).cast("double") / col("size"), 4)
+          .as("purity"),
+        col("n_segments"))
+  }
 }

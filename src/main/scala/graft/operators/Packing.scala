@@ -127,4 +127,64 @@ object Packing {
         array_join(transform(
           array_sort(collect_list(struct(col("start_off"), col("_piece")))),
           s => s.getField("_piece")), " ").as("text"))
+
+  /** Packing ROI forecast: for each candidate sequence `capacity`, the
+    * padding waste of the two standard batching strategies over this
+    * corpus — pad-each-document-alone (every document rounds up to a whole
+    * sequence: the no-packing baseline) vs the concat-stream packing
+    * [[packConcatCounted]] implements (only each shard's LAST bin can be
+    * short). The report that picks the training sequence length: solo
+    * waste GROWS as capacity outruns the median document, packed waste is
+    * ≤ shards·(capacity−1) tokens total by construction.
+    *
+    * Output one row per capacity: documents, token mass, solo sequence
+    * count / padded mass / waste fraction, packed bin count / padded mass
+    * / waste fraction. All masses are exact longs (ceil on a long/double
+    * division is exact below 2^53); the waste fractions are round-6
+    * ratios of those longs, so any engine replays the row bit-for-bit.
+    *
+    * Scale: ONE corpus scan into a shard-sized aggregate (per-capacity
+    * solo sums ride the same map-side combine), then a 1-row reduce and a
+    * |capacities|-row explode — the forecast costs one pass regardless of
+    * how many capacities it prices.
+    */
+  def packingRoi(df: DataFrame, idCol: String, tokensCol: String,
+      capacities: Seq[Int], shards: Int,
+      shardCol: Option[String] = None): DataFrame = {
+    require(capacities.nonEmpty && capacities.forall(_ >= 1) && shards >= 1,
+      s"packingRoi: capacities >= 1 and shards >= 1: $capacities/$shards")
+    val shard = shardCol.map(col)
+      .getOrElse(pmod(xxhash64(col(idCol).cast("string")), lit(shards.toLong)))
+    def ceilDiv(x: org.apache.spark.sql.Column, c: Int) =
+      ceil(x.cast("double") / c).cast("long")
+    val perShard = df
+      .select(col(tokensCol).as("n"), shard.cast("int").as("shard"))
+      .filter(col("n") > 0)
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("docs"), sum(col("n")).as("mass") +:
+        capacities.map(c =>
+          sum(ceilDiv(col("n"), c)).as(s"_solo_$c")): _*)
+    val gl = sum(col("docs")).as("docs") +:
+      sum(col("mass")).cast("long").as("mass") +:
+      (capacities.map(c =>
+        sum(col(s"_solo_$c")).cast("long").as(s"_solo_$c")) ++
+       capacities.map(c =>
+         sum(ceilDiv(col("mass"), c)).cast("long").as(s"_bins_$c")))
+    perShard
+      .agg(gl.head, gl.tail: _*)
+      .select(explode(array(capacities.map(c =>
+        struct(lit(c).as("capacity"), col("docs"), col("mass"),
+          col(s"_solo_$c").as("solo_seqs"),
+          (col(s"_solo_$c") * c).as("solo_padded_mass"),
+          col(s"_bins_$c").as("packed_bins"),
+          (col(s"_bins_$c") * c).as("packed_padded_mass"))): _*)).as("m"))
+      .select(col("m.capacity"), col("m.docs").as("docs"),
+        col("m.mass").as("token_mass"),
+        col("m.solo_seqs"), col("m.solo_padded_mass"),
+        round(lit(1.0) - col("m.mass").cast("double")
+          / col("m.solo_padded_mass"), 6).as("solo_waste_frac"),
+        col("m.packed_bins"), col("m.packed_padded_mass"),
+        round(lit(1.0) - col("m.mass").cast("double")
+          / col("m.packed_padded_mass"), 6).as("packed_waste_frac"))
+  }
 }

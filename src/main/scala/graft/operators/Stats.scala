@@ -523,4 +523,134 @@ object Stats {
       .withColumn("doc_share",
         round(col("n_docs") / sum(col("n_docs")).over(Window.partitionBy()), 6))
   }
+
+  /** Lorenz/Gini concentration of a mass measure across groups — "is the
+    * corpus dominated by a few sources/domains?" in one number: gini = 0
+    * means every group carries equal mass, gini → 1 means one group owns
+    * it all. The mixture-planning twin of [[corpusCard]]: a mixture plan
+    * rebalances exactly what this audit quantifies.
+    *
+    * Gini over the ascending-sorted group masses x₁ ≤ … ≤ xₙ:
+    * (2·Σ i·xᵢ) / (n·Σxᵢ) − (n+1)/n. Ties order by group key so the rank
+    * assignment (and thus the statistic on tied data) is deterministic;
+    * i·xᵢ products are integer-valued for integer masses below 2^53, so
+    * the double sum is exact in any accumulation order and any engine
+    * replays it bit-for-bit.
+    *
+    * Scale: one map-side-combined groupBy to the GROUP-SIZED mass table,
+    * then a single-partition window over that (one row per group — the
+    * [[corpusCard]] precedent), then a 1-row reduce. The corpus is
+    * scanned once; nothing corpus-sized ever sorts.
+    */
+  def gini(df: DataFrame, groupCol: String, massCol: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy(col("mass").asc_nulls_first, col("grp").asc_nulls_first)
+    df.groupBy(col(groupCol).as("grp")).agg(sum(massCol).as("mass"))
+      .withColumn("i", row_number().over(w))
+      .agg(count(lit(1)).as("n_groups"),
+        sum(col("mass")).cast("long").as("total_mass"),
+        max(col("mass")).cast("long").as("top_mass"),
+        sum(col("i").cast("double") * col("mass")).as("_iw"))
+      .select(col("n_groups"), col("total_mass"),
+        round(col("top_mass").cast("double") / col("total_mass"), 6)
+          .as("top_share"),
+        round(lit(2.0) * col("_iw")
+          / (col("n_groups").cast("double") * col("total_mass"))
+          - (col("n_groups") + lit(1.0)) / col("n_groups"), 6).as("gini"))
+  }
+
+  /** Approximate-FD confidence — the "how close" companion of the exact
+    * [[fdViolations]] audit: for det → dep, confidence = (rows kept by the
+    * best per-determinant repair) / (all rows) — i.e. 1 − the minimum
+    * fraction of rows one would have to delete (or re-label) to make the
+    * dependency hold exactly (the g₁ error measure of the FD-discovery
+    * literature, e.g. TANE). [[fdViolations]] lists WHERE the dependency
+    * breaks; this scores HOW BADLY, which is what decides whether the
+    * right fix is repair (confidence ≈ 1: a few dirty rows) or dropping
+    * the assumption (confidence ≪ 1: not a dependency at all).
+    *
+    * NULL determinants are out of scope (same contract as
+    * [[fdViolations]]); a NULL dependent is a real value (a det mapping
+    * to {NULL} only is consistent).
+    *
+    * Scale: one map-side-combined groupBy to the distinct (det, dep) pair
+    * table (the same shuffle tier as [[fdViolations]]), a det-sized
+    * re-aggregation, then a 1-row reduce — dependency scoring is cheap
+    * exactly when the dependency mostly holds.
+    */
+  def fdConfidence(df: DataFrame, detCol: String, depCol: String): DataFrame =
+    df.filter(col(detCol).isNotNull)
+      .groupBy(col(detCol).as("det"), col(depCol).as("dep"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col("det"))
+      .agg(max(col("cnt")).as("keep"), sum(col("cnt")).as("n"))
+      .agg(count(lit(1)).as("n_determinants"),
+        sum(col("n")).cast("long").as("n_rows"),
+        sum(col("keep")).cast("long").as("_kept"))
+      .select(col("n_determinants"), col("n_rows"),
+        (col("n_rows") - col("_kept")).as("n_violating_rows"),
+        round(col("_kept").cast("double") / col("n_rows"), 6)
+          .as("confidence"))
+
+  /** Per-(segment, column) completeness — "which FEED sends broken
+    * columns": null counts and rates of each requested column broken out
+    * by a segment dimension (source, day, pipeline version). The
+    * attribution view the corpus-global [[profile]] null_rate and the
+    * row-structure [[nullPatterns]] histogram both lack: a 2% global null
+    * rate that is 40% inside one source is a producer incident, and only
+    * this breakdown says so.
+    *
+    * Scale: ONE map-side-combined groupBy on the segment (per-column null
+    * sums ride the same combine), segment-sized output exploded to
+    * (segment × column) rows. A NULL segment is a real segment.
+    */
+  def completenessBySegment(df: DataFrame, segCol: String,
+      columns: Seq[String]): DataFrame = {
+    require(columns.nonEmpty, "completenessBySegment: need columns")
+    val aggs = count(lit(1)).as("_n") +: columns.map(c =>
+      sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"_nn_$c"))
+    df.groupBy(col(segCol).as("segment")).agg(aggs.head, aggs.tail: _*)
+      .select(col("segment"), explode(array(columns.map(c =>
+        struct(lit(c).as("column"), col(s"_nn_$c").as("nulls"),
+          col("_n").as("n_rows"))): _*)).as("m"))
+      .select(col("segment"), col("m.column"), col("m.nulls"),
+        col("m.n_rows"),
+        round(col("m.nulls") / col("m.n_rows"), 6).as("null_rate"))
+  }
+
+  /** Winsorization (quantile-clipping) report per group — the numeric
+    * repair tier next to the rule-driven [[Repair]]: fences at the exact
+    * interpolated `lo`/`hi` quantiles of `valueCol`, then one scan counts
+    * each group's rows below/above fence and the total mass the clamp
+    * would move. `mass_delta_micro` is Σ(clamp(v) − v) in integer
+    * micro-units (×10⁶, rounded) so the cross-engine comparison never
+    * rides on float accumulation order: each term is (round-6 fence −
+    * integer value), the scaled sum sits within ~10⁻³ of an integer, and
+    * rounding recovers that integer identically everywhere.
+    *
+    * Same two-pass shape as [[iqrOutliers]] (fences are a global
+    * per-group property): group-sized quantile table broadcasts back,
+    * second pass is a scan-stage aggregate; null-safe group join (a NULL
+    * group key is a real group).
+    */
+  def winsorizeReport(df: DataFrame, groupCols: Seq[String], valueCol: String,
+      lo: Double = 0.01, hi: Double = 0.99): DataFrame = {
+    require(lo < hi, s"winsorizeReport: need lo < hi, got $lo/$hi")
+    val loName = s"p${(lo * 100).round}"
+    val hiName = s"p${(hi * 100).round}"
+    val q = groupQuantiles(df, groupCols, valueCol, Seq(lo, hi))
+      .select(groupCols.map(g => col(g).as(s"_g_$g")) ++
+        Seq(col(loName).as("lo_fence"), col(hiName).as("hi_fence")): _*)
+    val cond = groupCols.map(g => col(g) <=> col(s"_g_$g")).reduce(_ && _)
+    val v = col(valueCol).cast("double")
+    val clamped = least(greatest(v, col("lo_fence")), col("hi_fence"))
+    df.join(broadcast(q), cond)
+      .groupBy(groupCols.map(g => col(s"_g_$g").as(g)) ++
+        Seq(col("lo_fence"), col("hi_fence")): _*)
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(v < col("lo_fence"), 1L).otherwise(0L)).as("n_below"),
+        sum(when(v > col("hi_fence"), 1L).otherwise(0L)).as("n_above"),
+        round(sum(clamped - v) * lit(1e6)).cast("long")
+          .as("mass_delta_micro"))
+  }
 }

@@ -236,4 +236,42 @@ object Validate {
           .when(col("m.failed_docs") === col("m.docs"), "always")
           .otherwise("firing").as("status"))
   }
+
+  /** Verdict rollup cube: per-(dims…, rule) failure counts WITH every
+    * subtotal level — (lang, source, rule), (lang, ALL, rule), (ALL, ALL,
+    * rule) — the drill-down table a validation dashboard reads without
+    * re-querying per level. Dimension subtotals render as the literal
+    * `"ALL"` (via `grouping()`, so a REAL null dimension value stays a
+    * distinct slice — the [[Stats.sliceLift]] lesson).
+    *
+    * Scale: Spark lowers `rollup` to one Expand (|dims|+1 replicas of each
+    * row's dim tuple) feeding ONE map-side-combined aggregation — a single
+    * corpus scan no matter how many subtotal levels come back; the rule
+    * predicates compile once and evaluate once per row (the Expand sits
+    * ABOVE the projected booleans, not above the documents).
+    */
+  def verdictRollup(df: DataFrame, rules: Seq[(String, Rule)],
+      dims: Seq[String], defs: Map[String, Rule] = Map.empty): DataFrame = {
+    require(rules.nonEmpty && dims.nonEmpty, "verdictRollup: rules and dims")
+    val row = struct(df.columns.map(col): _*)
+    val preds = rules.zipWithIndex.map { case ((_, r), i) =>
+      coalesce(RuleCompiler.compile(r, row, df.schema, defs).pred,
+        lit(false)).as(s"_p$i")
+    }
+    val evald = df.select(dims.map(col) ++ preds: _*)
+    val aggs = Seq(count(lit(1)).as("_docs")) ++
+      rules.indices.map(i =>
+        sum(when(!col(s"_p$i"), 1L).otherwise(0L)).as(s"_f$i")) ++
+      dims.map(d => grouping(col(d)).as(s"_g_$d"))
+    evald.rollup(dims.map(col): _*).agg(aggs.head, aggs.tail: _*)
+      .select(dims.map(d => when(col(s"_g_$d") === 1, lit("ALL"))
+        .otherwise(col(d).cast("string")).as(d)) :+
+        explode(array(rules.zipWithIndex.map { case ((name, _), i) =>
+          struct(lit(name).as("rule"), col(s"_f$i").as("failed_docs"),
+            col("_docs").as("docs"))
+        }: _*)).as("m"): _*)
+      .select(dims.map(col) ++ Seq(col("m.rule"), col("m.failed_docs"),
+        col("m.docs"),
+        round(col("m.failed_docs") / col("m.docs"), 6).as("fail_rate")): _*)
+  }
 }
