@@ -2282,6 +2282,45 @@ object SparkEntry {
       DupClusters.purity(cl, docs, "doc_id", "lang", "source")
         .orderBy("cluster_id")
     }),
+    // ---------- shingle document-frequency histogram ----------
+    "d_shingle_df" -> ((s, dir) =>
+      // the one-page corpus-redundancy profile: mass at doc_freq = 1 is
+      // unique content, the tail is boilerplate — sizes minDocs for
+      // t_boilerplate and predicts LSH bucket collision mass
+      Dedup.shingleDfHistogram(t(s, dir, "documents"), "text", k = 3)
+        .orderBy("doc_freq")),
+    // ---------- dedup ROI by source ----------
+    "d_dedup_impact" -> ((s, dir) => {
+      // what keep-longest retention costs each feed: per source, dropped
+      // docs/tokens and the dropped share — "dedup removes 31% of feed X"
+      // is an ingestion decision, not a dedup parameter
+      val docs = t(s, dir, "documents")
+      val cl = DupClusters.clusters(Dedup.nearDupPairsExact(docs,
+        "doc_id", "text", k = 3, numHashes = 32, bands = 16,
+        threshold = 0.5))
+      val ret = DupClusters.retention(cl, docs, "doc_id", "n_chars")
+      DupClusters.dedupImpact(ret, docs, "doc_id", "source",
+        TextAnalysis.tokenCountWs(col("text"))).orderBy("segment")
+    }),
+    // ---------- PMI collocations ----------
+    "t_pmi_pairs" -> ((s, dir) =>
+      // association-scored pairs: frequency surfaces "of the", PMI
+      // surfaces pairs co-occurring above chance (entities, stuck
+      // boilerplate); ordering rides on exact counts, never the float
+      TextAnalysis.pmiPairs(t(s, dir, "documents"), "text", minCount = 30)),
+    // ---------- event-type transition matrix ----------
+    "e_transitions" -> ((s, dir) =>
+      // first-order Markov estimate over per-user event sequences: the
+      // behavioral fingerprint for funnel design and bot detection
+      // (machine traffic has near-deterministic rows)
+      Temporal.transitions(t(s, dir, "events"), "user_id", "event_id",
+        "event_type").orderBy("from_state", "to_state")),
+    // ---------- Zipf fit of the token head ----------
+    "t_zipf" -> ((s, dir) =>
+      // OLS ln(count) ~ ln(rank) over the top-100 tokens: natural text
+      // sits near slope -1; flat = templated/synthetic, steep = degenerate
+      // vocabulary — the corpus-level tell next to g_benford's value-level
+      TextAnalysis.zipfFit(t(s, dir, "documents"), "text", topN = 100)),
     // ---------- generated north-rule corpus ----------
     "gen_validate" -> ((s, dir) => {
       // the generated corpus is WRITTEN to parquet first and validated from
@@ -2629,6 +2668,131 @@ object SparkEntry {
         |  round(CAST(r.c AS DOUBLE) / r.size, 4) AS purity, s.n_segments
         |FROM r JOIN srcs s USING (cluster_id) WHERE rn = 1
         |ORDER BY r.cluster_id""".stripMargin,
+    // shingle doc-frequency histogram: same distinct-3-shingle CTE as the
+    // boilerplate family, aggregated twice (vocab -> histogram)
+    "d_shingle_df" ->
+      """WITH toks AS (SELECT doc_id,
+        |    string_split(lower(regexp_replace(trim(text), '\s+', ' ', 'g')), ' ') AS t
+        |  FROM documents),
+        |sh AS (SELECT doc_id, unnest(CASE WHEN len(t) >= 3
+        |    THEN list_distinct(list_transform(generate_series(1, len(t) - 2),
+        |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+        |    ELSE CAST([] AS VARCHAR[]) END) AS shingle
+        |  FROM toks),
+        |dfq AS (SELECT shingle, CAST(count(*) AS BIGINT) AS doc_freq
+        |  FROM sh GROUP BY shingle)
+        |SELECT doc_freq, CAST(count(*) AS BIGINT) AS n_shingles
+        |FROM dfq GROUP BY doc_freq ORDER BY doc_freq""".stripMargin,
+    // dedup ROI by source: d_dedup_keep's cluster + keep-longest window,
+    // rolled up to per-source drop counts/shares
+    "d_dedup_impact" ->
+      """WITH RECURSIVE toks AS (SELECT doc_id,
+        |    string_split(lower(regexp_replace(trim(text), '\s+', ' ', 'g')), ' ') AS t
+        |  FROM documents),
+        |sh AS (SELECT doc_id,
+        |    CASE WHEN len(t) >= 3 THEN list_distinct(list_transform(
+        |      generate_series(1, len(t) - 2), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+        |    ELSE CAST([] AS VARCHAR[]) END AS s
+        |  FROM toks),
+        |prs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE (CASE WHEN len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) = 0
+        |    THEN 0.0 ELSE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+        |      / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) END) >= 0.5),
+        |edges AS (SELECT id_a AS x, id_b AS y FROM prs
+        |  UNION SELECT id_b AS x, id_a AS y FROM prs),
+        |reach(x, y) AS (
+        |  SELECT s.x AS x, s.x AS y FROM (SELECT DISTINCT x FROM edges) s
+        |  UNION
+        |  SELECT e.x, r.y FROM edges e JOIN reach r ON e.y = r.x),
+        |cl AS (SELECT x AS doc_id, min(y) AS cluster_id FROM reach GROUP BY x),
+        |mem AS (SELECT c.doc_id, c.cluster_id, d.n_chars
+        |  FROM cl c JOIN documents d ON c.doc_id = d.doc_id),
+        |keepers AS (SELECT doc_id, (doc_id = first_value(doc_id) OVER (
+        |    PARTITION BY cluster_id ORDER BY n_chars DESC, doc_id)) AS keep
+        |  FROM mem),
+        |tok AS (SELECT doc_id, source,
+        |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+        |         ELSE len(regexp_split_to_array(trim(text), '\s+')) END
+        |      AS BIGINT) AS tk
+        |  FROM documents),
+        |tot AS (SELECT source AS segment, CAST(count(*) AS BIGINT) AS docs,
+        |    CAST(sum(tk) AS BIGINT) AS token_mass
+        |  FROM tok GROUP BY source),
+        |dr AS (SELECT t2.source AS segment,
+        |    CAST(count(*) AS BIGINT) AS dropped_docs,
+        |    CAST(sum(t2.tk) AS BIGINT) AS dropped_tokens
+        |  FROM keepers k JOIN tok t2 ON t2.doc_id = k.doc_id
+        |  WHERE NOT k.keep GROUP BY t2.source)
+        |SELECT t.segment, t.docs, t.token_mass,
+        |  CAST(coalesce(d.dropped_docs, 0) AS BIGINT) AS dropped_docs,
+        |  CAST(coalesce(d.dropped_tokens, 0) AS BIGINT) AS dropped_tokens,
+        |  round(CAST(coalesce(d.dropped_tokens, 0) AS DOUBLE)
+        |    / t.token_mass, 6) AS dropped_share
+        |FROM tot t LEFT JOIN dr d ON t.segment IS NOT DISTINCT FROM d.segment
+        |ORDER BY t.segment""".stripMargin,
+    // PMI collocations: same tokenization as t_bpe_pairs; ln on exact
+    // count ratios, ordering on the pair text only
+    "t_pmi_pairs" ->
+      """WITH tk AS (SELECT list_filter(string_split_regex(
+        |    lower(regexp_replace(trim(text), '[^\p{L}\p{N}\s]', ' ', 'g')),
+        |    '\s+'), x -> x <> '') AS t FROM documents),
+        |pr AS (SELECT t[i] AS w1, t[i + 1] AS w2
+        |  FROM tk, unnest(generate_series(1, len(t) - 1)) AS u(i)
+        |  WHERE len(t) > 1),
+        |pc AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c_pair
+        |  FROM pr GROUP BY w1, w2),
+        |un AS (SELECT unnest(t) AS token FROM tk),
+        |uc AS (SELECT token, CAST(count(*) AS BIGINT) AS c_tok
+        |  FROM un GROUP BY token),
+        |tot AS (SELECT CAST(sum(len(t)) AS BIGINT) AS n_tok,
+        |    CAST(sum(greatest(len(t) - 1, 0)) AS BIGINT) AS n_pairs FROM tk)
+        |SELECT p.w1, p.w2, p.c_pair, a.c_tok AS c_a, b.c_tok AS c_b,
+        |  round(ln((CAST(p.c_pair AS DOUBLE) / n_pairs)
+        |    / ((CAST(a.c_tok AS DOUBLE) / n_tok)
+        |      * (CAST(b.c_tok AS DOUBLE) / n_tok))), 4) AS pmi
+        |FROM pc p JOIN uc a ON a.token = p.w1
+        |JOIN uc b ON b.token = p.w2, tot
+        |WHERE p.c_pair >= 30
+        |ORDER BY p.w1, p.w2""".stripMargin,
+    // event-type transition matrix: lead over (user, event_id) order,
+    // matrix-sized rollup, row-conditional probabilities
+    "e_transitions" ->
+      """WITH e AS (SELECT event_type AS from_state,
+        |    lead(event_type) OVER (PARTITION BY user_id ORDER BY event_id)
+        |      AS to_state
+        |  FROM events),
+        |m AS (SELECT from_state, to_state, CAST(count(*) AS BIGINT) AS n
+        |  FROM e WHERE to_state IS NOT NULL GROUP BY 1, 2)
+        |SELECT from_state, to_state, n,
+        |  round(CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY from_state), 6)
+        |    AS p
+        |FROM m ORDER BY from_state, to_state""".stripMargin,
+    // Zipf fit: same tokenization + top-100 head as t_top_tokens, then
+    // the closed-form OLS on (ln rank, ln count)
+    "t_zipf" ->
+      """WITH w AS (SELECT unnest(string_split_regex(
+        |    lower(regexp_replace(trim(text), '[^\p{L}\p{N}\s]', ' ', 'g')),
+        |    '\s+')) AS token FROM documents),
+        |c AS (SELECT token, CAST(count(*) AS BIGINT) AS occurrences
+        |  FROM w WHERE token <> '' GROUP BY token
+        |  ORDER BY occurrences DESC, token LIMIT 100),
+        |r AS (SELECT occurrences,
+        |    row_number() OVER (ORDER BY occurrences DESC, token) AS rank
+        |  FROM c),
+        |s AS (SELECT CAST(count(*) AS BIGINT) AS n_ranks,
+        |    sum(ln(CAST(rank AS DOUBLE))) AS sx,
+        |    sum(ln(CAST(occurrences AS DOUBLE))) AS sy,
+        |    sum(ln(CAST(rank AS DOUBLE)) * ln(CAST(occurrences AS DOUBLE)))
+        |      AS sxy,
+        |    sum(ln(CAST(rank AS DOUBLE)) * ln(CAST(rank AS DOUBLE))) AS sxx
+        |  FROM r)
+        |SELECT n_ranks,
+        |  round((n_ranks * sxy - sx * sy) / (n_ranks * sxx - sx * sx), 4)
+        |    AS zipf_slope,
+        |  round((sy - (n_ranks * sxy - sx * sy) / (n_ranks * sxx - sx * sx)
+        |    * sx) / n_ranks, 4) AS intercept
+        |FROM s""".stripMargin,
     // packing ROI: pad-alone vs concat-stream waste per capacity; same
     // token count + shard CTE as the p_pack family
     "p_pack_waste" ->

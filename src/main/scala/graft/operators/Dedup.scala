@@ -569,6 +569,24 @@ object Dedup {
         (m, seed) => least(m, md5(concat(seed.cast("string"), lit(" "), s)))),
       acc => when(element_at(acc, 1) === lit("g"), lit(null)).otherwise(acc))
 
+  /** Shingle document-frequency histogram — the one-page corpus-redundancy
+    * profile: for each doc-frequency value, how many distinct k-shingles
+    * occur in exactly that many documents. Mass at df = 1 is unique
+    * content; a heavy tail is boilerplate/templates — the single chart
+    * that says whether this corpus needs [[boilerplateShingles]] and at
+    * what `minDocs`, and how much [[minHashPairs]] banding will collide.
+    *
+    * Scale: distinct-shingles explode → vocabulary-sized map-side-combined
+    * groupBy (the [[boilerplateShingles]] tier), then a second aggregation
+    * down to histogram-sized output (≤ max doc-frequency rows). Nothing
+    * corpus-sized shuffles twice.
+    */
+  def shingleDfHistogram(df: DataFrame, textCol: String,
+      k: Int = 3): DataFrame =
+    df.select(explode(array_distinct(shingles(col(textCol), k))).as("shingle"))
+      .groupBy(col("shingle")).agg(count(lit(1)).as("doc_freq"))
+      .groupBy(col("doc_freq")).agg(count(lit(1)).as("n_shingles"))
+
   /** Sketch-quality audit of MinHash itself: per pair, the signature's
     * estimated Jaccard (share of agreeing slots) next to the EXACT shingle
     * Jaccard and the absolute error — the measurement that justifies (or

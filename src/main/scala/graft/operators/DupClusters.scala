@@ -147,6 +147,38 @@ object DupClusters {
         (col("id") === col("kept_id")).as("keep"), col("kept_id"))
   }
 
+  /** Dedup ROI by segment: what a keep-one retention pass actually costs
+    * each source/feed — per segment, total docs and token mass next to the
+    * docs and mass the retention DROPS, with the dropped share. The view
+    * that turns "dedup removed 4% of the corpus" into "dedup removes 31%
+    * of feed X" (a feed that mostly re-sends others' content), which is an
+    * ingestion decision, not a dedup parameter.
+    *
+    * `retained` is [[retention]] output (id, keep); `docs` supplies the
+    * segment and the mass measure. Scale: one corpus-scan aggregate for
+    * the totals, a drop-list-sized semi-join + aggregate for the dropped
+    * side, segment-sized join of the two summaries.
+    */
+  def dedupImpact(retained: DataFrame, docs: DataFrame, idCol: String,
+      segCol: String, massCol: Column): DataFrame = {
+    val base = docs.select(col(idCol).as("id"),
+      col(segCol).as("segment"), massCol.cast("long").as("mass"))
+    val totals = base.groupBy(col("segment"))
+      .agg(count(lit(1)).as("docs"), sum(col("mass")).as("token_mass"))
+    val drops = base
+      .join(retained.filter(!col("keep")).select(col("id")), Seq("id"),
+        "left_semi")
+      .groupBy(col("segment"))
+      .agg(count(lit(1)).as("dropped_docs"),
+        sum(col("mass")).as("dropped_tokens"))
+    totals.join(drops, totals("segment") <=> drops("segment"), "left")
+      .select(totals("segment"), col("docs"), col("token_mass"),
+        coalesce(col("dropped_docs"), lit(0L)).as("dropped_docs"),
+        coalesce(col("dropped_tokens"), lit(0L)).as("dropped_tokens"),
+        round(coalesce(col("dropped_tokens"), lit(0L)).cast("double")
+          / col("token_mass"), 6).as("dropped_share"))
+  }
+
   /** Cluster purity against a label column (lang, source, license…): per
     * cluster, the dominant label's share plus how many distinct segments
     * the cluster spans. The QA view on the near-dup graph itself: a

@@ -137,4 +137,31 @@ object Temporal {
       .filter(col(pointTime) >= col(startCol) && col(pointTime) < col(endCol))
       .drop("_chunk")
   }
+
+  /** First-order state-transition matrix over per-key event sequences:
+    * for each (state, next-state) pair, its count and the row-conditional
+    * probability P(next | state) — the behavioral fingerprint that feeds
+    * funnel design, bot detection (machine traffic has near-deterministic
+    * rows) and session simulation. The terminal event of each key has no
+    * successor and contributes nothing (standard Markov-estimate
+    * contract).
+    *
+    * Scale: ONE per-key window (lead over the key's sequence order —
+    * partition-bounded, the [[orderViolations]] shape), then a map-side-
+    * combined groupBy to the ≤ |states|² matrix; the probability
+    * normalization is a window over the MATRIX-sized table, never the
+    * corpus.
+    */
+  def transitions(df: DataFrame, keyCol: String, seqCol: String,
+      stateCol: String): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(seqCol))
+    val wFrom = Window.partitionBy(col("from_state"))
+    df.select(col(keyCol), col(seqCol), col(stateCol).as("from_state"))
+      .withColumn("to_state", lead(col("from_state"), 1).over(w))
+      .filter(col("to_state").isNotNull)
+      .groupBy(col("from_state"), col("to_state"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("p",
+        round(col("n") / sum(col("n")).over(wFrom), 6))
+  }
 }

@@ -97,6 +97,84 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** PMI collocations over adjacent token pairs — the association-scored
+    * companion of [[topTokenPairs]]: raw pair frequency surfaces "of the"
+    * (frequent because its parts are frequent), PMI
+    * ln((c_ab/N_pairs) / ((c_a/N_tok)·(c_b/N_tok))) surfaces pairs that
+    * co-occur far above chance (named entities, technical terms, stuck
+    * boilerplate) — the signal that feeds phrase-aware tokenizers and
+    * template detection. `minCount` gates the estimate (PMI of a
+    * once-seen pair is noise); output is every surviving pair ordered by
+    * pair text, NOT by the float score — cross-engine ordering rides only
+    * on exact counts.
+    *
+    * Scale: the pair counts and unigram counts are two map-side-combined
+    * groupBys (two corpus scans — their explode cardinalities differ, so
+    * they cannot share one); the corpus totals REUSE those count tables
+    * (ΣC_pair and ΣC_tok — vocabulary-sized aggregates, no third scan) and
+    * broadcast back; the two unigram joins run on the (gated,
+    * vocabulary-bounded) pair table, never on the corpus.
+    */
+  def pmiPairs(df: DataFrame, textCol: String, minCount: Long = 5): DataFrame = {
+    val tk = col("_tk")
+    val adjacent = transform(
+      slice(tk, lit(1), greatest(size(tk) - 1, lit(0))),
+      (t, i) => concat(t, lit(" "), element_at(tk, i + 2)))
+    val base = df.select(filter(toks(col(textCol)), t => t =!= "").as("_tk"))
+    val pc = base.select(explode(adjacent).as("pair"))
+      .groupBy(col("pair")).agg(count(lit(1)).as("c_pair"))
+    val uc = base.select(explode(tk).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("c_tok"))
+    val totals = pc.agg(sum(col("c_pair")).cast("long").as("n_pairs"))
+      .crossJoin(uc.agg(sum(col("c_tok")).cast("long").as("n_tok")))
+    val gated = pc.filter(col("c_pair") >= minCount)
+      .withColumn("w1", split(col("pair"), " ").getItem(0))
+      .withColumn("w2", split(col("pair"), " ").getItem(1))
+    gated
+      .join(uc.select(col("token").as("w1"), col("c_tok").as("c_a")), Seq("w1"))
+      .join(uc.select(col("token").as("w2"), col("c_tok").as("c_b")), Seq("w2"))
+      .crossJoin(broadcast(totals))
+      .select(col("w1"), col("w2"), col("c_pair"), col("c_a"), col("c_b"),
+        round(log((col("c_pair").cast("double") / col("n_pairs"))
+          / ((col("c_a").cast("double") / col("n_tok"))
+            * (col("c_b").cast("double") / col("n_tok")))), 4).as("pmi"))
+      .orderBy("w1", "w2")
+  }
+
+  /** Zipf-fit of the token frequency head: OLS slope/intercept of
+    * ln(count) against ln(rank) over the top-`topN` tokens. Natural text
+    * sits near slope −1; a much flatter slope flags templated/synthetic
+    * text, a much steeper one a degenerate vocabulary — the corpus-level
+    * fabrication tell next to the value-level [[graft.operators.Stats]]
+    * Benford audit. Ranks tie-break on token text, so the fit is
+    * deterministic; the OLS is the explicit closed form
+    * (nΣxy − ΣxΣy) / (nΣx² − (Σx)²) over `topN` rounded terms, replayable
+    * by any engine (round-4 output absorbs last-ulp ln() differences).
+    *
+    * Scale: [[topTokens]]'s map-side-combined count + TakeOrdered head;
+    * everything after runs on `topN` rows.
+    */
+  def zipfFit(df: DataFrame, textCol: String, topN: Int = 100): DataFrame = {
+    require(topN >= 2, s"zipfFit: need topN >= 2, got $topN")
+    val ranked = topTokens(df, textCol, topN)
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("occurrences").desc, col("token"))))
+    val x = log(col("rank").cast("double"))
+    val y = log(col("occurrences").cast("double"))
+    ranked
+      .agg(count(lit(1)).as("n_ranks"), sum(x).as("sx"), sum(y).as("sy"),
+        sum(x * y).as("sxy"), sum(x * x).as("sxx"))
+      .select(col("n_ranks"),
+        round((col("n_ranks") * col("sxy") - col("sx") * col("sy"))
+          / (col("n_ranks") * col("sxx") - col("sx") * col("sx")), 4)
+          .as("zipf_slope"),
+        round((col("sy") - (col("n_ranks") * col("sxy")
+            - col("sx") * col("sy"))
+          / (col("n_ranks") * col("sxx") - col("sx") * col("sx"))
+          * col("sx")) / col("n_ranks"), 4).as("intercept"))
+  }
+
   /** BPE-ish token count: GPT-2-style pre-tokenizer regex pieces
     * (word / number / punctuation runs with leading-space affinity).
     */
