@@ -2321,6 +2321,66 @@ object SparkEntry {
       // sits near slope -1; flat = templated/synthetic, steep = degenerate
       // vocabulary — the corpus-level tell next to g_benford's value-level
       TextAnalysis.zipfFit(t(s, dir, "documents"), "text", topN = 100)),
+    // ---------- hour-of-day periodicity ----------
+    "e_periodicity" -> ((s, dir) =>
+      // diurnal profile + per-bucket chi-square uniformity terms: a spike
+      // in one bucket is batch/bot traffic, a perfectly flat profile is
+      // synthetic data that forgot to model time
+      Temporal.periodicity(t(s, dir, "events"), "ts")
+        .orderBy("hour_of_day")),
+    // ---------- inter-event burstiness ----------
+    "e_burstiness" -> ((s, dir) =>
+      // Goh-Barabasi burstiness per user over time-ordered gap seconds:
+      // B ~ -1 metronome (machine heartbeat), ~0 Poisson (organic);
+      // capped to the 50 burstiest users for a corpus-size-free output
+      Temporal.burstiness(t(s, dir, "events"), "user_id", "ts")
+        .orderBy(col("burstiness").desc_nulls_last, col("key"))
+        .limit(50)),
+    // ---------- vocabulary richness by source ----------
+    "t_vocab_richness" -> ((s, dir) =>
+      // per-source type-token ratio and hapax share: natural text keeps a
+      // fat hapax tail, templated/model-generated text collapses it — the
+      // segment-level synthetic tell next to t_zipf's corpus-level one
+      TextAnalysis.vocabularyRichness(t(s, dir, "documents"), "source",
+        "text").orderBy("segment")),
+    // ---------- directional association (Theil's U) ----------
+    "g_theils_u" -> ((s, dir) =>
+      // which way does the dependency run? U(lang|source) vs
+      // U(source|lang) — the soft tier of the g_fd hard-dependency audit,
+      // next to g_assoc's symmetric Cramer's V
+      Stats.theilsU(t(s, dir, "documents"),
+          Seq(("lang", "source"), ("lang", "lang")))
+        .orderBy("col_a", "col_b")),
+    // ---------- top-k rank drift ----------
+    "t_topk_drift" -> ((s, dir) => {
+      // which heavy-hitter tokens entered/left/swapped places between the
+      // two doc_id-parity halves (the deterministic stand-in for two
+      // crawl snapshots): the ranked-list drift next to g_drift_*'s
+      // histogram drifts
+      val docs = t(s, dir, "documents")
+      def half(parity: Int) = docs.filter(col("doc_id") % 2 === parity)
+        .select(explode(TextAnalysis.toks(col("text"))).as("token"))
+        .filter(col("token") =!= "")
+      Drift.rankDrift(half(0), half(1), "token", 20).orderBy("key")
+    }),
+    // ---------- segment vocabulary Jaccard ----------
+    "t_vocab_jaccard" -> ((s, dir) =>
+      // segment-granularity near-dup: two feeds with J ~ 1 are the same
+      // crawl wearing two names; a J ~ 0 outlier against every sibling is
+      // different content. Capped to the 100 most-similar pairs.
+      TextAnalysis.segmentVocabJaccard(t(s, dir, "documents"), "source",
+          "text")
+        .orderBy(col("jaccard").desc, col("seg_a"), col("seg_b"))
+        .limit(100)),
+    // ---------- split distribution parity ----------
+    "p_split_parity" -> ((s, dir) =>
+      // did every split inherit the same n_chars distribution? PSI of
+      // val/test vs train over the split histogram — catches realized
+      // sampling skew and id-value correlation after p_split assigns
+      Sampling.splitParity(t(s, dir, "documents"), "doc_id",
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1),
+          "n_chars", lo = 0.0, hi = 256.0, bins = 8)
+        .orderBy("split")),
     // ---------- generated north-rule corpus ----------
     "gen_validate" -> ((s, dir) => {
       // the generated corpus is WRITTEN to parquet first and validated from
@@ -2793,6 +2853,183 @@ object SparkEntry {
         |  round((sy - (n_ranks * sxy - sx * sy) / (n_ranks * sxx - sx * sx)
         |    * sx) / n_ranks, 4) AS intercept
         |FROM s""".stripMargin,
+    // hour-of-day periodicity: counts, shares, chi-square uniformity terms
+    "e_periodicity" ->
+      """WITH c AS (SELECT CAST(hour(ts) AS INT) AS hour_of_day,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM events WHERE ts IS NOT NULL GROUP BY 1),
+        |t AS (SELECT CAST(sum(n) AS BIGINT) AS tot,
+        |    CAST(count(*) AS BIGINT) AS nb FROM c)
+        |SELECT hour_of_day, n,
+        |  round(n / CAST(tot AS DOUBLE), 6) AS share,
+        |  round((n - CAST(tot AS DOUBLE) / nb) * (n - CAST(tot AS DOUBLE) / nb)
+        |    / (CAST(tot AS DOUBLE) / nb), 6) AS chi2_term
+        |FROM c, t ORDER BY hour_of_day""".stripMargin,
+    // burstiness: per-user gap moments in exact integer seconds, then the
+    // Goh-Barabasi index; top-50 selection tie-breaks on the key
+    "e_burstiness" ->
+      """WITH g AS (SELECT user_id AS key,
+        |    CAST(floor(epoch_us(ts) / 1000000) AS BIGINT)
+        |      - lag(CAST(floor(epoch_us(ts) / 1000000) AS BIGINT))
+        |        OVER (PARTITION BY user_id ORDER BY ts) AS gap_s
+        |  FROM events WHERE ts IS NOT NULL),
+        |m AS (SELECT key, CAST(count(*) AS BIGINT) AS n_gaps,
+        |    CAST(sum(gap_s) AS BIGINT) AS s,
+        |    CAST(sum(gap_s * gap_s) AS BIGINT) AS ss
+        |  FROM g WHERE gap_s IS NOT NULL GROUP BY key
+        |  HAVING count(*) >= 2),
+        |f AS (SELECT key, n_gaps, s / CAST(n_gaps AS DOUBLE) AS mean,
+        |    sqrt(greatest(ss / CAST(n_gaps AS DOUBLE)
+        |      - (s / CAST(n_gaps AS DOUBLE)) * (s / CAST(n_gaps AS DOUBLE)),
+        |      0)) AS sd
+        |  FROM m)
+        |SELECT key, n_gaps, round(mean, 6) AS mean_gap_s,
+        |  round(sd, 6) AS sd_gap_s,
+        |  CASE WHEN mean > 0 THEN round(sd / mean, 6) END AS cv,
+        |  CASE WHEN sd + mean > 0
+        |    THEN round((sd - mean) / (sd + mean), 6) END AS burstiness
+        |FROM f ORDER BY burstiness DESC NULLS LAST, key
+        |LIMIT 50""".stripMargin,
+    // vocabulary richness: per-source TTR + hapax share over the shared
+    // tokenizer normalization
+    "t_vocab_richness" ->
+      """WITH w AS (SELECT source AS segment, unnest(string_split_regex(
+        |    lower(regexp_replace(trim(text), '[^\p{L}\p{N}\s]', ' ', 'g')),
+        |    '\s+')) AS token FROM documents),
+        |c AS (SELECT segment, token, CAST(count(*) AS BIGINT) AS c
+        |  FROM w WHERE token <> '' GROUP BY 1, 2)
+        |SELECT segment, CAST(sum(c) AS BIGINT) AS n_tokens,
+        |  CAST(count(*) AS BIGINT) AS n_types,
+        |  round(count(*) / CAST(sum(c) AS DOUBLE), 6) AS ttr,
+        |  round(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END)
+        |    / CAST(count(*) AS DOUBLE), 6) AS hapax_share
+        |FROM c GROUP BY segment ORDER BY segment""".stripMargin,
+    // Theil's U: directional association from one contingency table via
+    // H(a|b) = H(a,b) - H(b); u computed from UNROUNDED entropies
+    "g_theils_u" ->
+      """WITH c AS (SELECT coalesce(CAST(lang AS VARCHAR), '<null>') AS va,
+        |    coalesce(CAST(source AS VARCHAR), '<null>') AS vb,
+        |    CAST(count(*) AS BIGINT) AS o
+        |  FROM documents GROUP BY 1, 2),
+        |hab AS (SELECT log2(CAST(sum(o) AS DOUBLE))
+        |    - sum(o * log2(CAST(o AS DOUBLE))) / sum(o) AS h_ab FROM c),
+        |ha AS (SELECT log2(CAST(sum(c2) AS DOUBLE))
+        |    - sum(c2 * log2(CAST(c2 AS DOUBLE))) / sum(c2) AS h_a
+        |  FROM (SELECT CAST(sum(o) AS BIGINT) AS c2 FROM c GROUP BY va)),
+        |hb AS (SELECT log2(CAST(sum(c2) AS DOUBLE))
+        |    - sum(c2 * log2(CAST(c2 AS DOUBLE))) / sum(c2) AS h_b
+        |  FROM (SELECT CAST(sum(o) AS BIGINT) AS c2 FROM c GROUP BY vb)),
+        |cc AS (SELECT coalesce(CAST(lang AS VARCHAR), '<null>') AS va,
+        |    coalesce(CAST(lang AS VARCHAR), '<null>') AS vb,
+        |    CAST(count(*) AS BIGINT) AS o
+        |  FROM documents GROUP BY 1, 2),
+        |hab2 AS (SELECT log2(CAST(sum(o) AS DOUBLE))
+        |    - sum(o * log2(CAST(o AS DOUBLE))) / sum(o) AS h_ab FROM cc),
+        |ha2 AS (SELECT log2(CAST(sum(c2) AS DOUBLE))
+        |    - sum(c2 * log2(CAST(c2 AS DOUBLE))) / sum(c2) AS h_a
+        |  FROM (SELECT CAST(sum(o) AS BIGINT) AS c2 FROM cc GROUP BY va)),
+        |hb2 AS (SELECT log2(CAST(sum(c2) AS DOUBLE))
+        |    - sum(c2 * log2(CAST(c2 AS DOUBLE))) / sum(c2) AS h_b
+        |  FROM (SELECT CAST(sum(o) AS BIGINT) AS c2 FROM cc GROUP BY vb))
+        |SELECT 'lang' AS col_a, 'source' AS col_b,
+        |  round(h_a, 6) AS h_a, round(h_b, 6) AS h_b,
+        |  round(h_ab, 6) AS h_ab,
+        |  CASE WHEN h_a > 0
+        |    THEN round((h_a - (h_ab - h_b)) / h_a, 6) END AS u_a_given_b,
+        |  CASE WHEN h_b > 0
+        |    THEN round((h_b - (h_ab - h_a)) / h_b, 6) END AS u_b_given_a
+        |FROM ha, hb, hab
+        |UNION ALL
+        |SELECT 'lang', 'lang', round(h_a, 6), round(h_b, 6), round(h_ab, 6),
+        |  CASE WHEN h_a > 0 THEN round((h_a - (h_ab - h_b)) / h_a, 6) END,
+        |  CASE WHEN h_b > 0 THEN round((h_b - (h_ab - h_a)) / h_b, 6) END
+        |FROM ha2, hb2, hab2
+        |ORDER BY col_a, col_b""".stripMargin,
+    // top-k token rank drift between doc_id-parity halves; ranks
+    // tie-break on the token so both lists are deterministic
+    "t_topk_drift" ->
+      """WITH wa AS (SELECT unnest(string_split_regex(
+        |    lower(regexp_replace(trim(text), '[^\p{L}\p{N}\s]', ' ', 'g')),
+        |    '\s+')) AS token FROM documents WHERE doc_id % 2 = 0),
+        |ca AS (SELECT token, CAST(count(*) AS BIGINT) AS cnt_a
+        |  FROM wa WHERE token <> '' GROUP BY token
+        |  ORDER BY cnt_a DESC, token LIMIT 20),
+        |ra AS (SELECT token AS key, cnt_a, CAST(row_number()
+        |    OVER (ORDER BY cnt_a DESC, token) AS INT) AS rank_a FROM ca),
+        |wb AS (SELECT unnest(string_split_regex(
+        |    lower(regexp_replace(trim(text), '[^\p{L}\p{N}\s]', ' ', 'g')),
+        |    '\s+')) AS token FROM documents WHERE doc_id % 2 = 1),
+        |cb AS (SELECT token, CAST(count(*) AS BIGINT) AS cnt_b
+        |  FROM wb WHERE token <> '' GROUP BY token
+        |  ORDER BY cnt_b DESC, token LIMIT 20),
+        |rb AS (SELECT token AS key, cnt_b, CAST(row_number()
+        |    OVER (ORDER BY cnt_b DESC, token) AS INT) AS rank_b FROM cb)
+        |SELECT coalesce(ra.key, rb.key) AS key, rank_a, rank_b,
+        |  cnt_a, cnt_b, rank_b - rank_a AS rank_shift,
+        |  CASE WHEN rank_a IS NOT NULL AND rank_b IS NOT NULL THEN 'both'
+        |       WHEN rank_a IS NOT NULL THEN 'only_a'
+        |       ELSE 'only_b' END AS status
+        |FROM ra FULL OUTER JOIN rb ON ra.key = rb.key
+        |ORDER BY key""".stripMargin,
+    // segment vocabulary Jaccard: DISTINCT (segment, token) self-join,
+    // most-similar 100 pairs with (seg_a, seg_b) tie-break
+    "t_vocab_jaccard" ->
+      """WITH w AS (SELECT coalesce(CAST(source AS VARCHAR), '<null>')
+        |      AS segment, unnest(string_split_regex(
+        |    lower(regexp_replace(trim(text), '[^\p{L}\p{N}\s]', ' ', 'g')),
+        |    '\s+')) AS token FROM documents),
+        |st AS (SELECT DISTINCT segment, token FROM w WHERE token <> ''),
+        |sz AS (SELECT segment, CAST(count(*) AS BIGINT) AS types
+        |  FROM st GROUP BY segment),
+        |i AS (SELECT a.segment AS seg_a, b.segment AS seg_b,
+        |    CAST(count(*) AS BIGINT) AS inter
+        |  FROM st a JOIN st b
+        |    ON a.token = b.token AND a.segment < b.segment
+        |  GROUP BY 1, 2)
+        |SELECT seg_a, seg_b, sa.types AS types_a, sb.types AS types_b,
+        |  inter,
+        |  round(inter / CAST(sa.types + sb.types - inter AS DOUBLE), 6)
+        |    AS jaccard
+        |FROM i JOIN sz sa ON i.seg_a = sa.segment
+        |  JOIN sz sb ON i.seg_b = sb.segment
+        |ORDER BY jaccard DESC, seg_a, seg_b LIMIT 100""".stripMargin,
+    // split parity: same md5-threshold split as p_split, PSI of each
+    // split vs train over clamped floor buckets (the Drift.psi recipe)
+    "p_split_parity" ->
+      s"""WITH s AS (SELECT
+        |    CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+        |           < '${Sampling.thresholdHex(0.8)}' THEN 'train'
+        |         WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+        |           < '${Sampling.thresholdHex(0.9)}' THEN 'val'
+        |         ELSE 'test' END AS split,
+        |    CAST(least(greatest(floor(((CAST(n_chars AS DOUBLE) - 0.0)
+        |      / 256.0) * 8), 0.0), 7.0) AS INT) AS bucket
+        |  FROM documents WHERE n_chars IS NOT NULL),
+        |h AS (SELECT split, bucket, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM s GROUP BY 1, 2),
+        |grid AS (SELECT sp.split, b.bucket
+        |  FROM (VALUES ('train'), ('val'), ('test')) sp(split)
+        |  CROSS JOIN (SELECT DISTINCT bucket FROM h) b),
+        |cells AS (SELECT g.split, g.bucket, coalesce(h.cnt, 0) AS cnt
+        |  FROM grid g LEFT JOIN h
+        |    ON g.split = h.split AND g.bucket = h.bucket),
+        |tot AS (SELECT split, CAST(sum(cnt) AS BIGINT) AS tot
+        |  FROM cells GROUP BY split),
+        |base AS (SELECT bucket, cnt AS cb FROM cells
+        |  WHERE split = 'train'),
+        |bt AS (SELECT CAST(sum(cb) AS BIGINT) AS tb FROM base),
+        |x AS (SELECT c.split, c.cnt, t.tot,
+        |    b.cb / CAST(bt.tb AS DOUBLE) AS q0
+        |  FROM cells c JOIN tot t USING (split)
+        |    JOIN base b USING (bucket), bt
+        |  WHERE c.split <> 'train')
+        |SELECT split, max(tot) AS n,
+        |  CASE WHEN max(tot) > 0 AND max(q0) IS NOT NULL THEN
+        |    round(sum((greatest(cnt / CAST(tot AS DOUBLE), 0.000001)
+        |        - greatest(q0, 0.000001))
+        |      * ln(greatest(cnt / CAST(tot AS DOUBLE), 0.000001)
+        |        / greatest(q0, 0.000001))), 6) END AS psi
+        |FROM x GROUP BY split ORDER BY split""".stripMargin,
     // packing ROI: pad-alone vs concat-stream waste per capacity; same
     // token count + shard CTE as the p_pack family
     "p_pack_waste" ->

@@ -456,4 +456,40 @@ object Drift {
       .agg(Kll.sketchAgg(col(c).cast("double"), k).as("sketch"),
         count(lit(1)).as("rows"))
   }
+
+  /** Top-k rank drift between two row sets over a categorical key — the
+    * RANKED-LIST companion of the distribution drifts above: PSI/KS say
+    * "the histogram moved", this says WHICH heavy hitters entered, left,
+    * or swapped places between snapshot `a` and snapshot `b` (vocabulary
+    * churn between crawls, hot-key rotation between days). One row per
+    * key in either side's top-k: both ranks and counts, the rank shift,
+    * and a status (`both` / `only_a` / `only_b`). Ranks tie-break on the
+    * key, so the lists — and therefore the output set — are deterministic
+    * cross-engine.
+    *
+    * Scale: each side is a map-side-combined count + TakeOrdered head;
+    * the window that assigns ranks and the full-outer join run on k-row
+    * tables. Nothing corpus-sized crosses the join.
+    */
+  def rankDrift(a: DataFrame, b: DataFrame, keyCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1, s"rankDrift: need k >= 1, got $k")
+    def top(df: DataFrame, side: String): DataFrame = {
+      val cnt = s"cnt_$side"
+      val byCount = df.filter(col(keyCol).isNotNull)
+        .groupBy(col(keyCol).as("key"))
+        .agg(count(lit(1)).as(cnt))
+        .orderBy(col(cnt).desc, col("key")).limit(k)
+      byCount.withColumn(s"rank_$side", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col(cnt).desc, col("key"))))
+    }
+    top(a, "a").join(top(b, "b"), Seq("key"), "full_outer")
+      .select(col("key"), col("rank_a"), col("rank_b"),
+        col("cnt_a"), col("cnt_b"),
+        (col("rank_b") - col("rank_a")).as("rank_shift"),
+        when(col("rank_a").isNotNull && col("rank_b").isNotNull, "both")
+          .when(col("rank_a").isNotNull, "only_a")
+          .otherwise("only_b").as("status"))
+  }
 }

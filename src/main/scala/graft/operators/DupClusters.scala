@@ -175,8 +175,11 @@ object DupClusters {
       .select(totals("segment"), col("docs"), col("token_mass"),
         coalesce(col("dropped_docs"), lit(0L)).as("dropped_docs"),
         coalesce(col("dropped_tokens"), lit(0L)).as("dropped_tokens"),
-        round(coalesce(col("dropped_tokens"), lit(0L)).cast("double")
-          / col("token_mass"), 6).as("dropped_share"))
+        // ANSI-safe: a segment whose docs all carry zero mass has no
+        // meaningful share (null), not a divide-by-zero error
+        when(col("token_mass") > 0,
+          round(coalesce(col("dropped_tokens"), lit(0L)).cast("double")
+            / col("token_mass"), 6)).as("dropped_share"))
   }
 
   /** Cluster purity against a label column (lang, source, license…): per

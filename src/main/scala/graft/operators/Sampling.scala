@@ -327,4 +327,67 @@ object Sampling {
         .otherwise(floor((col("rank") - 1 - cut) / math.max(q, 1L)) + (r + 1))
         .cast("long"))
   }
+
+  /** Split distribution-parity audit: after [[splits]] assigns rows, did
+    * every split inherit the same distribution of `c`? Per non-baseline
+    * split: its non-null row count and its PSI against the FIRST-named
+    * split (the baseline, conventionally `train`) over `bins` equal-width
+    * bins on [lo, hi] — the [[graft.operators.Drift.psi]] recipe (clamped
+    * floor buckets, 1e-6 eps floor) applied across splits instead of
+    * snapshots. A hash split is unbiased by construction; this measures
+    * the SAMPLING NOISE actually realized (small splits of skewed columns
+    * can still land visibly off), and catches id↔value correlation — ids
+    * assigned in value order make a hash of id NOT independent of the
+    * value column's layout-coupled artifacts. An empty split emits
+    * n = 0 with null PSI (a finding, not a crash).
+    *
+    * Scale: ONE corpus scan to a (splits × bins)-sized histogram — not
+    * one [[graft.operators.Drift.psi]] call (= 2 scans) per split pair.
+    * The histogram is collected (≤ splits·bins rows by construction —
+    * the [[graft.operators.Drift.ksFixedGridBinned]] cell-count pattern)
+    * and the PSI folds run on the driver in fixed bucket order, so the
+    * corpus is provably scanned exactly once and the float sums are
+    * order-deterministic.
+    */
+  def splitParity(df: DataFrame, idCol: String,
+      weights: Seq[(String, Double)], c: String, lo: Double, hi: Double,
+      bins: Int = 10): DataFrame = {
+    require(hi > lo, s"splitParity: need hi > lo, got [$lo, $hi]")
+    require(bins >= 1, s"splitParity: need bins >= 1, got $bins")
+    require(weights.size >= 2, "splitParity: need a baseline + >= 1 split")
+    val base = weights.head._1
+    val hist = df.filter(col(c).isNotNull)
+      .select(splitCol(col(idCol), weights).as("split"),
+        least(greatest(floor(((col(c).cast("double") - lit(lo))
+            / lit(hi - lo)) * lit(bins)), lit(0.0)),
+          lit((bins - 1).toDouble)).cast("int").as("bucket"))
+      .groupBy(col("split"), col("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+      .collect()
+      .map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val eps = 1e-6
+    def counts(split: String): IndexedSeq[Long] =
+      (0 until bins).map(b => hist.getOrElse((split, b), 0L))
+    val cb = counts(base)
+    val tb = cb.sum
+    val rows = weights.map(_._1).filter(_ != base).map { s =>
+      val cs = counts(s)
+      val n = cs.sum
+      // null PSI when this split OR the baseline is empty — a finding
+      // row, not an eps-saturated fake maximum
+      val psi = if (n == 0 || tb == 0) None
+      else Some {
+        val raw = (0 until bins).map { b =>
+          val p = math.max(cs(b).toDouble / n, eps)
+          val q = math.max(cb(b).toDouble / tb, eps)
+          (p - q) * math.log(p / q)
+        }.sum
+        math.rint(raw * 1e6) / 1e6
+      }
+      (s, n, psi)
+    }
+    val spark = df.sparkSession
+    import spark.implicits._
+    rows.toDF("split", "n", "psi")
+  }
 }

@@ -653,4 +653,52 @@ object Stats {
         round(sum(clamped - v) * lit(1e6)).cast("long")
           .as("mass_delta_micro"))
   }
+
+  /** Theil's uncertainty coefficient — the DIRECTIONAL companion of
+    * [[cramersV]]: U(a|b) = (H(a) − H(a|b)) / H(a) is the fraction of
+    * column `a`'s entropy explained by knowing `b`, and U(b|a) the
+    * reverse. Cramér's V says "associated"; an asymmetric U pair says
+    * WHICH WAY the dependency runs (U(lang|source) ≈ 1 with
+    * U(source|lang) ≈ 0.3 means source determines language, not vice
+    * versa — a functional-dependency strength meter, the soft tier of
+    * [[fdViolations]]). U is undefined (null) for a constant column
+    * (H = 0). Entropies derive from ONE contingency table via the
+    * identity H(a|b) = H(a,b) − H(b); all logs base 2, rounded
+    * (cross-engine float-sum policy).
+    *
+    * Scale: the [[cramersV]] shape — one map-side-combined contingency
+    * groupBy per pair, then every entropy folds over the CELL table
+    * (≤ card(a)·card(b) rows) and its two margin projections; the corpus
+    * is scanned once per pair.
+    */
+  def theilsU(df: DataFrame, pairs: Seq[(String, String)]): DataFrame = {
+    require(pairs.nonEmpty, "theilsU: need at least one column pair")
+    pairs.map { case (a, b) =>
+      val cells = df.groupBy(
+          coalesce(col(a).cast(StringType), lit("<null>")).as("va"),
+          coalesce(col(b).cast(StringType), lit("<null>")).as("vb"))
+        .agg(count(lit(1)).as("o"))
+      // H(x) = log2(n) - sum(c*log2(c))/n over the category counts —
+      // the single-aggregation identity entropy() uses; each margin is a
+      // cell-table-sized re-aggregation, never a corpus rescan
+      def h(counts: DataFrame, cnt: String, out: String): DataFrame =
+        counts.agg((log2(sum(col(cnt)))
+          - sum(col(cnt).cast("double") * log2(col(cnt))) / sum(col(cnt)))
+          .as(out))
+      val hab = h(cells, "o", "h_ab")
+      val ha = h(cells.groupBy(col("va")).agg(sum(col("o")).as("c")), "c", "h_a")
+      val hb = h(cells.groupBy(col("vb")).agg(sum(col("o")).as("c")), "c", "h_b")
+      ha.crossJoin(hb).crossJoin(hab)
+        .select(lit(a).as("col_a"), lit(b).as("col_b"),
+          round(col("h_a"), 6).as("h_a"),
+          round(col("h_b"), 6).as("h_b"),
+          round(col("h_ab"), 6).as("h_ab"),
+          when(col("h_a") > 0,
+            round((col("h_a") - (col("h_ab") - col("h_b"))) / col("h_a"), 6))
+            .as("u_a_given_b"),
+          when(col("h_b") > 0,
+            round((col("h_b") - (col("h_ab") - col("h_a"))) / col("h_b"), 6))
+            .as("u_b_given_a"))
+    }.reduce(_ unionByName _)
+  }
 }

