@@ -52,6 +52,7 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .withExtensions(new graft.plans.GraftExtensions)
       // the bench corpus is ~256 smallish files; default 128m splits +
       // 4m open-cost would coalesce them into a handful of tasks and cap
       // scan parallelism below the thread count. 2m ≈ one task per file

@@ -264,6 +264,9 @@ object Main {
         sys.env.getOrElse("SPARK_GRAFT_MASTER", "local[32]")))
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      // native expressions as SQL functions (span_invariant, simhash64,
+      // minhash_bands, cosine_sim, kll_sketch)
+      .withExtensions(new graft.plans.GraftExtensions)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
