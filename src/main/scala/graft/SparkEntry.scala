@@ -2381,6 +2381,26 @@ object SparkEntry {
           Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1),
           "n_chars", lo = 0.0, hi = 256.0, bins = 8)
         .orderBy("split")),
+    // ---------- encoding-anomaly audit ----------
+    "t_encoding" -> ((s, dir) =>
+      // mojibake audit per feed: U+FFFD tombstones, raw C0 controls,
+      // zero-width payload — a feed whose replacement-char share jumps
+      // changed its upstream charset
+      TextAnalysis.encodingAudit(t(s, dir, "documents"), "source", "text")
+        .orderBy("segment")),
+    // ---------- unicode script profile ----------
+    "t_scripts" -> ((s, dir) =>
+      // character mass by script class per feed: the lang-id cross-check
+      // that catches misrouted feeds and mixed-script spam
+      TextAnalysis.scriptProfile(t(s, dir, "documents"), "source", "text")
+        .orderBy("segment")),
+    // ---------- lognormal length fit ----------
+    "g_length_fit" -> ((s, dir) =>
+      // (mu, sigma) of ln(n_chars) per feed: a sigma collapse is
+      // templated output, a mu jump is a chunking change — the two-number
+      // distribution fingerprint next to g_quantiles' exact percentiles
+      Stats.lengthFit(t(s, dir, "documents"), "source", "n_chars")
+        .orderBy("segment")),
     // ---------- generated north-rule corpus ----------
     "gen_validate" -> ((s, dir) => {
       // the generated corpus is WRITTEN to parquet first and validated from
@@ -3030,6 +3050,81 @@ object SparkEntry {
         |      * ln(greatest(cnt / CAST(tot AS DOUBLE), 0.000001)
         |        / greatest(q0, 0.000001))), 6) END AS psi
         |FROM x GROUP BY split ORDER BY split""".stripMargin,
+    // encoding-anomaly audit: exact char counts as length differences
+    // under global regexp_replace (RE2 \x{...} codepoint escapes)
+    "t_encoding" ->
+      """WITH d AS (SELECT source AS segment, length(text) AS ch,
+        |    length(text) - length(regexp_replace(text,
+        |      '\x{FFFD}', '', 'g')) AS repl,
+        |    length(text) - length(regexp_replace(text,
+        |      '[\x00-\x08\x0B\x0C\x0E-\x1F]', '', 'g')) AS ctrl,
+        |    length(text) - length(regexp_replace(text,
+        |      '[\x{200B}\x{200C}\x{200D}\x{FEFF}]', '', 'g')) AS zw
+        |  FROM documents WHERE text IS NOT NULL)
+        |SELECT segment, CAST(count(*) AS BIGINT) AS docs,
+        |  CAST(sum(ch) AS BIGINT) AS chars,
+        |  CAST(sum(CASE WHEN repl > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS repl_docs,
+        |  CAST(sum(repl) AS BIGINT) AS repl_chars,
+        |  CAST(sum(ctrl) AS BIGINT) AS ctrl_chars,
+        |  CAST(sum(zw) AS BIGINT) AS zw_chars,
+        |  CASE WHEN sum(ch) > 0 THEN
+        |    round((sum(repl) + sum(ctrl) + sum(zw)) * 10000.0
+        |      / sum(ch), 6) END AS anomaly_per_10k
+        |FROM d GROUP BY segment ORDER BY segment""".stripMargin,
+    // unicode script profile: same length-difference counting; `other`
+    // is the remainder so the columns sum to chars by construction
+    "t_scripts" ->
+      """WITH d AS (SELECT source AS segment, length(text) AS ch,
+        |    length(text) - length(regexp_replace(text,
+        |      '\p{Latin}', '', 'g')) AS latin,
+        |    length(text) - length(regexp_replace(text,
+        |      '[0-9]', '', 'g')) AS digits,
+        |    length(text) - length(regexp_replace(text,
+        |      '\p{Han}', '', 'g')) AS han,
+        |    length(text) - length(regexp_replace(text,
+        |      '\p{Cyrillic}', '', 'g')) AS cyrillic,
+        |    length(text) - length(regexp_replace(text,
+        |      '\p{Arabic}', '', 'g')) AS arabic,
+        |    length(text) - length(regexp_replace(text,
+        |      '\s', '', 'g')) AS whitespace
+        |  FROM documents WHERE text IS NOT NULL)
+        |SELECT segment, CAST(sum(ch) AS BIGINT) AS chars,
+        |  CAST(sum(latin) AS BIGINT) AS latin,
+        |  CAST(sum(digits) AS BIGINT) AS digits,
+        |  CAST(sum(han) AS BIGINT) AS han,
+        |  CAST(sum(cyrillic) AS BIGINT) AS cyrillic,
+        |  CAST(sum(arabic) AS BIGINT) AS arabic,
+        |  CAST(sum(whitespace) AS BIGINT) AS whitespace,
+        |  CAST(sum(ch) - sum(latin) - sum(digits) - sum(han)
+        |    - sum(cyrillic) - sum(arabic) - sum(whitespace) AS BIGINT)
+        |    AS other,
+        |  CASE WHEN sum(ch) > 0 THEN
+        |    round(sum(latin) / CAST(sum(ch) AS DOUBLE), 6) END
+        |    AS latin_share
+        |FROM d GROUP BY segment ORDER BY segment""".stripMargin,
+    // lognormal length fit: ln-moment sums per segment; exclusions
+    // counted, never silent
+    "g_length_fit" ->
+      """WITH d AS (SELECT source AS segment,
+        |    CAST(n_chars AS DOUBLE) AS v FROM documents)
+        |SELECT segment,
+        |  CAST(sum(CASE WHEN v > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n,
+        |  CAST(sum(CASE WHEN v <= 0 OR v IS NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_excluded,
+        |  CASE WHEN sum(CASE WHEN v > 0 THEN 1 ELSE 0 END) > 0 THEN
+        |    round(sum(CASE WHEN v > 0 THEN ln(v) END)
+        |      / sum(CASE WHEN v > 0 THEN 1 ELSE 0 END), 6) END AS mu_ln,
+        |  CASE WHEN sum(CASE WHEN v > 0 THEN 1 ELSE 0 END) > 0 THEN
+        |    round(sqrt(greatest(
+        |      sum(CASE WHEN v > 0 THEN ln(v) * ln(v) END)
+        |        / sum(CASE WHEN v > 0 THEN 1 ELSE 0 END)
+        |      - (sum(CASE WHEN v > 0 THEN ln(v) END)
+        |          / sum(CASE WHEN v > 0 THEN 1 ELSE 0 END))
+        |        * (sum(CASE WHEN v > 0 THEN ln(v) END)
+        |          / sum(CASE WHEN v > 0 THEN 1 ELSE 0 END)),
+        |      0.0)), 6) END AS sigma_ln
+        |FROM d GROUP BY segment ORDER BY segment""".stripMargin,
     // packing ROI: pad-alone vs concat-stream waste per capacity; same
     // token count + shard CTE as the p_pack family
     "p_pack_waste" ->

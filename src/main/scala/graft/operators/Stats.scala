@@ -654,6 +654,34 @@ object Stats {
           .as("mass_delta_micro"))
   }
 
+  /** Lognormal fit of a positive size column per segment: n, and the
+    * mean/population-stddev of ln(value) — document lengths, file sizes
+    * and session durations on organically-grown corpora sit close to
+    * lognormal, so (mu, sigma) is a two-number distribution fingerprint:
+    * a source whose sigma collapses is templated output, one whose mu
+    * jumps changed its chunking. Non-positive values are excluded
+    * (ln undefined) and counted separately so the exclusion is visible,
+    * not silent. Moments round at 6 (cross-engine float-sum policy).
+    *
+    * Scale: one map-side-combined groupBy; state per group is four
+    * numbers.
+    */
+  def lengthFit(df: DataFrame, segCol: String, valueCol: String): DataFrame = {
+    val v = col(valueCol).cast("double")
+    val lnV = log(v)
+    df.groupBy(col(segCol).as("segment"))
+      .agg(sum(when(v > 0, 1L).otherwise(0L)).as("n"),
+        sum(when(v <= 0 || v.isNull, 1L).otherwise(0L)).as("n_excluded"),
+        sum(when(v > 0, lnV)).as("_s"),
+        sum(when(v > 0, lnV * lnV)).as("_ss"))
+      .select(col("segment"), col("n"), col("n_excluded"),
+        when(col("n") > 0, round(col("_s") / col("n"), 6)).as("mu_ln"),
+        when(col("n") > 0, round(sqrt(greatest(
+          col("_ss") / col("n")
+            - (col("_s") / col("n")) * (col("_s") / col("n")),
+          lit(0.0))), 6)).as("sigma_ln"))
+  }
+
   /** Theil's uncertainty coefficient — the DIRECTIONAL companion of
     * [[cramersV]]: U(a|b) = (H(a) − H(a|b)) / H(a) is the fraction of
     * column `a`'s entropy explained by knowing `b`, and U(b|a) the

@@ -527,6 +527,90 @@ object TextAnalysis {
           .as("hapax_share"))
   }
 
+  /** Count of `pattern` occurrences (single-char classes) in `s` as a
+    * length difference — codegen string ops, no per-row UDF.
+    */
+  private def charCount(s: Column, pattern: String): Column =
+    length(s) - length(regexp_replace(s, pattern, ""))
+
+  /** Encoding-anomaly (mojibake) audit per segment: documents carrying
+    * U+FFFD replacement characters (the tombstone a lossy decode leaves
+    * behind), raw C0 control characters (excluding tab/LF/CR — legal in
+    * text), and zero-width characters (ZWSP/ZWNJ/ZWJ/BOM — invisible
+    * payload that poisons tokenizers and dedup alike), with per-10k-char
+    * rates. A feed whose replacement-char share jumps changed its
+    * upstream charset; zero-width spikes are usually scraped
+    * anti-copy-paste markup. All counts are exact integers (length
+    * differences under `regexp_replace` — codegen, no UDF).
+    *
+    * Scale: one corpus scan, map-side-combined groupBy, segment-sized
+    * output.
+    */
+  def encodingAudit(df: DataFrame, segCol: String,
+      textCol: String): DataFrame = {
+    val s = col(textCol)
+    val repl = charCount(s, 0xFFFD.toChar.toString) // U+FFFD
+    val ctrl = charCount(s, "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]")
+    // zero-width chars (ZWSP/ZWNJ/ZWJ/BOM) as explicit codepoints — the
+    // regex engine sees a literal char class; nothing invisible hides in
+    // the source
+    val zw = charCount(s, Seq(0x200B, 0x200C, 0x200D, 0xFEFF)
+      .map(_.toChar).mkString("[", "", "]"))
+    df.filter(s.isNotNull)
+      .groupBy(col(segCol).as("segment"))
+      .agg(count(lit(1)).as("docs"),
+        sum(length(s)).as("chars"),
+        sum(when(repl > 0, 1L).otherwise(0L)).as("repl_docs"),
+        sum(repl.cast("long")).as("repl_chars"),
+        sum(ctrl.cast("long")).as("ctrl_chars"),
+        sum(zw.cast("long")).as("zw_chars"))
+      .select(col("segment"), col("docs"), col("chars"), col("repl_docs"),
+        col("repl_chars"), col("ctrl_chars"), col("zw_chars"),
+        when(col("chars") > 0, round((col("repl_chars") + col("ctrl_chars")
+          + col("zw_chars")) * lit(10000.0) / col("chars"), 6))
+          .as("anomaly_per_10k"))
+  }
+
+  /** Unicode-script profile per segment: character mass by script class
+    * (Latin letters, digits, Han, Cyrillic, Arabic, whitespace, other)
+    * with the Latin share — the lang-id cross-check that catches
+    * misrouted feeds (a `lang = 'en'` source that is 40% Han by
+    * characters is mislabeled upstream, whatever the n-gram scorer
+    * says) and mixed-script spam. Counts are exact length differences
+    * (codegen); `other` is the remainder, so the seven columns sum to
+    * `chars` by construction.
+    *
+    * Scale: one corpus scan, map-side-combined groupBy, segment-sized
+    * output.
+    */
+  def scriptProfile(df: DataFrame, segCol: String,
+      textCol: String): DataFrame = {
+    val s = col(textCol)
+    val latin = charCount(s, "\\p{IsLatin}")
+    val digit = charCount(s, "[0-9]")
+    val han = charCount(s, "\\p{IsHan}")
+    val cyr = charCount(s, "\\p{IsCyrillic}")
+    val arab = charCount(s, "\\p{IsArabic}")
+    val ws = charCount(s, "\\s")
+    df.filter(s.isNotNull)
+      .groupBy(col(segCol).as("segment"))
+      .agg(sum(length(s)).as("chars"),
+        sum(latin.cast("long")).as("latin"),
+        sum(digit.cast("long")).as("digits"),
+        sum(han.cast("long")).as("han"),
+        sum(cyr.cast("long")).as("cyrillic"),
+        sum(arab.cast("long")).as("arabic"),
+        sum(ws.cast("long")).as("whitespace"))
+      .select(col("segment"), col("chars"), col("latin"), col("digits"),
+        col("han"), col("cyrillic"), col("arabic"), col("whitespace"),
+        (col("chars") - col("latin") - col("digits") - col("han")
+          - col("cyrillic") - col("arabic") - col("whitespace"))
+          .as("other"),
+        when(col("chars") > 0,
+          round(col("latin").cast("double") / col("chars"), 6))
+          .as("latin_share"))
+  }
+
   /** Pairwise vocabulary Jaccard between segments (sources, feeds,
     * snapshots): for every unordered segment pair sharing at least one
     * type, both type counts, the intersection size, and
