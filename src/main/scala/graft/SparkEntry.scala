@@ -2807,8 +2807,9 @@ object SparkEntry {
         |SELECT t.segment, t.docs, t.token_mass,
         |  CAST(coalesce(d.dropped_docs, 0) AS BIGINT) AS dropped_docs,
         |  CAST(coalesce(d.dropped_tokens, 0) AS BIGINT) AS dropped_tokens,
-        |  round(CAST(coalesce(d.dropped_tokens, 0) AS DOUBLE)
-        |    / t.token_mass, 6) AS dropped_share
+        |  CASE WHEN t.token_mass > 0 THEN
+        |    round(CAST(coalesce(d.dropped_tokens, 0) AS DOUBLE)
+        |      / t.token_mass, 6) END AS dropped_share
         |FROM tot t LEFT JOIN dr d ON t.segment IS NOT DISTINCT FROM d.segment
         |ORDER BY t.segment""".stripMargin,
     // PMI collocations: same tokenization as t_bpe_pairs; ln on exact
@@ -2868,10 +2869,13 @@ object SparkEntry {
         |    sum(ln(CAST(rank AS DOUBLE)) * ln(CAST(rank AS DOUBLE))) AS sxx
         |  FROM r)
         |SELECT n_ranks,
-        |  round((n_ranks * sxy - sx * sy) / (n_ranks * sxx - sx * sx), 4)
-        |    AS zipf_slope,
-        |  round((sy - (n_ranks * sxy - sx * sy) / (n_ranks * sxx - sx * sx)
-        |    * sx) / n_ranks, 4) AS intercept
+        |  CASE WHEN n_ranks * sxx - sx * sx <> 0 THEN
+        |    round((n_ranks * sxy - sx * sy) / (n_ranks * sxx - sx * sx), 4)
+        |  END AS zipf_slope,
+        |  CASE WHEN n_ranks * sxx - sx * sx <> 0 THEN
+        |    round((sy - (n_ranks * sxy - sx * sy)
+        |      / (n_ranks * sxx - sx * sx) * sx) / n_ranks, 4)
+        |  END AS intercept
         |FROM s""".stripMargin,
     // hour-of-day periodicity: counts, shares, chi-square uniformity terms
     "e_periodicity" ->
@@ -3087,7 +3091,7 @@ object SparkEntry {
         |    length(text) - length(regexp_replace(text,
         |      '\p{Arabic}', '', 'g')) AS arabic,
         |    length(text) - length(regexp_replace(text,
-        |      '\s', '', 'g')) AS whitespace
+        |      '[ \t\n\x0B\f\r]', '', 'g')) AS whitespace
         |  FROM documents WHERE text IS NOT NULL)
         |SELECT segment, CAST(sum(ch) AS BIGINT) AS chars,
         |  CAST(sum(latin) AS BIGINT) AS latin,

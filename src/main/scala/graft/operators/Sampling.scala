@@ -382,7 +382,11 @@ object Sampling {
           val q = math.max(cb(b).toDouble / tb, eps)
           (p - q) * math.log(p / q)
         }.sum
-        math.rint(raw * 1e6) / 1e6
+        // HALF_UP, matching Spark round() and DuckDB round() — the one
+        // driver-side rounding site must follow the same policy as every
+        // in-plan round(_, 6)
+        BigDecimal(raw).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+          .toDouble
       }
       (s, n, psi)
     }

@@ -83,19 +83,28 @@ object TextAnalysis {
     * one row per distinct pair per partition) → `TakeOrderedAndProject`.
     * Deterministic ties: count desc, then pair asc.
     */
-  def topTokenPairs(df: DataFrame, textCol: String, k: Int): DataFrame = {
-    // materialize the filtered token array ONCE (interpreted HOFs get no
-    // CSE — slice + element_at below both reference it)
-    val tk = col("_tk")
-    val pairs = transform(
+  /** Adjacent "a b" pairs from a materialized token-array column —
+    * in-plan (`transform` over a 1-shifted slice: no self-join, no
+    * posexplode+lag shuffle). Shared by [[topTokenPairs]] and
+    * [[pmiPairs]] so the pair-formation contract has ONE definition.
+    */
+  private def adjacentPairs(tk: Column): Column =
+    transform(
       slice(tk, lit(1), greatest(size(tk) - 1, lit(0))),
       (t, i) => concat(t, lit(" "), element_at(tk, i + 2)))
+
+  /** The filtered token array, materialized ONCE as `_tk` (interpreted
+    * HOFs get no CSE — slice + element_at both reference it).
+    */
+  private def tokensBase(df: DataFrame, textCol: String): DataFrame =
     df.select(filter(toks(col(textCol)), t => t =!= "").as("_tk"))
-      .select(explode(pairs).as("pair"))
+
+  def topTokenPairs(df: DataFrame, textCol: String, k: Int): DataFrame =
+    tokensBase(df, textCol)
+      .select(explode(adjacentPairs(col("_tk"))).as("pair"))
       .groupBy(col("pair")).agg(count(lit(1)).as("occurrences"))
       .orderBy(col("occurrences").desc, col("pair"))
       .limit(k)
-  }
 
   /** PMI collocations over adjacent token pairs — the association-scored
     * companion of [[topTokenPairs]]: raw pair frequency surfaces "of the"
@@ -117,11 +126,8 @@ object TextAnalysis {
     */
   def pmiPairs(df: DataFrame, textCol: String, minCount: Long = 5): DataFrame = {
     val tk = col("_tk")
-    val adjacent = transform(
-      slice(tk, lit(1), greatest(size(tk) - 1, lit(0))),
-      (t, i) => concat(t, lit(" "), element_at(tk, i + 2)))
-    val base = df.select(filter(toks(col(textCol)), t => t =!= "").as("_tk"))
-    val pc = base.select(explode(adjacent).as("pair"))
+    val base = tokensBase(df, textCol)
+    val pc = base.select(explode(adjacentPairs(tk)).as("pair"))
       .groupBy(col("pair")).agg(count(lit(1)).as("c_pair"))
     val uc = base.select(explode(tk).as("token"))
       .groupBy(col("token")).agg(count(lit(1)).as("c_tok"))
@@ -591,7 +597,11 @@ object TextAnalysis {
     val han = charCount(s, "\\p{IsHan}")
     val cyr = charCount(s, "\\p{IsCyrillic}")
     val arab = charCount(s, "\\p{IsArabic}")
-    val ws = charCount(s, "\\s")
+    // explicit whitespace class: Java \s includes U+000B where RE2's does
+    // not — spelling the class out keeps the count engine-independent
+    // (script classes are Unicode-version-coupled by nature; the ASCII
+    // whitespace set is not allowed to be)
+    val ws = charCount(s, "[ \\t\\n\\x0B\\f\\r]")
     df.filter(s.isNotNull)
       .groupBy(col(segCol).as("segment"))
       .agg(sum(length(s)).as("chars"),
