@@ -2401,6 +2401,21 @@ object SparkEntry {
       // distribution fingerprint next to g_quantiles' exact percentiles
       Stats.lengthFit(t(s, dir, "documents"), "source", "n_chars")
         .orderBy("segment")),
+    // ---------- silent-gap / downtime audit ----------
+    "e_gaps" -> ((s, dir) =>
+      // per event type: gap count, the largest silent gap with the epoch
+      // second it started (ties -> earliest), gaps over 1h — "feed X went
+      // dark for 6h starting at T" instead of "the feed looks thin"
+      Temporal.gapsAudit(t(s, dir, "events"), "event_type", "ts",
+        thresholdS = 3600L).orderBy("segment")),
+    // ---------- numeric correlation profile ----------
+    "g_corr" -> ((s, dir) =>
+      // Pearson r from closed-form moment folds: quantity-price near-1 is
+      // expected structure; the self-pair pins the r = 1 end of the scale
+      Stats.correlations(t(s, dir, "lineitem"),
+          Seq(("l_quantity", "l_extendedprice"),
+            ("l_extendedprice", "l_discount"), ("l_tax", "l_tax")))
+        .orderBy("col_a", "col_b")),
     // ---------- generated north-rule corpus ----------
     "gen_validate" -> ((s, dir) => {
       // the generated corpus is WRITTEN to parquet first and validated from
@@ -3054,6 +3069,72 @@ object SparkEntry {
         |      * ln(greatest(cnt / CAST(tot AS DOUBLE), 0.000001)
         |        / greatest(q0, 0.000001))), 6) END AS psi
         |FROM x GROUP BY split ORDER BY split""".stripMargin,
+    // silent-gap audit: same floored-second ordering as the engine; the
+    // argmax tie-breaks (gap desc, start asc)
+    "e_gaps" ->
+      """WITH e AS (SELECT event_type AS segment,
+        |    CAST(floor(epoch_us(ts) / 1000000) AS BIGINT) AS ep
+        |  FROM events WHERE ts IS NOT NULL),
+        |g AS (SELECT segment,
+        |    ep - lag(ep) OVER (PARTITION BY segment ORDER BY ep) AS gap_s,
+        |    lag(ep) OVER (PARTITION BY segment ORDER BY ep) AS start_s
+        |  FROM e),
+        |f AS (SELECT * FROM g WHERE gap_s IS NOT NULL),
+        |agg AS (SELECT segment, CAST(count(*) AS BIGINT) AS n_gaps,
+        |    CAST(sum(CASE WHEN gap_s > 3600 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_over
+        |  FROM f GROUP BY segment),
+        |mx AS (SELECT segment, CAST(gap_s AS BIGINT) AS max_gap_s,
+        |    CAST(start_s AS BIGINT) AS max_gap_start_s
+        |  FROM (SELECT segment, gap_s, start_s, row_number()
+        |      OVER (PARTITION BY segment ORDER BY gap_s DESC, start_s ASC)
+        |      AS rn FROM f)
+        |  WHERE rn = 1)
+        |SELECT a.segment, a.n_gaps, m.max_gap_s, m.max_gap_start_s,
+        |  a.n_over
+        |FROM agg a JOIN mx m ON a.segment = m.segment
+        |ORDER BY a.segment""".stripMargin,
+    // Pearson r from the same closed-form moment folds; self-pair pins 1
+    "g_corr" ->
+      """WITH q AS (SELECT CAST(count(*) AS BIGINT) AS n, sum(x) AS sx,
+        |    sum(y) AS sy, sum(x * y) AS sxy, sum(x * x) AS sxx,
+        |    sum(y * y) AS syy
+        |  FROM (SELECT CAST(l_quantity AS DOUBLE) AS x,
+        |      CAST(l_extendedprice AS DOUBLE) AS y FROM lineitem
+        |    WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL)),
+        |d AS (SELECT CAST(count(*) AS BIGINT) AS n, sum(x) AS sx,
+        |    sum(y) AS sy, sum(x * y) AS sxy, sum(x * x) AS sxx,
+        |    sum(y * y) AS syy
+        |  FROM (SELECT CAST(l_extendedprice AS DOUBLE) AS x,
+        |      CAST(l_discount AS DOUBLE) AS y FROM lineitem
+        |    WHERE l_extendedprice IS NOT NULL AND l_discount IS NOT NULL)),
+        |t AS (SELECT CAST(count(*) AS BIGINT) AS n, sum(x) AS sx,
+        |    sum(y) AS sy, sum(x * y) AS sxy, sum(x * x) AS sxx,
+        |    sum(y * y) AS syy
+        |  FROM (SELECT CAST(l_tax AS DOUBLE) AS x,
+        |      CAST(l_tax AS DOUBLE) AS y FROM lineitem
+        |    WHERE l_tax IS NOT NULL))
+        |SELECT 'l_quantity' AS col_a, 'l_extendedprice' AS col_b, n,
+        |  CASE WHEN n > 1 AND n * sxx - sx * sx > 0
+        |      AND n * syy - sy * sy > 0 THEN
+        |    round((n * sxy - sx * sy)
+        |      / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
+        |  END AS pearson_r FROM q
+        |UNION ALL
+        |SELECT 'l_extendedprice', 'l_discount', n,
+        |  CASE WHEN n > 1 AND n * sxx - sx * sx > 0
+        |      AND n * syy - sy * sy > 0 THEN
+        |    round((n * sxy - sx * sy)
+        |      / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
+        |  END FROM d
+        |UNION ALL
+        |SELECT 'l_tax', 'l_tax', n,
+        |  CASE WHEN n > 1 AND n * sxx - sx * sx > 0
+        |      AND n * syy - sy * sy > 0 THEN
+        |    round((n * sxy - sx * sy)
+        |      / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
+        |  END FROM t
+        |ORDER BY col_a, col_b""".stripMargin,
     // encoding-anomaly audit: exact char counts as length differences
     // under global regexp_replace (RE2 \x{...} codepoint escapes)
     "t_encoding" ->

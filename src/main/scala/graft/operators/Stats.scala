@@ -682,6 +682,40 @@ object Stats {
           lit(0.0))), 6)).as("sigma_ln"))
   }
 
+  /** Pearson correlation per requested column pair from closed-form
+    * moment sums — the numeric-association companion of [[cramersV]]
+    * (categorical) and [[theilsU]] (directional): quantity↔price near 1
+    * is expected structure, a price↔discount correlation appearing
+    * between snapshots is a pipeline change. Pairwise-complete rows only
+    * (both sides non-null), counted per pair so the basis is visible.
+    * A constant column (zero variance) yields null r, not a crash or a
+    * fake 0. r derives from the explicit
+    * (nΣxy − ΣxΣy) / √((nΣx²−(Σx)²)(nΣy²−(Σy)²)) fold, so any engine
+    * replays it; rounded at 6 (cross-engine float-sum policy).
+    *
+    * Scale: one map-side-combined aggregation per pair — five moment
+    * sums of state, no intermediate table.
+    */
+  def correlations(df: DataFrame, pairs: Seq[(String, String)]): DataFrame = {
+    require(pairs.nonEmpty, "correlations: need at least one column pair")
+    pairs.map { case (a, b) =>
+      val x = col(a).cast("double")
+      val y = col(b).cast("double")
+      val both = x.isNotNull && y.isNotNull
+      def m(e: Column, name: String): Column =
+        sum(when(both, e)).as(name)
+      val vx = col("n") * col("sxx") - col("sx") * col("sx")
+      val vy = col("n") * col("syy") - col("sy") * col("sy")
+      df.agg(sum(when(both, 1L)).as("n"), m(x, "sx"), m(y, "sy"),
+          m(x * y, "sxy"), m(x * x, "sxx"), m(y * y, "syy"))
+        .select(lit(a).as("col_a"), lit(b).as("col_b"),
+          coalesce(col("n"), lit(0L)).as("n"),
+          when(col("n") > 1 && vx > 0 && vy > 0,
+            round((col("n") * col("sxy") - col("sx") * col("sy"))
+              / sqrt(vx * vy), 6)).as("pearson_r"))
+    }.reduce(_ unionByName _)
+  }
+
   /** Theil's uncertainty coefficient — the DIRECTIONAL companion of
     * [[cramersV]]: U(a|b) = (H(a) − H(a|b)) / H(a) is the fraction of
     * column `a`'s entropy explained by knowing `b`, and U(b|a) the

@@ -239,4 +239,45 @@ object Temporal {
           round((col("_sd") - col("_mean")) / (col("_sd") + col("_mean")), 6))
           .as("burstiness"))
   }
+
+  /** Silent-gap (downtime) audit per segment: over each segment's
+    * time-ordered event sequence, the gap count, the LARGEST gap in whole
+    * seconds with the epoch second it started at (ties resolve to the
+    * earliest start — deterministic cross-engine), and how many gaps
+    * exceed `thresholdS`. The stream-health view that turns "the feed
+    * looks thin" into "feed X went dark for 6h starting at T" — and the
+    * measurement that sizes retry/watermark policy before an incident
+    * does. Ordering and gaps use the SAME floored-second epoch (ties
+    * within a second permute freely but the sorted second-sequence — and
+    * therefore every gap and its start — is unique).
+    *
+    * Scale: the [[burstiness]] shape — one partition-bounded per-key lag
+    * window, one map-side-combined rollup to segment-sized output; the
+    * argmax rides a single struct-max, no second pass.
+    */
+  def gapsAudit(df: DataFrame, segCol: String, timeCol: String,
+      thresholdS: Long): DataFrame = {
+    require(thresholdS >= 0, s"gapsAudit: need thresholdS >= 0, got $thresholdS")
+    val epochS = floor(unix_micros(col(timeCol).cast("timestamp"))
+      / lit(1000000L)).cast("long")
+    val base = df.filter(col(timeCol).isNotNull)
+      .select(col(segCol).as("segment"), epochS.as("_ep"))
+    val w = Window.partitionBy(col("segment")).orderBy(col("_ep"))
+    base
+      .select(col("segment"), lag(col("_ep"), 1).over(w).as("_prev"),
+        col("_ep"))
+      .filter(col("_prev").isNotNull)
+      .select(col("segment"), (col("_ep") - col("_prev")).as("gap_s"),
+        col("_prev").as("start_s"))
+      .groupBy(col("segment"))
+      .agg(count(lit(1)).as("n_gaps"),
+        // struct max: largest gap first, then LATEST -start = earliest
+        // start among equal gaps
+        max(struct(col("gap_s"), (-col("start_s")).as("_ns"))).as("_m"),
+        sum(when(col("gap_s") > thresholdS, 1L).otherwise(0L))
+          .as("n_over"))
+      .select(col("segment"), col("n_gaps"),
+        col("_m.gap_s").as("max_gap_s"),
+        (-col("_m._ns")).as("max_gap_start_s"), col("n_over"))
+  }
 }
