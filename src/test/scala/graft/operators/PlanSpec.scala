@@ -429,4 +429,39 @@ class PlanSpec extends SparkSpec {
     assert("Exchange hashpartitioning".r.findAllIn(p).length == 1,
       s"moment rollup re-shuffled data already partitioned by key:\n$p")
   }
+
+  test("gapsAudit: one Exchange total — lag window and argmax rollup " +
+      "share the segment partitioning") {
+    val df = spark.range(0, 10000).select((col("id") % 7).cast("string")
+      .as("s"), timestamp_seconds(col("id") * 11).as("t"))
+    val p = planOf(Temporal.gapsAudit(df, "s", "t", 60L))
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 1,
+      s"gap audit re-shuffled partitioned data:\n$p")
+  }
+
+  test("encoding/script/length audits: one shuffle each, all counting " +
+      "in codegen string ops (no ScalaUDF anywhere)") {
+    val df = spark.range(0, 5000).select((col("id") % 9).cast("string")
+      .as("src"), concat(lit("text "), col("id")).as("text"),
+      (col("id") % 300 + 1).as("n_chars"))
+    Seq(TextAnalysis.encodingAudit(df, "src", "text"),
+        TextAnalysis.scriptProfile(df, "src", "text"),
+        Stats.lengthFit(df, "src", "n_chars")).foreach { out =>
+      val p = planOf(out)
+      assert("Exchange hashpartitioning".r.findAllIn(p).length == 1,
+        s"audit should shuffle once on the segment:\n$p")
+      assert(!p.contains("ScalaUDF"), s"UDF in a codegen-claimed plan:\n$p")
+    }
+  }
+
+  test("correlations: moment folds only — no Window, no Sort, map-side " +
+      "partial aggregation per pair") {
+    val df = spark.range(0, 10000).select(col("id").cast("double").as("x"),
+      (col("id") * 2).cast("double").as("y"))
+    val p = planOf(Stats.correlations(df, Seq(("x", "y"))))
+    assert(!p.contains("Window") && !p.contains("Sort ["),
+      s"correlation should be a pure aggregation:\n$p")
+    assert(p.contains("partial_sum") || p.contains("partial_count"),
+      s"moment sums not map-side combined:\n$p")
+  }
 }
