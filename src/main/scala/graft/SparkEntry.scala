@@ -3092,7 +3092,7 @@ object SparkEntry {
         |  WHERE rn = 1)
         |SELECT a.segment, a.n_gaps, m.max_gap_s, m.max_gap_start_s,
         |  a.n_over
-        |FROM agg a JOIN mx m ON a.segment = m.segment
+        |FROM agg a JOIN mx m ON a.segment IS NOT DISTINCT FROM m.segment
         |ORDER BY a.segment""".stripMargin,
     // Pearson r from the same closed-form moment folds; self-pair pins 1
     "g_corr" ->

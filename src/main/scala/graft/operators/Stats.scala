@@ -691,29 +691,45 @@ object Stats {
     * A constant column (zero variance) yields null r, not a crash or a
     * fake 0. r derives from the explicit
     * (nΣxy − ΣxΣy) / √((nΣx²−(Σx)²)(nΣy²−(Σy)²)) fold, so any engine
-    * replays it; rounded at 6 (cross-engine float-sum policy).
+    * replays it; rounded at 6 (HALF_UP, the cross-engine policy).
     *
-    * Scale: one map-side-combined aggregation per pair — five moment
-    * sums of state, no intermediate table.
+    * Scale: ONE map-side-combined aggregation over ONE corpus scan — all
+    * pairs' moment sums fold in the same pass (six sums of state per
+    * pair); the 1-row summary collects and the r arithmetic runs on the
+    * driver (the [[graft.operators.Sampling.splitParity]] cell-count
+    * pattern), so pair count never multiplies scan count.
     */
   def correlations(df: DataFrame, pairs: Seq[(String, String)]): DataFrame = {
     require(pairs.nonEmpty, "correlations: need at least one column pair")
-    pairs.map { case (a, b) =>
+    val aggs = pairs.zipWithIndex.flatMap { case ((a, b), i) =>
       val x = col(a).cast("double")
       val y = col(b).cast("double")
       val both = x.isNotNull && y.isNotNull
-      def m(e: Column, name: String): Column =
-        sum(when(both, e)).as(name)
-      val vx = col("n") * col("sxx") - col("sx") * col("sx")
-      val vy = col("n") * col("syy") - col("sy") * col("sy")
-      df.agg(sum(when(both, 1L)).as("n"), m(x, "sx"), m(y, "sy"),
-          m(x * y, "sxy"), m(x * x, "sxx"), m(y * y, "syy"))
-        .select(lit(a).as("col_a"), lit(b).as("col_b"),
-          coalesce(col("n"), lit(0L)).as("n"),
-          when(col("n") > 1 && vx > 0 && vy > 0,
-            round((col("n") * col("sxy") - col("sx") * col("sy"))
-              / sqrt(vx * vy), 6)).as("pearson_r"))
-    }.reduce(_ unionByName _)
+      Seq(sum(when(both, 1L)).as(s"n_$i"),
+        sum(when(both, x)).as(s"sx_$i"), sum(when(both, y)).as(s"sy_$i"),
+        sum(when(both, x * y)).as(s"sxy_$i"),
+        sum(when(both, x * x)).as(s"sxx_$i"),
+        sum(when(both, y * y)).as(s"syy_$i"))
+    }
+    val row = df.agg(aggs.head, aggs.tail: _*).collect()(0)
+    val out = pairs.zipWithIndex.map { case ((a, b), i) =>
+      val n = Option(row.getAs[java.lang.Long](s"n_$i"))
+        .map(_.longValue).getOrElse(0L)
+      def d(name: String): Double = row.getAs[Double](s"$name$i")
+      val r: Option[Double] = if (n <= 1) None else {
+        val (sx, sy, sxy, sxx, syy) =
+          (d("sx_"), d("sy_"), d("sxy_"), d("sxx_"), d("syy_"))
+        val vx = n * sxx - sx * sx
+        val vy = n * syy - sy * sy
+        if (vx <= 0 || vy <= 0) None
+        else Some(BigDecimal((n * sxy - sx * sy) / math.sqrt(vx * vy))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }
+      (a, b, n, r)
+    }
+    val spark = df.sparkSession
+    import spark.implicits._
+    out.toDF("col_a", "col_b", "n", "pearson_r")
   }
 
   /** Theil's uncertainty coefficient — the DIRECTIONAL companion of

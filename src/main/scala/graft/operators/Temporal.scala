@@ -205,23 +205,35 @@ object Temporal {
     * longs, so the only floats are per-key finals. A key with 10^8
     * events is one task's sort — the [[asofJoin]] skew caveat applies.
     */
-  def burstiness(df: DataFrame, keyCol: String, timeCol: String,
-      minGaps: Int = 2): DataFrame = {
-    // NTZ-safe epoch (session runs UTC; the cast preserves the wall
-    // clock); floor to whole seconds so the moment sums stay exact longs.
-    // Rename BEFORE the window so the rollup's groupBy sees the window's
-    // hashpartitioning(key) and reuses it (windowing the pre-rename
-    // column would strand the partitioning on an out-of-scope attribute
-    // and buy a second Exchange — PlanSpec-asserted).
+  /** Per-key (key, gap_s, start_s) frame: whole-second gaps between a
+    * key's time-ordered events, with the epoch second each gap started.
+    * ONE definition shared by [[burstiness]] and [[gapsAudit]] — it
+    * carries two load-bearing choices: the NTZ-safe floored-second epoch
+    * (session runs UTC; the cast preserves the wall clock; floor keeps
+    * downstream moment sums exact longs), and the rename BEFORE the
+    * window so consumers' groupBy("key") sees the window's
+    * hashpartitioning(key) and reuses it (windowing the pre-rename
+    * column would strand the partitioning on an out-of-scope attribute
+    * and buy a second Exchange — PlanSpec-asserted for both consumers).
+    */
+  private def gapFrame(df: DataFrame, keyCol: String,
+      timeCol: String): DataFrame = {
     val epochS = floor(unix_micros(col(timeCol).cast("timestamp"))
       / lit(1000000L)).cast("long")
     val base = df.filter(col(timeCol).isNotNull)
       .select(col(keyCol).as("key"), epochS.as("_ep"))
     val w = Window.partitionBy(col("key")).orderBy(col("_ep"))
-    val gaps = base
-      .select(col("key"), (col("_ep") - lag(col("_ep"), 1).over(w)).as("gap_s"))
-      .filter(col("gap_s").isNotNull)
-    gaps.groupBy(col("key"))
+    base
+      .select(col("key"), lag(col("_ep"), 1).over(w).as("start_s"),
+        col("_ep"))
+      .filter(col("start_s").isNotNull)
+      .select(col("key"), (col("_ep") - col("start_s")).as("gap_s"),
+        col("start_s"))
+  }
+
+  def burstiness(df: DataFrame, keyCol: String, timeCol: String,
+      minGaps: Int = 2): DataFrame = {
+    gapFrame(df, keyCol, timeCol).groupBy(col("key"))
       .agg(count(lit(1)).as("n_gaps"),
         sum(col("gap_s")).as("_s"),
         sum(col("gap_s") * col("gap_s")).as("_ss"))
@@ -258,18 +270,8 @@ object Temporal {
   def gapsAudit(df: DataFrame, segCol: String, timeCol: String,
       thresholdS: Long): DataFrame = {
     require(thresholdS >= 0, s"gapsAudit: need thresholdS >= 0, got $thresholdS")
-    val epochS = floor(unix_micros(col(timeCol).cast("timestamp"))
-      / lit(1000000L)).cast("long")
-    val base = df.filter(col(timeCol).isNotNull)
-      .select(col(segCol).as("segment"), epochS.as("_ep"))
-    val w = Window.partitionBy(col("segment")).orderBy(col("_ep"))
-    base
-      .select(col("segment"), lag(col("_ep"), 1).over(w).as("_prev"),
-        col("_ep"))
-      .filter(col("_prev").isNotNull)
-      .select(col("segment"), (col("_ep") - col("_prev")).as("gap_s"),
-        col("_prev").as("start_s"))
-      .groupBy(col("segment"))
+    gapFrame(df, segCol, timeCol)
+      .groupBy(col("key").as("segment"))
       .agg(count(lit(1)).as("n_gaps"),
         // struct max: largest gap first, then LATEST -start = earliest
         // start among equal gaps

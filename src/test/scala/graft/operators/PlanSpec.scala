@@ -454,14 +454,17 @@ class PlanSpec extends SparkSpec {
     }
   }
 
-  test("correlations: moment folds only — no Window, no Sort, map-side " +
-      "partial aggregation per pair") {
+  test("correlations: result is a driver-local relation — ALL pairs' " +
+      "moments folded in one scan, pair count never multiplies scans") {
     val df = spark.range(0, 10000).select(col("id").cast("double").as("x"),
-      (col("id") * 2).cast("double").as("y"))
-    val p = planOf(Stats.correlations(df, Seq(("x", "y"))))
-    assert(!p.contains("Window") && !p.contains("Sort ["),
-      s"correlation should be a pure aggregation:\n$p")
-    assert(p.contains("partial_sum") || p.contains("partial_count"),
-      s"moment sums not map-side combined:\n$p")
+      (col("id") * 2).cast("double").as("y"),
+      (col("id") * 3).cast("double").as("z"))
+    val p = Stats.correlations(df,
+      Seq(("x", "y"), ("x", "z"), ("y", "z")))
+      .queryExecution.optimizedPlan.toString
+    assert(p.contains("LocalRelation"),
+      s"correlations result should carry no corpus lineage:\n$p")
+    assert(!p.contains("Range"),
+      s"corpus lineage leaked into the correlations result:\n$p")
   }
 }
