@@ -2416,6 +2416,78 @@ object SparkEntry {
           Seq(("l_quantity", "l_extendedprice"),
             ("l_extendedprice", "l_discount"), ("l_tax", "l_tax")))
         .orderBy("col_a", "col_b")),
+    // ---------- custom-state streaming (flatMapGroupsWithState) ----------
+    "e_stream_state" -> ((s, dir) => {
+      // per-user custom state in the STATE STORE (flatMapGroupsWithState —
+      // the one stateful tier foreachBatch merges don't exercise): 4
+      // mtime-ordered slice files + maxFilesPerTrigger=1 pin the
+      // micro-batch order, each batch's emissions are that batch's keys'
+      // running (count, max event-time) prefixes, and the oracle replays
+      // every per-(user, slice) prefix — the trajectory, not just the end
+      // state
+      val ev = t(s, dir, "events").filter(col("ts").isNotNull)
+      val base = genEventSlicesPath(dir)
+      val conf = s.sparkContext.hadoopConfiguration
+      val basePath = new org.apache.hadoop.fs.Path(base)
+      val fs = basePath.getFileSystem(conf)
+      fs.delete(basePath, true)
+      fs.mkdirs(basePath)
+      (0 until 4).foreach { i =>
+        val tmp = new org.apache.hadoop.fs.Path(basePath, s"_tmp_$i")
+        ev.filter(pmod(col("event_id"), lit(4L)) === i.toLong)
+          .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        val part = fs.listStatus(tmp).map(_.getPath)
+          .find(_.getName.startsWith("part-"))
+          .getOrElse(throw new IllegalStateException(s"no part file in $tmp"))
+        val dst = new org.apache.hadoop.fs.Path(basePath, s"slice_$i.parquet")
+        fs.rename(part, dst)
+        fs.delete(tmp, true)
+        fs.setTimes(dst, 1700000000000L + i * 60000L, -1L)
+      }
+      val stream = s.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1").parquet(base)
+      graft.streaming.StreamValidate
+        .keyedProfileStream(stream, "user_id", "ts")
+        .withColumnRenamed("key", "user_id")
+        .orderBy("user_id", "upd_seq")
+    }),
+    // ---------- vocabulary novelty per crawl batch ----------
+    "t_novelty" -> ((s, dir) =>
+      // is the crawl still finding new language? first-seen token types
+      // per batch (doc_id % 8 as the deterministic batch key), novel
+      // share, cumulative vocabulary
+      TextAnalysis.vocabNovelty(t(s, dir, "documents"),
+        pmod(col("doc_id"), lit(8L)), "text").orderBy("batch")),
+    // ---------- duplicate-scope attribution ----------
+    "d_dup_scope" -> ((s, dir) => {
+      // are content dups produced INSIDE one ingest batch (writer retry)
+      // or across batches (replay/re-crawl)? batch = doc_id % 4, key =
+      // the dedup subsystem's normalized content hash over the same
+      // 12-char near-boilerplate prefix d_dedup_exact groups on (the
+      // corpus has no full-text exact dups — full-text scope attribution
+      // would be a vacuous empty==empty check)
+      val docs = t(s, dir, "documents")
+      Uniqueness.duplicateScope(
+        docs.filter(col("text").isNotNull)
+          .select(Dedup.contentHash(substring(col("text"), 1, 12))
+              .as("content"),
+            pmod(col("doc_id"), lit(4L)).as("batch")),
+        "content", "batch").orderBy("scope")
+    }),
+    // ---------- categorical domain drift (enum staleness) ----------
+    "v_enum_drift" -> ((s, dir) => {
+      // the audit that tells an enum rule it has gone stale: v2 gains
+      // 'pt' (doc_id % 41 remap) and loses 'es' entirely — added /
+      // removed / kept with corpus-share deltas
+      val docs = t(s, dir, "documents")
+      val v2 = docs
+        .filter(col("lang").isNull || col("lang") =!= "es")
+        .withColumn("lang",
+          when(pmod(col("doc_id"), lit(41L)) === 0L, lit("pt"))
+            .otherwise(col("lang")))
+      Drift.domainDrift(docs.select("lang"), v2.select("lang"), "lang")
+        .orderBy("value")
+    }),
     // ---------- generated north-rule corpus ----------
     "gen_validate" -> ((s, dir) => {
       // the generated corpus is WRITTEN to parquet first and validated from
@@ -2453,6 +2525,12 @@ object SparkEntry {
     */
   def genDriftSlicesPath(dir: String): String =
     s"${System.getProperty("java.io.tmpdir")}/graft_gen_drift_slices_${dir.hashCode}"
+
+  /** e_stream_state's mtime-ordered event slice files (own dir — see
+    * [[genStreamDocsPath]] on why queries never share one).
+    */
+  def genEventSlicesPath(dir: String): String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_gen_event_slices_${dir.hashCode}"
 
   /** i_validate's snapshot pair (own paths — see [[genStreamDocsPath]] on
     * why queries never share a materialization dir).
@@ -5609,6 +5687,86 @@ object SparkEntry {
         |SELECT part, CAST(count(*) AS BIGINT) AS docs,
         |  CAST(sum(CASE WHEN failed THEN 1 ELSE 0 END) AS BIGINT) AS failed_docs
         |FROM per GROUP BY part ORDER BY part""".stripMargin,
+    // custom-state streaming profile: every per-(user, slice) prefix the
+    // state store walked through, replayed as window prefix aggregates
+    "e_stream_state" ->
+      """WITH e AS (SELECT user_id, event_id % 4 AS slice, epoch_us(ts) AS us
+        |  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+        |per AS (SELECT user_id, slice, CAST(count(*) AS BIGINT) AS c,
+        |    max(us) AS mx
+        |  FROM e GROUP BY 1, 2)
+        |SELECT user_id,
+        |  CAST(row_number() OVER (PARTITION BY user_id ORDER BY slice)
+        |    AS INT) AS upd_seq,
+        |  CAST(sum(c) OVER (PARTITION BY user_id ORDER BY slice)
+        |    AS BIGINT) AS events_seen,
+        |  max(mx) OVER (PARTITION BY user_id ORDER BY slice) AS last_us
+        |FROM per ORDER BY user_id, upd_seq""".stripMargin,
+    // first-seen vocabulary novelty per doc_id % 8 crawl batch
+    "t_novelty" ->
+      """WITH w AS (SELECT CAST(doc_id % 8 AS BIGINT) AS batch,
+        |    unnest(string_split_regex(
+        |      lower(regexp_replace(trim(text), '[^\p{L}\p{N}\s]', ' ', 'g')),
+        |      '\s+')) AS token FROM documents),
+        |tk AS (SELECT DISTINCT batch, token FROM w WHERE token <> ''),
+        |tp AS (SELECT batch, CAST(count(*) AS BIGINT) AS n_types
+        |  FROM tk GROUP BY 1),
+        |fs AS (SELECT token, min(batch) AS batch FROM tk GROUP BY 1),
+        |nv AS (SELECT batch, CAST(count(*) AS BIGINT) AS new_types
+        |  FROM fs GROUP BY 1)
+        |SELECT tp.batch, tp.n_types,
+        |  CAST(coalesce(nv.new_types, 0) AS BIGINT) AS new_types,
+        |  round(CAST(coalesce(nv.new_types, 0) AS DOUBLE) / tp.n_types, 6)
+        |    AS new_share,
+        |  CAST(sum(coalesce(nv.new_types, 0)) OVER (ORDER BY tp.batch)
+        |    AS BIGINT) AS cum_types
+        |FROM tp LEFT JOIN nv ON tp.batch = nv.batch
+        |ORDER BY tp.batch""".stripMargin,
+    // duplicate-scope attribution over the normalized content hash
+    "d_dup_scope" ->
+      """WITH k AS (SELECT md5(lower(regexp_replace(substr(text, 1, 12),
+        |      '\s+', ' ', 'g'))) AS c, doc_id % 4 AS b
+        |  FROM documents WHERE text IS NOT NULL),
+        |g AS (SELECT c, CAST(count(*) AS BIGINT) AS copies,
+        |    count(DISTINCT b) AS nb
+        |  FROM k GROUP BY c HAVING count(*) > 1)
+        |SELECT CASE WHEN nb = 1 THEN 'intra_batch' ELSE 'cross_batch' END
+        |    AS scope,
+        |  CAST(count(*) AS BIGINT) AS dup_keys,
+        |  CAST(sum(copies - 1) AS BIGINT) AS excess_rows
+        |FROM g GROUP BY 1 ORDER BY scope""".stripMargin,
+    // categorical domain drift: 'pt' added (doc_id % 41 remap), 'es'
+    // removed, shares over each side's own total
+    "v_enum_drift" ->
+      """WITH v2 AS (SELECT CASE WHEN doc_id % 41 = 0 THEN 'pt' ELSE lang
+        |      END AS lang
+        |  FROM documents WHERE lang IS NULL OR lang <> 'es'),
+        |c1 AS (SELECT lang AS value, CAST(count(*) AS BIGINT) AS n1
+        |  FROM documents GROUP BY 1),
+        |c2 AS (SELECT lang AS value, CAST(count(*) AS BIGINT) AS n2
+        |  FROM v2 GROUP BY 1),
+        |j AS (SELECT coalesce(c1.value, c2.value) AS value, n1, n2
+        |  FROM c1 FULL OUTER JOIN c2
+        |    ON c1.value IS NOT DISTINCT FROM c2.value),
+        |t AS (SELECT value, n1, n2,
+        |    sum(coalesce(n1, 0)) OVER () AS t1,
+        |    sum(coalesce(n2, 0)) OVER () AS t2 FROM j)
+        |SELECT value,
+        |  CASE WHEN n1 IS NULL THEN 'added'
+        |       WHEN n2 IS NULL THEN 'removed' ELSE 'kept' END AS status,
+        |  CAST(coalesce(n1, 0) AS BIGINT) AS n_v1,
+        |  CAST(coalesce(n2, 0) AS BIGINT) AS n_v2,
+        |  CASE WHEN t1 > 0
+        |    THEN round(CAST(coalesce(n1, 0) AS DOUBLE) / t1, 6) END
+        |    AS share_v1,
+        |  CASE WHEN t2 > 0
+        |    THEN round(CAST(coalesce(n2, 0) AS DOUBLE) / t2, 6) END
+        |    AS share_v2,
+        |  CASE WHEN t1 > 0 AND t2 > 0
+        |    THEN round(CAST(coalesce(n2, 0) AS DOUBLE) / t2
+        |      - CAST(coalesce(n1, 0) AS DOUBLE) / t1, 6) END
+        |    AS share_delta
+        |FROM t ORDER BY value""".stripMargin,
     "gen_validate" ->
       """WITH d AS (SELECT part, spans FROM '__GEN_DOCS_PATH__/*.parquet'),
         |per AS (SELECT part,

@@ -492,4 +492,54 @@ object Drift {
           .when(col("rank_a").isNotNull, "only_a")
           .otherwise("only_b").as("status"))
   }
+
+  /** Categorical DOMAIN drift between two snapshots of a column — the
+    * audit that tells an `enum` rule it has gone stale (the reference
+    * pins enums as closed value lists, `/root/reference/src/schemas/
+    * logic.rs` enum handling; a value `added` in production data means
+    * that list no longer describes reality, a value `removed` means the
+    * rule carries dead weight). PSI/KS say the distribution MOVED;
+    * [[rankDrift]] says which heavy hitters swapped places; this says the
+    * VALUE SET itself changed — the precondition for the other two even
+    * being comparable.
+    *
+    * Output per domain value: counts and corpus shares on both sides,
+    * the share delta, and a status (`added` / `removed` / `kept`). A NULL
+    * value is a real domain member (null-safe join key), distinct from
+    * absence.
+    *
+    * Scale: each side is one map-side-combined count to a domain-sized
+    * table; the full-outer join and the total-share windows run on that
+    * domain-sized result. Nothing corpus-sized crosses the join. An
+    * unbounded-cardinality column does not belong here (the output IS the
+    * domain) — that is [[rankDrift]]'s tier.
+    */
+  def domainDrift(a: DataFrame, b: DataFrame, keyCol: String): DataFrame = {
+    val ca = a.groupBy(col(keyCol).as("value"))
+      .agg(count(lit(1)).as("n_v1"))
+    val cb = b.groupBy(col(keyCol).as("_value2"))
+      .agg(count(lit(1)).as("n_v2"))
+    val joined = ca.join(cb, col("value") <=> col("_value2"), "full_outer")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(lit(1))
+    // totals window over the domain-sized join result — no second scan of
+    // either input; guards keep an empty side share-null, never a
+    // divide-by-zero (ANSI mode throws)
+    val t1 = sum(coalesce(col("n_v1"), lit(0L))).over(w)
+    val t2 = sum(coalesce(col("n_v2"), lit(0L))).over(w)
+    joined
+      .select(
+        coalesce(col("value"), col("_value2")).as("value"),
+        when(col("n_v1").isNull, lit("added"))
+          .when(col("n_v2").isNull, lit("removed"))
+          .otherwise(lit("kept")).as("status"),
+        coalesce(col("n_v1"), lit(0L)).as("n_v1"),
+        coalesce(col("n_v2"), lit(0L)).as("n_v2"),
+        when(t1 > 0L, round(coalesce(col("n_v1"), lit(0L)) / t1, 6))
+          .as("share_v1"),
+        when(t2 > 0L, round(coalesce(col("n_v2"), lit(0L)) / t2, 6))
+          .as("share_v2"),
+        when(t1 > 0L && t2 > 0L,
+          round(coalesce(col("n_v2"), lit(0L)) / t2
+            - coalesce(col("n_v1"), lit(0L)) / t1, 6)).as("share_delta"))
+  }
 }

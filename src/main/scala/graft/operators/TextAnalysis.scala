@@ -664,4 +664,53 @@ object TextAnalysis {
           / (col("types_a") + col("types_b") - col("inter")), 6)
           .as("jaccard"))
   }
+
+  /** Vocabulary novelty per crawl batch: for each batch (an ordered
+    * snapshot/day key), the distinct token types it contains, how many of
+    * them appear for the FIRST time in that batch, the novel share, and
+    * the cumulative vocabulary. A healthy crawl keeps finding new
+    * language (novel share decays smoothly, Heaps-law-ish); a collapse to
+    * ~0 means the crawler is re-fetching what it already has, a spike
+    * means a new feed/domain came online — per-batch signals none of the
+    * whole-corpus vocabulary views ([[vocabularyRichness]], [[zipfFit]])
+    * can see.
+    *
+    * Scale: ONE corpus-wide shuffle and NO join — tokens group by token
+    * with map-side-combined `min(batch)` + `collect_set(batch)` (set
+    * bounded by the batch count, not the corpus), then both counters
+    * derive from ONE exploded view of that vocab-sized result: a
+    * (token, batch) membership is a type occurrence, and it is novel
+    * exactly when batch == first_batch. (A two-branch formulation —
+    * types-per-batch joined to a first-seen rollup — would recompute the
+    * whole corpus shuffle per branch: `collect_set` is non-deterministic,
+    * so exchange reuse cannot canonicalize the branches equal.
+    * Plan-asserted join-free.) The per-batch rollup and the cumulative
+    * sum's single-partition window see only #batches rows.
+    */
+  def vocabNovelty(df: DataFrame, batchCol: Column,
+      textCol: String): DataFrame = {
+    val tok = df
+      .select(batchCol.cast("long").as("batch"),
+        explode(toks(col(textCol))).as("token"))
+      // a row with no batch key has no position on the novelty axis (and
+      // min/collect_set would silently skip it) — excluded by contract
+      .filter(col("token") =!= "" && col("batch").isNotNull)
+    val perToken = tok.groupBy(col("token"))
+      .agg(min(col("batch")).as("first_batch"),
+        collect_set(col("batch")).as("batches"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(lit(1)).orderBy(col("batch"))
+    // n_types >= 1 by construction (a batch only appears via its tokens),
+    // so the share needs no zero guard
+    perToken
+      .select(col("first_batch"), explode(col("batches")).as("batch"))
+      .groupBy(col("batch"))
+      .agg(count(lit(1)).as("n_types"),
+        sum(when(col("batch") === col("first_batch"), 1L).otherwise(0L))
+          .as("new_types"))
+      .select(col("batch"), col("n_types"), col("new_types"),
+        round(col("new_types").cast("double") / col("n_types"), 6)
+          .as("new_share"),
+        sum(col("new_types")).over(w).as("cum_types"))
+  }
 }

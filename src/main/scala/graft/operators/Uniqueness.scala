@@ -52,6 +52,43 @@ object Uniqueness {
       .filter(col("count") > 1)
   }
 
+  /** Duplicate-scope attribution: for every key with > 1 copy, whether
+    * the copies sit inside ONE ingest batch/partition (`intra_batch` —
+    * the producer-retry / double-write signature) or span several
+    * (`cross_batch` — a replay or re-crawl). [[duplicates]] counts the
+    * collisions; this tells the operator WHERE to look — same batch means
+    * fix the writer, cross batch means fix the scheduler/crawler — which
+    * is the first question a 100 TB dedup incident review asks.
+    *
+    * Output: one row per scope with the distinct duplicated keys and the
+    * excess rows (copies − 1 summed) a keep-one pass would drop.
+    *
+    * Scale: one groupBy on the key — `count` is map-side combined, and
+    * the distinct-batch count's pre-aggregation state is bounded by the
+    * batches a single key actually touches (≪ total batches), so the
+    * shuffle stays one row per distinct (key, batch). The scope rollup
+    * runs on the duplicate-keys-sized result. NULL keys are excluded for
+    * the same reason as [[duplicates]] (they are completeness
+    * violations, not collisions); a NULL batch is a real batch value.
+    */
+  def duplicateScope(df: DataFrame, keyCol: String,
+      batchCol: String): DataFrame = {
+    val g = df.filter(col(keyCol).isNotNull)
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("copies"),
+        // struct-wrap so a NULL batch is a countable value (bare
+        // countDistinct drops null rows, undercounting the batch span)
+        countDistinct(struct(col(batchCol))).as("n_batches"))
+      .filter(col("copies") > 1)
+    g.select(
+        when(col("n_batches") === 1L, lit("intra_batch"))
+          .otherwise(lit("cross_batch")).as("scope"),
+        col("copies"))
+      .groupBy(col("scope"))
+      .agg(count(lit(1)).as("dup_keys"),
+        sum(col("copies") - 1L).as("excess_rows"))
+  }
+
   /** Violation rows in the engine's standard shape. */
   def violations(df: DataFrame, keyCol: String, salt: Int = 64): DataFrame =
     duplicates(df, keyCol, salt).select(

@@ -206,4 +206,92 @@ object StreamValidate {
       .take(k)
       .toDF(keyCol, "occurrences")
   }
+
+  /** Per-key CUSTOM-STATE streaming profile via `flatMapGroupsWithState`
+    * — the state-store tier the `foreachBatch` incrementals above don't
+    * exercise: state lives in Spark's per-key state store (checkpointed,
+    * partitioned by key hash — it scales with the KEY COUNT across
+    * executors, never through the driver), and the update function owns
+    * the merge logic outright, which is what the built-in windowed
+    * aggregations can't express when the per-key state is a custom
+    * record.
+    *
+    * Contract (deterministic, oracle-replayable): for every micro-batch
+    * in which a key appears, emit exactly one row
+    * `(key, upd_seq, events_seen, last_us)` — the key's 1-based update
+    * sequence number and its running event count and max event-time
+    * (epoch micros) over all batches so far. Within-batch iterator order
+    * never matters (count and max are order-free), so with a pinned
+    * micro-batch order (mtime-ordered slice files + maxFilesPerTrigger=1,
+    * as [[driftKsIncremental]]'s harness pins it) the full emission set
+    * equals a per-(key, slice) prefix aggregation a batch engine can
+    * replay.
+    *
+    * Runs to completion with `Trigger.AvailableNow` and returns every
+    * emission. NoTimeout: the profile keys are live for the stream's
+    * life; an eviction policy would be an event-time timeout clearing
+    * keys idle past the watermark — same function, one more branch.
+    * Update output mode (each emission supersedes the key's previous
+    * row); collection goes through `foreachBatch` so the emissions of
+    * EVERY batch are kept — a last-value sink would only show the final
+    * per-key state and lose the trajectory this operator exists to
+    * check.
+    */
+  def keyedProfileStream(events: DataFrame, keyCol: String,
+      timeCol: String): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val ds = events
+      .filter(col(keyCol).isNotNull && col(timeCol).isNotNull)
+      .select(col(keyCol).cast("long").as("key"),
+        unix_micros(col(timeCol).cast("timestamp")).as("ep_us"))
+      .as[KeyedEvent]
+    val emitted = ds.groupByKey(_.key)
+      .flatMapGroupsWithState[KeyedProfileState, KeyedProfileEmit](
+        org.apache.spark.sql.streaming.OutputMode.Update,
+        org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout) {
+        (key: Long, it: Iterator[KeyedEvent],
+         state: org.apache.spark.sql.streaming.GroupState[KeyedProfileState]) =>
+          var n = 0L
+          var mx = Long.MinValue
+          it.foreach { e =>
+            n += 1
+            if (e.ep_us > mx) mx = e.ep_us
+          }
+          val prev = state.getOption
+            .getOrElse(KeyedProfileState(0, 0L, Long.MinValue))
+          val next = KeyedProfileState(prev.upd_seq + 1, prev.n + n,
+            math.max(prev.max_us, mx))
+          state.update(next)
+          Iterator(
+            KeyedProfileEmit(key, next.upd_seq, next.n, next.max_us))
+      }
+    val rows = scala.collection.mutable.ListBuffer
+      .empty[(Long, Int, Long, Long)]
+    val q = emitted.toDF.writeStream
+      .outputMode("update")
+      .foreachBatch { (batchDf: DataFrame, _: Long) =>
+        rows ++= batchDf.collect().map(r =>
+          (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+        ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    rows.toSeq.toDF("key", "upd_seq", "events_seen", "last_us")
+  }
 }
+
+/** Input projection for [[StreamValidate.keyedProfileStream]] (top-level:
+  * product encoders need a stable, non-local class).
+  */
+case class KeyedEvent(key: Long, ep_us: Long)
+
+/** Per-key state-store record for [[StreamValidate.keyedProfileStream]]. */
+case class KeyedProfileState(upd_seq: Int, n: Long, max_us: Long)
+
+/** One emission per (key, batch-with-data) from
+  * [[StreamValidate.keyedProfileStream]].
+  */
+case class KeyedProfileEmit(key: Long, upd_seq: Int, events_seen: Long,
+  last_us: Long)

@@ -126,4 +126,42 @@ class StreamValidateSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
     assert(batch.sameElements(Array((1L, 2L), (2L, 1L))), batch.mkString(","))
   }
+
+  test("keyedProfileStream: per-key state-store prefixes across pinned " +
+      "micro-batches (late event raises the count, not the max)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_kps").toString
+    def us(s: String): Long =
+      java.sql.Timestamp.valueOf(s).toInstant.toEpochMilli * 1000L
+    def writeSlice(i: Int, rows: Seq[(Long, String)]): Unit = {
+      val tmp = s"$dir/_tmp_$i"
+      rows.map { case (u, t) => (u, java.sql.Timestamp.valueOf(t)) }
+        .toDF("user_id", "ts")
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.startsWith("part-")).get
+      val dst = new java.io.File(s"$dir/slice_$i.parquet")
+      assert(part.renameTo(dst))
+      // oldest-first is the file source's pick order
+      assert(dst.setLastModified(1700000000000L + i * 60000L))
+    }
+    writeSlice(0, Seq(
+      (1L, "2026-01-01 10:00:00"), (1L, "2026-01-01 10:05:00"),
+      (2L, "2026-01-01 10:02:00")))
+    writeSlice(1, Seq(
+      (1L, "2026-01-01 09:00:00"),     // LATE: count moves, max must not
+      (3L, "2026-01-01 11:00:00")))
+
+    val streamIn = spark.readStream
+      .schema(spark.read.parquet(s"$dir/slice_0.parquet").schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir)
+    val got = StreamValidate.keyedProfileStream(streamIn, "user_id", "ts")
+      .collect().map(r =>
+        (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == Set(
+      (1L, 1, 2L, us("2026-01-01 10:05:00")),
+      (2L, 1, 1L, us("2026-01-01 10:02:00")),
+      (1L, 2, 3L, us("2026-01-01 10:05:00")),  // late event absorbed
+      (3L, 1, 1L, us("2026-01-01 11:00:00"))), got.toSeq.sorted.mkString(","))
+  }
 }
