@@ -2488,6 +2488,54 @@ object SparkEntry {
       Drift.domainDrift(docs.select("lang"), v2.select("lang"), "lang")
         .orderBy("value")
     }),
+    // ---------- reverse referential integrity (unreferenced assets) ----------
+    "g_ref_unused" -> ((s, dir) => {
+      // the cost half of referential integrity: catalog entries nothing
+      // references — retention/GC candidates (same doc/catalog derivation
+      // as g_ref_integrity, opposite join direction)
+      val docs = derivedDocs(s, dir)
+      val catalog = t(s, dir, "part")
+        .filter(pmod(col("p_partkey"), lit(10L)) =!= 3L)
+        .select(concat(lit("m-"),
+          lpad(pmod(col("p_partkey"), lit(100000000L)).cast("string"),
+            8, "0")).as("media_ref"))
+      RefIntegrity.unreferenced(catalog, docs).orderBy("media_ref")
+    }),
+    // ---------- fail-fast short-circuit profile ----------
+    "v_failfast" -> ((s, dir) => {
+      // what does --fail-fast actually save? same rule set as
+      // v_rule_coverage in DECLARED order: docs first caught per rank +
+      // cumulative short-circuit coverage (impossible_id at rank 3 sweeps
+      // everything ranks 1-2 left over)
+      val rules = Seq(
+        "lang_enum" -> Rule.Check(Keywords(properties = Map(
+          "lang" -> Rule.Check(Keywords(enum_ = Some(langEnum)))))),
+        "chars_nonneg" -> Rule.Check(Keywords(properties = Map(
+          "n_chars" -> Rule.Check(Keywords(minimum = Some(0)))))),
+        "impossible_id" -> Rule.Check(Keywords(properties = Map(
+          "doc_id" -> Rule.Check(Keywords(maximum = Some(-1)))))),
+        "src_pattern" -> Rule.Check(Keywords(properties = Map(
+          "source" -> Rule.Check(Keywords(pattern = Some("^src[0-3]$")))))))
+      Validate.failFastProfile(t(s, dir, "documents"), rules)
+        .orderBy("rank")
+    }),
+    // ---------- Mann-Kendall monotonic trend ----------
+    "g_trend_mk" -> ((s, dir) => {
+      // non-parametric trend of daily event volume per type (exact
+      // integer S over pre-aggregated daily counts); the planted _ramp
+      // series (v = day rank) pins the 'increasing' end of the scale
+      val ev = t(s, dir, "events").filter(col("ts").isNotNull)
+      val daily = ev
+        .groupBy(col("event_type"), to_date(col("ts")).as("d"))
+        .agg(count(lit(1)).as("v"))
+      val ramp = daily.select(col("d")).distinct()
+        .withColumn("v", row_number().over(
+          org.apache.spark.sql.expressions.Window.orderBy(col("d")))
+          .cast("long"))
+        .select(lit("_ramp").as("event_type"), col("d"), col("v"))
+      Stats.mannKendall(daily.unionByName(ramp), Seq("event_type"),
+        "d", "v").orderBy("event_type")
+    }),
     // ---------- generated north-rule corpus ----------
     "gen_validate" -> ((s, dir) => {
       // the generated corpus is WRITTEN to parquet first and validated from
@@ -5767,6 +5815,85 @@ object SparkEntry {
         |      - CAST(coalesce(n1, 0) AS DOUBLE) / t1, 6) END
         |    AS share_delta
         |FROM t ORDER BY value""".stripMargin,
+    // unreferenced catalog entries (reverse anti-join of g_ref_integrity)
+    "g_ref_unused" ->
+      """WITH cat AS (SELECT 'm-' || lpad(CAST(p_partkey % 100000000
+        |      AS VARCHAR), 8, '0') AS media_ref
+        |  FROM part WHERE p_partkey % 10 <> 3),
+        |refs AS (SELECT DISTINCT 'm-' || lpad(CAST(l_partkey % 100000000
+        |      AS VARCHAR), 8, '0') AS r
+        |  FROM lineitem WHERE l_returnflag = 'R')
+        |SELECT media_ref FROM cat
+        |WHERE media_ref NOT IN (SELECT r FROM refs)
+        |ORDER BY media_ref""".stripMargin,
+    // fail-fast first-caught profile in declared rule order
+    "v_failfast" ->
+      """WITH d AS (SELECT CASE
+        |    WHEN NOT (lang IS NULL OR lang IN ('en','de','fr','es'))
+        |      THEN 0
+        |    WHEN NOT (n_chars IS NULL OR n_chars >= 0) THEN 1
+        |    WHEN NOT (doc_id IS NULL OR doc_id <= -1) THEN 2
+        |    WHEN NOT (source IS NULL
+        |      OR regexp_matches(source, '^src[0-3]$')) THEN 3
+        |    ELSE -1 END AS idx FROM documents),
+        |g AS (SELECT CAST(count(*) AS BIGINT) AS docs FROM d),
+        |r(idx, rule, rank) AS (VALUES (0, 'lang_enum', 1),
+        |  (1, 'chars_nonneg', 2), (2, 'impossible_id', 3),
+        |  (3, 'src_pattern', 4)),
+        |c AS (SELECT idx, CAST(count(*) AS BIGINT) AS n FROM d
+        |  WHERE idx >= 0 GROUP BY idx)
+        |SELECT r.rule, r.rank,
+        |  CAST(coalesce(c.n, 0) AS BIGINT) AS first_caught,
+        |  CAST(sum(coalesce(c.n, 0)) OVER (ORDER BY r.rank) AS BIGINT)
+        |    AS cum_caught,
+        |  g.docs,
+        |  CASE WHEN g.docs > 0 THEN round(CAST(sum(coalesce(c.n, 0))
+        |    OVER (ORDER BY r.rank) AS DOUBLE) / g.docs, 6) END
+        |    AS cum_share
+        |FROM r LEFT JOIN c ON r.idx = c.idx, g
+        |ORDER BY r.rank""".stripMargin,
+    // Mann-Kendall S/var/z per event_type + the planted _ramp series
+    "g_trend_mk" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS d,
+        |    CAST(count(*) AS BIGINT) AS v
+        |  FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
+        |  UNION ALL
+        |  SELECT '_ramp', d, CAST(row_number() OVER (ORDER BY d) AS BIGINT)
+        |  FROM (SELECT DISTINCT CAST(ts AS DATE) AS d FROM events
+        |        WHERE ts IS NOT NULL) x),
+        |p AS (SELECT a.event_type AS k,
+        |    CAST(sum(sign(b.v - a.v)) AS BIGINT) AS s_stat
+        |  FROM daily a JOIN daily b
+        |    ON a.event_type IS NOT DISTINCT FROM b.event_type
+        |    AND a.d < b.d
+        |  GROUP BY 1),
+        |n AS (SELECT event_type AS k, CAST(count(*) AS BIGINT) AS n_obs
+        |  FROM daily GROUP BY 1),
+        |t AS (SELECT event_type AS k,
+        |    CAST(sum(tj * (tj - 1) * (2 * tj + 5)) AS BIGINT) AS tie
+        |  FROM (SELECT event_type, v, CAST(count(*) AS BIGINT) AS tj
+        |        FROM daily GROUP BY 1, 2) q GROUP BY 1),
+        |j AS (SELECT n.k, n.n_obs,
+        |    CAST(coalesce(p.s_stat, 0) AS BIGINT) AS s_stat,
+        |    CAST(n.n_obs * (n.n_obs - 1) * (2 * n.n_obs + 5) - t.tie
+        |      AS DOUBLE) / 18.0 AS var_s
+        |  FROM n JOIN t ON n.k IS NOT DISTINCT FROM t.k
+        |  LEFT JOIN p ON n.k IS NOT DISTINCT FROM p.k),
+        |zc AS (SELECT k, n_obs, s_stat,
+        |    CASE WHEN var_s > 0 THEN round(var_s, 6) END AS var_s,
+        |    CASE WHEN var_s > 0 THEN
+        |      CASE WHEN s_stat > 0 THEN (s_stat - 1) / sqrt(var_s)
+        |           WHEN s_stat < 0 THEN (s_stat + 1) / sqrt(var_s)
+        |           ELSE 0.0 END END AS zr
+        |  FROM j)
+        |SELECT k AS event_type, n_obs, s_stat, var_s,
+        |  round(zr, 6) AS z,
+        |  CASE WHEN zr IS NULL THEN 'insufficient'
+        |       WHEN zr > 1.96 THEN 'increasing'
+        |       WHEN zr < -1.96 THEN 'decreasing'
+        |       ELSE 'no_trend' END AS trend
+        |FROM zc ORDER BY event_type""".stripMargin,
     "gen_validate" ->
       """WITH d AS (SELECT part, spans FROM '__GEN_DOCS_PATH__/*.parquet'),
         |per AS (SELECT part,

@@ -49,6 +49,30 @@ object RefIntegrity {
     refs.join(right, Seq("media_ref"), "left_anti")
   }
 
+  /** The REVERSE of [[dangling]]: catalog entries no document references —
+    * storage-waste / garbage-collection candidates. Dangling refs are a
+    * correctness violation (the north rule's referential-integrity check);
+    * unreferenced assets are the cost half of the same contract: at
+    * media-catalog scale an asset nothing points at is bytes a retention
+    * policy can reclaim, and a SPIKE of them after an ingest usually means
+    * the doc writer dropped refs it should have written.
+    *
+    * Direction flips the join strategy: [[dangling]] probes corpus-sized
+    * refs against a broadcast catalog; here the corpus side FIRST
+    * collapses to distinct refs (map-side-combined, catalog-scale at
+    * most — each catalog key either appears or not), then the
+    * catalog anti-joins against that key-sized set. Neither side of the
+    * join is corpus-sized.
+    */
+  def unreferenced(catalog: DataFrame, docs: DataFrame): DataFrame = {
+    val refs = docs
+      .select(explode(col("spans")).as("s"))
+      .filter(col("s.kind") === "media" && col("s.media_ref") =!= "")
+      .select(col("s.media_ref").as("media_ref"))
+      .distinct()
+    catalog.select(col("media_ref")).join(refs, Seq("media_ref"), "left_anti")
+  }
+
   /** Violation rows in the engine's standard shape. */
   def violations(docs: DataFrame, catalog: DataFrame,
       broadcastCatalog: Boolean = true): DataFrame =

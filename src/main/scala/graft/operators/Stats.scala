@@ -779,4 +779,74 @@ object Stats {
             .as("u_b_given_a"))
     }.reduce(_ unionByName _)
   }
+
+  /** Mann–Kendall monotonic-trend test per key over an ordered series of
+    * INTEGER observations (daily counts/sums — keep the series integral
+    * so the pairwise sign comparisons are exact in any engine; a
+    * float-valued series can flip a near-tie's sign on summation-order
+    * ULPs). The non-parametric companion of the drift family's
+    * completeness/PSI trends: no distribution or linearity assumption,
+    * robust to outliers — S = Σ_{i<j} sign(v_j − v_i), with the
+    * tie-corrected variance and the ±1-continuity z statistic
+    * (Kendall 1975). |z| > 1.96 ⇒ a monotonic trend at 95% — "this feed's
+    * daily volume is drifting", caught without choosing bins or
+    * thresholds.
+    *
+    * Output per key: n_obs, s_stat (exact integer), var_s, z (null when
+    * the variance degenerates: n < 2 or all observations tied), and a
+    * trend class (`increasing` / `decreasing` / `no_trend` /
+    * `insufficient`). A NULL key is a real series (null-safe joins).
+    *
+    * Scale: the input is a PRE-AGGREGATED series (key × time), so
+    * everything here is series-sized: the pair self-join fans each key to
+    * its own n·(n−1)/2 time pairs (n = days, bounded by the window you
+    * keep), and the n/tie/S tables are key-sized. The corpus-sized work
+    * happens upstream in the one groupBy that builds the series.
+    */
+  def mannKendall(series: DataFrame, keyCols: Seq[String], tCol: String,
+      vCol: String): DataFrame = {
+    require(keyCols.nonEmpty, "mannKendall: need at least one key column")
+    val s = series
+      .select(keyCols.map(col) ++ Seq(col(tCol).as("_t"),
+        col(vCol).cast("long").as("_v")): _*)
+      .filter(col("_t").isNotNull)
+    val right = s.select(keyCols.map(k => col(k).as(s"_r_$k")) ++
+      Seq(col("_t").as("_rt"), col("_v").as("_rv")): _*)
+    val keyEq = keyCols.map(k => col(k) <=> col(s"_r_$k")).reduce(_ && _)
+    val sStat = s.join(right, keyEq && (col("_t") < col("_rt")))
+      .groupBy(keyCols.map(col): _*)
+      .agg(sum(signum((col("_rv") - col("_v")).cast("double")).cast("long"))
+        .as("s_stat"))
+    val base = s.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("n_obs"))
+    val ties = s.groupBy(keyCols.map(col) :+ col("_v"): _*)
+      .agg(count(lit(1)).as("_tj"))
+      .groupBy(keyCols.map(col): _*)
+      .agg(sum(col("_tj") * (col("_tj") - 1L) * (lit(2L) * col("_tj") + 5L))
+        .as("_tie"))
+    val sStatR = sStat.select(keyCols.map(k => col(k).as(s"_s_$k")) :+
+      col("s_stat"): _*)
+    val tiesR = ties.select(keyCols.map(k => col(k).as(s"_x_$k")) :+
+      col("_tie"): _*)
+    val joined = base
+      .join(tiesR, keyCols.map(k => col(k) <=> col(s"_x_$k")).reduce(_ && _))
+      .join(sStatR, keyCols.map(k => col(k) <=> col(s"_s_$k")).reduce(_ && _),
+        "left")
+    val n = col("n_obs")
+    val varS = (n * (n - 1L) * (lit(2L) * n + 5L) - col("_tie"))
+      .cast("double") / 18.0
+    val sv = coalesce(col("s_stat"), lit(0L))
+    val z = when(varS > 0.0,
+      when(sv > 0L, (sv - 1L).cast("double") / sqrt(varS))
+        .when(sv < 0L, (sv + 1L).cast("double") / sqrt(varS))
+        .otherwise(lit(0.0)))
+    joined.select(keyCols.map(col) ++ Seq(
+      n, sv.as("s_stat"),
+      when(varS > 0.0, round(varS, 6)).as("var_s"),
+      round(z, 6).as("z"),
+      when(z.isNull, lit("insufficient"))
+        .when(z > 1.96, lit("increasing"))
+        .when(z < -1.96, lit("decreasing"))
+        .otherwise(lit("no_trend")).as("trend")): _*)
+  }
 }

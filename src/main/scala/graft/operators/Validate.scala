@@ -237,6 +237,62 @@ object Validate {
           .otherwise("firing").as("status"))
   }
 
+  /** Fail-fast short-circuit profile: with rules evaluated in DECLARED
+    * order (the reference's `--fail-fast` stops at a document's first
+    * error — ys.rs CLI contract; rule order is schema order), how many
+    * documents does each rule catch FIRST, and how much of the corpus has
+    * short-circuited by rank i? [[ruleCoverage]] counts every rule's
+    * total failures independently; this is the ORDERED view that prices a
+    * fail-fast run: a rule whose failures are all caught earlier
+    * contributes nothing and can move later (or its check can be skipped
+    * entirely on the fail-fast path), while the first ranks carry the
+    * short-circuit savings.
+    *
+    * Output per rule: rank (1-based declared position), docs first
+    * caught, cumulative docs caught, corpus size, cumulative caught
+    * share. `docs − cum_caught` of the last rank = documents that pass
+    * every rule.
+    *
+    * Scale: exactly the [[ruleCoverage]] shape — ONE aggregation scan
+    * regardless of rule count (the first-fail index is a nested
+    * conditional evaluated per row; per-rank counters are conditional
+    * sums, map-side combined to a single row), then explode + a window
+    * over the rule-count-sized result.
+    */
+  def failFastProfile(df: DataFrame, rules: Seq[(String, Rule)],
+      defs: Map[String, Rule] = Map.empty): DataFrame = {
+    require(rules.nonEmpty, "failFastProfile: no rules")
+    val row = struct(df.columns.map(col): _*)
+    // first failing rule's index, -1 when every rule passes
+    val firstIdx = rules.zipWithIndex.foldRight(lit(-1)) {
+      case (((_, r), i), acc) =>
+        val pred = coalesce(
+          RuleCompiler.compile(r, row, df.schema, defs).pred, lit(false))
+        when(!pred, lit(i)).otherwise(acc)
+    }
+    val aggs = count(lit(1)).as("_docs") +: rules.indices.map(i =>
+      sum(when(firstIdx === i, 1L).otherwise(0L)).as(s"_c$i"))
+    val wCum = org.apache.spark.sql.expressions.Window
+      .partitionBy(lit(1)).orderBy(col("rank"))
+    df.agg(aggs.head, aggs.tail: _*)
+      .select(explode(array(rules.zipWithIndex.map { case ((name, _), i) =>
+        struct(lit(name).as("rule"), lit(i + 1).as("rank"),
+          // sum over an EMPTY corpus is null, not 0
+          coalesce(col(s"_c$i"), lit(0L)).as("first_caught"),
+          col("_docs").as("docs"))
+      }: _*)).as("m"))
+      .select(col("m.rule").as("rule"), col("m.rank").as("rank"),
+        col("m.first_caught").as("first_caught"), col("m.docs").as("docs"))
+      .select(col("rule"), col("rank"), col("first_caught"),
+        sum(col("first_caught")).over(wCum).as("cum_caught"), col("docs"))
+      .select(col("rule"), col("rank"), col("first_caught"),
+        col("cum_caught"), col("docs"),
+        // empty-corpus guard (ANSI division throws on 0)
+        when(col("docs") > 0L,
+          round(col("cum_caught").cast("double") / col("docs"), 6))
+          .as("cum_share"))
+  }
+
   /** Verdict rollup cube: per-(dims…, rule) failure counts WITH every
     * subtotal level — (lang, source, rule), (lang, ALL, rule), (ALL, ALL,
     * rule) — the drill-down table a validation dashboard reads without
