@@ -2536,6 +2536,40 @@ object SparkEntry {
       Stats.mannKendall(daily.unionByName(ramp), Seq("event_type"),
         "d", "v").orderBy("event_type")
     }),
+    // ---------- CUSUM changepoint (level shift) ----------
+    "g_changepoint" -> ((s, dir) => {
+      // WHEN did the level move (g_trend_mk says whether): integer-exact
+      // centered-CUSUM argmax per series; the planted _step series
+      // (10 -> 60 after day 15) pins a known split
+      val ev = t(s, dir, "events").filter(col("ts").isNotNull)
+      val daily = ev
+        .groupBy(col("event_type"), to_date(col("ts")).as("d"))
+        .agg(count(lit(1)).as("v"))
+      val step = daily.select(col("d")).distinct()
+        .withColumn("r", row_number().over(
+          org.apache.spark.sql.expressions.Window.orderBy(col("d"))))
+        .select(lit("_step").as("event_type"), col("d"),
+          when(col("r") <= 15, 10L).otherwise(60L).as("v"))
+      Stats.changepoint(daily.unionByName(step), Seq("event_type"),
+          "d", "v")
+        .select(col("event_type"), col("n_obs"),
+          col("split_t").cast("string").as("split_t"), col("g_max"),
+          col("mean_before"), col("mean_after"), col("shift"))
+        .orderBy("event_type")
+    }),
+    // ---------- per-segment top-k tokens ----------
+    "t_top_seg" -> ((s, dir) =>
+      // each language's own dominant vocabulary (the global heavy-hitter
+      // list averages per-feed boilerplate away); row_number <= k lowers
+      // to WindowGroupLimit
+      TextAnalysis.topTokensBySegment(t(s, dir, "documents"), "lang",
+        "text", 5).orderBy("segment", "rank")),
+    // ---------- sweep-line peak concurrency ----------
+    "e_concurrency" -> ((s, dir) =>
+      // capacity planning: max simultaneously-active 30-min event
+      // intervals per day + the second the peak is first reached
+      Temporal.peakConcurrency(t(s, dir, "events"), "ts", 1800L)
+        .orderBy("day")),
     // ---------- generated north-rule corpus ----------
     "gen_validate" -> ((s, dir) => {
       // the generated corpus is WRITTEN to parquet first and validated from
@@ -5894,6 +5928,67 @@ object SparkEntry {
         |       WHEN zr < -1.96 THEN 'decreasing'
         |       ELSE 'no_trend' END AS trend
         |FROM zc ORDER BY event_type""".stripMargin,
+    // integer-exact centered-CUSUM argmax per series (+ planted _step)
+    "g_changepoint" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS d,
+        |    CAST(count(*) AS BIGINT) AS v
+        |  FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
+        |  UNION ALL
+        |  SELECT '_step', d, CASE WHEN r <= 15 THEN 10 ELSE 60 END
+        |  FROM (SELECT d, row_number() OVER (ORDER BY d) AS r
+        |        FROM (SELECT DISTINCT CAST(ts AS DATE) AS d FROM events
+        |              WHERE ts IS NOT NULL) y) x),
+        |s AS (SELECT event_type, d, v,
+        |    CAST(row_number() OVER (PARTITION BY event_type ORDER BY d)
+        |      AS BIGINT) AS i,
+        |    CAST(sum(v) OVER (PARTITION BY event_type ORDER BY d
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS c,
+        |    CAST(sum(v) OVER (PARTITION BY event_type) AS BIGINT) AS tot,
+        |    CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
+        |  FROM daily),
+        |g AS (SELECT *, abs(n * c - i * tot) AS gg FROM s WHERE i < n),
+        |m AS (SELECT *, row_number() OVER (PARTITION BY event_type
+        |    ORDER BY gg DESC, i) AS rn FROM g)
+        |SELECT event_type, n AS n_obs, CAST(d AS VARCHAR) AS split_t,
+        |  CAST(gg AS BIGINT) AS g_max,
+        |  round(CAST(c AS DOUBLE) / i, 6) AS mean_before,
+        |  round(CAST(tot - c AS DOUBLE) / (n - i), 6) AS mean_after,
+        |  round(CAST(tot - c AS DOUBLE) / (n - i)
+        |    - CAST(c AS DOUBLE) / i, 6) AS shift
+        |FROM m WHERE rn = 1 ORDER BY event_type""".stripMargin,
+    // per-language top-5 tokens, count desc / token asc
+    "t_top_seg" ->
+      """WITH w AS (SELECT lang AS segment, unnest(string_split_regex(
+        |    lower(regexp_replace(trim(text), '[^\p{L}\p{N}\s]', ' ', 'g')),
+        |    '\s+')) AS token FROM documents),
+        |c AS (SELECT segment, token, CAST(count(*) AS BIGINT)
+        |    AS occurrences FROM w WHERE token <> '' GROUP BY 1, 2),
+        |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY segment
+        |    ORDER BY occurrences DESC, token) AS INT) AS rank FROM c)
+        |SELECT segment, token, occurrences, rank FROM r WHERE rank <= 5
+        |ORDER BY segment, rank""".stripMargin,
+    // sweep-line peak concurrency per day (30-min activity intervals,
+    // ends before starts on ties, intervals clipped at midnight)
+    "e_concurrency" ->
+      """WITH b AS (SELECT
+        |    CAST(floor(epoch_us(ts) / 1000000) AS BIGINT) AS s,
+        |    CAST(floor(floor(epoch_us(ts) / 1000000) / 86400) * 86400
+        |      AS BIGINT) AS day0
+        |  FROM events WHERE ts IS NOT NULL),
+        |d AS (SELECT day0, s AS t, 1 AS delta FROM b
+        |  UNION ALL
+        |  SELECT day0, least(s + 1800, day0 + 86400), -1 FROM b),
+        |c AS (SELECT day0, t, CAST(sum(delta) OVER (PARTITION BY day0
+        |    ORDER BY t, delta ROWS BETWEEN UNBOUNDED PRECEDING AND
+        |    CURRENT ROW) AS BIGINT) AS cur FROM d),
+        |m AS (SELECT day0, t, cur, row_number() OVER (PARTITION BY day0
+        |    ORDER BY cur DESC, t) AS rn FROM c)
+        |SELECT CAST(CAST(epoch_ms(day0 * 1000) AS DATE) AS VARCHAR)
+        |    AS day,
+        |  cur AS peak_concurrency, t AS first_peak_s
+        |FROM m WHERE rn = 1 ORDER BY day""".stripMargin,
     "gen_validate" ->
       """WITH d AS (SELECT part, spans FROM '__GEN_DOCS_PATH__/*.parquet'),
         |per AS (SELECT part,

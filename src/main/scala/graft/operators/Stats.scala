@@ -803,6 +803,70 @@ object Stats {
     * keep), and the n/tie/S tables are key-sized. The corpus-sized work
     * happens upstream in the one groupBy that builds the series.
     */
+  /** Single most-likely level-shift (changepoint) per key over an ordered
+    * INTEGER series — the "WHEN did it move" companion of
+    * [[mannKendall]]'s "IS it moving": maximize the centered-CUSUM
+    * magnitude over split points. Everything up to the argmax is EXACT
+    * integer arithmetic: at split t (1-based position of n observations,
+    * prefix sum C_t, total T), the centered cusum n·(C_t − (t/n)·T)
+    * rescales to G_t = |n·C_t − t·T| — integers only, so the argmax is
+    * bit-identical in any engine and ties break to the EARLIEST split.
+    * Means/shift are the only floats, computed once per key and rounded.
+    *
+    * Output per key: n_obs, the split time (last observation of the
+    * BEFORE segment), g_max, mean_before, mean_after, shift
+    * (after − before). A key with n < 2 has no valid split and is absent
+    * (the [[graft.operators.Temporal.gapsAudit]] convention for
+    * degenerate series). This finds the single strongest shift; recursing
+    * into the two halves (binary segmentation) composes from this same
+    * primitive.
+    *
+    * Scale: input is a PRE-AGGREGATED series, so the window (one
+    * Exchange+Sort per key, rank + running sum share it) and the argmax
+    * groupBy (struct-max, map-side combined, reusing the window's
+    * partitioning) are series-sized; long arithmetic holds to
+    * n·T ≲ 9·10¹⁸ — a year of daily counts supports totals up to ~2·10¹⁶.
+    */
+  def changepoint(series: DataFrame, keyCols: Seq[String], tCol: String,
+      vCol: String): DataFrame = {
+    require(keyCols.nonEmpty, "changepoint: need at least one key column")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCols.map(col): _*).orderBy(col("_t"))
+    val wAll = w.rowsBetween(org.apache.spark.sql.expressions.Window
+      .unboundedPreceding, org.apache.spark.sql.expressions.Window
+      .unboundedFollowing)
+    val s = series
+      .select(keyCols.map(col) ++ Seq(col(tCol).as("_t"),
+        col(vCol).cast("long").as("_v")): _*)
+      .filter(col("_t").isNotNull)
+      .select(keyCols.map(col) ++ Seq(col("_t"), col("_v"),
+        row_number().over(w).cast("long").as("_i"),
+        sum(col("_v")).over(w).as("_c"),
+        sum(col("_v")).over(wAll).as("_tot"),
+        count(lit(1)).over(wAll).as("_n")): _*)
+    val g = abs(col("_n") * col("_c") - col("_i") * col("_tot"))
+    // struct-max: largest G, then smallest position (earliest split);
+    // payload fields ride along and never affect the order (the (g, -i)
+    // prefix is unique per row)
+    val best = s
+      .filter(col("_i") < col("_n")) // the trivial t = n split has G = 0
+      .groupBy(keyCols.map(col): _*)
+      .agg(max(struct(g.as("g"), (-col("_i")).as("ni"), col("_t").as("t"),
+          col("_c").as("c"), col("_tot").as("tot"), col("_n").as("n")))
+        .as("m"))
+    best.select(keyCols.map(col) ++ {
+      val t = col("m.ni") * -1L
+      val after = (col("m.tot") - col("m.c")).cast("double") /
+        (col("m.n") - t).cast("double")
+      val before = col("m.c").cast("double") / t.cast("double")
+      Seq(col("m.n").as("n_obs"), col("m.t").as("split_t"),
+        col("m.g").as("g_max"),
+        round(before, 6).as("mean_before"),
+        round(after, 6).as("mean_after"),
+        round(after - before, 6).as("shift"))
+    }: _*)
+  }
+
   def mannKendall(series: DataFrame, keyCols: Seq[String], tCol: String,
       vCol: String): DataFrame = {
     require(keyCols.nonEmpty, "mannKendall: need at least one key column")

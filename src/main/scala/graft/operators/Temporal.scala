@@ -282,4 +282,56 @@ object Temporal {
         col("_m.gap_s").as("max_gap_s"),
         (-col("_m._ns")).as("max_gap_start_s"), col("n_over"))
   }
+
+  /** Peak concurrency per day (sweep-line): each event opens an activity
+    * interval `[t, t + activeSeconds)`; the report is each day's maximum
+    * number of simultaneously open intervals and the epoch second the
+    * peak is FIRST reached — the capacity-planning number ([[gapsAudit]]
+    * is "when was the feed dark", this is "how hot does it burn").
+    *
+    * Day-reset contract: intervals clip at midnight, each calendar day's
+    * curve starts at 0 (a `-1` landing exactly on the day boundary is
+    * emitted but can never affect that day's max — nothing follows it).
+    * That is what makes the sweep partition-parallel: without the reset,
+    * the running count is one global sequential scan.
+    *
+    * Exact integers throughout. Equal-timestamp ties: ends (`-1`) order
+    * before starts (`+1`), the half-open-interval convention; within an
+    * equal `(t, delta)` run the running sum's intermediate values depend
+    * on tie order but the run's END value — and therefore the day max and
+    * its first-reached second — do not, so the output is deterministic
+    * and any engine replays it with the same ORDER BY.
+    *
+    * Scale: 2 delta rows per event, ONE Exchange+Sort partitioned by day
+    * (the cumulative sum and the day rollup share it); no join.
+    */
+  def peakConcurrency(df: DataFrame, timeCol: String,
+      activeSeconds: Long): DataFrame = {
+    require(activeSeconds > 0,
+      s"peakConcurrency: need activeSeconds > 0, got $activeSeconds")
+    val epochS = floor(unix_micros(col(timeCol).cast("timestamp"))
+      / lit(1000000L)).cast("long")
+    val base = df.filter(col(timeCol).isNotNull)
+      .select(epochS.as("_s"))
+      .select(col("_s"), (floor(col("_s") / lit(86400L)) * 86400L)
+        .cast("long").as("_day0"))
+    val deltas = base
+      .select(col("_day0"), col("_s").as("t"), lit(1).as("delta"))
+      .unionByName(base.select(col("_day0"),
+        least(col("_s") + lit(activeSeconds), col("_day0") + lit(86400L))
+          .as("t"),
+        lit(-1).as("delta")))
+    val w = Window.partitionBy(col("_day0"))
+      .orderBy(col("t"), col("delta"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    deltas
+      .select(col("_day0"), col("t"), sum(col("delta")).over(w).as("_cur"))
+      .groupBy(col("_day0"))
+      // struct max: highest concurrency, then earliest second it is hit
+      .agg(max(struct(col("_cur").as("c"), (-col("t")).as("nt"))).as("m"))
+      .select(to_date(timestamp_seconds(col("_day0"))).cast("string")
+          .as("day"),
+        col("m.c").as("peak_concurrency"),
+        (-col("m.nt")).as("first_peak_s"))
+  }
 }

@@ -665,6 +665,35 @@ object TextAnalysis {
           .as("jaccard"))
   }
 
+  /** Top-k tokens PER SEGMENT — the grouped twin of the global
+    * heavy-hitters view: each feed/language's own dominant vocabulary,
+    * side by side (a feed whose top tokens are navigation chrome is a
+    * boilerplate problem the global list averages away).
+    *
+    * Deterministic contract: count desc, token asc per segment. A NULL
+    * segment is a real segment.
+    *
+    * Scale: one (segment × token) map-side-combined count, then the
+    * `row_number <= k` filter lowers to `WindowGroupLimit` — each map
+    * task truncates its groups to k rows BEFORE the rank shuffle, so the
+    * window never sees the full per-segment vocabulary (same lowering as
+    * `Validate.evidence`, PlanSpec-asserted there).
+    */
+  def topTokensBySegment(df: DataFrame, segCol: String, textCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1, s"topTokensBySegment: need k >= 1, got $k")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("segment"))
+      .orderBy(col("occurrences").desc, col("token"))
+    df.select(col(segCol).as("segment"),
+        explode(toks(col(textCol))).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy(col("segment"), col("token"))
+      .agg(count(lit(1)).as("occurrences"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
   /** Vocabulary novelty per crawl batch: for each batch (an ordered
     * snapshot/day key), the distinct token types it contains, how many of
     * them appear for the FIRST time in that batch, the novel share, and
