@@ -2570,6 +2570,72 @@ object SparkEntry {
       // intervals per day + the second the peak is first reached
       Temporal.peakConcurrency(t(s, dir, "events"), "ts", 1800L)
         .orderBy("day")),
+    // ---------- near-miss reference repair ----------
+    "g_ref_suggest" -> ((s, dir) => {
+      // triage between "dangling" and "drop the row": catalog keys one
+      // edit away from each broken ref (deletion-neighborhood blocking +
+      // exact levenshtein residual — never a cross join); the %10==3
+      // catalog hole makes every dangling ref a last-digit near-miss of
+      // real assets
+      val docs = derivedDocs(s, dir)
+      val catalog = t(s, dir, "part")
+        .filter(pmod(col("p_partkey"), lit(10L)) =!= 3L)
+        .select(concat(lit("m-"),
+          lpad(pmod(col("p_partkey"), lit(100000000L)).cast("string"),
+            8, "0")).as("media_ref"))
+      RefIntegrity.nearMissRefs(
+          RefIntegrity.danglingRefs(docs, catalog), catalog)
+        .orderBy("media_ref", "suggestion")
+    }),
+    // ---------- streaming state EVICTION (event-time timeout) ----------
+    "e_stream_evict" -> ((s, dir) => {
+      // bounded state at 10^12 keys: keys idle past the watermark expire,
+      // emit their episode, and leave the state store. Slices are weekly
+      // (time-ordered, not id-mod) and each carries a planted sentinel
+      // max (natural max + 2h >> the 30-min timeout), so an episode
+      // closes in the FIRST batch its key sits out; AvailableNow's
+      // trailing no-data batch flushes the rest — the emission set is ALL
+      // (key, consecutive-week-run) episodes, a batch gaps-and-islands
+      // pass any engine replays
+      val ev = t(s, dir, "events")
+        .filter(col("ts").isNotNull && col("user_id").isNotNull)
+        .select(col("user_id"), col("ts"))
+      val sl = least(greatest(
+        floor(datediff(to_date(col("ts")), to_date(lit("2024-01-01"))) / 7),
+        lit(0)), lit(3)).cast("int")
+      val withSl = ev.withColumn("_sl", sl)
+      val sent = withSl.groupBy(col("_sl"))
+        .agg(max(col("ts")).as("mx"))
+        .select(lit(-1L).as("user_id"),
+          (col("mx") + expr("INTERVAL 2 HOURS")).as("ts"), col("_sl"))
+      val sliced = withSl.unionByName(sent)
+      val base = genEvictSlicesPath(dir)
+      val conf = s.sparkContext.hadoopConfiguration
+      val basePath = new org.apache.hadoop.fs.Path(base)
+      val fs = basePath.getFileSystem(conf)
+      fs.delete(basePath, true)
+      fs.mkdirs(basePath)
+      (0 until 4).foreach { i =>
+        val tmp = new org.apache.hadoop.fs.Path(basePath, s"_tmp_$i")
+        sliced.filter(col("_sl") === i).drop("_sl")
+          .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        val part = fs.listStatus(tmp).map(_.getPath)
+          .find(_.getName.startsWith("part-"))
+          .getOrElse(throw new IllegalStateException(s"no part file in $tmp"))
+        val dst = new org.apache.hadoop.fs.Path(basePath, s"slice_$i.parquet")
+        fs.rename(part, dst)
+        fs.delete(tmp, true)
+        fs.setTimes(dst, 1700000000000L + i * 60000L, -1L)
+      }
+      val stream = s.readStream
+        .schema(sliced.drop("_sl").schema)
+        .option("maxFilesPerTrigger", "1").parquet(base)
+      graft.streaming.StreamValidate
+        .keyedEvictStream(stream, "user_id", "ts", timeoutMs = 1800000L)
+        .filter(col("key") =!= -1L)
+        .withColumnRenamed("key", "user_id")
+        .orderBy("user_id", "last_us")
+    }),
     // ---------- generated north-rule corpus ----------
     "gen_validate" -> ((s, dir) => {
       // the generated corpus is WRITTEN to parquet first and validated from
@@ -2613,6 +2679,12 @@ object SparkEntry {
     */
   def genEventSlicesPath(dir: String): String =
     s"${System.getProperty("java.io.tmpdir")}/graft_gen_event_slices_${dir.hashCode}"
+
+  /** e_stream_evict's weekly slice files (own dir — see
+    * [[genStreamDocsPath]] on why queries never share one).
+    */
+  def genEvictSlicesPath(dir: String): String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_gen_evict_slices_${dir.hashCode}"
 
   /** i_validate's snapshot pair (own paths — see [[genStreamDocsPath]] on
     * why queries never share a materialization dir).
@@ -5989,6 +6061,37 @@ object SparkEntry {
         |    AS day,
         |  cur AS peak_concurrency, t AS first_peak_s
         |FROM m WHERE rn = 1 ORDER BY day""".stripMargin,
+    // near-miss suggestions: the oracle brute-forces levenshtein over the
+    // (dangling x catalog) product — tiny at oracle scale, and a fully
+    // independent implementation of the same contract
+    "g_ref_suggest" ->
+      """WITH cat AS (SELECT DISTINCT 'm-' || lpad(CAST(p_partkey % 100000000
+        |      AS VARCHAR), 8, '0') AS s
+        |  FROM part WHERE p_partkey % 10 <> 3),
+        |refs AS (SELECT DISTINCT 'm-' || lpad(CAST(l_partkey % 100000000
+        |      AS VARCHAR), 8, '0') AS r
+        |  FROM lineitem WHERE l_returnflag = 'R'),
+        |dang AS (SELECT r FROM refs WHERE r NOT IN (SELECT s FROM cat))
+        |SELECT d.r AS media_ref, c.s AS suggestion,
+        |  CAST(levenshtein(d.r, c.s) AS INT) AS distance
+        |FROM dang d JOIN cat c ON levenshtein(d.r, c.s) <= 1
+        |ORDER BY media_ref, suggestion""".stripMargin,
+    // state-store episodes == ALL gaps-and-islands runs over (key, week):
+    // mid-stream expiries + the AvailableNow trailing-batch flush
+    "e_stream_evict" ->
+      """WITH e AS (SELECT user_id, ts,
+        |    least(greatest(CAST(floor(date_diff('day', DATE '2024-01-01',
+        |      CAST(ts AS DATE)) / 7) AS INT), 0), 3) AS sl
+        |  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+        |act AS (SELECT user_id, sl, CAST(count(*) AS BIGINT) AS n,
+        |    max(epoch_us(ts)) AS mx FROM e GROUP BY 1, 2),
+        |r AS (SELECT *, sl - dense_rank() OVER (PARTITION BY user_id
+        |    ORDER BY sl) AS grp FROM act),
+        |ep AS (SELECT user_id, CAST(sum(n) AS BIGINT) AS events_seen,
+        |    max(mx) AS last_us
+        |  FROM r GROUP BY user_id, grp)
+        |SELECT user_id, events_seen, last_us FROM ep
+        |ORDER BY user_id, last_us""".stripMargin,
     "gen_validate" ->
       """WITH d AS (SELECT part, spans FROM '__GEN_DOCS_PATH__/*.parquet'),
         |per AS (SELECT part,

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Referential integrity of media references — the table-level analogue of
@@ -71,6 +71,47 @@ object RefIntegrity {
       .select(col("s.media_ref").as("media_ref"))
       .distinct()
     catalog.select(col("media_ref")).join(refs, Seq("media_ref"), "left_anti")
+  }
+
+  /** Near-miss repair suggestions for dangling refs: catalog keys within
+    * edit distance 1 of a broken reference — the triage step between
+    * "ref is dangling" and "drop the row": a ref one typo away from a
+    * real asset is a producer bug with an obvious fix, a ref nowhere near
+    * the catalog is genuinely lost media.
+    *
+    * Scale path (never a cross join): deletion-neighborhood blocking
+    * (FastSS) — each side expands to its ≤ len+1 single-deletion variants
+    * (a pure in-plan `transform` over `sequence`, no UDF), candidates
+    * meet in an EQUI-join on the variant string, and the exact
+    * `levenshtein ≤ 1` residual filter removes the false candidates the
+    * untagged-deletion block admits (e.g. transposition pairs share a
+    * variant at distance 2). Variant fan-out is O(ref length) per key;
+    * every downstream table is (dangling × suggestions)-sized.
+    *
+    * Output: (media_ref, suggestion, distance) — one row per suggestion,
+    * distance 1 (0 cannot occur: the input is dangling, so exact matches
+    * were already excluded).
+    */
+  def nearMissRefs(danglingRefs: DataFrame, catalog: DataFrame): DataFrame = {
+    // {s} ∪ all single-deletion variants of s; the empty-string guard
+    // matters because sequence(1, 0) would COUNT DOWN, not produce []
+    def variants(c: Column): Column = array_union(
+      array(c),
+      transform(sequence(lit(1), greatest(length(c), lit(1))),
+        i => concat(c.substr(lit(1), i - 1), c.substr(i + 1, length(c)))))
+    val d = danglingRefs.select(col("media_ref")).distinct()
+      .filter(col("media_ref").isNotNull && length(col("media_ref")) > 0)
+      .select(col("media_ref"), explode(variants(col("media_ref"))).as("_v"))
+    val cvar = catalog.select(col("media_ref").as("suggestion")).distinct()
+      .filter(col("suggestion").isNotNull && length(col("suggestion")) > 0)
+      .select(col("suggestion"),
+        explode(variants(col("suggestion"))).as("_v"))
+    d.join(cvar, Seq("_v"))
+      .select(col("media_ref"), col("suggestion"))
+      .distinct()
+      .filter(levenshtein(col("media_ref"), col("suggestion")) <= 1)
+      .withColumn("distance",
+        levenshtein(col("media_ref"), col("suggestion")))
   }
 
   /** Violation rows in the engine's standard shape. */

@@ -280,12 +280,105 @@ object StreamValidate {
     q.awaitTermination()
     rows.toSeq.toDF("key", "upd_seq", "events_seen", "last_us")
   }
+  /** State EVICTION twin of [[keyedProfileStream]]: `flatMapGroupsWithState`
+    * with an EVENT-TIME TIMEOUT — the piece that makes per-key state
+    * bounded at 10¹²-key scale (NoTimeout state grows with the key
+    * universe forever; here a key idle past the watermark is expired,
+    * emitted, and REMOVED from the state store, so live state tracks the
+    * active-key working set).
+    *
+    * Per batch: keys with data merge (count, max event-time) into state
+    * and re-arm their timeout at `max event-time + timeoutMs`; keys
+    * WITHOUT data whose timeout fell behind the event-time watermark fire
+    * `hasTimedOut`, emit ONE episode row `(key, events_seen, last_us)`
+    * and clear. A key reappearing later starts a fresh episode — the
+    * stream-native form of sessionization-by-inactivity. Under
+    * `Trigger.AvailableNow` the runtime appends a trailing NO-DATA batch
+    * after the last file so the watermark (which lags one batch) can pass
+    * the final data — that batch expires every still-live key, so the
+    * emission set is COMPLETE: one row per episode, mid-stream or
+    * trailing. (On an unbounded stream there is no trailing flush and
+    * live keys simply haven't closed yet.)
+    *
+    * Determinism: the timeout re-arm is guarded to stay above the current
+    * watermark (Spark rejects a timeout at-or-below it — reachable only
+    * for late data, which then expires in the NEXT batch); with
+    * mtime-pinned slice files whose per-slice maxima dominate every
+    * key's in-slice activity by more than the timeout (the harness plants
+    * a sentinel max per slice), an episode closes in the FIRST batch the
+    * key sits out, and the emission set equals a batch gaps-and-islands
+    * pass over (key, slice) — replayable by any engine without modeling
+    * watermark timing.
+    */
+  def keyedEvictStream(events: DataFrame, keyCol: String, timeCol: String,
+      timeoutMs: Long, watermarkDelay: String = "1 second"): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val ds = events
+      .filter(col(keyCol).isNotNull && col(timeCol).isNotNull)
+      .withColumn("_ts", col(timeCol).cast("timestamp"))
+      .withWatermark("_ts", watermarkDelay)
+      // the watermarked column must SURVIVE the projection — pruning it
+      // strips the watermark and event-time timeout refuses to plan
+      .select(col(keyCol).cast("long").as("key"),
+        unix_micros(col("_ts")).as("ep_us"), col("_ts").as("ts"))
+      .as[KeyedEventTs]
+    val emitted = ds.groupByKey(_.key)
+      .flatMapGroupsWithState[KeyedProfileState, KeyedProfileEmit](
+        org.apache.spark.sql.streaming.OutputMode.Update,
+        org.apache.spark.sql.streaming.GroupStateTimeout.EventTimeTimeout) {
+        (key: Long, it: Iterator[KeyedEventTs],
+         state: org.apache.spark.sql.streaming.GroupState[KeyedProfileState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(KeyedProfileEmit(key, 1, s.n, s.max_us))
+          } else {
+            var n = 0L
+            var mx = Long.MinValue
+            it.foreach { e =>
+              n += 1
+              if (e.ep_us > mx) mx = e.ep_us
+            }
+            val prev = state.getOption.getOrElse(
+              KeyedProfileState(0, 0L, Long.MinValue))
+            val next = KeyedProfileState(0, prev.n + n,
+              math.max(prev.max_us, mx))
+            state.update(next)
+            // re-arm; a late-data key whose natural deadline is already
+            // behind the watermark expires in the next batch instead of
+            // crashing the query
+            state.setTimeoutTimestamp(math.max(
+              next.max_us / 1000L + timeoutMs,
+              state.getCurrentWatermarkMs() + 1L))
+            Iterator.empty
+          }
+      }
+    val rows = scala.collection.mutable.ListBuffer.empty[(Long, Long, Long)]
+    val q = emitted.toDF.writeStream
+      .outputMode("update")
+      .foreachBatch { (batchDf: DataFrame, _: Long) =>
+        rows ++= batchDf.collect().map(r =>
+          (r.getLong(0), r.getLong(2), r.getLong(3)))
+        ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    rows.toSeq.toDF("key", "events_seen", "last_us")
+  }
 }
 
 /** Input projection for [[StreamValidate.keyedProfileStream]] (top-level:
   * product encoders need a stable, non-local class).
   */
 case class KeyedEvent(key: Long, ep_us: Long)
+
+/** Input projection for [[StreamValidate.keyedEvictStream]] — carries the
+  * watermarked event-time column alongside the epoch micros (see the
+  * projection comment there).
+  */
+case class KeyedEventTs(key: Long, ep_us: Long, ts: java.sql.Timestamp)
 
 /** Per-key state-store record for [[StreamValidate.keyedProfileStream]]. */
 case class KeyedProfileState(upd_seq: Int, n: Long, max_us: Long)

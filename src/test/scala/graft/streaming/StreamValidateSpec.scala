@@ -164,4 +164,42 @@ class StreamValidateSpec extends SparkSpec {
       (1L, 2, 3L, us("2026-01-01 10:05:00")),  // late event absorbed
       (3L, 1, 1L, us("2026-01-01 11:00:00"))), got.toSeq.sorted.mkString(","))
   }
+
+  test("keyedEvictStream: mid-stream expiry on a sat-out batch, fresh " +
+      "episode on re-appearance, trailing flush closes live keys, a key " +
+      "whose deadline outruns the final watermark stays unflushed") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_evict").toString
+    def writeSlice(i: Int, rows: Seq[(Long, Long)]): Unit = {
+      val tmp = s"$dir/_tmp_$i"
+      rows.toDF("user_id", "sec")
+        .withColumn("ts", timestamp_seconds(col("sec"))).drop("sec")
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.startsWith("part-")).get
+      val dst = new java.io.File(s"$dir/slice_$i.parquet")
+      assert(part.renameTo(dst))
+      assert(dst.setLastModified(1700000000000L + i * 60000L))
+    }
+    // key 99 is the per-slice sentinel max (>> every deadline); key 1
+    // sits out slice 1 (expires in batch 1, returns fresh in slice 2);
+    // key 2 never sits out (single episode, trailing flush)
+    writeSlice(0, Seq((1L, 1000L), (2L, 2000L), (99L, 100000L)))
+    writeSlice(1, Seq((2L, 200000L), (99L, 300000L)))
+    writeSlice(2, Seq((1L, 400000L), (2L, 410000L), (99L, 500000L)))
+
+    val streamIn = spark.readStream
+      .schema(spark.read.parquet(s"$dir/slice_0.parquet").schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir)
+    val got = StreamValidate
+      .keyedEvictStream(streamIn, "user_id", "ts", timeoutMs = 1800000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set(
+      (1L, 1L, 1000L * 1000000L),      // episode {slice 0}, mid-stream
+      (1L, 1L, 400000L * 1000000L),    // fresh episode {slice 2}, flushed
+      (2L, 3L, 410000L * 1000000L)),   // one merged episode, flushed
+      got.toSeq.sorted.mkString(","))
+    // 99's deadline (500000s + 30min) outruns the final watermark
+    // (500000s - 1s): its state is live at shutdown and never emits
+  }
 }
