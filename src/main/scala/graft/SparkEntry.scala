@@ -2636,6 +2636,30 @@ object SparkEntry {
         .withColumnRenamed("key", "user_id")
         .orderBy("user_id", "last_us")
     }),
+    // ---------- temperature mixing plan ----------
+    "p_mixture_temp" -> ((s, dir) =>
+      // the standard multilingual-LM sampling knob: share ∝ mass^0.5
+      // lifts low-resource languages; sqrt keeps it IEEE-exact
+      Mixture.temperaturePlan(t(s, dir, "documents"), "lang", "n_chars",
+        alpha = 0.5).orderBy("source")),
+    // ---------- real parquet footer audit ----------
+    "l_footers" -> ((s, dir) =>
+      // footer-only metadata over the ACTUAL table files: row groups are
+      // the per-file task ceiling; the oracle reads the same footers with
+      // an independent parquet implementation
+      Layout.parquetFooterAudit(s, dir).orderBy("file")),
+    // ---------- media-asset degree histogram ----------
+    "g_ref_degree" -> ((s, dir) => {
+      // how many spans share one asset — the degree histogram that
+      // prices the broadcast/skew decision for the referential join
+      val deg = derivedDocs(s, dir)
+        .select(explode(col("spans")).as("sp"))
+        .filter(col("sp.kind") === "media" && col("sp.media_ref") =!= "")
+        .groupBy(col("sp.media_ref").as("media_ref"))
+        .agg(count(lit(1)).as("n_spans"))
+      deg.groupBy(col("n_spans")).agg(count(lit(1)).as("n_assets"))
+        .orderBy("n_spans")
+    }),
     // ---------- generated north-rule corpus ----------
     "gen_validate" -> ((s, dir) => {
       // the generated corpus is WRITTEN to parquet first and validated from
@@ -6092,6 +6116,46 @@ object SparkEntry {
         |  FROM r GROUP BY user_id, grp)
         |SELECT user_id, events_seen, last_us FROM ep
         |ORDER BY user_id, last_us""".stripMargin,
+    // temperature shares: sqrt is correctly-rounded IEEE on both engines
+    "p_mixture_temp" ->
+      """WITH m AS (SELECT lang AS source,
+        |    CAST(sum(n_chars) AS BIGINT) AS mass
+        |  FROM documents GROUP BY 1),
+        |s AS (SELECT source, mass,
+        |    CAST(mass AS DOUBLE) AS md, sqrt(CAST(mass AS DOUBLE)) AS pd
+        |  FROM m),
+        |t AS (SELECT source, mass,
+        |    CASE WHEN sum(md) OVER () > 0 THEN md / sum(md) OVER () END
+        |      AS sh,
+        |    CASE WHEN sum(pd) OVER () > 0 THEN pd / sum(pd) OVER () END
+        |      AS tsh
+        |  FROM s)
+        |SELECT source, mass, round(sh, 6) AS share,
+        |  round(tsh, 6) AS temp_share,
+        |  CASE WHEN sh > 0 THEN round(tsh / sh, 6) END AS boost
+        |FROM t ORDER BY source""".stripMargin,
+    // footer sums from an independent parquet reader
+    "l_footers" ->
+      """WITH m AS (SELECT * FROM parquet_metadata('__SF_DIR__/*.parquet')),
+        |rg AS (SELECT file_name, row_group_id,
+        |    max(row_group_num_rows) AS rg_rows,
+        |    CAST(sum(total_compressed_size) AS BIGINT) AS comp,
+        |    CAST(sum(total_uncompressed_size) AS BIGINT) AS unc
+        |  FROM m GROUP BY 1, 2)
+        |SELECT regexp_extract(file_name, '[^/]+$') AS file,
+        |  CAST(count(*) AS INT) AS row_groups,
+        |  CAST(sum(rg_rows) AS BIGINT) AS rows,
+        |  CAST(sum(comp) AS BIGINT) AS compressed_bytes,
+        |  CAST(sum(unc) AS BIGINT) AS uncompressed_bytes
+        |FROM rg GROUP BY 1 ORDER BY file""".stripMargin,
+    // span-degree histogram of media assets
+    "g_ref_degree" ->
+      """WITH deg AS (SELECT 'm-' || lpad(CAST(l_partkey % 100000000
+        |      AS VARCHAR), 8, '0') AS r,
+        |    CAST(count(*) AS BIGINT) AS n_spans
+        |  FROM lineitem WHERE l_returnflag = 'R' GROUP BY 1)
+        |SELECT n_spans, CAST(count(*) AS BIGINT) AS n_assets
+        |FROM deg GROUP BY 1 ORDER BY n_spans""".stripMargin,
     "gen_validate" ->
       """WITH d AS (SELECT part, spans FROM '__GEN_DOCS_PATH__/*.parquet'),
         |per AS (SELECT part,
@@ -6131,6 +6195,7 @@ object SparkEntry {
     oracleSql.map { case (k, v) =>
       k -> v.replace("__IVF_CENTROIDS__", lits)
         .replace("__LSH_PLANES__", planes)
+        .replace("__SF_DIR__", dir)
         .replace("__GEN_DOCS_PATH__", genDocsPath(dir))
         .replace("__GEN_STREAM_DOCS_PATH__", genStreamDocsPath(dir))
         .replace("__GEN_V1_PATH__", genV1Path(dir))

@@ -315,4 +315,57 @@ object Layout {
     rows.toDF("batch", "part", "bytes", "action")
       .orderBy("batch", "part")
   }
+
+  /** REAL-file parquet footer audit — the metadata leg of table
+    * maintenance run against actual parquet bytes, not a synthetic
+    * manifest ([[partitionHealth]]'s input): per file, the row-group
+    * count, total rows, and compressed/uncompressed byte totals straight
+    * from the footers. Row groups are the unit Spark parallelizes scans
+    * over, so this is the report that says whether a table's files can
+    * even feed a wide cluster (1 row group = 1 task ceiling per file) and
+    * what its real compression ratio is. Footer-only I/O: a few KB per
+    * file, never the data pages.
+    *
+    * Distributed over the FILE LIST (executors each open their files'
+    * footers with a task-local Hadoop conf — at 10⁶-file scale the
+    * listing, not the footers, is the cost, which is what partitioned
+    * manifests/commit logs are for). Every number is copied from footer
+    * metadata — bit-identical for any reader of the same file, which is
+    * what makes an independent engine's `parquet_metadata()` a valid
+    * oracle.
+    */
+  def parquetFooterAudit(spark: org.apache.spark.sql.SparkSession,
+      dir: String, glob: String = "*.parquet"): DataFrame = {
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val files = fs.globStatus(new org.apache.hadoop.fs.Path(dir, glob))
+      .map(_.getPath.toString).toSeq.sorted
+    spark.createDataset(files)(org.apache.spark.sql.Encoders.STRING)
+      .repartition(math.max(1, math.min(files.size, 32)))
+      .mapPartitions { (paths: Iterator[String]) =>
+        val conf = new org.apache.hadoop.conf.Configuration()
+        paths.map { p =>
+          val path = new org.apache.hadoop.fs.Path(p)
+          val in = org.apache.parquet.hadoop.util.HadoopInputFile
+            .fromPath(path, conf)
+          val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+          try {
+            val blocks = reader.getFooter.getBlocks
+            val it = scala.jdk.CollectionConverters
+              .ListHasAsScala(blocks).asScala
+            FooterStat(path.getName, it.size,
+              it.map(_.getRowCount).sum,
+              it.map(_.getCompressedSize).sum,
+              it.map(_.getTotalByteSize).sum)
+          } finally reader.close()
+        }
+      }(org.apache.spark.sql.Encoders.product[FooterStat])
+      .toDF()
+  }
 }
+
+/** One file's footer summary for [[Layout.parquetFooterAudit]]
+  * (top-level: product encoders need a stable, non-local class).
+  */
+case class FooterStat(file: String, row_groups: Int, rows: Long,
+  compressed_bytes: Long, uncompressed_bytes: Long)

@@ -62,6 +62,54 @@ object Mixture {
         floor(col("rate") * col("mass")).cast("long"))
   }
 
+  /** Temperature (exponent) re-weighting of source shares — the standard
+    * multi-source/multilingual LM sampling knob (sample source i with
+    * probability ∝ massᵢ^α, α ∈ (0, 1]; published as exponentiated
+    * smoothing in the multilingual-pretraining literature): α = 1 keeps
+    * natural proportions, α → 0 flattens toward uniform, lifting
+    * low-resource sources without the hard floor/ceiling cliffs of
+    * [[rates]]' explicit targets. Output per source: mass, natural share,
+    * temperature share, and the boost (temp/natural — > 1 means the
+    * source is upsampled relative to its natural frequency).
+    *
+    * Cross-engine exactness: α = 0.5 and 0.25 lower to sqrt /
+    * sqrt∘sqrt — IEEE-754 correctly-rounded operations any engine
+    * reproduces bit-for-bit, unlike general `pow`, whose libm
+    * implementations differ in ULPs. Other α use `pow` and rely on the
+    * 6-decimal output rounding.
+    *
+    * Scale: ONE map-side-combined groupBy to a source-sized table;
+    * the share windows run on that table. Compose with [[sampleByRates]]
+    * (rate = boost · maxRate normalization) to materialize the sample.
+    */
+  def temperaturePlan(df: DataFrame, srcCol: String, massCol: String,
+      alpha: Double): DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"alpha out of (0,1]: $alpha")
+    val powered: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+      m => if (alpha == 1.0) m
+      else if (alpha == 0.5) sqrt(m)
+      else if (alpha == 0.25) sqrt(sqrt(m))
+      else pow(m, lit(alpha))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(lit(1))
+    df.groupBy(col(srcCol).as("source"))
+      .agg(sum(col(massCol)).cast("long").as("mass"))
+      .select(col("source"), col("mass"),
+        col("mass").cast("double").as("_m"),
+        powered(col("mass").cast("double")).as("_p"))
+      .select(col("source"), col("mass"),
+        // a zero-mass source keeps null shares (ANSI: never divide by 0);
+        // totals are over the source-sized table, no second scan
+        when(sum(col("_m")).over(w) > 0.0,
+          col("_m") / sum(col("_m")).over(w)).as("_share"),
+        when(sum(col("_p")).over(w) > 0.0,
+          col("_p") / sum(col("_p")).over(w)).as("_tshare"))
+      .select(col("source"), col("mass"),
+        round(col("_share"), 6).as("share"),
+        round(col("_tshare"), 6).as("temp_share"),
+        when(col("_share") > 0.0,
+          round(col("_tshare") / col("_share"), 6)).as("boost"))
+  }
+
   /** Integer value of the first 8 hex chars of md5(id): a uniform
     * deterministic coin in [0, 2^32) — the numeric twin of
     * [[Sampling]]'s hex-string threshold, needed here because the
