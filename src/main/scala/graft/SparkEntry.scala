@@ -2660,6 +2660,77 @@ object SparkEntry {
       deg.groupBy(col("n_spans")).agg(count(lit(1)).as("n_assets"))
         .orderBy("n_spans")
     }),
+    // ---------- lag-k autocorrelation ----------
+    "e_autocorr" -> ((s, dir) => {
+      // periodicity at arbitrary cycles (e_periodicity is hour-of-day
+      // only): ACF lags 1..7 of daily volume; the planted _wave series
+      // (period 3) pins r(3) >> r(1)
+      val ev = t(s, dir, "events").filter(col("ts").isNotNull)
+      val daily = ev
+        .groupBy(col("event_type"), to_date(col("ts")).as("d"))
+        .agg(count(lit(1)).as("v"))
+      val wave = daily.select(col("d")).distinct()
+        .withColumn("r", row_number().over(
+          org.apache.spark.sql.expressions.Window.orderBy(col("d"))))
+        .select(lit("_wave").as("event_type"), col("d"),
+          when(col("r") % 3 === 0, 30L).otherwise(10L).as("v"))
+      Temporal.autocorrelation(daily.unionByName(wave),
+        Seq("event_type"), "d", "v", maxLag = 7)
+        .orderBy("event_type", "lag")
+    }),
+    // ---------- 3-step ordered funnel ----------
+    "e_funnel_steps" -> ((s, dir) => {
+      // signup -> first view within 7d -> first purchase within 7d of
+      // that view: each stage's users + conversion from the previous
+      // stage (e_funnel is the 2-step flat version)
+      val ev = t(s, dir, "events").filter(col("ts").isNotNull)
+      val su = ev.filter(col("event_type") === "signup")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t0"))
+      val vw = ev.filter(col("event_type") === "view")
+        .join(su, Seq("user_id"))
+        .filter(col("ts") > col("t0")
+          && col("ts") <= col("t0") + expr("INTERVAL 7 DAYS"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+      val pu = ev.filter(col("event_type") === "purchase")
+        .join(vw, Seq("user_id"))
+        .filter(col("ts") > col("t1")
+          && col("ts") <= col("t1") + expr("INTERVAL 7 DAYS"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t2"))
+      val steps = su.agg(count(lit(1)).as("users"))
+        .select(lit(1).as("step"), lit("signup").as("stage"), col("users"))
+        .unionByName(vw.agg(count(lit(1)).as("users"))
+          .select(lit(2).as("step"), lit("view").as("stage"), col("users")))
+        .unionByName(pu.agg(count(lit(1)).as("users"))
+          .select(lit(3).as("step"), lit("purchase").as("stage"),
+            col("users")))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(lit(1)).orderBy(col("step"))
+      steps
+        .withColumn("_prev", lag(col("users"), 1).over(w))
+        .select(col("step"), col("stage"), col("users"),
+          when(col("_prev") > 0L,
+            round(col("users").cast("double") / col("_prev"), 6))
+            .as("conv_from_prev"))
+        .orderBy("step")
+    }),
+    // ---------- top offending values per rule ----------
+    "v_offenders" -> ((s, dir) => {
+      // the third triage leg: coverage says how often, evidence says
+      // which docs, this says which VALUES (an upstream default like
+      // 'unknown' is one fix, not 40k bad documents)
+      val rules3 = Seq(
+        ("lang_enum", Rule.Check(Keywords(properties = Map(
+          "lang" -> Rule.Check(Keywords(enum_ = Some(langEnum)))))),
+          "lang"),
+        ("len_max", Rule.Check(Keywords(properties = Map(
+          "n_chars" -> Rule.Check(Keywords(maximum = Some(500)))))),
+          "n_chars"),
+        ("src_pattern", Rule.Check(Keywords(properties = Map(
+          "source" -> Rule.Check(Keywords(pattern = Some("^src[0-3]$")))))),
+          "source"))
+      Validate.topOffenders(t(s, dir, "documents"), rules3, k = 3)
+        .orderBy("rule", "rank")
+    }),
     // ---------- generated north-rule corpus ----------
     "gen_validate" -> ((s, dir) => {
       // the generated corpus is WRITTEN to parquet first and validated from
@@ -6156,6 +6227,101 @@ object SparkEntry {
         |  FROM lineitem WHERE l_returnflag = 'R' GROUP BY 1)
         |SELECT n_spans, CAST(count(*) AS BIGINT) AS n_assets
         |FROM deg GROUP BY 1 ORDER BY n_spans""".stripMargin,
+    // ACF lags 1..7 from integer moment sums (+ the planted _wave)
+    "e_autocorr" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS d,
+        |    CAST(count(*) AS BIGINT) AS v
+        |  FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
+        |  UNION ALL
+        |  SELECT '_wave', d, CASE WHEN r % 3 = 0 THEN 30 ELSE 10 END
+        |  FROM (SELECT d, row_number() OVER (ORDER BY d) AS r
+        |        FROM (SELECT DISTINCT CAST(ts AS DATE) AS d FROM events
+        |              WHERE ts IS NOT NULL) y) x),
+        |s AS (SELECT event_type, v,
+        |    lead(v, 1) OVER w AS l1, lead(v, 2) OVER w AS l2,
+        |    lead(v, 3) OVER w AS l3, lead(v, 4) OVER w AS l4,
+        |    lead(v, 5) OVER w AS l5, lead(v, 6) OVER w AS l6,
+        |    lead(v, 7) OVER w AS l7
+        |  FROM daily
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY d)),
+        |u AS (
+        |  SELECT event_type, 1 AS lag, v AS x, l1 AS y FROM s
+        |  UNION ALL SELECT event_type, 2, v, l2 FROM s
+        |  UNION ALL SELECT event_type, 3, v, l3 FROM s
+        |  UNION ALL SELECT event_type, 4, v, l4 FROM s
+        |  UNION ALL SELECT event_type, 5, v, l5 FROM s
+        |  UNION ALL SELECT event_type, 6, v, l6 FROM s
+        |  UNION ALL SELECT event_type, 7, v, l7 FROM s),
+        |g AS (SELECT event_type, lag,
+        |    CAST(sum(CASE WHEN y IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n,
+        |    CAST(sum(CASE WHEN y IS NOT NULL THEN x ELSE 0 END) AS BIGINT)
+        |      AS sx,
+        |    CAST(sum(CASE WHEN y IS NOT NULL THEN y ELSE 0 END) AS BIGINT)
+        |      AS sy,
+        |    CAST(sum(CASE WHEN y IS NOT NULL THEN x * x ELSE 0 END)
+        |      AS BIGINT) AS sxx,
+        |    CAST(sum(CASE WHEN y IS NOT NULL THEN y * y ELSE 0 END)
+        |      AS BIGINT) AS syy,
+        |    CAST(sum(CASE WHEN y IS NOT NULL THEN x * y ELSE 0 END)
+        |      AS BIGINT) AS sxy
+        |  FROM u GROUP BY 1, 2)
+        |SELECT event_type, CAST(lag AS INT) AS lag, n AS n_pairs,
+        |  CASE WHEN n >= 2 AND n * sxx - sx * sx > 0
+        |         AND n * syy - sy * sy > 0
+        |    THEN round(CAST(n * sxy - sx * sy AS DOUBLE)
+        |      / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+        |           * CAST(n * syy - sy * sy AS DOUBLE)), 6) END AS r
+        |FROM g ORDER BY event_type, lag""".stripMargin,
+    // 3-step ordered funnel with per-stage conversion
+    "e_funnel_steps" ->
+      """WITH su AS (SELECT user_id, min(ts) AS t0 FROM events
+        |  WHERE ts IS NOT NULL AND event_type = 'signup'
+        |  GROUP BY user_id),
+        |vw AS (SELECT e.user_id, min(e.ts) AS t1 FROM events e
+        |  JOIN su ON e.user_id = su.user_id
+        |  WHERE e.ts IS NOT NULL AND e.event_type = 'view'
+        |    AND e.ts > su.t0 AND e.ts <= su.t0 + INTERVAL 7 DAY
+        |  GROUP BY e.user_id),
+        |pu AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e
+        |  JOIN vw ON e.user_id = vw.user_id
+        |  WHERE e.ts IS NOT NULL AND e.event_type = 'purchase'
+        |    AND e.ts > vw.t1 AND e.ts <= vw.t1 + INTERVAL 7 DAY
+        |  GROUP BY e.user_id),
+        |steps AS (
+        |  SELECT 1 AS step, 'signup' AS stage,
+        |    CAST(count(*) AS BIGINT) AS users FROM su
+        |  UNION ALL SELECT 2, 'view', CAST(count(*) AS BIGINT) FROM vw
+        |  UNION ALL SELECT 3, 'purchase', CAST(count(*) AS BIGINT) FROM pu)
+        |SELECT CAST(step AS INT) AS step, stage, users,
+        |  CASE WHEN lag(users, 1) OVER (ORDER BY step) > 0
+        |    THEN round(CAST(users AS DOUBLE)
+        |      / lag(users, 1) OVER (ORDER BY step), 6) END
+        |    AS conv_from_prev
+        |FROM steps ORDER BY step""".stripMargin,
+    // top offending values per rule (the '<null>' sentinel keeps
+    // cross-engine ordering independent of NULL placement)
+    "v_offenders" ->
+      """WITH viol AS (
+        |  SELECT 'lang_enum' AS rule,
+        |    coalesce(CAST(lang AS VARCHAR), '<null>') AS value
+        |  FROM documents
+        |  WHERE NOT (lang IS NULL OR lang IN ('en','de','fr','es'))
+        |  UNION ALL
+        |  SELECT 'len_max', coalesce(CAST(n_chars AS VARCHAR), '<null>')
+        |  FROM documents WHERE NOT (n_chars IS NULL OR n_chars <= 500)
+        |  UNION ALL
+        |  SELECT 'src_pattern', coalesce(CAST(source AS VARCHAR), '<null>')
+        |  FROM documents
+        |  WHERE NOT (source IS NULL
+        |    OR regexp_matches(source, '^src[0-3]$'))),
+        |c AS (SELECT rule, value, CAST(count(*) AS BIGINT) AS occurrences
+        |  FROM viol GROUP BY 1, 2),
+        |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY rule
+        |    ORDER BY occurrences DESC, value) AS INT) AS rank FROM c)
+        |SELECT rule, value, occurrences, rank FROM r WHERE rank <= 3
+        |ORDER BY rule, rank""".stripMargin,
     "gen_validate" ->
       """WITH d AS (SELECT part, spans FROM '__GEN_DOCS_PATH__/*.parquet'),
         |per AS (SELECT part,

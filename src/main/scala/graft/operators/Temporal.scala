@@ -283,6 +283,67 @@ object Temporal {
         (-col("_m._ns")).as("max_gap_start_s"), col("n_over"))
   }
 
+  /** Lag-k autocorrelation (ACF) per key over an ordered INTEGER series —
+    * the periodicity detector for arbitrary cycles ([[periodicity]] is
+    * pinned to hour-of-day): r(k) = Pearson correlation of (v_t, v_{t+k})
+    * for k = 1..maxLag. A weekly-cycled feed shows r(7) ≫ r(1); a
+    * level-shifted one shows uniformly high r at all lags (see
+    * [[graft.operators.Stats.changepoint]]).
+    *
+    * All moment sums are exact integer arithmetic (the series is cast to
+    * long — overflow bound: n·v² must stay under 2⁶³, i.e. daily values
+    * ≲ 1.5·10⁸ for a year of days); doubles appear only in each (key,
+    * lag)'s final r, so results replay bit-identically cross-engine.
+    * Degenerate pairs (n < 2 or zero variance on either side) → null r.
+    *
+    * Scale: ALL lags ride ONE Exchange+Sort — the `lead(v, k)` windows
+    * share the same (key, t) partitioning/ordering, then a single
+    * map-side-combined groupBy folds every lag's six sums at once and
+    * explodes to (key, lag) rows. Series-sized throughout.
+    */
+  def autocorrelation(series: DataFrame, keyCols: Seq[String], tCol: String,
+      vCol: String, maxLag: Int): DataFrame = {
+    require(keyCols.nonEmpty, "autocorrelation: need key columns")
+    require(maxLag >= 1, s"autocorrelation: need maxLag >= 1, got $maxLag")
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(col("_t"))
+    val lags = 1 to maxLag
+    val s = series
+      .select(keyCols.map(col) ++ Seq(col(tCol).as("_t"),
+        col(vCol).cast("long").as("_v")): _*)
+      .filter(col("_t").isNotNull)
+      .select(keyCols.map(col) ++ (col("_v") +: lags.map(k =>
+        lead(col("_v"), k).over(w).as(s"_l$k"))): _*)
+    val aggs = lags.flatMap { k =>
+      val l = col(s"_l$k")
+      val have = l.isNotNull
+      Seq(
+        sum(when(have, 1L).otherwise(0L)).as(s"_n$k"),
+        sum(when(have, col("_v")).otherwise(0L)).as(s"_sx$k"),
+        sum(when(have, l).otherwise(0L)).as(s"_sy$k"),
+        sum(when(have, col("_v") * col("_v")).otherwise(0L)).as(s"_sxx$k"),
+        sum(when(have, l * l).otherwise(0L)).as(s"_syy$k"),
+        sum(when(have, col("_v") * l).otherwise(0L)).as(s"_sxy$k"))
+    }
+    s.groupBy(keyCols.map(col): _*)
+      .agg(aggs.head, aggs.tail: _*)
+      .select(keyCols.map(col) :+ explode(array(lags.map { k =>
+        struct(lit(k).as("lag"), col(s"_n$k").as("n"),
+          col(s"_sx$k").as("sx"), col(s"_sy$k").as("sy"),
+          col(s"_sxx$k").as("sxx"), col(s"_syy$k").as("syy"),
+          col(s"_sxy$k").as("sxy"))
+      }: _*)).as("m"): _*)
+      .select(keyCols.map(col) ++ {
+        val n = col("m.n")
+        val vx = n * col("m.sxx") - col("m.sx") * col("m.sx")
+        val vy = n * col("m.syy") - col("m.sy") * col("m.sy")
+        val cov = n * col("m.sxy") - col("m.sx") * col("m.sy")
+        Seq(col("m.lag").as("lag"), n.as("n_pairs"),
+          when(n >= 2L && vx > 0L && vy > 0L,
+            round(cov.cast("double")
+              / sqrt(vx.cast("double") * vy.cast("double")), 6)).as("r"))
+      }: _*)
+  }
+
   /** Peak concurrency per day (sweep-line): each event opens an activity
     * interval `[t, t + activeSeconds)`; the report is each day's maximum
     * number of simultaneously open intervals and the epoch second the

@@ -237,6 +237,45 @@ object Validate {
           .otherwise("firing").as("status"))
   }
 
+  /** Top offending VALUES per rule — the third leg of violation triage:
+    * [[ruleCoverage]] says how often a rule fires, [[evidence]] shows
+    * which documents, this shows which VALUES — "the enum rule fires
+    * 40k times and 39k of them are the literal string 'unknown'" is an
+    * upstream-default bug with a one-line fix, not 40k bad documents.
+    *
+    * Each entry is (rule name, compiled rule, offending-value column);
+    * a NULL offending value renders as the `<null>` sentinel (matching
+    * the association-audit convention) so cross-engine ordering never
+    * depends on NULL placement.
+    *
+    * Scale: ONE corpus scan — every rule's offender projects into one
+    * array, `array_compact` drops the passing slots, one explode + one
+    * map-side-combined (rule, value) count; the `row_number <= k` filter
+    * lowers to `WindowGroupLimit` (map-side truncation before the rank
+    * shuffle, as in [[evidence]]).
+    */
+  def topOffenders(df: DataFrame, rules: Seq[(String, Rule, String)],
+      k: Int, defs: Map[String, Rule] = Map.empty): DataFrame = {
+    require(rules.nonEmpty, "topOffenders: no rules")
+    require(k >= 1, s"topOffenders: need k >= 1, got $k")
+    val row = struct(df.columns.map(col): _*)
+    val entries = rules.map { case (name, r, valueCol) =>
+      val pred = coalesce(
+        RuleCompiler.compile(r, row, df.schema, defs).pred, lit(false))
+      when(!pred, struct(lit(name).as("rule"),
+        coalesce(col(valueCol).cast("string"), lit("<null>"))
+          .as("value")))
+    }
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("rule"))
+      .orderBy(col("occurrences").desc, col("value"))
+    df.select(explode(array_compact(array(entries: _*))).as("f"))
+      .groupBy(col("f.rule").as("rule"), col("f.value").as("value"))
+      .agg(count(lit(1)).as("occurrences"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
   /** Fail-fast short-circuit profile: with rules evaluated in DECLARED
     * order (the reference's `--fail-fast` stops at a document's first
     * error — ys.rs CLI contract; rule order is schema order), how many
