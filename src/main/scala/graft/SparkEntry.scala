@@ -1419,25 +1419,8 @@ object SparkEntry {
       // replays all 4 prefixes, not just the final statistic
       val li = t(s, dir, "lineitem")
       val base = genDriftSlicesPath(dir)
-      val conf = s.sparkContext.hadoopConfiguration
-      val basePath = new org.apache.hadoop.fs.Path(base)
-      val fs = basePath.getFileSystem(conf)
-      fs.delete(basePath, true)
-      fs.mkdirs(basePath)
-      (0 until 4).foreach { i =>
-        val tmp = new org.apache.hadoop.fs.Path(basePath, s"_tmp_$i")
-        li.filter(pmod(col("l_orderkey"), lit(4L)) === i.toLong)
-          .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-        val part = fs.listStatus(tmp).map(_.getPath)
-          .find(_.getName.startsWith("part-"))
-          .getOrElse(throw new IllegalStateException(s"no part file in $tmp"))
-        val dst = new org.apache.hadoop.fs.Path(basePath, s"slice_$i.parquet")
-        fs.rename(part, dst)
-        fs.delete(tmp, true)
-        // oldest-first is the file source's pick order; 60s gaps leave no
-        // room for clock-granularity ties
-        fs.setTimes(dst, 1700000000000L + i * 60000L, -1L)
-      }
+      writeMtimeSlices(s, base, (0 until 4).map(i =>
+        li.filter(pmod(col("l_orderkey"), lit(4L)) === i.toLong)))
       val stream = s.readStream.schema(li.schema)
         .option("maxFilesPerTrigger", "1").parquet(base)
       graft.streaming.StreamValidate.driftKsIncremental(stream,
@@ -2427,23 +2410,8 @@ object SparkEntry {
       // state
       val ev = t(s, dir, "events").filter(col("ts").isNotNull)
       val base = genEventSlicesPath(dir)
-      val conf = s.sparkContext.hadoopConfiguration
-      val basePath = new org.apache.hadoop.fs.Path(base)
-      val fs = basePath.getFileSystem(conf)
-      fs.delete(basePath, true)
-      fs.mkdirs(basePath)
-      (0 until 4).foreach { i =>
-        val tmp = new org.apache.hadoop.fs.Path(basePath, s"_tmp_$i")
-        ev.filter(pmod(col("event_id"), lit(4L)) === i.toLong)
-          .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-        val part = fs.listStatus(tmp).map(_.getPath)
-          .find(_.getName.startsWith("part-"))
-          .getOrElse(throw new IllegalStateException(s"no part file in $tmp"))
-        val dst = new org.apache.hadoop.fs.Path(basePath, s"slice_$i.parquet")
-        fs.rename(part, dst)
-        fs.delete(tmp, true)
-        fs.setTimes(dst, 1700000000000L + i * 60000L, -1L)
-      }
+      writeMtimeSlices(s, base, (0 until 4).map(i =>
+        ev.filter(pmod(col("event_id"), lit(4L)) === i.toLong)))
       val stream = s.readStream.schema(ev.schema)
         .option("maxFilesPerTrigger", "1").parquet(base)
       graft.streaming.StreamValidate
@@ -2608,25 +2576,19 @@ object SparkEntry {
         .agg(max(col("ts")).as("mx"))
         .select(lit(-1L).as("user_id"),
           (col("mx") + expr("INTERVAL 2 HOURS")).as("ts"), col("_sl"))
-      val sliced = withSl.unionByName(sent)
+      // sparse CLONE keys (user_id + 1000000, slices 0 and 2 only): at
+      // sf0.01 every natural user is active in all 4 weeks, so without
+      // them the gate would only ever exercise the trailing flush — the
+      // clones sit out batches 1 and 3 and take the REAL hasTimedOut
+      // path twice (episodes {0} and {2}, both mid-stream)
+      val clones = withSl
+        .filter(pmod(col("user_id"), lit(7L)) === 0L
+          && (col("_sl") === 0 || col("_sl") === 2))
+        .withColumn("user_id", col("user_id") + 1000000L)
+      val sliced = withSl.unionByName(clones).unionByName(sent)
       val base = genEvictSlicesPath(dir)
-      val conf = s.sparkContext.hadoopConfiguration
-      val basePath = new org.apache.hadoop.fs.Path(base)
-      val fs = basePath.getFileSystem(conf)
-      fs.delete(basePath, true)
-      fs.mkdirs(basePath)
-      (0 until 4).foreach { i =>
-        val tmp = new org.apache.hadoop.fs.Path(basePath, s"_tmp_$i")
-        sliced.filter(col("_sl") === i).drop("_sl")
-          .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-        val part = fs.listStatus(tmp).map(_.getPath)
-          .find(_.getName.startsWith("part-"))
-          .getOrElse(throw new IllegalStateException(s"no part file in $tmp"))
-        val dst = new org.apache.hadoop.fs.Path(basePath, s"slice_$i.parquet")
-        fs.rename(part, dst)
-        fs.delete(tmp, true)
-        fs.setTimes(dst, 1700000000000L + i * 60000L, -1L)
-      }
+      writeMtimeSlices(s, base, (0 until 4).map(i =>
+        sliced.filter(col("_sl") === i).drop("_sl")))
       val stream = s.readStream
         .schema(sliced.drop("_sl").schema)
         .option("maxFilesPerTrigger", "1").parquet(base)
@@ -2768,6 +2730,34 @@ object SparkEntry {
     */
   def genDriftSlicesPath(dir: String): String =
     s"${System.getProperty("java.io.tmpdir")}/graft_gen_drift_slices_${dir.hashCode}"
+
+  /** Write `frames(i)` as the single file `slice_<i>.parquet` under
+    * `base` with strictly increasing mtimes (60 s apart — oldest-first is
+    * the file source's pick order, and the gaps leave no room for
+    * clock-granularity ties). ONE definition for every streaming harness
+    * that pins micro-batch order (drift / state / evict): the mtime base
+    * and spacing must stay in lockstep across them or the pinned batch
+    * order the oracles replay silently changes.
+    */
+  private def writeMtimeSlices(s: SparkSession, base: String,
+      frames: Seq[DataFrame]): Unit = {
+    val conf = s.sparkContext.hadoopConfiguration
+    val basePath = new org.apache.hadoop.fs.Path(base)
+    val fs = basePath.getFileSystem(conf)
+    fs.delete(basePath, true)
+    fs.mkdirs(basePath)
+    frames.zipWithIndex.foreach { case (df, i) =>
+      val tmp = new org.apache.hadoop.fs.Path(basePath, s"_tmp_$i")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = fs.listStatus(tmp).map(_.getPath)
+        .find(_.getName.startsWith("part-"))
+        .getOrElse(throw new IllegalStateException(s"no part file in $tmp"))
+      val dst = new org.apache.hadoop.fs.Path(basePath, s"slice_$i.parquet")
+      fs.rename(part, dst)
+      fs.delete(tmp, true)
+      fs.setTimes(dst, 1700000000000L + i * 60000L, -1L)
+    }
+  }
 
   /** e_stream_state's mtime-ordered event slice files (own dir — see
     * [[genStreamDocsPath]] on why queries never share one).
@@ -6178,8 +6168,12 @@ object SparkEntry {
         |    least(greatest(CAST(floor(date_diff('day', DATE '2024-01-01',
         |      CAST(ts AS DATE)) / 7) AS INT), 0), 3) AS sl
         |  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+        |base AS (SELECT user_id, ts, sl FROM e
+        |  UNION ALL
+        |  SELECT user_id + 1000000, ts, sl FROM e
+        |  WHERE user_id % 7 = 0 AND sl IN (0, 2)),
         |act AS (SELECT user_id, sl, CAST(count(*) AS BIGINT) AS n,
-        |    max(epoch_us(ts)) AS mx FROM e GROUP BY 1, 2),
+        |    max(epoch_us(ts)) AS mx FROM base GROUP BY 1, 2),
         |r AS (SELECT *, sl - dense_rank() OVER (PARTITION BY user_id
         |    ORDER BY sl) AS grp FROM act),
         |ep AS (SELECT user_id, CAST(sum(n) AS BIGINT) AS events_seen,

@@ -780,29 +780,6 @@ object Stats {
     }.reduce(_ unionByName _)
   }
 
-  /** Mann–Kendall monotonic-trend test per key over an ordered series of
-    * INTEGER observations (daily counts/sums — keep the series integral
-    * so the pairwise sign comparisons are exact in any engine; a
-    * float-valued series can flip a near-tie's sign on summation-order
-    * ULPs). The non-parametric companion of the drift family's
-    * completeness/PSI trends: no distribution or linearity assumption,
-    * robust to outliers — S = Σ_{i<j} sign(v_j − v_i), with the
-    * tie-corrected variance and the ±1-continuity z statistic
-    * (Kendall 1975). |z| > 1.96 ⇒ a monotonic trend at 95% — "this feed's
-    * daily volume is drifting", caught without choosing bins or
-    * thresholds.
-    *
-    * Output per key: n_obs, s_stat (exact integer), var_s, z (null when
-    * the variance degenerates: n < 2 or all observations tied), and a
-    * trend class (`increasing` / `decreasing` / `no_trend` /
-    * `insufficient`). A NULL key is a real series (null-safe joins).
-    *
-    * Scale: the input is a PRE-AGGREGATED series (key × time), so
-    * everything here is series-sized: the pair self-join fans each key to
-    * its own n·(n−1)/2 time pairs (n = days, bounded by the window you
-    * keep), and the n/tie/S tables are key-sized. The corpus-sized work
-    * happens upstream in the one groupBy that builds the series.
-    */
   /** Single most-likely level-shift (changepoint) per key over an ordered
     * INTEGER series — the "WHEN did it move" companion of
     * [[mannKendall]]'s "IS it moving": maximize the centered-CUSUM
@@ -815,7 +792,9 @@ object Stats {
     *
     * Output per key: n_obs, the split time (last observation of the
     * BEFORE segment), g_max, mean_before, mean_after, shift
-    * (after − before). A key with n < 2 has no valid split and is absent
+    * (after − before). A null time or value excludes the observation
+    * entirely (a half-present point would skew prefix positions against
+    * sums). A key with n < 2 has no valid split and is absent
     * (the [[graft.operators.Temporal.gapsAudit]] convention for
     * degenerate series). This finds the single strongest shift; recursing
     * into the two halves (binary segmentation) composes from this same
@@ -838,7 +817,7 @@ object Stats {
     val s = series
       .select(keyCols.map(col) ++ Seq(col(tCol).as("_t"),
         col(vCol).cast("long").as("_v")): _*)
-      .filter(col("_t").isNotNull)
+      .filter(col("_t").isNotNull && col("_v").isNotNull)
       .select(keyCols.map(col) ++ Seq(col("_t"), col("_v"),
         row_number().over(w).cast("long").as("_i"),
         sum(col("_v")).over(w).as("_c"),
@@ -867,13 +846,38 @@ object Stats {
     }: _*)
   }
 
+  /** Mann–Kendall monotonic-trend test per key over an ordered series of
+    * INTEGER observations (daily counts/sums — keep the series integral
+    * so the pairwise sign comparisons are exact in any engine; a
+    * float-valued series can flip a near-tie's sign on summation-order
+    * ULPs). The non-parametric companion of the drift family's
+    * completeness/PSI trends: no distribution or linearity assumption,
+    * robust to outliers — S = Σ_{i<j} sign(v_j − v_i), with the
+    * tie-corrected variance and the ±1-continuity z statistic
+    * (Kendall 1975). |z| > 1.96 ⇒ a monotonic trend at 95% — "this feed's
+    * daily volume is drifting", caught without choosing bins or
+    * thresholds.
+    *
+    * Output per key: n_obs, s_stat (exact integer), var_s, z (null when
+    * the variance degenerates: n < 2 or all observations tied), and a
+    * trend class (`increasing` / `decreasing` / `no_trend` /
+    * `insufficient`). A NULL key is a real series (null-safe joins); a
+    * null TIME or VALUE excludes the observation entirely (a half-present
+    * point would corrupt the tie/variance accounting).
+    *
+    * Scale: the input is a PRE-AGGREGATED series (key × time), so
+    * everything here is series-sized: the pair self-join fans each key to
+    * its own n·(n−1)/2 time pairs (n = days, bounded by the window you
+    * keep), and the n/tie/S tables are key-sized. The corpus-sized work
+    * happens upstream in the one groupBy that builds the series.
+    */
   def mannKendall(series: DataFrame, keyCols: Seq[String], tCol: String,
       vCol: String): DataFrame = {
     require(keyCols.nonEmpty, "mannKendall: need at least one key column")
     val s = series
       .select(keyCols.map(col) ++ Seq(col(tCol).as("_t"),
         col(vCol).cast("long").as("_v")): _*)
-      .filter(col("_t").isNotNull)
+      .filter(col("_t").isNotNull && col("_v").isNotNull)
     val right = s.select(keyCols.map(k => col(k).as(s"_r_$k")) ++
       Seq(col("_t").as("_rt"), col("_v").as("_rv")): _*)
     val keyEq = keyCols.map(k => col(k) <=> col(s"_r_$k")).reduce(_ && _)

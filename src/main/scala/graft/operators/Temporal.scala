@@ -294,7 +294,9 @@ object Temporal {
     * long — overflow bound: n·v² must stay under 2⁶³, i.e. daily values
     * ≲ 1.5·10⁸ for a year of days); doubles appear only in each (key,
     * lag)'s final r, so results replay bit-identically cross-engine.
-    * Degenerate pairs (n < 2 or zero variance on either side) → null r.
+    * Degenerate pairs (n < 2 or zero variance on either side) → null r;
+    * a null time or value excludes the observation entirely (it would
+    * otherwise count in n_pairs while vanishing from the sums).
     *
     * Scale: ALL lags ride ONE Exchange+Sort — the `lead(v, k)` windows
     * share the same (key, t) partitioning/ordering, then a single
@@ -310,7 +312,7 @@ object Temporal {
     val s = series
       .select(keyCols.map(col) ++ Seq(col(tCol).as("_t"),
         col(vCol).cast("long").as("_v")): _*)
-      .filter(col("_t").isNotNull)
+      .filter(col("_t").isNotNull && col("_v").isNotNull)
       .select(keyCols.map(col) ++ (col("_v") +: lags.map(k =>
         lead(col("_v"), k).over(w).as(s"_l$k"))): _*)
     val aggs = lags.flatMap { k =>

@@ -207,6 +207,30 @@ object StreamValidate {
       .toDF(keyCol, "occurrences")
   }
 
+  /** Run an update-mode streaming Dataset to completion
+    * (`Trigger.AvailableNow`) and keep EVERY batch's emitted rows — the
+    * harness sink shared by the custom-state operators ([[keyedProfileStream]],
+    * [[keyedEvictStream]]). A last-value/memory sink would only retain
+    * each key's final row and lose the trajectory; a production pipeline
+    * would point the same query at a real sink instead. Per-batch volume
+    * is bounded by the keys emitting in that batch.
+    */
+  private def collectUpdateStream(
+      df: DataFrame): Seq[org.apache.spark.sql.Row] = {
+    val rows = scala.collection.mutable.ListBuffer
+      .empty[org.apache.spark.sql.Row]
+    val q = df.writeStream
+      .outputMode("update")
+      .foreachBatch { (batchDf: DataFrame, _: Long) =>
+        rows ++= batchDf.collect()
+        ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    rows.toSeq
+  }
+
   /** Per-key CUSTOM-STATE streaming profile via `flatMapGroupsWithState`
     * — the state-store tier the `foreachBatch` incrementals above don't
     * exercise: state lives in Spark's per-key state store (checkpointed,
@@ -266,19 +290,9 @@ object StreamValidate {
           Iterator(
             KeyedProfileEmit(key, next.upd_seq, next.n, next.max_us))
       }
-    val rows = scala.collection.mutable.ListBuffer
-      .empty[(Long, Int, Long, Long)]
-    val q = emitted.toDF.writeStream
-      .outputMode("update")
-      .foreachBatch { (batchDf: DataFrame, _: Long) =>
-        rows ++= batchDf.collect().map(r =>
-          (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
-        ()
-      }
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    rows.toSeq.toDF("key", "upd_seq", "events_seen", "last_us")
+    collectUpdateStream(emitted.toDF)
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+      .toDF("key", "upd_seq", "events_seen", "last_us")
   }
   /** State EVICTION twin of [[keyedProfileStream]]: `flatMapGroupsWithState`
     * with an EVENT-TIME TIMEOUT — the piece that makes per-key state
@@ -354,18 +368,9 @@ object StreamValidate {
             Iterator.empty
           }
       }
-    val rows = scala.collection.mutable.ListBuffer.empty[(Long, Long, Long)]
-    val q = emitted.toDF.writeStream
-      .outputMode("update")
-      .foreachBatch { (batchDf: DataFrame, _: Long) =>
-        rows ++= batchDf.collect().map(r =>
-          (r.getLong(0), r.getLong(2), r.getLong(3)))
-        ()
-      }
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    rows.toSeq.toDF("key", "events_seen", "last_us")
+    collectUpdateStream(emitted.toDF)
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
+      .toDF("key", "events_seen", "last_us")
   }
 }
 
