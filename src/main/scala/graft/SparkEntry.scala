@@ -2693,6 +2693,57 @@ object SparkEntry {
       Validate.topOffenders(t(s, dir, "documents"), rules3, k = 3)
         .orderBy("rule", "rank")
     }),
+    // ---------- blocked fuzzy record linkage ----------
+    "d_linkage" -> ((s, dir) => {
+      // near-identical 24-char title keys within edit distance 2, found by
+      // prefix/suffix blocking + thresholded levenshtein (never the O(n^2)
+      // cross join); planted one-substitution twins (doc_id % 97, edit at
+      // position 6 so the prefix block still matches) pin recall
+      val base = t(s, dir, "documents")
+        .filter(col("text").isNotNull)
+        .select(col("doc_id").as("id"),
+          lower(substring(trim(col("text")), 1, 24)).as("name"))
+      val twins = base.filter(col("id") % 97 === 0)
+        .select((col("id") + 1000000000L).as("id"),
+          concat(substring(col("name"), 1, 5), lit("x"),
+            substring(col("name"), 7, 18)).as("name"))
+      Linkage.fuzzyPairs(base.unionByName(twins), "id", "name",
+        maxDist = 2, blockLen = 4, maxBlock = 2000L)
+        .orderBy("id_a", "id_b")
+    }),
+    // ---------- score calibration (reliability bins) ----------
+    "g_calibration" -> ((s, dir) => {
+      // is the length-based score honest about rule-pass probability? the
+      // score enters as integral milli-units, so every bin statistic is a
+      // single division of exact long sums (bit-exact cross-engine)
+      val d = t(s, dir, "documents").filter(col("n_chars").isNotNull)
+      Stats.calibration(d,
+        scoreMilli = least(col("n_chars"), lit(1000L)), scale = 1000,
+        pass = (col("lang").isNull || col("lang").isin("en", "de", "fr", "es"))
+          && (col("source").isNull || col("source").rlike("^src[0-3]$")),
+        bins = 10)
+    }),
+    // ---------- shuffle-skew advisor ----------
+    "l_skew" -> ((s, dir) => {
+      // measured salt factors for the two groupBy keys a pipeline actually
+      // shuffles on; the planted hot user (every 5th event re-keyed to
+      // 9999) must be flagged with ceil(rows/500) salts
+      val ev = t(s, dir, "events")
+      val users = ev.select(col("user_id").cast("string").as("key"))
+        .unionByName(ev.filter(col("event_id") % 5 === 0)
+          .select(lit("9999").as("key")))
+      val byUser = Layout.skewAdvisor(users, Seq("key"),
+          targetRowsPerTask = 500L, skewFactor = 2)
+        .withColumn("key_col", lit("user_id"))
+      val byType = Layout.skewAdvisor(
+          ev.select(col("event_type").as("key")), Seq("key"),
+          targetRowsPerTask = 500L, skewFactor = 1)
+        .withColumn("key_col", lit("event_type"))
+      byUser.unionByName(byType)
+        .select(col("key_col"), col("key"), col("rows"), col("share"),
+          col("salt_factor"))
+        .orderBy(col("key_col"), col("rows").desc, col("key"))
+    }),
     // ---------- generated north-rule corpus ----------
     "gen_validate" -> ((s, dir) => {
       // the generated corpus is WRITTEN to parquet first and validated from
@@ -6316,6 +6367,73 @@ object SparkEntry {
         |    ORDER BY occurrences DESC, value) AS INT) AS rank FROM c)
         |SELECT rule, value, occurrences, rank FROM r WHERE rank <= 3
         |ORDER BY rule, rank""".stripMargin,
+    // blocked fuzzy linkage: same blocking, cap, and banded-lev semantics
+    "d_linkage" ->
+      """WITH base AS (
+        |  SELECT doc_id AS id, lower(substr(trim(text), 1, 24)) AS name
+        |  FROM documents WHERE text IS NOT NULL
+        |  UNION ALL
+        |  SELECT doc_id + 1000000000,
+        |    substr(nm, 1, 5) || 'x' || substr(nm, 7, 18)
+        |  FROM (SELECT doc_id, lower(substr(trim(text), 1, 24)) AS nm
+        |        FROM documents WHERE text IS NOT NULL)
+        |  WHERE doc_id % 97 = 0),
+        |named AS (SELECT id, name FROM base
+        |  WHERE name IS NOT NULL AND length(name) >= 4),
+        |keyed AS (
+        |  SELECT id, name, 'p' || substr(name, 1, 4) AS bkey FROM named
+        |  UNION ALL
+        |  SELECT id, name, 's' || substr(name, -4, 4) FROM named),
+        |ok AS (SELECT * FROM keyed
+        |  QUALIFY count(*) OVER (PARTITION BY bkey) <= 2000),
+        |pairs AS (
+        |  SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+        |    CAST(levenshtein(a.name, b.name) AS INT) AS dist
+        |  FROM ok a JOIN ok b USING (bkey)
+        |  WHERE a.id < b.id AND abs(length(a.name) - length(b.name)) <= 2
+        |    AND levenshtein(a.name, b.name) <= 2)
+        |SELECT id_a, id_b, dist FROM pairs ORDER BY id_a, id_b""".stripMargin,
+    // calibration bins from exact integral sums (milli-score, pass count)
+    "g_calibration" ->
+      """WITH c AS (
+        |  SELECT least(n_chars, 1000) AS sm,
+        |    CASE WHEN (lang IS NULL OR lang IN ('en','de','fr','es'))
+        |      AND (source IS NULL OR regexp_matches(source, '^src[0-3]$'))
+        |      THEN 1 ELSE 0 END AS p
+        |  FROM documents WHERE n_chars IS NOT NULL),
+        |b AS (SELECT CAST(least((sm * 10) // 1000, 9) AS BIGINT) AS bin,
+        |    CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(p) AS BIGINT) AS n_pass,
+        |    CAST(sum(sm) AS BIGINT) AS sum_milli
+        |  FROM c GROUP BY 1)
+        |SELECT bin, n, n_pass, sum_milli,
+        |  round(sum_milli / (n * 1000), 6) AS mean_score,
+        |  round(n_pass / n, 6) AS pass_rate,
+        |  round(abs(sum_milli - 1000 * n_pass) / (n * 1000), 6) AS gap
+        |FROM b ORDER BY bin""".stripMargin,
+    // skew advisor: integer cross-multiplied flag + integer-DIV salt
+    "l_skew" ->
+      """WITH u AS (
+        |  SELECT CAST(user_id AS VARCHAR) AS key FROM events
+        |  UNION ALL
+        |  SELECT '9999' FROM events WHERE event_id % 5 = 0),
+        |uc AS (SELECT key, CAST(count(*) AS BIGINT) AS rows
+        |  FROM u GROUP BY 1),
+        |ut AS (SELECT sum(rows) AS total, count(*) AS nkeys FROM uc),
+        |ua AS (SELECT 'user_id' AS key_col, key, rows,
+        |    round(rows / total, 6) AS share,
+        |    CAST((rows + 499) // 500 AS BIGINT) AS salt_factor
+        |  FROM uc, ut WHERE rows * nkeys > 2 * total),
+        |e AS (SELECT event_type AS key FROM events),
+        |ec AS (SELECT key, CAST(count(*) AS BIGINT) AS rows
+        |  FROM e GROUP BY 1),
+        |et AS (SELECT sum(rows) AS total, count(*) AS nkeys FROM ec),
+        |ea AS (SELECT 'event_type' AS key_col, key, rows,
+        |    round(rows / total, 6) AS share,
+        |    CAST((rows + 499) // 500 AS BIGINT) AS salt_factor
+        |  FROM ec, et WHERE rows * nkeys > 1 * total)
+        |SELECT * FROM ua UNION ALL SELECT * FROM ea
+        |ORDER BY key_col, rows DESC, key""".stripMargin,
     "gen_validate" ->
       """WITH d AS (SELECT part, spans FROM '__GEN_DOCS_PATH__/*.parquet'),
         |per AS (SELECT part,

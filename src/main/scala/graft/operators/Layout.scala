@@ -362,6 +362,47 @@ object Layout {
       }(org.apache.spark.sql.Encoders.product[FooterStat])
       .toDF()
   }
+
+  /** Shuffle-skew advisor: per-key row counts for an intended groupBy/join
+    * key, flagging the keys that would make one reducer the straggler and
+    * recommending a salt fan-out for each.
+    *
+    * At 10^12 docs a single hot key (a default user id, an 'unknown'
+    * source, an empty-string language) routinely holds 10-100× the mean and
+    * turns a 1000-executor shuffle into a one-task tail; AQE's skew-join
+    * split only helps sort-merge JOINS, not aggregations, so the fix is
+    * salting — and the salt factor should come from measurement, not
+    * folklore. This is that measurement as a first-class operator:
+    *
+    *   - one map-side-combined count per key (the only shuffle);
+    *   - a key is flagged when rows·n_keys > skewFactor·total_rows, i.e.
+    *     count > skewFactor × mean — evaluated in INTEGER cross-multiplied
+    *     form so the verdict replays bit-exactly in any engine (no
+    *     float mean, no epsilon);
+    *   - salt_factor = ceil(rows / targetRowsPerTask) in integer DIV
+    *     arithmetic: the fan-out that caps every salted sub-key at one
+    *     task-sized slice.
+    *
+    * Returns flagged keys only: (key…, rows, share, salt_factor), biggest
+    * first. Empty output = no key needs salting at this threshold.
+    */
+  def skewAdvisor(df: DataFrame, keyCols: Seq[String],
+      targetRowsPerTask: Long, skewFactor: Int): DataFrame = {
+    require(keyCols.nonEmpty && targetRowsPerTask > 0 && skewFactor >= 1)
+    val counts = df.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("rows"))
+    val totals = counts.agg(sum(col("rows")).as("_total"),
+      count(lit(1)).as("_nkeys"))
+    counts.join(broadcast(totals))
+      .filter(col("rows") * col("_nkeys") >
+        lit(skewFactor.toLong) * col("_total"))
+      .select(keyCols.map(col) ++ Seq(
+        col("rows"),
+        round(col("rows") / col("_total"), 6).as("share"),
+        expr(s"CAST((rows + ${targetRowsPerTask - 1L}) DIV " +
+          s"$targetRowsPerTask AS BIGINT)").as("salt_factor")): _*)
+      .orderBy(col("rows").desc +: keyCols.map(col): _*)
+  }
 }
 
 /** One file's footer summary for [[Layout.parquetFooterAudit]]

@@ -917,4 +917,48 @@ object Stats {
         .when(z < -1.96, lit("decreasing"))
         .otherwise(lit("no_trend")).as("trend")): _*)
   }
+
+  /** Calibration (reliability) bins for a quality/score model against an
+    * observed boolean outcome: does "score 0.8" actually mean "passes 80%
+    * of the time"?
+    *
+    * A curation pipeline gates on learned or heuristic scores
+    * ([[TextAnalysis.qualityScore]], a classifier's confidence); if the
+    * score is miscalibrated, every threshold chosen from it is wrong too.
+    * The standard diagnostic is the reliability diagram: bucket rows by
+    * score, compare each bucket's MEAN SCORE (what the model claims) to its
+    * PASS RATE (what the data shows); the per-bin |gap| is what ECE
+    * aggregates.
+    *
+    * Scale + replay shape: one map-side-combined aggregation (the only
+    * shuffle), and all moments stay INTEGRAL — the score enters as
+    * `scoreMilli` (score · scale, a long), the bin index is integer
+    * arithmetic `min(scoreMilli·bins div scale, bins−1)`, and mean/rate/gap
+    * are each ONE division of exact integer sums, so every engine computes
+    * the same double and the rounded results replay bit-exactly. In
+    * particular gap = |sum_milli − scale·n_pass| / (scale·n): the
+    * numerator is an exact long, never a float subtraction.
+    *
+    * Returns one row per non-empty bin: (bin, n, n_pass, sum_milli,
+    * mean_score, pass_rate, gap), bin ascending.
+    */
+  def calibration(df: DataFrame, scoreMilli: Column, scale: Int,
+      pass: Column, bins: Int): DataFrame = {
+    require(scale > 0 && bins > 0)
+    df.select(scoreMilli.cast("long").as("_sm"),
+        when(pass, 1L).otherwise(0L).as("_p"))
+      .select(col("_sm"), col("_p"),
+        least(expr(s"CAST(((_sm * ${bins.toLong}) DIV ${scale.toLong}) " +
+          "AS BIGINT)"), lit(bins.toLong - 1L)).as("bin"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"), sum(col("_p")).as("n_pass"),
+        sum(col("_sm")).as("sum_milli"))
+      .select(col("bin"), col("n"), col("n_pass"), col("sum_milli"),
+        round(col("sum_milli") / (col("n") * scale.toLong), 6)
+          .as("mean_score"),
+        round(col("n_pass") / col("n"), 6).as("pass_rate"),
+        round(abs(col("sum_milli") - lit(scale.toLong) * col("n_pass")) /
+          (col("n") * scale.toLong), 6).as("gap"))
+      .orderBy(col("bin"))
+  }
 }
