@@ -830,6 +830,25 @@ object SparkEntry {
           round(col("containment"), 4).as("containment"))
         .orderBy("doc_id", "probe_id")
     }),
+    // ---------- corpus-wide subset-duplicate pairs ----------
+    "d_containment" -> ((s, dir) => {
+      // SUBSET dups MinHash banding can't surface: half-length twins
+      // injected at % 23 have Jaccard ~0.5 but containment ~1.0 in their
+      // source; candidates come from the inverted shingle index (df <=
+      // maxDf bounds the self-join fan-out), never an all-pairs join
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val twins = docs
+        .filter(pmod(col("doc_id"), lit(23L)) === 0L &&
+          length(col("text")) >= 64)
+        .select((col("doc_id") + 300000L).as("doc_id"),
+          col("text").substr(lit(1), floor(length(col("text")) / 2))
+            .as("text"))
+      Dedup.containmentPairs(docs.unionByName(twins), "doc_id", "text",
+          k = 3, maxDf = 100, minContainment = 0.8)
+        .select(col("id_a"), col("id_b"),
+          round(col("containment"), 4).as("containment"))
+        .orderBy("id_a", "id_b")
+    }),
     // ---------- similarity search ----------
     "s_ann_cosine" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
@@ -921,6 +940,18 @@ object SparkEntry {
     }),
     "t_top_tokens" -> ((s, dir) => {
       TextAnalysis.topTokens(t(s, dir, "documents"), "text", 20)
+    }),
+    "t_readability" -> ((s, dir) => {
+      // dictionary-free Flesch reading ease per doc: vowel-run syllables,
+      // [.!?]+ sentence runs, the shared toks() words — one codegen scan,
+      // flesch null for word-free docs (undefined)
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          TextAnalysis.readabilityStats(col("text")).as("r"))
+        .select(col("doc_id"), col("r.words").as("words"),
+          col("r.sentences").as("sentences"),
+          col("r.syllables").as("syllables"), col("r.flesch").as("flesch"))
+        .orderBy("doc_id")
     }),
     "t_boilerplate" -> ((s, dir) => {
       // corpus boilerplate report: 3-shingles in >= 5 distinct docs (the
@@ -2486,6 +2517,25 @@ object SparkEntry {
           "source" -> Rule.Check(Keywords(pattern = Some("^src[0-3]$")))))))
       Validate.failFastProfile(t(s, dir, "documents"), rules)
         .orderBy("rank")
+    }),
+    // ---------- cost-aware fail-fast schedule ----------
+    "v_rule_schedule" -> ((s, dir) => {
+      // which ORDER should --fail-fast try rules in? independent
+      // catch-rate per unit declared cost, measured in one aggregation
+      // scan: impossible_id (catches all, cheap) ranks first; the silent
+      // chars_nonneg ranks last despite being cheapest
+      val rules = Seq(
+        ("lang_enum", Rule.Check(Keywords(properties = Map(
+          "lang" -> Rule.Check(Keywords(enum_ = Some(langEnum)))))), 1.0),
+        ("chars_nonneg", Rule.Check(Keywords(properties = Map(
+          "n_chars" -> Rule.Check(Keywords(minimum = Some(0)))))), 0.5),
+        ("impossible_id", Rule.Check(Keywords(properties = Map(
+          "doc_id" -> Rule.Check(Keywords(maximum = Some(-1)))))), 0.5),
+        ("src_pattern", Rule.Check(Keywords(properties = Map(
+          "source" -> Rule.Check(Keywords(
+            pattern = Some("^src[0-3]$")))))), 4.0))
+      Validate.ruleSchedule(t(s, dir, "documents"), rules)
+        .orderBy("rule")
     }),
     // ---------- Mann-Kendall monotonic trend ----------
     "g_trend_mk" -> ((s, dir) => {
@@ -4634,6 +4684,36 @@ object SparkEntry {
         |  FROM sh d, pr p WHERE len(list_intersect(d.s, p.ps)) > 0)
         |SELECT doc_id, probe_id, round(c, 4) AS containment
         |FROM pairs WHERE c >= 0.5 ORDER BY doc_id, probe_id""".stripMargin,
+    // corpus-wide subset-dup pairs over the truncation-injected corpus:
+    // inverted shingle index (df <= 100), containment = shared / min size
+    "d_containment" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 300000,
+        |    substr(text, 1, CAST(floor(len(text) / 2) AS INT))
+        |  FROM documents WHERE doc_id % 23 = 0 AND len(text) >= 64),
+        |toks AS (SELECT doc_id,
+        |    string_split(lower(regexp_replace(trim(text), '\s+', ' ', 'g')), ' ') AS t
+        |  FROM corpus),
+        |shg AS (SELECT doc_id, unnest(list_distinct(list_transform(
+        |    generate_series(1, len(t) - 2),
+        |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS sh
+        |  FROM toks),
+        |f AS (SELECT sh, count(*) AS df FROM shg GROUP BY 1),
+        |kept AS (SELECT s.doc_id, s.sh, f.df
+        |  FROM shg s JOIN f ON f.sh = s.sh WHERE f.df <= 100),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM kept GROUP BY 1),
+        |shared AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    count(*) AS c
+        |  FROM kept a JOIN kept b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        |  WHERE a.df >= 2 AND b.df >= 2 GROUP BY 1, 2)
+        |SELECT s.id_a, s.id_b,
+        |  round(CAST(s.c AS DOUBLE) / least(na.n, nb.n), 4) AS containment
+        |FROM shared s JOIN sizes na ON na.doc_id = s.id_a
+        |  JOIN sizes nb ON nb.doc_id = s.id_b
+        |WHERE CAST(s.c AS DOUBLE) / least(na.n, nb.n) >= 0.8
+        |ORDER BY s.id_a, s.id_b""".stripMargin,
     // deterministic hash sampling: both engines compute md5 of the id and
     // compare the first 8 hex chars against the same literal threshold
     "p_sample" ->
@@ -4905,6 +4985,28 @@ object SparkEntry {
         |SELECT token, CAST(count(*) AS BIGINT) AS occurrences
         |FROM w WHERE token <> ''
         |GROUP BY token ORDER BY occurrences DESC, token LIMIT 20""".stripMargin,
+    // Flesch reading ease: vowel-group syllables (floor 1/word), [.!?]+
+    // sentence runs (floor 1), toks() words; constants cast to DOUBLE so
+    // both engines do identical IEEE arithmetic
+    "t_readability" ->
+      """WITH tk AS (SELECT doc_id, text,
+        |    list_filter(string_split_regex(lower(regexp_replace(trim(text),
+        |      '[^\p{L}\p{N}\s]', ' ', 'g')), '\s+'), w -> w <> '') AS t
+        |  FROM documents),
+        |m AS (SELECT doc_id,
+        |    CAST(len(t) AS BIGINT) AS words,
+        |    CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1)
+        |      AS BIGINT) AS sentences,
+        |    CAST(coalesce(list_sum(list_transform(t, w ->
+        |      greatest(len(regexp_extract_all(w, '[aeiouy]+')), 1))), 0)
+        |      AS BIGINT) AS syllables
+        |  FROM tk)
+        |SELECT doc_id, words, sentences, syllables,
+        |  CASE WHEN words > 0 THEN round(CAST(206.835 AS DOUBLE)
+        |    - CAST(1.015 AS DOUBLE) * words / CAST(sentences AS DOUBLE)
+        |    - CAST(84.6 AS DOUBLE) * syllables / CAST(words AS DOUBLE), 4)
+        |  END AS flesch
+        |FROM m ORDER BY doc_id""".stripMargin,
     // boilerplate shingles: per-doc DISTINCT 3-shingles, doc-frequency >= 5
     "t_boilerplate" ->
       """WITH toks AS (SELECT doc_id,
@@ -6094,6 +6196,42 @@ object SparkEntry {
         |    AS cum_share
         |FROM r LEFT JOIN c ON r.idx = c.idx, g
         |ORDER BY r.rank""".stripMargin,
+    // cost-aware fail-fast schedule: independent catch rates (same
+    // null-explicit predicates as v_rule_coverage), ranked by ROUNDED
+    // catch_rate / cost with the rule name as tie-break
+    "v_rule_schedule" ->
+      """WITH g AS (SELECT CAST(count(*) AS BIGINT) AS docs,
+        |  CAST(sum(CASE WHEN NOT (lang IS NULL
+        |    OR lang IN ('en','de','fr','es')) THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS f_lang,
+        |  CAST(sum(CASE WHEN NOT (n_chars IS NULL OR n_chars >= 0)
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS f_chars,
+        |  CAST(sum(CASE WHEN NOT (doc_id IS NULL OR doc_id <= -1)
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS f_id,
+        |  CAST(sum(CASE WHEN NOT (source IS NULL
+        |    OR regexp_matches(source, '^src[0-3]$')) THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS f_src
+        |  FROM documents),
+        |r AS (
+        |  SELECT 'lang_enum' AS rule, f_lang AS caught, docs,
+        |    CAST(1.0 AS DOUBLE) AS cost FROM g
+        |  UNION ALL SELECT 'chars_nonneg', f_chars, docs,
+        |    CAST(0.5 AS DOUBLE) FROM g
+        |  UNION ALL SELECT 'impossible_id', f_id, docs,
+        |    CAST(0.5 AS DOUBLE) FROM g
+        |  UNION ALL SELECT 'src_pattern', f_src, docs,
+        |    CAST(4.0 AS DOUBLE) FROM g),
+        |e AS (SELECT rule, caught, docs, cost,
+        |  CASE WHEN docs > 0
+        |    THEN round(CAST(caught AS DOUBLE) / docs, 6) END AS catch_rate,
+        |  CASE WHEN docs > 0
+        |    THEN round(CAST(caught AS DOUBLE) / docs / cost, 6) END
+        |    AS efficiency
+        |  FROM r)
+        |SELECT rule, caught, docs, cost, catch_rate, efficiency,
+        |  row_number() OVER (ORDER BY efficiency DESC NULLS LAST, rule)
+        |    AS sched_rank
+        |FROM e ORDER BY rule""".stripMargin,
     // Mann-Kendall S/var/z per event_type + the planted _ramp series
     "g_trend_mk" ->
       """WITH daily AS (

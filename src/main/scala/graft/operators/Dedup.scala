@@ -623,4 +623,44 @@ object Dedup {
         round(col("jaccard"), 4).as("jaccard"),
         round(abs(col("est") - col("jaccard")), 4).as("abs_err"))
   }
+
+  /** Corpus-wide SUBSET-duplicate pairs: documents whose shingle set is
+    * (mostly) contained in another's — containment = |A ∩ B| /
+    * min(|A|, |B|). MinHash banding cannot surface these (a short doc
+    * fully embedded in a long one has LOW Jaccard, so [[minHashPairs]]
+    * never buckets them together); candidates come from the inverted
+    * shingle index instead: explode to (shingle, id), drop shingles with
+    * document frequency > `maxDf` (boilerplate — and the fan-out bound:
+    * self-join candidate mass is Σ df² over KEPT shingles, ≤ maxDf·Σdf),
+    * self-join on the shingle, count shared shingles per (id_a < id_b)
+    * pair. Containment is defined over the kept-shingle universe (df ≤
+    * maxDf), which makes the whole operator exactly replayable by an
+    * independent engine; docs with zero kept shingles are excluded
+    * (undefined containment). Contrast [[contaminationAgainst]]
+    * (one small probe side, broadcast): here BOTH sides are the corpus.
+    */
+  def containmentPairs(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 3, maxDf: Int = 100, minContainment: Double = 0.8): DataFrame = {
+    val ex = df.select(col(idCol).as("_id"),
+        explode(array_distinct(shingles(col(textCol), k))).as("sh"))
+    val kept = ex.join(
+      ex.groupBy("sh").agg(count(lit(1)).as("_df"))
+        .filter(col("_df") <= maxDf), Seq("sh"))
+    val sizes = kept.groupBy(col("_id")).agg(count(lit(1)).as("_n"))
+    // df = 1 shingles cannot contribute a pair — pre-dropping them from
+    // the JOIN side (not the size side) is a pure fan-out reduction
+    val joinable = kept.filter(col("_df") >= 2)
+    val shared = joinable.select(col("sh"), col("_id").as("id_a"))
+      .join(joinable.select(col("sh"), col("_id").as("id_b")), Seq("sh"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("_shared"))
+    shared
+      .join(sizes.select(col("_id").as("id_a"), col("_n").as("_na")), Seq("id_a"))
+      .join(sizes.select(col("_id").as("id_b"), col("_n").as("_nb")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (col("_shared").cast("double") / least(col("_na"), col("_nb")))
+          .as("containment"))
+      .filter(col("containment") >= minContainment)
+  }
 }

@@ -742,4 +742,32 @@ object TextAnalysis {
           .as("new_share"),
         sum(col("new_types")).over(w).as("cum_types"))
   }
+
+  /** Flesch reading-ease ingredients + score, all-codegen, one scan.
+    * Words are the shared [[toks]] normalization (empty tokens dropped);
+    * syllables per word are approximated as vowel-group runs
+    * `[aeiouy]+` with a floor of 1 (the standard dictionary-free
+    * heuristic); sentences are `[.!?]+` runs with a floor of 1.
+    * flesch = 206.835 − 1.015·words/sentences − 84.6·syllables/words,
+    * null for word-free documents (undefined). Returns a struct
+    * (words, sentences, syllables, flesch) so callers unpack what they
+    * need without re-tokenizing.
+    */
+  def readabilityStats(text: Column): Column = {
+    val tks = filter(toks(text), t => t =!= lit(""))
+    val words = size(tks).cast("long")
+    val sentences =
+      greatest(size(regexp_extract_all(text, lit("[.!?]+"), lit(0))), lit(1))
+        .cast("long")
+    val syllables = aggregate(tks, lit(0L), (acc, w) =>
+      acc + greatest(
+        size(regexp_extract_all(w, lit("[aeiouy]+"), lit(0))), lit(1))
+        .cast("long"))
+    val flesch = when(words > 0L,
+      round(lit(206.835)
+        - lit(1.015) * words.cast("double") / sentences.cast("double")
+        - lit(84.6) * syllables.cast("double") / words.cast("double"), 4))
+    struct(words.as("words"), sentences.as("sentences"),
+      syllables.as("syllables"), flesch.as("flesch"))
+  }
 }
