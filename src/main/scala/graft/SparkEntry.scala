@@ -901,6 +901,13 @@ object SparkEntry {
       Similarity.labelCentroids(t(s, dir, "embeddings"), "label", "embedding")
         .orderBy("label", "dim")
     }),
+    "s_dispersion" -> ((s, dir) => {
+      // intra-cluster tightness per label: msd to own centroid (trace of
+      // the per-label covariance) + ||centroid||², one posexplode scan
+      Similarity.labelDispersion(t(s, dir, "embeddings"), "label",
+          "embedding")
+        .orderBy("label")
+    }),
     "s_cosine_neardup" -> ((s, dir) => {
       // embedding-cosine near-dup pairs via LSH buckets over a corpus with
       // INJECTED duplicates (vec_id % 20 == 0 re-appears as vec_id+100000):
@@ -2069,6 +2076,16 @@ object SparkEntry {
         .orderBy("lang")
     }),
     // ---------- event lateness histogram ----------
+    // ---------- per-feed freshness / staleness audit ----------
+    "e_freshness" -> ((s, dir) => {
+      // which feeds went quiet? per-event-type last delivery vs the
+      // corpus watermark (data-defined "now", so the report is
+      // deterministic); stale = silent > 30min of data time (the sf
+      // corpus spans hours, so error/purchase trip it and click doesn't)
+      Temporal.freshness(t(s, dir, "events"), "event_type", "ts",
+          staleAfterSeconds = 1800L)
+        .orderBy("key")
+    }),
     "e_lateness" -> ((s, dir) => {
       // how late does the stream run: per event, lateness = running max
       // event-time (in id order, per user) minus own time; bucketed —
@@ -2793,6 +2810,19 @@ object SparkEntry {
         .select(col("key_col"), col("key"), col("rows"), col("share"),
           col("salt_factor"))
         .orderBy(col("key_col"), col("rows").desc, col("key"))
+    }),
+    // ---------- join-explosion pre-flight ----------
+    "l_join_explosion" -> ((s, dir) => {
+      // predicted output cardinality of the sessionize SELF-join on
+      // user_id: per-key n² contributions, hot users flagged by integer
+      // cross-multiplication, top-50 by contribution; the planted hot
+      // user (every 5th event re-keyed to 9999, same injection as
+      // l_skew) contributes quadratically and must be flagged
+      val keyed = t(s, dir, "events")
+        .select(when(col("event_id") % 5 === 0, lit(9999L))
+          .otherwise(col("user_id")).as("user_id"))
+      Layout.joinExplosion(keyed, "user_id", keyed, "user_id",
+        hotFactor = 4L, topK = 50)
     }),
     // ---------- generated north-rule corpus ----------
     "gen_validate" -> ((s, dir) => {
@@ -4474,6 +4504,19 @@ object SparkEntry {
         |  round(avg(CAST(v AS DOUBLE)), 4) AS centroid,
         |  CAST(count(*) AS BIGINT) AS n_vecs
         |FROM e GROUP BY label, i ORDER BY label, dim""".stripMargin,
+    // per-label dispersion: msd = sum of per-dim population variances
+    // (per-dim moments rounded before the dim-sum in both engines)
+    "s_dispersion" ->
+      """WITH e AS (SELECT label, generate_subscripts(embedding, 1) AS i,
+        |    CAST(unnest(embedding) AS DOUBLE) AS v
+        |  FROM embeddings WHERE embedding IS NOT NULL),
+        |d AS (SELECT label, i, CAST(count(*) AS BIGINT) AS n,
+        |    round(avg(v*v) - avg(v)*avg(v), 6) AS var_d,
+        |    round(avg(v)*avg(v), 6) AS c2_d
+        |  FROM e GROUP BY 1, 2)
+        |SELECT label, max(n) AS n_vecs, round(sum(var_d), 4) AS msd,
+        |  round(sum(c2_d), 4) AS centroid_sq_norm
+        |FROM d GROUP BY label ORDER BY label""".stripMargin,
     "s_cosine_neardup" ->
       """WITH corpus AS (
         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
@@ -5532,6 +5575,18 @@ object SparkEntry {
         |  p95_v1, p95_v2, round(p95_v2 - p95_v1, 6) AS p95_delta
         |FROM q1 JOIN q2 ON q1.lang IS NOT DISTINCT FROM q2.lang
         |ORDER BY q1.lang""".stripMargin,
+    // per-feed freshness vs the data-defined watermark, exact epoch math
+    "e_freshness" ->
+      """WITH per AS (SELECT event_type AS key,
+        |    CAST(count(*) AS BIGINT) AS n_events,
+        |    CAST(floor(epoch(max(ts))) AS BIGINT) AS last_epoch
+        |  FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL
+        |  GROUP BY 1),
+        |wm AS (SELECT max(last_epoch) AS watermark FROM per)
+        |SELECT key, n_events, last_epoch, watermark,
+        |  watermark - last_epoch AS lag_seconds,
+        |  (watermark - last_epoch) > 1800 AS stale
+        |FROM per, wm ORDER BY key""".stripMargin,
     // lateness histogram vs the per-user running max in id order
     "e_lateness" ->
       """WITH e AS (SELECT user_id, event_id,
@@ -6572,6 +6627,21 @@ object SparkEntry {
         |  FROM ec, et WHERE rows * nkeys > 1 * total)
         |SELECT * FROM ua UNION ALL SELECT * FROM ea
         |ORDER BY key_col, rows DESC, key""".stripMargin,
+    // join-explosion pre-flight: per-key n*n inner-join contributions of
+    // the user_id self-join, integer cross-multiplied hot flag, top-50
+    "l_join_explosion" ->
+      """WITH base AS (SELECT CASE WHEN event_id % 5 = 0 THEN 9999
+        |    ELSE user_id END AS key FROM events),
+        |c AS (SELECT key, CAST(count(*) AS BIGINT) AS n
+        |  FROM base WHERE key IS NOT NULL GROUP BY 1),
+        |j AS (SELECT key, n AS rows_left, n AS rows_right,
+        |    n * n AS out_rows FROM c),
+        |g AS (SELECT CAST(sum(out_rows) AS BIGINT) AS total,
+        |    CAST(count(*) AS BIGINT) AS n_keys FROM j)
+        |SELECT key, rows_left, rows_right, out_rows,
+        |  round(CAST(out_rows AS DOUBLE) / total, 6) AS share,
+        |  (out_rows * n_keys > 4 * total) AS hot
+        |FROM j, g ORDER BY out_rows DESC, key LIMIT 50""".stripMargin,
     "gen_validate" ->
       """WITH d AS (SELECT part, spans FROM '__GEN_DOCS_PATH__/*.parquet'),
         |per AS (SELECT part,

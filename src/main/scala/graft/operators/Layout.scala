@@ -403,6 +403,48 @@ object Layout {
           s"$targetRowsPerTask AS BIGINT)").as("salt_factor")): _*)
       .orderBy(col("rows").desc +: keyCols.map(col): _*)
   }
+
+  /** Join-EXPLOSION advisor: predicted per-key output cardinality of a
+    * planned equi-join, before running it. For every key present on both
+    * sides, out_rows = rows_left × rows_right (the exact inner-join
+    * contribution); a key is `hot` when its contribution exceeds
+    * `hotFactor`× the average — flagged by integer cross-multiplication
+    * (out_rows · n_keys > hotFactor · total), no float mean. The join
+    * complement of [[skewAdvisor]]: that one sees a single table's
+    * groupBy keys; this one sees the MULTIPLICATIVE blow-up only the
+    * pairing creates (a key modest on each side can still dominate the
+    * join output).
+    *
+    * Scale: the two per-key counts are the only corpus-sized inputs
+    * (map-side combined to distinct-key-sized summaries); the key join,
+    * totals branch (broadcast 1-row), and top-k truncation all run on
+    * summaries. Output is capped at `topK` rows by (out_rows desc, key)
+    * so unbounded key cardinality cannot make the report itself
+    * corpus-sized.
+    */
+  def joinExplosion(left: DataFrame, leftKey: String,
+      right: DataFrame, rightKey: String,
+      hotFactor: Long = 8L, topK: Int = 100): DataFrame = {
+    require(hotFactor >= 1 && topK > 0, "joinExplosion: bad knobs")
+    val l = left.filter(col(leftKey).isNotNull)
+      .groupBy(col(leftKey).as("key")).agg(count(lit(1)).as("rows_left"))
+    val r = right.filter(col(rightKey).isNotNull)
+      .groupBy(col(rightKey).as("key")).agg(count(lit(1)).as("rows_right"))
+    val j = l.join(r, Seq("key"))
+      .select(col("key"), col("rows_left"), col("rows_right"),
+        (col("rows_left") * col("rows_right")).as("out_rows"))
+    val totals = j.agg(sum(col("out_rows")).as("_total"),
+      count(lit(1)).as("_nkeys"))
+    j.join(broadcast(totals))
+      .select(col("key"), col("rows_left"), col("rows_right"),
+        col("out_rows"),
+        // empty-join guard: no keys -> no rows, so _total > 0 here
+        round(col("out_rows") / col("_total"), 6).as("share"),
+        (col("out_rows") * col("_nkeys") >
+          lit(hotFactor) * col("_total")).as("hot"))
+      .orderBy(col("out_rows").desc, col("key"))
+      .limit(topK)
+  }
 }
 
 /** One file's footer summary for [[Layout.parquetFooterAudit]]

@@ -308,6 +308,45 @@ object Similarity {
         count(lit(1)).as("n_vecs"))
       .select(col("label"), col("dim"), col("centroid"), col("n_vecs"))
 
+  /** Per-label cluster DISPERSION: mean squared distance of a label's
+    * vectors to their own centroid — how tight each class is, the
+    * intra-cluster half of a separation diagnostic ([[labelCentroids]] +
+    * [[cosine]] give the inter-cluster half). Uses the algebraic
+    * identity msd = Σ_d Var_pop(x_d) = Σ_d (E[x_d²] − E[x_d]²): per-dim
+    * population variances from ONE scan, summed over dims — NO pairwise
+    * math, NO second pass against materialized centroids.
+    * `centroid_sq_norm` = Σ_d E[x_d]² = ‖c‖² rides along (near-zero for
+    * a label whose vectors cancel out — a mixing diagnostic).
+    *
+    * Per-dim moments are rounded to `roundTo` BEFORE the dim-sum so
+    * engines with different summation orders reproduce the report
+    * exactly; the final sums are over dims (a handful of fixed-point
+    * values), then rounded once more.
+    *
+    * Scale: identical shuffle shape to [[labelCentroids]] — posexplode
+    * inside the scan stage, map-side-combined groupBy (label, dim)
+    * carries labels×dims partial sums per partition; the label rollup
+    * runs on that summary.
+    */
+  def labelDispersion(df: DataFrame, labelCol: String, vecCol: String,
+      roundTo: Int = 6): DataFrame = {
+    val perDim = df.filter(col(vecCol).isNotNull)
+      .select(col(labelCol).as("label"),
+        posexplode(col(vecCol)).as(Seq("dim", "v")))
+      .select(col("label"), col("dim"), col("v").cast("double").as("v"))
+      .groupBy(col("label"), col("dim"))
+      .agg(count(lit(1)).as("n"), avg(col("v")).as("m1"),
+        avg(col("v") * col("v")).as("m2"))
+    perDim
+      .select(col("label"), col("n"),
+        round(col("m2") - col("m1") * col("m1"), roundTo).as("var_d"),
+        round(col("m1") * col("m1"), roundTo).as("c2_d"))
+      .groupBy(col("label"))
+      .agg(max(col("n")).as("n_vecs"),
+        round(sum(col("var_d")), 4).as("msd"),
+        round(sum(col("c2_d")), 4).as("centroid_sq_norm"))
+  }
+
   /** Embedding-distribution drift between two corpus slices: per-dimension
     * mean of each side and the absolute shift — the monitoring signal for
     * "the embedding model changed / the corpus mixture moved" that scalar
