@@ -830,6 +830,42 @@ object SparkEntry {
           round(col("containment"), 4).as("containment"))
         .orderBy("doc_id", "probe_id")
     }),
+    // ---------- canonical-URL dedup groups ----------
+    "d_url_dedup" -> ((s, dir) => {
+      // tracking-decorated twins of the same logical page: variant A
+      // carries host case + default-port + trailing-slash + utm noise;
+      // variant B (the %8 subset) reorders params and adds a fragment —
+      // canonicalization must collapse A=B while distinct pages stay apart
+      val docs = t(s, dir, "documents")
+      val a = docs.filter(pmod(col("doc_id"), lit(4L)) === 0L)
+        .select(concat(lit("https://Site"),
+          (col("doc_id") % 50).cast("string"),
+          lit(".example.org:443/p/"), col("doc_id").cast("string"),
+          lit("/?utm_source=mail&ref=1")).as("url"))
+      val b = docs.filter(pmod(col("doc_id"), lit(8L)) === 0L)
+        .select(concat(lit("https://site"),
+          (col("doc_id") % 50).cast("string"),
+          lit(".example.org/p/"), col("doc_id").cast("string"),
+          lit("?ref=1&utm_campaign=x#top")).as("url"))
+      Dedup.urlDupGroups(a.unionByName(b), "url").orderBy("canonical_url")
+    }),
+    // ---------- dedup threshold ROI sweep ----------
+    "d_dup_bands" -> ((s, dir) => {
+      // which threshold? jaccard-decile histogram + cumulative ROI curve
+      // over ONE banding+verify pass; 70%-token-prefix twins (%13)
+      // populate the mid bands the natural corpus (bimodal: dups >= 0.9,
+      // rest < 0.1) never shows
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val tks = split(col("text"), " ")
+      val m = ((lit(7) * size(tks)) / lit(10)).cast("int")
+      val twins = docs.filter(pmod(col("doc_id"), lit(13L)) === 0L &&
+          size(tks) >= 20)
+        .select((col("doc_id") + 400000L).as("doc_id"),
+          array_join(slice(tks, lit(1), m), " ").as("text"))
+      Dedup.thresholdSweep(docs.unionByName(twins), "doc_id", "text",
+          k = 3, numHashes = 32, bands = 16, minThreshold = 0.5)
+        .orderBy("band")
+    }),
     // ---------- corpus-wide subset-duplicate pairs ----------
     "d_containment" -> ((s, dir) => {
       // SUBSET dups MinHash banding can't surface: half-length twins
@@ -907,6 +943,17 @@ object SparkEntry {
       Similarity.labelDispersion(t(s, dir, "embeddings"), "label",
           "embedding")
         .orderBy("label")
+    }),
+    "s_vec_dup" -> ((s, dir) => {
+      // exact-copy vectors (re-ingested shard): every 20th embedding
+      // re-appears under a new id; bit-identical grouping must pair each
+      // with its source and nothing else
+      val emb = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      val corpus = emb.unionByName(
+        emb.filter(pmod(col("vec_id"), lit(20L)) === 0L)
+          .select((col("vec_id") + 100000L).as("vec_id"), col("embedding")))
+      Similarity.exactVecDups(corpus, "vec_id", "embedding")
+        .orderBy("keep_id")
     }),
     "s_cosine_neardup" -> ((s, dir) => {
       // embedding-cosine near-dup pairs via LSH buckets over a corpus with
@@ -4517,6 +4564,16 @@ object SparkEntry {
         |SELECT label, max(n) AS n_vecs, round(sum(var_d), 4) AS msd,
         |  round(sum(c2_d), 4) AS centroid_sq_norm
         |FROM d GROUP BY label ORDER BY label""".stripMargin,
+    // exact duplicate vectors: bit-identical list grouping in both engines
+    "s_vec_dup" ->
+      """WITH corpus AS (
+        |  SELECT vec_id, embedding FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 100000, embedding FROM embeddings
+        |  WHERE vec_id % 20 = 0)
+        |SELECT min(vec_id) AS keep_id, CAST(count(*) AS BIGINT) AS n_copies
+        |FROM corpus WHERE embedding IS NOT NULL
+        |GROUP BY embedding HAVING count(*) > 1 ORDER BY keep_id""".stripMargin,
     "s_cosine_neardup" ->
       """WITH corpus AS (
         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
@@ -4727,6 +4784,89 @@ object SparkEntry {
         |  FROM sh d, pr p WHERE len(list_intersect(d.s, p.ps)) > 0)
         |SELECT doc_id, probe_id, round(c, 4) AS containment
         |FROM pairs WHERE c >= 0.5 ORDER BY doc_id, probe_id""".stripMargin,
+    // canonical-URL dedup: the full canonicalization pipeline replayed in
+    // DuckDB (fragment, host-case, www, default ports, tracking params,
+    // param sort, trailing slash)
+    "d_url_dedup" ->
+      """WITH raw AS (
+        |  SELECT 'https://Site' || CAST(doc_id % 50 AS VARCHAR)
+        |    || '.example.org:443/p/' || CAST(doc_id AS VARCHAR)
+        |    || '/?utm_source=mail&ref=1' AS url
+        |  FROM documents WHERE doc_id % 4 = 0
+        |  UNION ALL
+        |  SELECT 'https://site' || CAST(doc_id % 50 AS VARCHAR)
+        |    || '.example.org/p/' || CAST(doc_id AS VARCHAR)
+        |    || '?ref=1&utm_campaign=x#top'
+        |  FROM documents WHERE doc_id % 8 = 0),
+        |c1 AS (SELECT url, regexp_replace(url, '#.*', '') AS nf FROM raw),
+        |c2 AS (SELECT url,
+        |    CASE WHEN strpos(nf, '?') > 0
+        |      THEN substr(nf, 1, strpos(nf, '?') - 1) ELSE nf END AS base0,
+        |    CASE WHEN strpos(nf, '?') > 0
+        |      THEN substr(nf, strpos(nf, '?') + 1) ELSE '' END AS q
+        |  FROM c1),
+        |c3 AS (SELECT url, q,
+        |    lower(regexp_extract(base0, '(?i)^(https?://[^/]*)(.*)$', 1))
+        |      || regexp_extract(base0, '(?i)^(https?://[^/]*)(.*)$', 2)
+        |      AS b1
+        |  FROM c2),
+        |c4 AS (SELECT url, q, regexp_replace(regexp_replace(regexp_replace(
+        |    regexp_replace(b1, '^(https?://)www\.', '\1'),
+        |    '^(http://[^/:]+):80(/.*)?$', '\1\2'),
+        |    '^(https://[^/:]+):443(/.*)?$', '\1\2'),
+        |    '/$', '') AS base FROM c3),
+        |c5 AS (SELECT url, base, array_to_string(list_sort(list_filter(
+        |    string_split(q, '&'), p -> p <> ''
+        |      AND NOT p LIKE 'utm\_%' ESCAPE '\'
+        |      AND NOT regexp_matches(p, '^(gclid|fbclid)='))), '&')
+        |    AS params FROM c4),
+        |canon AS (SELECT url, CASE WHEN params = '' THEN base
+        |    ELSE base || '?' || params END AS cu FROM c5)
+        |SELECT cu AS canonical_url, CAST(count(*) AS BIGINT)
+        |    AS n_occurrences,
+        |  CAST(count(DISTINCT url) AS BIGINT) AS n_variants,
+        |  min(url) AS first_raw
+        |FROM canon GROUP BY 1 HAVING count(*) > 1
+        |ORDER BY canonical_url""".stripMargin,
+    // dedup threshold sweep: brute-force pairwise jaccard over the
+    // truncation-injected corpus, binned into deciles + cumulative
+    "d_dup_bands" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 400000, array_to_string(list_slice(
+        |      string_split(text, ' '), 1,
+        |      (7 * len(string_split(text, ' '))) // 10), ' ')
+        |  FROM documents WHERE doc_id % 13 = 0
+        |    AND len(string_split(text, ' ')) >= 20),
+        |toks AS (SELECT doc_id,
+        |    string_split(lower(regexp_replace(trim(text), '\s+', ' ', 'g')), ' ') AS t
+        |  FROM corpus),
+        |sh AS (SELECT doc_id,
+        |    CASE WHEN len(t) >= 3 THEN list_distinct(list_transform(
+        |      generate_series(1, len(t) - 2), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+        |    ELSE CAST([] AS VARCHAR[]) END AS s
+        |  FROM toks),
+        |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) AS i,
+        |    CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))
+        |      AS DOUBLE) AS u
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id),
+        |j AS (SELECT id_a, id_b,
+        |    CASE WHEN u = 0 THEN 0.0 ELSE i / u END AS jac FROM pairs
+        |  WHERE (CASE WHEN u = 0 THEN 0.0 ELSE i / u END) >= 0.5),
+        |b AS (SELECT CAST(least(floor(jac * 10), 9) AS INT) AS band,
+        |    id_a, id_b FROM j),
+        |pb AS (SELECT band, CAST(count(*) AS BIGINT) AS n_pairs
+        |  FROM b GROUP BY 1),
+        |d AS (SELECT band, CAST(count(DISTINCT id) AS BIGINT) AS n_docs
+        |  FROM (SELECT band, id_a AS id FROM b
+        |        UNION ALL SELECT band, id_b FROM b) GROUP BY 1)
+        |SELECT pb.band, CAST(pb.band AS DOUBLE) / 10 AS band_lo,
+        |  pb.n_pairs, d.n_docs,
+        |  CAST(sum(pb.n_pairs) OVER (ORDER BY pb.band DESC) AS BIGINT)
+        |    AS cum_pairs
+        |FROM pb JOIN d ON d.band = pb.band ORDER BY pb.band""".stripMargin,
     // corpus-wide subset-dup pairs over the truncation-injected corpus:
     // inverted shingle index (df <= 100), containment = shared / min size
     "d_containment" ->

@@ -639,6 +639,59 @@ object Dedup {
     * (undefined containment). Contrast [[contaminationAgainst]]
     * (one small probe side, broadcast): here BOTH sides are the corpus.
     */
+  /** Canonical-URL duplicate groups: links that are the SAME page once
+    * tracking decoration is stripped ([[TextAnalysis.canonicalUrl]]:
+    * fragment, `utm_*`/click-ids, param order, host case, `www.`,
+    * default ports, trailing slash). One map-side-combined groupBy on
+    * the canonical form — dup groups collapse before the shuffle, so
+    * the exchange carries one row per distinct canonical URL per
+    * partition. Output keeps only actual dup groups (`n_occurrences >
+    * 1`) with the count of distinct RAW spellings and the
+    * lexicographically-first raw form as the representative.
+    */
+  def urlDupGroups(df: DataFrame, urlCol: String): DataFrame =
+    df.filter(col(urlCol).isNotNull)
+      .groupBy(TextAnalysis.canonicalUrl(col(urlCol)).as("canonical_url"))
+      .agg(count(lit(1)).as("n_occurrences"),
+        countDistinct(col(urlCol)).as("n_variants"),
+        min(col(urlCol)).as("first_raw"))
+      .filter(col("n_occurrences") > 1)
+
+  /** Dedup threshold ROI sweep: how many near-dup pairs (and docs) sit
+    * in each jaccard decile at or above `minThreshold`, plus the
+    * cumulative pair count from the top — the curve that answers "what
+    * does raising/lowering the dedup threshold actually buy". ONE
+    * banding + exact-verify pass ([[nearDupPairsExact]]) feeds every
+    * band; nothing is re-scanned per threshold. Band = floor(j·10)
+    * clamped to 9 (so j = 1.0 lands in [0.9, 1.0]); both engines bin
+    * the same IEEE double, so the histogram replays exactly. The
+    * sweep's domain of validity is the banding's recall S-curve — pairs
+    * far below the configured band knee are not candidates, which is
+    * the point (a sweep that brute-forced all pairs would be the n²
+    * join this whole subsystem exists to avoid).
+    */
+  def thresholdSweep(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 3, numHashes: Int = 32, bands: Int = 16,
+      minThreshold: Double = 0.5, maxBucket: Int = 1000): DataFrame = {
+    val pairs = nearDupPairsExact(df, idCol, textCol, k, numHashes, bands,
+      minThreshold, maxBucket)
+    val b = pairs.select(
+      least(floor(col("jaccard") * 10).cast("int"), lit(9)).as("band"),
+      col("id_a"), col("id_b"))
+    val perBand = b.groupBy(col("band")).agg(count(lit(1)).as("n_pairs"))
+    val docs = b
+      .select(col("band"), explode(array(col("id_a"), col("id_b"))).as("id"))
+      .groupBy(col("band")).agg(countDistinct(col("id")).as("n_docs"))
+    // the window is over <= 10 band rows — single-partition by design
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("band").desc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    perBand.join(docs, Seq("band"))
+      .select(col("band"), (col("band").cast("double") / 10).as("band_lo"),
+        col("n_pairs"), col("n_docs"),
+        sum(col("n_pairs")).over(w).as("cum_pairs"))
+  }
+
   def containmentPairs(df: DataFrame, idCol: String, textCol: String,
       k: Int = 3, maxDf: Int = 100, minContainment: Double = 0.8): DataFrame = {
     val ex = df.select(col(idCol).as("_id"),

@@ -328,6 +328,24 @@ object Similarity {
     * carries labels×dims partial sums per partition; the label rollup
     * runs on that summary.
     */
+  /** EXACT duplicate embeddings: groups of rows carrying bit-identical
+    * vectors (re-ingested shards, retried encoder batches — the cheap
+    * dedup to run BEFORE any ANN machinery; near-dups are
+    * [[cosineNearDupPairs]]' job). Grouping key is the vector itself:
+    * map-side combine collapses dup groups inside the scan stage, so the
+    * exchange carries one row per distinct vector per partition, and the
+    * raw-value key is what an independent engine can replay (a 64-bit
+    * pre-hash + verify-exact-within-bucket two-phase saves shuffle bytes
+    * at extreme dims but emits engine-private hashes). Output: smallest
+    * id per group (the canonical keep) + copy count, dup groups only.
+    */
+  def exactVecDups(df: DataFrame, idCol: String, vecCol: String): DataFrame =
+    df.filter(col(vecCol).isNotNull)
+      .groupBy(col(vecCol).as("_vec"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+      .filter(col("n_copies") > 1)
+      .select(col("keep_id"), col("n_copies"))
+
   def labelDispersion(df: DataFrame, labelCol: String, vecCol: String,
       roundTo: Int = 6): DataFrame = {
     val perDim = df.filter(col(vecCol).isNotNull)

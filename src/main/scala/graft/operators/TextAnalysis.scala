@@ -474,6 +474,41 @@ object TextAnalysis {
       .orderBy(col("occurrences").desc, col("domain"))
       .limit(k)
 
+  /** Canonical form of a URL — the equality key under which
+    * tracking-decorated / trivially-reformatted links are the SAME page:
+    *   1. fragment stripped (`#…` never reaches the server);
+    *   2. scheme+host lowercased (case-insensitive per RFC 3986), path
+    *      case preserved;
+    *   3. leading `www.` dropped;
+    *   4. default ports dropped (`:80` for http, `:443` for https);
+    *   5. tracking params dropped (`utm_*`, `gclid`, `fbclid`), the
+    *      survivors SORTED (query order is almost never semantic);
+    *   6. trailing `/` dropped.
+    * Pure string/regex ops in the RE2-compatible subset (no lookaround),
+    * so an independent engine replays it exactly. All-codegen, row-local.
+    */
+  def canonicalUrl(url: Column): Column = {
+    val noFrag = regexp_replace(url, "#.*", "")
+    val qPos = instr(noFrag, "?")
+    val base0 = when(qPos > 0, substring(noFrag, lit(1), qPos - 1))
+      .otherwise(noFrag)
+    val query = when(qPos > 0, substring(noFrag, qPos + 1, lit(1 << 28)))
+      .otherwise(lit(""))
+    // lowercase scheme://host[:port] only (group 1), keep the path as-is
+    val schemeHost = regexp_extract(base0, "(?i)^(https?://[^/]*)(.*)$", 1)
+    val rest = regexp_extract(base0, "(?i)^(https?://[^/]*)(.*)$", 2)
+    val base1 = concat(lower(schemeHost), rest)
+    val base2 = regexp_replace(base1, "^(https?://)www\\.", "$1")
+    val base3 = regexp_replace(
+      regexp_replace(base2, "^(http://[^/:]+):80(/.*)?$", "$1$2"),
+      "^(https://[^/:]+):443(/.*)?$", "$1$2")
+    val base = regexp_replace(base3, "/$", "")
+    val params = array_join(array_sort(filter(split(query, "&"), p =>
+      p =!= "" && !p.startsWith("utm_") &&
+        !p.rlike("^(gclid|fbclid)="))), "&")
+    when(params === "", base).otherwise(concat(base, lit("?"), params))
+  }
+
   /** One-pass text profile of a corpus. */
   def profile(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(
