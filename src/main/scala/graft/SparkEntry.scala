@@ -849,6 +849,13 @@ object SparkEntry {
           lit("?ref=1&utm_campaign=x#top")).as("url"))
       Dedup.urlDupGroups(a.unionByName(b), "url").orderBy("canonical_url")
     }),
+    // ---------- LSH banding-parameter advisor ----------
+    "d_banding_advisor" -> ((s, _) =>
+      // the closed-form S-curve table behind choosing bands: every
+      // (b, r) factorization of 32 hashes, knee + recall/false-candidate
+      // proxies at target 0.6, recommended row by rounded knee distance
+      Dedup.bandingAdvisor(s, numHashes = 32, targetThreshold = 0.6)
+        .orderBy("bands")),
     // ---------- dedup threshold ROI sweep ----------
     "d_dup_bands" -> ((s, dir) => {
       // which threshold? jaccard-decile histogram + cumulative ROI curve
@@ -2123,6 +2130,12 @@ object SparkEntry {
         .orderBy("lang")
     }),
     // ---------- event lateness histogram ----------
+    // ---------- hour-of-day load profile ----------
+    "e_load_profile" -> ((s, dir) =>
+      // capacity-planning / seasonal-baseline view: events by (type,
+      // hour-of-day), share within type, deterministic peak hour
+      Temporal.loadProfile(t(s, dir, "events"), "event_type", "ts")
+        .orderBy("key", "hour")),
     // ---------- per-feed freshness / staleness audit ----------
     "e_freshness" -> ((s, dir) => {
       // which feeds went quiet? per-event-type last delivery vs the
@@ -2581,6 +2594,22 @@ object SparkEntry {
           "source" -> Rule.Check(Keywords(pattern = Some("^src[0-3]$")))))))
       Validate.failFastProfile(t(s, dir, "documents"), rules)
         .orderBy("rank")
+    }),
+    // ---------- cross-field consistency audit ----------
+    "v_cross_field" -> ((s, dir) => {
+      // invariants the keyword grammar can't express (field vs FIELD):
+      // n_chars corrupted (+1) at %41 must be caught with the smallest
+      // offending id as evidence; the other two invariants stay clean
+      // (zero violations, null evidence)
+      val docs = t(s, dir, "documents")
+        .withColumn("n_chars",
+          when(pmod(col("doc_id"), lit(41L)) === 0L, col("n_chars") + 1)
+            .otherwise(col("n_chars")))
+      Validate.crossFieldAudit(docs, Seq(
+          ("chars_match", col("n_chars") === length(col("text"))),
+          ("id_nonneg", col("doc_id") >= 0),
+          ("text_nonempty", length(col("text")) > 0)), "doc_id")
+        .orderBy("invariant")
     }),
     // ---------- cost-aware fail-fast schedule ----------
     "v_rule_schedule" -> ((s, dir) => {
@@ -4828,6 +4857,22 @@ object SparkEntry {
         |  min(url) AS first_raw
         |FROM canon GROUP BY 1 HAVING count(*) > 1
         |ORDER BY canonical_url""".stripMargin,
+    // LSH banding advisor: closed-form S-curve table, same IEEE pow math
+    "d_banding_advisor" ->
+      """WITH b AS (SELECT CAST(x AS BIGINT) AS bands,
+        |    CAST(32 // x AS BIGINT) AS r
+        |  FROM generate_series(1, 32) AS t(x) WHERE 32 % x = 0),
+        |s AS (SELECT bands, r AS rows_per_band,
+        |    round(pow(1.0 / bands, 1.0 / r), 4) AS knee,
+        |    round(1.0 - pow(1.0 - pow(0.6, r), bands), 4) AS p_at_target,
+        |    round(1.0 - pow(1.0 - pow(0.4, r), bands), 4)
+        |      AS p_below_target,
+        |    round(abs(pow(1.0 / bands, 1.0 / r) - 0.6), 4) AS dist
+        |  FROM b)
+        |SELECT bands, rows_per_band, knee, p_at_target, p_below_target,
+        |  (row_number() OVER (ORDER BY dist, bands DESC) = 1)
+        |    AS recommended
+        |FROM s ORDER BY bands""".stripMargin,
     // dedup threshold sweep: brute-force pairwise jaccard over the
     // truncation-injected corpus, binned into deciles + cumulative
     "d_dup_bands" ->
@@ -5715,6 +5760,18 @@ object SparkEntry {
         |  p95_v1, p95_v2, round(p95_v2 - p95_v1, 6) AS p95_delta
         |FROM q1 JOIN q2 ON q1.lang IS NOT DISTINCT FROM q2.lang
         |ORDER BY q1.lang""".stripMargin,
+    // hour-of-day load profile: counts, within-type share, peak rank
+    "e_load_profile" ->
+      """WITH per AS (SELECT event_type AS key, CAST(hour(ts) AS INT)
+        |    AS hour, CAST(count(*) AS BIGINT) AS n_events
+        |  FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL
+        |  GROUP BY 1, 2)
+        |SELECT key, hour, n_events,
+        |  round(CAST(n_events AS DOUBLE) /
+        |    sum(n_events) OVER (PARTITION BY key), 6) AS share,
+        |  (row_number() OVER (PARTITION BY key
+        |    ORDER BY n_events DESC, hour) = 1) AS is_peak
+        |FROM per ORDER BY key, hour""".stripMargin,
     // per-feed freshness vs the data-defined watermark, exact epoch math
     "e_freshness" ->
       """WITH per AS (SELECT event_type AS key,
@@ -6391,6 +6448,37 @@ object SparkEntry {
         |    AS cum_share
         |FROM r LEFT JOIN c ON r.idx = c.idx, g
         |ORDER BY r.rank""".stripMargin,
+    // cross-field audit: CASE sums + conditional min per invariant over
+    // the same corrupted view
+    "v_cross_field" ->
+      """WITH d AS (SELECT doc_id, text,
+        |    CASE WHEN doc_id % 41 = 0 THEN n_chars + 1 ELSE n_chars END
+        |      AS n_chars
+        |  FROM documents),
+        |g AS (SELECT CAST(count(*) AS BIGINT) AS docs,
+        |  CAST(sum(CASE WHEN NOT coalesce(n_chars = len(text), FALSE)
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS v1,
+        |  min(CASE WHEN NOT coalesce(n_chars = len(text), FALSE)
+        |    THEN doc_id END) AS id1,
+        |  CAST(sum(CASE WHEN NOT coalesce(doc_id >= 0, FALSE)
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS v2,
+        |  min(CASE WHEN NOT coalesce(doc_id >= 0, FALSE)
+        |    THEN doc_id END) AS id2,
+        |  CAST(sum(CASE WHEN NOT coalesce(len(text) > 0, FALSE)
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS v3,
+        |  min(CASE WHEN NOT coalesce(len(text) > 0, FALSE)
+        |    THEN doc_id END) AS id3
+        |  FROM d),
+        |r AS (
+        |  SELECT 'chars_match' AS invariant, v1 AS n_viol, docs,
+        |    id1 AS first_bad_id FROM g
+        |  UNION ALL SELECT 'id_nonneg', v2, docs, id2 FROM g
+        |  UNION ALL SELECT 'text_nonempty', v3, docs, id3 FROM g)
+        |SELECT invariant, n_viol, docs,
+        |  CASE WHEN docs > 0
+        |    THEN round(CAST(n_viol AS DOUBLE) / docs, 6) END AS viol_rate,
+        |  first_bad_id
+        |FROM r ORDER BY invariant""".stripMargin,
     // cost-aware fail-fast schedule: independent catch rates (same
     // null-explicit predicates as v_rule_coverage), ranked by ROUNDED
     // catch_rate / cost with the rule name as tie-break

@@ -639,6 +639,45 @@ object Dedup {
     * (undefined containment). Contrast [[contaminationAgainst]]
     * (one small probe side, broadcast): here BOTH sides are the corpus.
     */
+  /** LSH banding-parameter ADVISOR: for every (bands, rows) factorization
+    * of `numHashes`, the S-curve knee `(1/b)^(1/r)` (the jaccard where
+    * candidate probability crosses ~1−1/e), the candidate probability
+    * 1−(1−t^r)^b AT the target threshold (recall proxy) and at
+    * `target − 0.2` (false-candidate cost proxy) — the closed-form
+    * trade-off table behind choosing [[minHashPairs]]' `bands`. The
+    * `recommended` row minimizes the ROUNDED |knee − target| (ties →
+    * more bands, i.e. recall-favoring). Driver-side-sized by
+    * construction (one row per divisor); built as a DataFrame so the
+    * report composes with the rest of the pipeline.
+    */
+  def bandingAdvisor(spark: org.apache.spark.sql.SparkSession,
+      numHashes: Int, targetThreshold: Double): DataFrame = {
+    require(numHashes > 0 && targetThreshold > 0 && targetThreshold < 1,
+      "bandingAdvisor: need numHashes > 0 and target in (0,1)")
+    val t = lit(targetThreshold)
+    val lo = greatest(t - lit(0.2), lit(0.05))
+    val rows = spark.range(1, numHashes + 1L).toDF("bands")
+      .filter(lit(numHashes.toLong) % col("bands") === 0L)
+      .select(col("bands"), (lit(numHashes.toLong) / col("bands"))
+        .cast("long").as("rows_per_band"))
+    val knee = pow(lit(1.0) / col("bands"), lit(1.0) / col("rows_per_band"))
+    val pAt = lit(1.0) - pow(lit(1.0) - pow(t, col("rows_per_band")),
+      col("bands"))
+    val pLo = lit(1.0) - pow(lit(1.0) - pow(lo, col("rows_per_band")),
+      col("bands"))
+    val scored = rows.select(col("bands"), col("rows_per_band"),
+      round(knee, 4).as("knee"),
+      round(pAt, 4).as("p_at_target"),
+      round(pLo, 4).as("p_below_target"),
+      round(abs(knee - t), 4).as("_dist"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("_dist"), col("bands").desc)
+    scored
+      .select(col("bands"), col("rows_per_band"), col("knee"),
+        col("p_at_target"), col("p_below_target"),
+        (row_number().over(w) === 1).as("recommended"))
+  }
+
   /** Canonical-URL duplicate groups: links that are the SAME page once
     * tracking decoration is stripped ([[TextAnalysis.canonicalUrl]]:
     * fragment, `utm_*`/click-ids, param order, host case, `www.`,

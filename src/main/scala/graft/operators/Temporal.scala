@@ -413,6 +413,31 @@ object Temporal {
     * the watermark derives from the per-group summary itself (re-agg of
     * maxes, summary-sized) and joins back as a broadcast single row.
     */
+  /** Hour-of-day LOAD PROFILE per group: event counts by (group, hour),
+    * each hour's share of its group, and the group's peak hour — the
+    * capacity-planning / anomaly-baseline view ([[g_anomaly]]-style
+    * watchdogs need exactly this seasonal shape to avoid flagging the
+    * daily peak as an outlier). Share is an exact division of the two
+    * integer counts; peak = rank 1 by (n desc, hour asc), deterministic.
+    *
+    * Scale: ONE map-side-combined groupBy (group, hour) — the shuffle
+    * carries ≤ 24 rows per group per partition; the share/peak windows
+    * run on the 24×groups summary, partitioned by group.
+    */
+  def loadProfile(df: DataFrame, groupCol: String, timeCol: String): DataFrame = {
+    val per = df.filter(col(timeCol).isNotNull && col(groupCol).isNotNull)
+      .groupBy(col(groupCol).as("key"),
+        hour(col(timeCol)).cast("int").as("hour"))
+      .agg(count(lit(1)).as("n_events"))
+    val wSum = Window.partitionBy(col("key"))
+    val wRank = Window.partitionBy(col("key"))
+      .orderBy(col("n_events").desc, col("hour"))
+    per.select(col("key"), col("hour"), col("n_events"),
+      round(col("n_events").cast("double") /
+        sum(col("n_events")).over(wSum), 6).as("share"),
+      (row_number().over(wRank) === 1).as("is_peak"))
+  }
+
   def freshness(df: DataFrame, groupCol: String, timeCol: String,
       staleAfterSeconds: Long): DataFrame = {
     require(staleAfterSeconds > 0,

@@ -387,6 +387,46 @@ object Validate {
     * sums (map-side combined to a single row), then explode + a window
     * over the rules-count-sized result. No shuffle proportional to docs.
     */
+  /** CROSS-FIELD consistency audit — invariants the keyword grammar
+    * cannot express because they compare one field to ANOTHER (derived
+    * columns match their source, totals reconcile, ranges are ordered):
+    * each check is an arbitrary boolean `Column`; a row VIOLATES a check
+    * when the predicate is not TRUE (null compares count as violations —
+    * a consistency invariant that cannot be evaluated is not satisfied;
+    * this deliberately differs from keyword rules' absent-property-passes
+    * contract, which is about optional fields, not consistency).
+    *
+    * Output per check: n_viol, docs, viol_rate, and the smallest
+    * offending id as the evidence pointer (null when the check is clean).
+    *
+    * Scale: ONE aggregation scan with per-check conditional sums +
+    * conditional min — map-side combined to a single row, then exploded
+    * to checks-count-sized output. No shuffle proportional to rows.
+    */
+  def crossFieldAudit(df: DataFrame, checks: Seq[(String, Column)],
+      idCol: String): DataFrame = {
+    require(checks.nonEmpty, "crossFieldAudit: no checks")
+    val aggs = count(lit(1)).as("_docs") +: checks.zipWithIndex.flatMap {
+      case ((_, pred), i) =>
+        val viol = !coalesce(pred, lit(false))
+        Seq(sum(when(viol, 1L).otherwise(0L)).as(s"_v$i"),
+          min(when(viol, col(idCol))).as(s"_id$i"))
+    }
+    df.agg(aggs.head, aggs.tail: _*)
+      .select(explode(array(checks.zipWithIndex.map { case ((name, _), i) =>
+        struct(lit(name).as("invariant"),
+          coalesce(col(s"_v$i"), lit(0L)).as("n_viol"),
+          col("_docs").as("docs"), col(s"_id$i").as("first_bad_id"))
+      }: _*)).as("m"))
+      .select(col("m.invariant").as("invariant"),
+        col("m.n_viol").as("n_viol"),
+        col("m.docs").as("docs"),
+        when(col("m.docs") > 0L,
+          round(col("m.n_viol").cast("double") / col("m.docs"), 6))
+          .as("viol_rate"),
+        col("m.first_bad_id").as("first_bad_id"))
+  }
+
   def ruleSchedule(df: DataFrame, rules: Seq[(String, Rule, Double)],
       defs: Map[String, Rule] = Map.empty): DataFrame = {
     require(rules.nonEmpty, "ruleSchedule: no rules")
