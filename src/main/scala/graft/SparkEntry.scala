@@ -849,6 +849,33 @@ object SparkEntry {
           lit("?ref=1&utm_campaign=x#top")).as("url"))
       Dedup.urlDupGroups(a.unionByName(b), "url").orderBy("canonical_url")
     }),
+    // ---------- schema-drift discovery (undeclared props) ----------
+    "r_schema_gap" -> ((s, dir) => {
+      // the inference complement: which props ride along UNDECLARED —
+      // injected debug (%3) and exp_id (%5) keys must surface with doc
+      // shares; the declared 'k' stays invisible
+      val ev = t(s, dir, "events")
+        .withColumn("props",
+          when(pmod(col("event_id"), lit(3L)) === 0L,
+            concat(expr("substring(props, 1, length(props)-1)"),
+              lit(",\"debug\":1}"))).otherwise(col("props")))
+        .withColumn("props",
+          when(pmod(col("event_id"), lit(5L)) === 0L,
+            concat(expr("substring(props, 1, length(props)-1)"),
+              lit(",\"exp_id\":\"e7\"}"))).otherwise(col("props")))
+      Inference.undeclaredProps(ev, "props", Seq("k")).orderBy("prop")
+    }),
+    // ---------- bucket-count planner ----------
+    "l_bucket_plan" -> ((s, dir) => {
+      // bucket sizing for co-located joins: next-pow2 of
+      // ceil(bytes/target) per table partition, exact integer + binary-
+      // string-length bit math (no float log2)
+      val manifest = t(s, dir, "documents").select(
+        pmod(col("doc_id"), lit(4L)).cast("int").as("part"),
+        col("n_chars").cast("long").as("bytes"))
+      Layout.bucketPlan(manifest, Seq("part"), targetBucketBytes = 2000L)
+        .orderBy("part")
+    }),
     // ---------- LSH banding-parameter advisor ----------
     "d_banding_advisor" -> ((s, _) =>
       // the closed-form S-curve table behind choosing bands: every
@@ -1424,6 +1451,19 @@ object SparkEntry {
       val media = Multimodal.syntheticMedia(s, 2000)
       Multimodal.probeMeta(media).toDF()
         .orderBy("media_ref")
+    }),
+    "m_kind_mismatch" -> ((s, dir) => {
+      // mislabeled-asset audit: every 7th asset's DECLARED mime is forced
+      // to image/png; magic-byte detection reports what each file IS, so
+      // the confusion matrix pins the detector against the id formulas
+      val media = Multimodal.syntheticMedia(s, 2000)
+        .withColumn("_id",
+          expr("conv(substring(media_ref, 3, 8), 16, 10)").cast("long"))
+        .withColumn("mime",
+          when(pmod(col("_id"), lit(7L)) === 0L, lit("image/png"))
+            .otherwise(col("mime")))
+      Multimodal.mimeMismatch(media)
+        .orderBy("declared_mime", "detected_mime")
     }),
     "m_resize" -> ((s, dir) => {
       // aspect-preserving 256x256 bounding-box resize plan over the probed
@@ -4857,6 +4897,41 @@ object SparkEntry {
         |  min(url) AS first_raw
         |FROM canon GROUP BY 1 HAVING count(*) > 1
         |ORDER BY canonical_url""".stripMargin,
+    // undeclared-props discovery over the same injected JSON
+    "r_schema_gap" ->
+      """WITH p0 AS (SELECT event_id,
+        |    CASE WHEN event_id % 3 = 0
+        |      THEN substr(props, 1, len(props) - 1) || ',"debug":1}'
+        |      ELSE props END AS props
+        |  FROM events),
+        |p1 AS (SELECT CASE WHEN event_id % 5 = 0
+        |      THEN substr(props, 1, len(props) - 1) || ',"exp_id":"e7"}'
+        |      ELSE props END AS props
+        |  FROM p0),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS docs FROM p1
+        |  WHERE props IS NOT NULL),
+        |k AS (SELECT unnest(json_keys(props)) AS prop FROM p1
+        |  WHERE props IS NOT NULL)
+        |SELECT prop, CAST(count(*) AS BIGINT) AS n_docs,
+        |  round(CAST(count(*) AS DOUBLE) / docs, 6) AS doc_share
+        |FROM k, tot WHERE prop <> 'k'
+        |GROUP BY prop, docs ORDER BY prop""".stripMargin,
+    // bucket planner: ceil by integer DIV, pow2 via binary-string length
+    "l_bucket_plan" ->
+      """WITH m AS (SELECT CAST(doc_id % 4 AS INT) AS part,
+        |    CAST(n_chars AS BIGINT) AS bytes FROM documents),
+        |a AS (SELECT part, CAST(count(*) AS BIGINT) AS n_files,
+        |    CAST(sum(bytes) AS BIGINT) AS total_bytes FROM m GROUP BY 1),
+        |b AS (SELECT part, n_files, total_bytes,
+        |    CAST((total_bytes + 1999) // 2000 AS BIGINT) AS b0 FROM a),
+        |c AS (SELECT part, n_files, total_bytes,
+        |    CASE WHEN b0 <= 1 THEN 1
+        |      ELSE CAST(pow(2, len(printf('%b', b0 - 1))) AS BIGINT) END
+        |      AS buckets
+        |  FROM b)
+        |SELECT part, n_files, total_bytes, buckets,
+        |  CAST(total_bytes // buckets AS BIGINT) AS est_bucket_bytes
+        |FROM c ORDER BY part""".stripMargin,
     // LSH banding advisor: closed-form S-curve table, same IEEE pow math
     "d_banding_advisor" ->
       """WITH b AS (SELECT CAST(x AS BIGINT) AS bands,
@@ -5459,6 +5534,24 @@ object SparkEntry {
         |  CAST(CASE WHEN id % 3 = 1 THEN 1 + id % 2 ELSE 0 END AS INT) AS channels,
         |  true AS parsed
         |FROM ids ORDER BY media_ref""".stripMargin,
+    // mime confusion matrix: detected mime recomputed from the generator
+    // id formula — detector-vs-formula disagreement fails the hash
+    "m_kind_mismatch" ->
+      """WITH ids AS (SELECT range AS id FROM range(0, 2000)),
+        |m AS (SELECT printf('m-%08x', id) AS ref,
+        |    CASE WHEN id % 3 = 0 THEN 'image/png'
+        |         WHEN id % 3 = 1 THEN 'audio/wav'
+        |         ELSE 'video/mp4' END AS detected,
+        |    CASE WHEN id % 7 = 0 THEN 'image/png'
+        |         WHEN id % 3 = 0 THEN 'image/png'
+        |         WHEN id % 3 = 1 THEN 'audio/wav'
+        |         ELSE 'video/mp4' END AS declared
+        |  FROM ids)
+        |SELECT declared AS declared_mime, detected AS detected_mime,
+        |  CAST(count(*) AS BIGINT) AS n, min(ref) AS first_ref,
+        |  declared <> detected AS mismatch
+        |FROM m GROUP BY 1, 2
+        |ORDER BY declared_mime, detected_mime""".stripMargin,
     // resize plan parity: same dims from the id formulas, same double
     // division and floor(x+0.5) rounding — engine-exact
     "m_resize" ->

@@ -210,4 +210,30 @@ object Inference {
     case _ => throw new IllegalArgumentException(
       "toYaml renders inferred Check rules only")
   }
+
+  /** Schema-DRIFT discovery — the inference complement: which properties
+    * ride along in a semi-structured column UNDECLARED by the schema, how
+    * many documents carry each. Catches upstream producers quietly adding
+    * fields before anyone writes a rule for them (the moment to decide
+    * validate-or-strip). Invalid / null JSON contributes nothing
+    * (`json_object_keys` yields null → explode drops the row); the
+    * denominator is non-null-JSON documents.
+    *
+    * Scale: one scan (keys explode inside the scan stage, declared-key
+    * filter BEFORE the shuffle), map-side-combined groupBy on the
+    * undeclared key names, broadcast 1-row total.
+    */
+  def undeclaredProps(df: DataFrame, jsonCol: String,
+      declared: Seq[String]): DataFrame = {
+    val nonNull = df.filter(col(jsonCol).isNotNull)
+    val total = nonNull.agg(count(lit(1)).as("_docs"))
+    nonNull
+      .select(explode(json_object_keys(col(jsonCol))).as("prop"))
+      .filter(!col("prop").isin(declared: _*))
+      .groupBy(col("prop")).agg(count(lit(1)).as("n_docs"))
+      .join(broadcast(total))
+      .select(col("prop"), col("n_docs"),
+        round(col("n_docs").cast("double") / col("_docs"), 6)
+          .as("doc_share"))
+  }
 }

@@ -404,6 +404,33 @@ object Layout {
       .orderBy(col("rows").desc +: keyCols.map(col): _*)
   }
 
+  /** BUCKET-count planner for co-located joins: per key (table
+    * partition), recommend `buckets` = next power of two ≥
+    * ceil(total_bytes / targetBucketBytes) — pow2 by convention so
+    * bucketed tables join bucket-to-bucket at 2:1 ratios without a
+    * shuffle. The bit math is exact: ceil is integer DIV arithmetic and
+    * the pow2 comes from the BINARY-STRING length of (b₀−1) (2^len is
+    * exact in double far beyond any sane bucket count), so any engine
+    * replays the plan bit-for-bit — no log2 float boundary risk.
+    * Metadata-only: one map-side-combined groupBy over the file
+    * manifest, never the data.
+    */
+  def bucketPlan(manifest: DataFrame, keyCols: Seq[String],
+      targetBucketBytes: Long): DataFrame = {
+    require(keyCols.nonEmpty && targetBucketBytes > 0,
+      "bucketPlan: need key columns and a positive target")
+    val b0 = expr(s"CAST((total_bytes + ${targetBucketBytes - 1L}) DIV " +
+      s"$targetBucketBytes AS BIGINT)")
+    manifest.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("n_files"), sum(col("bytes")).as("total_bytes"))
+      .select(keyCols.map(col) ++ Seq(col("n_files"), col("total_bytes"),
+        when(b0 <= 1L, 1L)
+          .otherwise(pow(lit(2.0), length(bin(b0 - 1)).cast("double"))
+            .cast("long")).as("buckets")): _*)
+      .withColumn("est_bucket_bytes",
+        expr("CAST(total_bytes DIV buckets AS BIGINT)"))
+  }
+
   /** Join-EXPLOSION advisor: predicted per-key output cardinality of a
     * planned equi-join, before running it. For every key present on both
     * sides, out_rows = rows_left × rows_right (the exact inner-join

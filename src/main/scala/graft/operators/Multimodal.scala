@@ -185,6 +185,18 @@ object Multimodal {
         .orElse(probeWav(content).map { case (r, c, f) => (0, 0, f, r, c) })
         .orElse(probeMp4(content).map { case (w, h, f) => (w, h, f, 0, 0) })
     }
+
+    /** Container detected from MAGIC BYTES alone — same dispatch order as
+      * [[probe]]; `unknown` for null / unrecognized payloads.
+      */
+    def detectMime(content: Array[Byte]): String = {
+      if (content == null) "unknown"
+      else if (isPng(content)) "image/png"
+      else if (isJpeg(content)) "image/jpeg"
+      else if (isWav(content)) "audio/wav"
+      else if (isMp4(content)) "video/mp4"
+      else "unknown"
+    }
   }
 
   /** REAL content decode — pure-JVM, no codec libraries: PNG grayscale-8
@@ -560,6 +572,30 @@ object Multimodal {
         lit("media_header").as("rule"),
         concat(lit("Unrecognized media payload ("), col("bytes"),
           lit(" bytes, declared "), col("mime"), lit(")")).as("message"))
+
+  /** Mislabeled-asset audit: DECLARED mime vs the container the bytes
+    * actually are ([[HeaderCodec.detectMime]] dispatches on magic bytes) —
+    * a mime confusion matrix with counts, the smallest offending ref as
+    * evidence, and a mismatch flag per cell. The catalog-trust check that
+    * runs BEFORE any mime-routed decode fan-out (routing a WAV to the
+    * image decoder at 100 TB wastes a full decode pass).
+    *
+    * Scale: detection is one `mapPartitions` scan over the bytes (no
+    * join-back — declared and detected ride the same row); the groupBy is
+    * map-side combined to mime-pair-sized output.
+    */
+  def mimeMismatch(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_ref"), col("mime"), col("content")).as[MediaRow]
+      .mapPartitions { rows =>
+        rows.map(r => (r.media_ref, r.mime, HeaderCodec.detectMime(r.content)))
+      }
+      .toDF("media_ref", "declared_mime", "detected_mime")
+      .groupBy(col("declared_mime"), col("detected_mime"))
+      .agg(count(lit(1)).as("n"), min(col("media_ref")).as("first_ref"))
+      .withColumn("mismatch", col("declared_mime") =!= col("detected_mime"))
+  }
 
   /** Deterministic synthetic media with FULL content payloads (complete
     * PNG pixel streams and PCM data chunks, unlike [[syntheticMedia]]'s
