@@ -681,19 +681,28 @@ object Dedup {
   /** Canonical-URL duplicate groups: links that are the SAME page once
     * tracking decoration is stripped ([[TextAnalysis.canonicalUrl]]:
     * fragment, `utm_*`/click-ids, param order, host case, `www.`,
-    * default ports, trailing slash). One map-side-combined groupBy on
-    * the canonical form — dup groups collapse before the shuffle, so
-    * the exchange carries one row per distinct canonical URL per
-    * partition. Output keeps only actual dup groups (`n_occurrences >
-    * 1`) with the count of distinct RAW spellings and the
-    * lexicographically-first raw form as the representative.
+    * default ports, trailing slash). Two map-side-combined HashAggregate
+    * levels: (canonical, raw) pairs collapse inside the scan stage, the
+    * canonical rollup runs on that summary — spelled as an explicit
+    * two-level agg instead of `count_distinct` because the distinct-agg
+    * expansion plans a SortAggregate keyed on the whole canonicalization
+    * EXPRESSION (re-evaluated per sort comparison); projecting the
+    * canonical column first keeps both levels hash-based and the
+    * expression evaluated once per row (PlanSpec-asserted). Output keeps
+    * only actual dup groups (`n_occurrences > 1`) with the count of
+    * distinct RAW spellings and the lexicographically-first raw form as
+    * the representative.
     */
   def urlDupGroups(df: DataFrame, urlCol: String): DataFrame =
     df.filter(col(urlCol).isNotNull)
-      .groupBy(TextAnalysis.canonicalUrl(col(urlCol)).as("canonical_url"))
-      .agg(count(lit(1)).as("n_occurrences"),
-        countDistinct(col(urlCol)).as("n_variants"),
-        min(col(urlCol)).as("first_raw"))
+      .select(col(urlCol).as("_url"),
+        TextAnalysis.canonicalUrl(col(urlCol)).as("canonical_url"))
+      .groupBy(col("canonical_url"), col("_url"))
+      .agg(count(lit(1)).as("_n"))
+      .groupBy(col("canonical_url"))
+      .agg(sum(col("_n")).as("n_occurrences"),
+        count(lit(1)).as("n_variants"),
+        min(col("_url")).as("first_raw"))
       .filter(col("n_occurrences") > 1)
 
   /** Dedup threshold ROI sweep: how many near-dup pairs (and docs) sit

@@ -398,21 +398,6 @@ object Temporal {
         (-col("m.nt")).as("first_peak_s"))
   }
 
-  /** Per-group data FRESHNESS audit: when did each feed last deliver,
-    * relative to the corpus watermark (the max event time across ALL
-    * groups — "now" as the data itself defines it, so the report is
-    * deterministic and replayable, unlike wall-clock now()). A group is
-    * `stale` when its lag exceeds `staleAfterSeconds` — the
-    * pipeline-is-silently-down alarm per upstream source, which
-    * corpus-level lateness ([[e_lateness]]-style histograms) can't see
-    * because a dead feed simply stops contributing rows.
-    *
-    * Exact integer epoch-second arithmetic throughout (no division).
-    *
-    * Scale: ONE corpus scan (map-side-combined per-group max+count);
-    * the watermark derives from the per-group summary itself (re-agg of
-    * maxes, summary-sized) and joins back as a broadcast single row.
-    */
   /** Hour-of-day LOAD PROFILE per group: event counts by (group, hour),
     * each hour's share of its group, and the group's peak hour — the
     * capacity-planning / anomaly-baseline view ([[g_anomaly]]-style
@@ -438,17 +423,34 @@ object Temporal {
       (row_number().over(wRank) === 1).as("is_peak"))
   }
 
+  /** Per-group data FRESHNESS audit: when did each feed last deliver,
+    * relative to the corpus watermark (the max event time across ALL
+    * groups — "now" as the data itself defines it, so the report is
+    * deterministic and replayable, unlike wall-clock now()). A group is
+    * `stale` when its lag exceeds `staleAfterSeconds` — the
+    * pipeline-is-silently-down alarm per upstream source, which
+    * corpus-level lateness histograms can't see because a dead feed
+    * simply stops contributing rows.
+    *
+    * Exact integer epoch-second arithmetic throughout (no division).
+    *
+    * Scale: ONE corpus scan (map-side-combined per-group max+count);
+    * the watermark is a single-partition window over the feed-count-
+    * sized summary (a second aggregation branch would re-scan the
+    * corpus — column pruning makes the branches differ, defeating
+    * exchange reuse; PlanSpec-asserted).
+    */
   def freshness(df: DataFrame, groupCol: String, timeCol: String,
       staleAfterSeconds: Long): DataFrame = {
     require(staleAfterSeconds > 0,
       s"freshness: need staleAfterSeconds > 0, got $staleAfterSeconds")
     val epochS = floor(unix_micros(col(timeCol).cast("timestamp"))
       / lit(1000000L)).cast("long")
-    val per = df.filter(col(timeCol).isNotNull && col(groupCol).isNotNull)
+    val w = Window.partitionBy(lit(1))
+    df.filter(col(timeCol).isNotNull && col(groupCol).isNotNull)
       .groupBy(col(groupCol).as("key"))
       .agg(max(epochS).as("last_epoch"), count(lit(1)).as("n_events"))
-    val wm = per.agg(max(col("last_epoch")).as("watermark"))
-    per.join(broadcast(wm))
+      .withColumn("watermark", max(col("last_epoch")).over(w))
       .select(col("key"), col("n_events"), col("last_epoch"),
         col("watermark"),
         (col("watermark") - col("last_epoch")).as("lag_seconds"),

@@ -467,4 +467,86 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Range"),
       s"corpus lineage leaked into the correlations result:\n$p")
   }
+
+  test("ruleSchedule / crossFieldAudit: ONE corpus scan folded to a " +
+      "single row — no per-key shuffle anywhere") {
+    val df = spark.range(0, 10000).select(col("id").as("doc_id"),
+      (col("id") % 97).as("n_chars"),
+      concat(lit("t"), col("id")).as("text"))
+    val sched = Validate.ruleSchedule(df, Seq(
+      ("a", Rule.Check(Keywords(properties = Map(
+        "n_chars" -> Rule.Check(Keywords(minimum = Some(0)))))), 1.0),
+      ("b", Rule.Check(Keywords(properties = Map(
+        "doc_id" -> Rule.Check(Keywords(maximum = Some(-1)))))), 2.0)))
+    val audit = Validate.crossFieldAudit(df, Seq(
+      ("len", col("n_chars") >= 0), ("pos", col("doc_id") >= 0)), "doc_id")
+    Seq(planOf(sched), planOf(audit)).foreach { p =>
+      assert("Range".r.findAllIn(p).length == 1,
+        s"corpus scanned more than once:\n$p")
+      assert(!p.contains("Exchange hashpartitioning") ||
+        "Exchange hashpartitioning\\(1[,)]".r.findFirstIn(p).isDefined,
+        s"per-key shuffle in a single-row fold:\n$p")
+    }
+  }
+
+  // the FINAL adaptive plan (after execution) is where exchange reuse is
+  // visible; the pre-execution string double-prints shared branches
+  private def finalPlanOf(df: org.apache.spark.sql.DataFrame): String = {
+    df.collect()
+    df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+  }
+
+  test("joinExplosion: corpus scanned ONCE — the totals branch reuses " +
+      "the per-key count exchange; never a cartesian; top-k lowers to " +
+      "TakeOrdered") {
+    val df = spark.range(0, 5000)
+      .select((col("id") % 37).cast("string").as("k"))
+    val p = finalPlanOf(Layout.joinExplosion(df, "k", df, "k", 4L, 20))
+    assert(!p.contains("CartesianProduct"), s"cartesian advisory join:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-k should lower to TakeOrdered, not a global sort:\n$p")
+    assert("Range".r.findAllIn(p).length == 1,
+      s"corpus scanned more than once:\n$p")
+    assert("ReusedExchange".r.findAllIn(p).length >= 2,
+      s"the count exchange should be computed once and reused:\n$p")
+  }
+
+  test("urlDupGroups / exactVecDups: hash aggregation with map-side " +
+      "combine; the canonicalization expression is a projected column, " +
+      "never a SortAggregate grouping expression") {
+    val urls = spark.range(0, 5000)
+      .select(concat(lit("https://a.com/p/"), col("id") % 100).as("url"))
+    val pUrl = planOf(Dedup.urlDupGroups(urls, "url"))
+    assert(pUrl.contains("partial_count"),
+      s"no map-side combine in urlDupGroups:\n$pUrl")
+    // the CORPUS-side (bottom-most) aggregate must be hash-based; the
+    // canon rollup above the first exchange is summary-sized and may be
+    // a SortAggregate (min over strings has no hash-agg buffer)
+    assert(pUrl.lastIndexOf("HashAggregate") >
+        pUrl.lastIndexOf("SortAggregate"),
+      s"corpus-side aggregate fell back to sort aggregation:\n$pUrl")
+    assert("Exchange hashpartitioning".r.findAllIn(pUrl).length == 2,
+      s"expected the (canon, raw) and canon agg exchanges only:\n$pUrl")
+    val vecs = spark.range(0, 5000).select(col("id").as("vec_id"),
+      array((col("id") % 50).cast("float")).as("embedding"))
+    val pVec = planOf(Similarity.exactVecDups(vecs, "vec_id", "embedding"))
+    assert(pVec.contains("partial_count"),
+      s"no map-side combine in exactVecDups:\n$pVec")
+  }
+
+  test("loadProfile / freshness: ONE corpus scan each; the watermark is " +
+      "a summary window, never a second aggregation branch (column " +
+      "pruning would defeat exchange reuse and re-scan)") {
+    val ev = spark.range(0, 20000).select(
+      (col("id") % 5).cast("string").as("g"),
+      timestamp_seconds(col("id") % 100000).as("ts"))
+    val pLoad = planOf(Temporal.loadProfile(ev, "g", "ts"))
+    assert("Range".r.findAllIn(pLoad).length == 1,
+      s"loadProfile scanned the corpus twice:\n$pLoad")
+    val pFresh = planOf(Temporal.freshness(ev, "g", "ts", 3600L))
+    assert("Range".r.findAllIn(pFresh).length == 1,
+      s"freshness re-scanned the corpus for the watermark:\n$pFresh")
+    assert(!pFresh.contains("Join"),
+      s"freshness should need no join at all:\n$pFresh")
+  }
 }
