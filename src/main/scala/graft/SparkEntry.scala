@@ -888,7 +888,11 @@ object SparkEntry {
       // which threshold? jaccard-decile histogram + cumulative ROI curve
       // over ONE banding+verify pass; 70%-token-prefix twins (%13)
       // populate the mid bands the natural corpus (bimodal: dups >= 0.9,
-      // rest < 0.1) never shows
+      // rest < 0.1) never shows. 64 hashes in 32 bands of r=2: the sweep
+      // floor j=0.5 has miss prob (1-0.25)^32 ~ 1e-4 per pair and the
+      // populated bands (>= 0.6) are at <= 1e-5 — brute-force-oracle
+      // parity holds across SFs without r=1's templated-text candidate
+      // blowup
       val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
       val tks = split(col("text"), " ")
       val m = ((lit(7) * size(tks)) / lit(10)).cast("int")
@@ -897,7 +901,7 @@ object SparkEntry {
         .select((col("doc_id") + 400000L).as("doc_id"),
           array_join(slice(tks, lit(1), m), " ").as("text"))
       Dedup.thresholdSweep(docs.unionByName(twins), "doc_id", "text",
-          k = 3, numHashes = 32, bands = 16, minThreshold = 0.5)
+          k = 3, numHashes = 64, bands = 32, minThreshold = 0.5)
         .orderBy("band")
     }),
     // ---------- corpus-wide subset-duplicate pairs ----------
@@ -2169,7 +2173,6 @@ object SparkEntry {
           round(col("p95_v2") - col("p95_v1"), 6).as("p95_delta"))
         .orderBy("lang")
     }),
-    // ---------- event lateness histogram ----------
     // ---------- hour-of-day load profile ----------
     "e_load_profile" -> ((s, dir) =>
       // capacity-planning / seasonal-baseline view: events by (type,
@@ -2186,6 +2189,7 @@ object SparkEntry {
           staleAfterSeconds = 1800L)
         .orderBy("key")
     }),
+    // ---------- event lateness histogram ----------
     "e_lateness" -> ((s, dir) => {
       // how late does the stream run: per event, lateness = running max
       // event-time (in id order, per user) minus own time; bucketed —
@@ -4630,8 +4634,10 @@ object SparkEntry {
         |    round(avg(v*v) - avg(v)*avg(v), 6) AS var_d,
         |    round(avg(v)*avg(v), 6) AS c2_d
         |  FROM e GROUP BY 1, 2)
-        |SELECT label, max(n) AS n_vecs, round(sum(var_d), 4) AS msd,
-        |  round(sum(c2_d), 4) AS centroid_sq_norm
+        |SELECT label, max(n) AS n_vecs, (min(n) <> max(n)) AS ragged,
+        |  CASE WHEN min(n) = max(n) THEN round(sum(var_d), 4) END AS msd,
+        |  CASE WHEN min(n) = max(n) THEN round(sum(c2_d), 4) END
+        |    AS centroid_sq_norm
         |FROM d GROUP BY label ORDER BY label""".stripMargin,
     // exact duplicate vectors: bit-identical list grouping in both engines
     "s_vec_dup" ->
@@ -6956,11 +6962,11 @@ object SparkEntry {
         |c AS (SELECT key, CAST(count(*) AS BIGINT) AS n
         |  FROM base WHERE key IS NOT NULL GROUP BY 1),
         |j AS (SELECT key, n AS rows_left, n AS rows_right,
-        |    n * n AS out_rows FROM c),
-        |g AS (SELECT CAST(sum(out_rows) AS BIGINT) AS total,
+        |    CAST(n AS DOUBLE) * n AS out_rows FROM c),
+        |g AS (SELECT sum(out_rows) AS total,
         |    CAST(count(*) AS BIGINT) AS n_keys FROM j)
         |SELECT key, rows_left, rows_right, out_rows,
-        |  round(CAST(out_rows AS DOUBLE) / total, 6) AS share,
+        |  round(out_rows / total, 6) AS share,
         |  (out_rows * n_keys > 4 * total) AS hot
         |FROM j, g ORDER BY out_rows DESC, key LIMIT 50""".stripMargin,
     "gen_validate" ->

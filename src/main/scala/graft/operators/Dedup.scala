@@ -102,6 +102,12 @@ object Dedup {
           .otherwise(col("id") <=> col("_keep_id")).as("keep"))
   }
 
+  /** Normalized whitespace tokens — the shared tokenization of [[shingles]]
+    * and the native [[graft.plans.MinHashBands]] kernel.
+    */
+  private[graft] def normTokens(text: Column): Column =
+    split(lower(regexp_replace(trim(text), "\\s+", " ")), " ")
+
   /** Word k-shingles of a normalized text column (array<string>).
     *
     * Built by zip_with-chaining the token array against its shifted copies —
@@ -110,12 +116,6 @@ object Dedup {
     * the whole tokenization per element inside the lambda — interpreted HOFs
     * have no CSE — and profiled ~30× slower.)
     */
-  /** Normalized whitespace tokens — the shared tokenization of [[shingles]]
-    * and the native [[graft.plans.MinHashBands]] kernel.
-    */
-  private[graft] def normTokens(text: Column): Column =
-    split(lower(regexp_replace(trim(text), "\\s+", " ")), " ")
-
   def shingles(text: Column, k: Int = 3): Column = {
     val toks = normTokens(text)
     val n = size(toks)
@@ -624,21 +624,6 @@ object Dedup {
         round(abs(col("est") - col("jaccard")), 4).as("abs_err"))
   }
 
-  /** Corpus-wide SUBSET-duplicate pairs: documents whose shingle set is
-    * (mostly) contained in another's — containment = |A ∩ B| /
-    * min(|A|, |B|). MinHash banding cannot surface these (a short doc
-    * fully embedded in a long one has LOW Jaccard, so [[minHashPairs]]
-    * never buckets them together); candidates come from the inverted
-    * shingle index instead: explode to (shingle, id), drop shingles with
-    * document frequency > `maxDf` (boilerplate — and the fan-out bound:
-    * self-join candidate mass is Σ df² over KEPT shingles, ≤ maxDf·Σdf),
-    * self-join on the shingle, count shared shingles per (id_a < id_b)
-    * pair. Containment is defined over the kept-shingle universe (df ≤
-    * maxDf), which makes the whole operator exactly replayable by an
-    * independent engine; docs with zero kept shingles are excluded
-    * (undefined containment). Contrast [[contaminationAgainst]]
-    * (one small probe side, broadcast): here BOTH sides are the corpus.
-    */
   /** LSH banding-parameter ADVISOR: for every (bands, rows) factorization
     * of `numHashes`, the S-curve knee `(1/b)^(1/r)` (the jaccard where
     * candidate probability crosses ~1−1/e), the candidate probability
@@ -740,6 +725,21 @@ object Dedup {
         sum(col("n_pairs")).over(w).as("cum_pairs"))
   }
 
+  /** Corpus-wide SUBSET-duplicate pairs: documents whose shingle set is
+    * (mostly) contained in another's — containment = |A ∩ B| /
+    * min(|A|, |B|). MinHash banding cannot surface these (a short doc
+    * fully embedded in a long one has LOW Jaccard, so [[minHashPairs]]
+    * never buckets them together); candidates come from the inverted
+    * shingle index instead: explode to (shingle, id), drop shingles with
+    * document frequency > `maxDf` (boilerplate — and the fan-out bound:
+    * self-join candidate mass is Σ df² over KEPT shingles, ≤ maxDf·Σdf),
+    * self-join on the shingle, count shared shingles per (id_a < id_b)
+    * pair. Containment is defined over the kept-shingle universe (df ≤
+    * maxDf), which makes the whole operator exactly replayable by an
+    * independent engine; docs with zero kept shingles are excluded
+    * (undefined containment). Contrast [[contaminationAgainst]]
+    * (one small probe side, broadcast): here BOTH sides are the corpus.
+    */
   def containmentPairs(df: DataFrame, idCol: String, textCol: String,
       k: Int = 3, maxDf: Int = 100, minContainment: Double = 0.8): DataFrame = {
     val ex = df.select(col(idCol).as("_id"),

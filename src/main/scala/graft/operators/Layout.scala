@@ -457,9 +457,16 @@ object Layout {
       .groupBy(col(leftKey).as("key")).agg(count(lit(1)).as("rows_left"))
     val r = right.filter(col(rightKey).isNotNull)
       .groupBy(col(rightKey).as("key")).agg(count(lit(1)).as("rows_right"))
+    // products/totals/cross-multiplications run in DOUBLE: this advisor
+    // exists for joins whose output cardinality can exceed Long range
+    // (4B x 4B rows on one key ~ 1.6e19), where ANSI long arithmetic
+    // would throw mid-report; integer-valued doubles are exact below
+    // 2^53 (any testable scale) and degrade to ~15 significant digits
+    // beyond — more than enough to rank and flag
     val j = l.join(r, Seq("key"))
       .select(col("key"), col("rows_left"), col("rows_right"),
-        (col("rows_left") * col("rows_right")).as("out_rows"))
+        (col("rows_left").cast("double") * col("rows_right"))
+          .as("out_rows"))
     val totals = j.agg(sum(col("out_rows")).as("_total"),
       count(lit(1)).as("_nkeys"))
     j.join(broadcast(totals))
@@ -468,7 +475,7 @@ object Layout {
         // empty-join guard: no keys -> no rows, so _total > 0 here
         round(col("out_rows") / col("_total"), 6).as("share"),
         (col("out_rows") * col("_nkeys") >
-          lit(hotFactor) * col("_total")).as("hot"))
+          lit(hotFactor.toDouble) * col("_total")).as("hot"))
       .orderBy(col("out_rows").desc, col("key"))
       .limit(topK)
   }

@@ -308,6 +308,24 @@ object Similarity {
         count(lit(1)).as("n_vecs"))
       .select(col("label"), col("dim"), col("centroid"), col("n_vecs"))
 
+  /** EXACT duplicate embeddings: groups of rows carrying bit-identical
+    * vectors (re-ingested shards, retried encoder batches — the cheap
+    * dedup to run BEFORE any ANN machinery; near-dups are
+    * [[cosineNearDupPairs]]' job). Grouping key is the vector itself:
+    * map-side combine collapses dup groups inside the scan stage, so the
+    * exchange carries one row per distinct vector per partition, and the
+    * raw-value key is what an independent engine can replay (a 64-bit
+    * pre-hash + verify-exact-within-bucket two-phase saves shuffle bytes
+    * at extreme dims but emits engine-private hashes). Output: smallest
+    * id per group (the canonical keep) + copy count, dup groups only.
+    */
+  def exactVecDups(df: DataFrame, idCol: String, vecCol: String): DataFrame =
+    df.filter(col(vecCol).isNotNull)
+      .groupBy(col(vecCol).as("_vec"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+      .filter(col("n_copies") > 1)
+      .select(col("keep_id"), col("n_copies"))
+
   /** Per-label cluster DISPERSION: mean squared distance of a label's
     * vectors to their own centroid — how tight each class is, the
     * intra-cluster half of a separation diagnostic ([[labelCentroids]] +
@@ -328,24 +346,6 @@ object Similarity {
     * carries labels×dims partial sums per partition; the label rollup
     * runs on that summary.
     */
-  /** EXACT duplicate embeddings: groups of rows carrying bit-identical
-    * vectors (re-ingested shards, retried encoder batches — the cheap
-    * dedup to run BEFORE any ANN machinery; near-dups are
-    * [[cosineNearDupPairs]]' job). Grouping key is the vector itself:
-    * map-side combine collapses dup groups inside the scan stage, so the
-    * exchange carries one row per distinct vector per partition, and the
-    * raw-value key is what an independent engine can replay (a 64-bit
-    * pre-hash + verify-exact-within-bucket two-phase saves shuffle bytes
-    * at extreme dims but emits engine-private hashes). Output: smallest
-    * id per group (the canonical keep) + copy count, dup groups only.
-    */
-  def exactVecDups(df: DataFrame, idCol: String, vecCol: String): DataFrame =
-    df.filter(col(vecCol).isNotNull)
-      .groupBy(col(vecCol).as("_vec"))
-      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
-      .filter(col("n_copies") > 1)
-      .select(col("keep_id"), col("n_copies"))
-
   def labelDispersion(df: DataFrame, labelCol: String, vecCol: String,
       roundTo: Int = 6): DataFrame = {
     val perDim = df.filter(col(vecCol).isNotNull)
@@ -355,14 +355,23 @@ object Similarity {
       .groupBy(col("label"), col("dim"))
       .agg(count(lit(1)).as("n"), avg(col("v")).as("m1"),
         avg(col("v") * col("v")).as("m2"))
+    // ragged labels (mixed vector lengths: per-dim n differs) have NO
+    // well-defined centroid distance — msd/||c||² go null and the flag
+    // goes up, instead of silently summing variances over different
+    // denominators
     perDim
       .select(col("label"), col("n"),
         round(col("m2") - col("m1") * col("m1"), roundTo).as("var_d"),
         round(col("m1") * col("m1"), roundTo).as("c2_d"))
       .groupBy(col("label"))
-      .agg(max(col("n")).as("n_vecs"),
-        round(sum(col("var_d")), 4).as("msd"),
-        round(sum(col("c2_d")), 4).as("centroid_sq_norm"))
+      .agg(max(col("n")).as("n_vecs"), min(col("n")).as("_n_min"),
+        round(sum(col("var_d")), 4).as("_msd"),
+        round(sum(col("c2_d")), 4).as("_c2"))
+      .select(col("label"), col("n_vecs"),
+        (col("_n_min") =!= col("n_vecs")).as("ragged"),
+        when(col("_n_min") === col("n_vecs"), col("_msd")).as("msd"),
+        when(col("_n_min") === col("n_vecs"), col("_c2"))
+          .as("centroid_sq_norm"))
   }
 
   /** Embedding-distribution drift between two corpus slices: per-dimension

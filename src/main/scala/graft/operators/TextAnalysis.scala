@@ -494,10 +494,15 @@ object TextAnalysis {
       .otherwise(noFrag)
     val query = when(qPos > 0, substring(noFrag, qPos + 1, lit(1 << 28)))
       .otherwise(lit(""))
-    // lowercase scheme://host[:port] only (group 1), keep the path as-is
+    // lowercase scheme://host[:port] only (group 1), keep the path as-is;
+    // regexp_extract yields "" on NO MATCH (non-http(s) inputs: bare
+    // domains, ftp:, mailto:) — fall back to the untouched base so
+    // unrelated un-parseable URLs never all collapse to "" and fake a
+    // dup group (the later regexes are no-ops on such bases)
     val schemeHost = regexp_extract(base0, "(?i)^(https?://[^/]*)(.*)$", 1)
     val rest = regexp_extract(base0, "(?i)^(https?://[^/]*)(.*)$", 2)
-    val base1 = concat(lower(schemeHost), rest)
+    val base1 = when(schemeHost === "", base0)
+      .otherwise(concat(lower(schemeHost), rest))
     val base2 = regexp_replace(base1, "^(https?://)www\\.", "$1")
     val base3 = regexp_replace(
       regexp_replace(base2, "^(http://[^/:]+):80(/.*)?$", "$1$2"),

@@ -370,23 +370,6 @@ object Validate {
         round(col("m.failed_docs") / col("m.docs"), 6).as("fail_rate")): _*)
   }
 
-  /** Cost-aware fail-fast rule ORDERING: measure each rule's INDEPENDENT
-    * catch rate in one aggregation scan, then rank by catch_rate / cost
-    * descending — the classic pipelined-filter ordering that minimizes
-    * expected predicate evaluations per document (under rule
-    * independence). `rules` carries a declared relative cost per rule
-    * (e.g. regex 4×, enum 1×); the suggested order feeds back into
-    * [[failFastProfile]] / the CLI's `--fail-fast`.
-    *
-    * Output per rule: caught (independent violation count), docs,
-    * catch_rate, cost, efficiency = catch_rate/cost, sched_rank. Ranking
-    * uses the ROUNDED efficiency with the rule name as tie-break so the
-    * order is engine-independent and deterministic.
-    *
-    * Scale: like [[ruleCoverage]] — one scan with per-rule conditional
-    * sums (map-side combined to a single row), then explode + a window
-    * over the rules-count-sized result. No shuffle proportional to docs.
-    */
   /** CROSS-FIELD consistency audit — invariants the keyword grammar
     * cannot express because they compare one field to ANOTHER (derived
     * columns match their source, totals reconcile, ranges are ordered):
@@ -427,6 +410,23 @@ object Validate {
         col("m.first_bad_id").as("first_bad_id"))
   }
 
+  /** Cost-aware fail-fast rule ORDERING: measure each rule's INDEPENDENT
+    * catch rate in one aggregation scan, then rank by catch_rate / cost
+    * descending — the classic pipelined-filter ordering that minimizes
+    * expected predicate evaluations per document (under rule
+    * independence). `rules` carries a declared relative cost per rule
+    * (e.g. regex 4×, enum 1×); the suggested order feeds back into
+    * [[failFastProfile]] / the CLI's `--fail-fast`.
+    *
+    * Output per rule: caught (independent violation count), docs,
+    * catch_rate, cost, efficiency = catch_rate/cost, sched_rank. Ranking
+    * uses the ROUNDED efficiency with the rule name as tie-break so the
+    * order is engine-independent and deterministic.
+    *
+    * Scale: like [[ruleCoverage]] — one scan with per-rule conditional
+    * sums (map-side combined to a single row), then explode + a window
+    * over the rules-count-sized result. No shuffle proportional to docs.
+    */
   def ruleSchedule(df: DataFrame, rules: Seq[(String, Rule, Double)],
       defs: Map[String, Rule] = Map.empty): DataFrame = {
     require(rules.nonEmpty, "ruleSchedule: no rules")

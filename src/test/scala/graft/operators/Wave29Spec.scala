@@ -18,12 +18,12 @@ class Wave29Spec extends SparkSpec {
     val out = Layout.joinExplosion(left, "k", right, "k",
         hotFactor = 1L, topK = 100)
       .collect()
-      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
-        r.getBoolean(5)))
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getBoolean(5)))
     // a: 2x4=8 of total 11, 8*2keys > 1*11 -> hot; b: 3x1=3 -> not;
     // c and d match nothing; nulls never join
-    assert(out.toSeq == Seq(("a", 2L, 4L, 8L, true),
-      ("b", 3L, 1L, 3L, false)), out.mkString(","))
+    assert(out.toSeq == Seq(("a", 2L, 4L, 8.0, true),
+      ("b", 3L, 1L, 3.0, false)), out.mkString(","))
   }
 
   test("joinExplosion: topK truncates by contribution with key tie-break") {
@@ -63,10 +63,24 @@ class Wave29Spec extends SparkSpec {
     ).toDF("label", "embedding")
     val out = Similarity.labelDispersion(df, "label", "embedding")
       .orderBy("label").collect()
-      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+      .map(r => (r.getInt(0), r.getLong(1), r.getBoolean(2),
+        r.getDouble(3), r.getDouble(4)))
     // label 0: dims (1,3) and (3,5) -> var 1 each -> msd 2; c=(2,4) ->
     // ||c||^2 = 20. label 1: zero variance, c=(2,2) -> 8
-    assert(out.toSeq == Seq((0, 2L, 2.0, 20.0), (1, 1L, 0.0, 8.0)),
+    assert(out.toSeq == Seq((0, 2L, false, 2.0, 20.0),
+      (1, 1L, false, 0.0, 8.0)), out.mkString(","))
+  }
+
+  test("labelDispersion: a RAGGED label (mixed vector lengths) flags and " +
+      "nulls its msd instead of summing variances over different ns") {
+    val df = Seq(
+      (0, Seq(1.0, 2.0)), (0, Seq(3.0)),  // ragged
+      (1, Seq(4.0, 6.0)), (1, Seq(6.0, 8.0))
+    ).toDF("label", "embedding")
+    val out = Similarity.labelDispersion(df, "label", "embedding")
+      .orderBy("label").collect()
+      .map(r => (r.getInt(0), r.getBoolean(2), r.isNullAt(3)))
+    assert(out.toSeq == Seq((0, true, true), (1, false, false)),
       out.mkString(","))
   }
 
@@ -79,7 +93,7 @@ class Wave29Spec extends SparkSpec {
     }
     val df = rows.toDF("label", "embedding")
     val got = Similarity.labelDispersion(df, "label", "embedding")
-      .collect().map(r => r.getInt(0) -> r.getDouble(2)).toMap
+      .collect().map(r => r.getInt(0) -> r.getDouble(3)).toMap
     val want = rows.groupBy(_._1).map { case (l, vs) =>
       val n = vs.size
       val c = Seq(0, 1, 2).map(d => vs.map(_._2(d)).sum / n)

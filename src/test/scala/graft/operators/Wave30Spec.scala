@@ -24,6 +24,11 @@ class Wave30Spec extends SparkSpec {
     // non-default port and plain URLs survive untouched
     assert(canon("https://a.com:8080/x") == "https://a.com:8080/x")
     assert(canon("http://a.com/x") == "http://a.com/x")
+    // non-http(s) inputs fall back to their own (fragment/query-stripped)
+    // base — two unrelated unparseable URLs must NOT share a canonical
+    assert(canon("ftp://h/f") == "ftp://h/f")
+    assert(canon("example.com/a?x=1") == "example.com/a?x=1")
+    assert(canon("ftp://h/f") != canon("mailto:a@b"))
   }
 
   test("urlDupGroups: decorated variants collapse to one group, distinct " +
