@@ -849,6 +849,29 @@ object SparkEntry {
           lit("?ref=1&utm_campaign=x#top")).as("url"))
       Dedup.urlDupGroups(a.unionByName(b), "url").orderBy("canonical_url")
     }),
+    // ---------- rule-bound relaxation suggestions ----------
+    "r_bound_suggest" -> ((s, dir) =>
+      // the schema-is-stale triage: a 200-char max the corpus outgrew
+      // (suggest the observed extreme), a clean min (keep declared), and
+      // an id floor the low ids violate
+      Inference.boundSuggestions(t(s, dir, "documents"), Seq(
+          ("chars_max_200", "n_chars", None, Some(200.0)),
+          ("chars_min_0", "n_chars", Some(0.0), None),
+          ("id_floor_100", "doc_id", Some(100.0), Some(1e9))))
+        .orderBy("rule")),
+    // ---------- null-run (dark-window) audit ----------
+    "g_null_runs" -> ((s, dir) => {
+      // feed-dark detection: n_chars nulled for doc_id % 100 < 32 (a
+      // recurring 32-id dark window, wide enough that each of the 16
+      // round-robin sources sees CONSECUTIVE dark rows); runs per source in
+      // id order — scattered noise vs one dark stretch is the
+      // impute-vs-quarantine decision
+      val docs = t(s, dir, "documents").withColumn("n_chars",
+        when(pmod(col("doc_id"), lit(100L)) < 32, lit(null))
+          .otherwise(col("n_chars")))
+      Stats.nullRuns(docs, "source", "doc_id", "n_chars")
+        .orderBy("segment")
+    }),
     // ---------- schema-drift discovery (undeclared props) ----------
     "r_schema_gap" -> ((s, dir) => {
       // the inference complement: which props ride along UNDECLARED —
@@ -2179,6 +2202,20 @@ object SparkEntry {
       // hour-of-day), share within type, deterministic peak hour
       Temporal.loadProfile(t(s, dir, "events"), "event_type", "ts")
         .orderBy("key", "hour")),
+    // ---------- seasonally-adjusted volume anomaly ----------
+    "e_seasonal" -> ((s, dir) => {
+      // Tuesday-14:00-did-3x-its-usual-14:00 detection: per (type, date,
+      // hour) counts vs the type-hour median across the corpus's 30
+      // days, flag outside [median/2, median*2]; a planted triple-volume
+      // hour (Jan 5, 10:00 unioned twice more) pins the true branch
+      val ev = t(s, dir, "events")
+      val spike = ev.filter(to_date(col("ts")) === lit("2024-01-05") &&
+        hour(col("ts")) === 10)
+      Temporal.seasonalAnomaly(
+          ev.unionByName(spike).unionByName(spike),
+          "event_type", "ts", factor = 2.0)
+        .orderBy("key", "day", "hour")
+    }),
     // ---------- per-feed freshness / staleness audit ----------
     "e_freshness" -> ((s, dir) => {
       // which feeds went quiet? per-event-type last delivery vs the
@@ -4903,6 +4940,58 @@ object SparkEntry {
         |  min(url) AS first_raw
         |FROM canon GROUP BY 1 HAVING count(*) > 1
         |ORDER BY canonical_url""".stripMargin,
+    // bound suggestions: conditional sums + extremes + CASE suggestions
+    "r_bound_suggest" ->
+      """WITH g AS (SELECT
+        |  CAST(sum(CASE WHEN n_chars > 200.0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS a1,
+        |  CAST(min(CAST(n_chars AS DOUBLE)) AS DOUBLE) AS mn1,
+        |  CAST(max(CAST(n_chars AS DOUBLE)) AS DOUBLE) AS mx1,
+        |  CAST(sum(CASE WHEN n_chars < 0.0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS b2,
+        |  CAST(sum(CASE WHEN doc_id < 100.0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS b3,
+        |  CAST(sum(CASE WHEN doc_id > 1e9 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS a3,
+        |  CAST(min(CAST(doc_id AS DOUBLE)) AS DOUBLE) AS mn3,
+        |  CAST(max(CAST(doc_id AS DOUBLE)) AS DOUBLE) AS mx3
+        |  FROM documents)
+        |SELECT 'chars_max_200' AS rule, 'n_chars' AS col_name,
+        |  CAST(NULL AS DOUBLE) AS declared_min,
+        |  CAST(200.0 AS DOUBLE) AS declared_max,
+        |  CAST(0 AS BIGINT) AS n_below, a1 AS n_above,
+        |  mn1 AS obs_min, mx1 AS obs_max,
+        |  CAST(NULL AS DOUBLE) AS suggested_min,
+        |  CASE WHEN a1 > 0 THEN mx1 ELSE 200.0 END AS suggested_max
+        |FROM g
+        |UNION ALL SELECT 'chars_min_0', 'n_chars', CAST(0.0 AS DOUBLE),
+        |  NULL, b2, 0, mn1, mx1,
+        |  CASE WHEN b2 > 0 THEN mn1 ELSE 0.0 END, NULL FROM g
+        |UNION ALL SELECT 'id_floor_100', 'doc_id', CAST(100.0 AS DOUBLE),
+        |  CAST(1e9 AS DOUBLE), b3, a3, mn3, mx3,
+        |  CASE WHEN b3 > 0 THEN mn3 ELSE 100.0 END,
+        |  CASE WHEN a3 > 0 THEN mx3 ELSE 1e9 END FROM g
+        |ORDER BY rule""".stripMargin,
+    // null-run audit: dual-rank islands replayed per source in id order
+    "g_null_runs" ->
+      """WITH d AS (SELECT source, doc_id,
+        |    CASE WHEN doc_id % 100 < 32 THEN NULL ELSE n_chars END AS v
+        |  FROM documents WHERE source IS NOT NULL),
+        |r AS (SELECT source, doc_id, v,
+        |    row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+        |  FROM d),
+        |n AS (SELECT source, doc_id, rn,
+        |    row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rnn
+        |  FROM r WHERE v IS NULL),
+        |i AS (SELECT source, rn - rnn AS island,
+        |    CAST(count(*) AS BIGINT) AS len, min(doc_id) AS start
+        |  FROM n GROUP BY 1, 2)
+        |SELECT source AS segment, CAST(count(*) AS BIGINT) AS n_runs,
+        |  CAST(sum(len) AS BIGINT) AS n_nulls,
+        |  CAST(max(len) AS BIGINT) AS max_run,
+        |  CAST(-(max(struct_pack(l := len, ns := -start)).ns) AS BIGINT)
+        |    AS max_run_start
+        |FROM i GROUP BY source ORDER BY segment""".stripMargin,
     // undeclared-props discovery over the same injected JSON
     "r_schema_gap" ->
       """WITH p0 AS (SELECT event_id,
@@ -5871,6 +5960,31 @@ object SparkEntry {
         |  (row_number() OVER (PARTITION BY key
         |    ORDER BY n_events DESC, hour) = 1) AS is_peak
         |FROM per ORDER BY key, hour""".stripMargin,
+    // seasonal anomaly: type-hour medians across days (quantile_cont
+    // interpolation matches Spark percentile), flag on the UNROUNDED
+    // median exactly as the engine does
+    "e_seasonal" ->
+      """WITH corpus AS (
+        |  SELECT event_type, ts FROM events
+        |  UNION ALL SELECT event_type, ts FROM events
+        |    WHERE CAST(ts AS DATE) = DATE '2024-01-05' AND hour(ts) = 10
+        |  UNION ALL SELECT event_type, ts FROM events
+        |    WHERE CAST(ts AS DATE) = DATE '2024-01-05' AND hour(ts) = 10),
+        |cells AS (SELECT event_type AS key,
+        |    CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+        |    CAST(hour(ts) AS INT) AS hour,
+        |    CAST(count(*) AS BIGINT) AS n_events
+        |  FROM corpus WHERE ts IS NOT NULL AND event_type IS NOT NULL
+        |  GROUP BY 1, 2, 3),
+        |base AS (SELECT key, hour,
+        |    quantile_cont(n_events, 0.5) AS med
+        |  FROM cells GROUP BY 1, 2)
+        |SELECT c.key, c.day, c.hour, c.n_events,
+        |  round(b.med, 4) AS hour_median,
+        |  (c.n_events > b.med * 2.0 OR c.n_events < b.med / 2.0)
+        |    AS anomalous
+        |FROM cells c JOIN base b ON b.key = c.key AND b.hour = c.hour
+        |ORDER BY c.key, c.day, c.hour""".stripMargin,
     // per-feed freshness vs the data-defined watermark, exact epoch math
     "e_freshness" ->
       """WITH per AS (SELECT event_type AS key,

@@ -223,6 +223,60 @@ object Inference {
     * filter BEFORE the shuffle), map-side-combined groupBy on the
     * undeclared key names, broadcast 1-row total.
     */
+  /** Rule-bound RELAXATION suggestions — "repair the schema, not the
+    * data": for each declared numeric bound, how many rows fall below /
+    * above it, the observed corpus extremes, and the bound that would
+    * make the rule pass (declared if it already does, the observed
+    * extreme otherwise). [[graft.operators.Validate.ruleCoverage]] says a
+    * bound rule is firing; this says what to change it TO — the triage
+    * for "the schema is stale, not the data broken" (a new upstream
+    * legitimately shipping values past a bound written last year).
+    *
+    * Each entry: (rule, column, declaredMin, declaredMax). Nulls never
+    * count (consistent with keyword rules' absent-passes contract —
+    * bounds constrain present values).
+    *
+    * Scale: ONE aggregation scan (conditional sums + min/max per entry),
+    * folded map-side to a single row, exploded to entries-sized output.
+    */
+  def boundSuggestions(df: DataFrame,
+      bounds: Seq[(String, String, Option[Double], Option[Double])])
+      : DataFrame = {
+    require(bounds.nonEmpty, "boundSuggestions: no bounds")
+    require(bounds.forall(b => b._3.nonEmpty || b._4.nonEmpty),
+      "boundSuggestions: each entry needs a declared min or max")
+    val aggs = bounds.zipWithIndex.flatMap { case ((_, c, lo, hi), i) =>
+      val v = col(c).cast("double")
+      Seq(
+        sum(when(lo.map(v < _).getOrElse(lit(false)), 1L).otherwise(0L))
+          .as(s"_b$i"),
+        sum(when(hi.map(v > _).getOrElse(lit(false)), 1L).otherwise(0L))
+          .as(s"_a$i"),
+        min(v).as(s"_mn$i"), max(v).as(s"_mx$i"))
+    }
+    df.agg(aggs.head, aggs.tail: _*)
+      .select(explode(array(bounds.zipWithIndex.map {
+        case ((name, c, lo, hi), i) =>
+          struct(lit(name).as("rule"), lit(c).as("col_name"),
+            lo.map(lit(_)).getOrElse(lit(null).cast("double"))
+              .as("declared_min"),
+            hi.map(lit(_)).getOrElse(lit(null).cast("double"))
+              .as("declared_max"),
+            coalesce(col(s"_b$i"), lit(0L)).as("n_below"),
+            coalesce(col(s"_a$i"), lit(0L)).as("n_above"),
+            col(s"_mn$i").as("obs_min"), col(s"_mx$i").as("obs_max"))
+      }: _*)).as("m"))
+      .select(col("m.rule").as("rule"), col("m.col_name").as("col_name"),
+        col("m.declared_min").as("declared_min"),
+        col("m.declared_max").as("declared_max"),
+        col("m.n_below").as("n_below"), col("m.n_above").as("n_above"),
+        col("m.obs_min").as("obs_min"), col("m.obs_max").as("obs_max"),
+        when(col("m.n_below") > 0, col("m.obs_min"))
+          .otherwise(col("m.declared_min")).as("suggested_min"),
+        when(col("m.n_above") > 0, col("m.obs_max"))
+          .otherwise(col("m.declared_max")).as("suggested_max"))
+  }
+
   def undeclaredProps(df: DataFrame, jsonCol: String,
       declared: Seq[String]): DataFrame = {
     val nonNull = df.filter(col(jsonCol).isNotNull)

@@ -961,4 +961,39 @@ object Stats {
           (col("n") * scale.toLong), 6).as("gap"))
       .orderBy(col("bin"))
   }
+
+  /** Null-RUN audit: per segment, how the nulls of one column CLUSTER in
+    * the segment's record order — n_runs (maximal stretches of
+    * consecutive null rows), total nulls, the longest run and where it
+    * starts. [[nullPatterns]] says how MUCH is missing;
+    * this says whether it arrived as scattered noise or as one dark
+    * window (a feed that went down mid-ingest) — the shape that decides
+    * impute-vs-quarantine. Classic dual-rank islands: rank among all
+    * segment rows minus rank among its null rows is constant within a
+    * run.
+    *
+    * Scale: both windows partition by segment (bounded; never a global
+    * sort) — the second ranks only the NULL rows; the island rollup is
+    * run-count-sized. Segments with zero nulls are absent (no rows, not
+    * zeros).
+    */
+  def nullRuns(df: DataFrame, segCol: String, orderCol: String,
+      valueCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wAll = Window.partitionBy(col("_seg")).orderBy(col("_ord"))
+    val nulls = df.filter(col(segCol).isNotNull)
+      .select(col(segCol).as("_seg"), col(orderCol).as("_ord"),
+        col(valueCol).isNull.as("_n"))
+      .withColumn("_rn", row_number().over(wAll))
+      .filter(col("_n"))
+      .withColumn("_rnn", row_number().over(wAll))
+      .withColumn("_island", col("_rn") - col("_rnn"))
+    nulls.groupBy(col("_seg"), col("_island"))
+      .agg(count(lit(1)).as("_len"), min(col("_ord")).as("_start"))
+      .groupBy(col("_seg").as("segment"))
+      .agg(count(lit(1)).as("n_runs"), sum(col("_len")).as("n_nulls"),
+        max(struct(col("_len").as("l"), (-col("_start")).as("ns"))).as("_m"))
+      .select(col("segment"), col("n_runs"), col("n_nulls"),
+        col("_m.l").as("max_run"), (-col("_m.ns")).as("max_run_start"))
+  }
 }

@@ -409,6 +409,38 @@ object Temporal {
     * carries ≤ 24 rows per group per partition; the share/peak windows
     * run on the 24×groups summary, partitioned by group.
     */
+  /** SEASONALLY-adjusted volume anomaly: for every (group, date, hour)
+    * cell, compare the observed event count to the group's MEDIAN count
+    * for that hour-of-day across all dates — the baseline [[loadProfile]]
+    * describes — and flag cells outside [median/factor, median·factor].
+    * A plain daily watchdog flags every evening peak; this one flags
+    * "Tuesday 14:00 did 5× its usual 14:00". Median is the exact
+    * interpolating percentile over integer counts (replays in any
+    * engine); hours with a single observed date never flag (their median
+    * IS the observation).
+    *
+    * Scale: ONE map-side-combined groupBy (group, date, hour) — the only
+    * corpus shuffle; the median rollup and the flag join run on the
+    * cells×groups summary (broadcast-eligible).
+    */
+  def seasonalAnomaly(df: DataFrame, groupCol: String, timeCol: String,
+      factor: Double): DataFrame = {
+    require(factor > 1.0, s"seasonalAnomaly: need factor > 1, got $factor")
+    val cells = df.filter(col(timeCol).isNotNull && col(groupCol).isNotNull)
+      .groupBy(col(groupCol).as("key"),
+        to_date(col(timeCol)).cast("string").as("day"),
+        hour(col(timeCol)).cast("int").as("hour"))
+      .agg(count(lit(1)).as("n_events"))
+    val base = cells.groupBy(col("key").as("_k"), col("hour").as("_h"))
+      .agg(percentile(col("n_events"), lit(0.5)).as("hour_median"))
+    cells.join(broadcast(base),
+        col("key") === col("_k") && col("hour") === col("_h"))
+      .select(col("key"), col("day"), col("hour"), col("n_events"),
+        round(col("hour_median"), 4).as("hour_median"),
+        (col("n_events") > col("hour_median") * factor ||
+          col("n_events") < col("hour_median") / factor).as("anomalous"))
+  }
+
   def loadProfile(df: DataFrame, groupCol: String, timeCol: String): DataFrame = {
     val per = df.filter(col(timeCol).isNotNull && col(groupCol).isNotNull)
       .groupBy(col(groupCol).as("key"),
