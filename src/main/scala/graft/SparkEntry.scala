@@ -1155,6 +1155,17 @@ object SparkEntry {
         .select(col("doc_id"), col("split"))
         .orderBy("doc_id")
     }),
+    // ---------- split shingle-coverage (vocabulary leak) ----------
+    "p_split_coverage" -> ((s, dir) => {
+      // is eval text genuinely held-out phrasing, or compositionally
+      // inside the training vocabulary? distinct-3-shingle coverage of
+      // val/test by train over the same hash-bucket splits as p_split
+      val docs = Sampling.splits(t(s, dir, "documents"), "doc_id",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      Dedup.splitShingleCoverage(docs, "text", "split",
+          refSplit = "train", k = 3)
+        .orderBy("split")
+    }),
     "p_split_leak" -> ((s, dir) => {
       // contamination audit: verified near-dup pairs whose two sides land
       // in different train/val/test splits — the leak hash-bucketed
@@ -2202,6 +2213,19 @@ object SparkEntry {
       // hour-of-day), share within type, deterministic peak hour
       Temporal.loadProfile(t(s, dir, "events"), "event_type", "ts")
         .orderBy("key", "hour")),
+    // ---------- per-day user lifecycle ----------
+    "e_lifecycle" -> ((s, dir) =>
+      // acquisition-vs-retention decomposition of the DAU chart: new /
+      // returning / last-seen users per day
+      Temporal.userLifecycle(t(s, dir, "events"), "user_id", "ts")
+        .orderBy("day")),
+    // ---------- DAU/WAU stickiness ----------
+    "e_stickiness" -> ((s, dir) =>
+      // how often do actives show up: distinct daily users over distinct
+      // trailing-7-day users, per day
+      Temporal.stickiness(t(s, dir, "events"), "user_id", "ts",
+          windowDays = 7)
+        .orderBy("day")),
     // ---------- seasonally-adjusted volume anomaly ----------
     "e_seasonal" -> ((s, dir) => {
       // Tuesday-14:00-did-3x-its-usual-14:00 detection: per (type, date,
@@ -4607,6 +4631,35 @@ object SparkEntry {
         |  round(CAST(n_docs AS DOUBLE) /
         |    (SELECT CAST(sum(n_docs) AS DOUBLE) FROM g), 6) AS doc_share
         |FROM g ORDER BY source""".stripMargin,
+    // split shingle-coverage: same hash splits, distinct (split, shingle),
+    // coverage of val/test by the train vocabulary
+    "p_split_coverage" ->
+      s"""WITH sp AS (SELECT doc_id, text,
+        |  CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+        |         < '${Sampling.thresholdHex(0.8)}' THEN 'train'
+        |       WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+        |         < '${Sampling.thresholdHex(0.9)}' THEN 'val'
+        |       ELSE 'test' END AS split FROM documents),
+        |toks AS (SELECT split,
+        |    string_split(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')), ' ') AS t
+        |  FROM sp),
+        |shg AS (SELECT DISTINCT split, unnest(CASE WHEN len(t) >= 3
+        |    THEN list_distinct(list_transform(generate_series(1, len(t) - 2),
+        |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+        |    ELSE CAST([] AS VARCHAR[]) END) AS sh
+        |  FROM toks),
+        |sizes AS (SELECT split, CAST(count(*) AS BIGINT) AS n_shingles
+        |  FROM shg WHERE split <> 'train' GROUP BY 1),
+        |cov AS (SELECT a.split, CAST(count(*) AS BIGINT) AS n_covered
+        |  FROM shg a JOIN (SELECT sh FROM shg WHERE split = 'train') b
+        |    ON b.sh = a.sh
+        |  WHERE a.split <> 'train' GROUP BY 1)
+        |SELECT s.split, s.n_shingles,
+        |  CAST(coalesce(c.n_covered, 0) AS BIGINT) AS n_covered,
+        |  round(CAST(coalesce(c.n_covered, 0) AS DOUBLE) / s.n_shingles, 6)
+        |    AS coverage
+        |FROM sizes s LEFT JOIN cov c ON c.split = s.split
+        |ORDER BY s.split""".stripMargin,
     "p_split_leak" ->
       s"""WITH toks AS (SELECT doc_id,
         |    string_split(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')), ' ') AS t
@@ -5960,6 +6013,40 @@ object SparkEntry {
         |  (row_number() OVER (PARTITION BY key
         |    ORDER BY n_events DESC, hour) = 1) AS is_peak
         |FROM per ORDER BY key, hour""".stripMargin,
+    // per-day lifecycle: distinct user-days, first/last per user, day
+    // rollups with null-safe zero defaults
+    "e_lifecycle" ->
+      """WITH ud AS (SELECT DISTINCT user_id AS u, CAST(ts AS DATE) AS d
+        |  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+        |fl AS (SELECT u, min(d) AS fd, max(d) AS ld FROM ud GROUP BY 1),
+        |act AS (SELECT d, CAST(count(*) AS BIGINT) AS active_users
+        |  FROM ud GROUP BY 1),
+        |nw AS (SELECT fd AS d, CAST(count(*) AS BIGINT) AS new_users
+        |  FROM fl GROUP BY 1),
+        |ls AS (SELECT ld AS d, CAST(count(*) AS BIGINT) AS last_seen_users
+        |  FROM fl GROUP BY 1)
+        |SELECT CAST(a.d AS VARCHAR) AS day, a.active_users,
+        |  CAST(coalesce(n.new_users, 0) AS BIGINT) AS new_users,
+        |  CAST(a.active_users - coalesce(n.new_users, 0) AS BIGINT)
+        |    AS returning_users,
+        |  CAST(coalesce(l.last_seen_users, 0) AS BIGINT)
+        |    AS last_seen_users
+        |FROM act a LEFT JOIN nw n ON n.d = a.d
+        |  LEFT JOIN ls l ON l.d = a.d
+        |ORDER BY day""".stripMargin,
+    // stickiness: sliding distinct via day-offset explode over user-days
+    "e_stickiness" ->
+      """WITH ud AS (SELECT DISTINCT user_id AS u, CAST(ts AS DATE) AS d
+        |  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+        |dau AS (SELECT d, CAST(count(*) AS BIGINT) AS dau
+        |  FROM ud GROUP BY 1),
+        |f AS (SELECT DISTINCT u, d + CAST(off AS INTEGER) AS d
+        |  FROM ud, generate_series(0, 6) AS t(off)),
+        |wau AS (SELECT d, CAST(count(*) AS BIGINT) AS wau
+        |  FROM f GROUP BY 1)
+        |SELECT CAST(dau.d AS VARCHAR) AS day, dau.dau, wau.wau,
+        |  round(CAST(dau.dau AS DOUBLE) / wau.wau, 6) AS stickiness
+        |FROM dau JOIN wau ON wau.d = dau.d ORDER BY day""".stripMargin,
     // seasonal anomaly: type-hour medians across days (quantile_cont
     // interpolation matches Spark percentile), flag on the UNROUNDED
     // median exactly as the engine does

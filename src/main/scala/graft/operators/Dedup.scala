@@ -624,6 +624,39 @@ object Dedup {
         round(abs(col("est") - col("jaccard")), 4).as("abs_err"))
   }
 
+  /** Split shingle-COVERAGE: for each non-reference split, what fraction
+    * of its distinct k-shingles also appear in the reference split —
+    * the vocabulary-generalization leak [[graft.operators.Sampling]]'s
+    * near-dup split-leak audit cannot see (an eval set can be pair-clean
+    * yet still 99% covered shingle-by-shingle, i.e. memorizable). 100%
+    * coverage of val by train is NOT leak-free — it means eval text is
+    * compositionally inside the training vocabulary; LOW coverage means
+    * genuinely held-out phrasing.
+    *
+    * Scale: ONE distinct over (split, shingle) — corpus-vocabulary-sized
+    * shuffle, linear; the coverage join is an equi-join on the shingle
+    * between that summary and its reference slice; output is
+    * splits-count-sized.
+    */
+  def splitShingleCoverage(df: DataFrame, textCol: String,
+      splitCol: String, refSplit: String, k: Int = 3): DataFrame = {
+    val sh = df.filter(col(textCol).isNotNull && col(splitCol).isNotNull)
+      .select(col(splitCol).as("split"),
+        explode(array_distinct(shingles(col(textCol), k))).as("sh"))
+      .distinct()
+    val sizes = sh.filter(col("split") =!= refSplit)
+      .groupBy(col("split")).agg(count(lit(1)).as("n_shingles"))
+    val covered = sh.filter(col("split") =!= refSplit)
+      .join(sh.filter(col("split") === refSplit).select(col("sh")),
+        Seq("sh"))
+      .groupBy(col("split")).agg(count(lit(1)).as("n_covered"))
+    sizes.join(covered, Seq("split"), "left")
+      .select(col("split"), col("n_shingles"),
+        coalesce(col("n_covered"), lit(0L)).as("n_covered"),
+        round(coalesce(col("n_covered"), lit(0L)).cast("double") /
+          col("n_shingles"), 6).as("coverage"))
+  }
+
   /** LSH banding-parameter ADVISOR: for every (bands, rows) factorization
     * of `numHashes`, the S-curve knee `(1/b)^(1/r)` (the jaccard where
     * candidate probability crosses ~1−1/e), the candidate probability

@@ -409,6 +409,65 @@ object Temporal {
     * carries ≤ 24 rows per group per partition; the share/peak windows
     * run on the 24×groups summary, partitioned by group.
     */
+  /** Per-day user LIFECYCLE: active users, how many are NEW (first-ever
+    * activity that day), how many are RETURNING (active but not new),
+    * and how many were LAST SEEN that day (their final activity in the
+    * corpus — the trailing edge a churn window is computed from). The
+    * acquisition-vs-retention decomposition behind every DAU chart.
+    *
+    * Scale: ONE distinct over (user, day) — the only corpus-sized
+    * shuffle; first/last per user and all three day rollups run on the
+    * user-days summary; the day joins are day-count-sized.
+    */
+  def userLifecycle(df: DataFrame, userCol: String,
+      timeCol: String): DataFrame = {
+    val ud = df.filter(col(timeCol).isNotNull && col(userCol).isNotNull)
+      .select(col(userCol).as("u"), to_date(col(timeCol)).as("d"))
+      .distinct()
+    val fl = ud.groupBy(col("u"))
+      .agg(min(col("d")).as("first_d"), max(col("d")).as("last_d"))
+    val act = ud.groupBy(col("d")).agg(count(lit(1)).as("active_users"))
+    val nw = fl.groupBy(col("first_d").as("d"))
+      .agg(count(lit(1)).as("new_users"))
+    val ls = fl.groupBy(col("last_d").as("d"))
+      .agg(count(lit(1)).as("last_seen_users"))
+    act.join(nw, Seq("d"), "left").join(ls, Seq("d"), "left")
+      .select(col("d").cast("string").as("day"), col("active_users"),
+        coalesce(col("new_users"), lit(0L)).as("new_users"),
+        (col("active_users") - coalesce(col("new_users"), lit(0L)))
+          .as("returning_users"),
+        coalesce(col("last_seen_users"), lit(0L)).as("last_seen_users"))
+  }
+
+  /** DAU / trailing-window AU stickiness: per day, distinct active users
+    * that day vs distinct users active in the `windowDays` ending that
+    * day, and their ratio — the how-often-do-actives-show-up metric
+    * (DAU/WAU at the default 7). The sliding distinct is an explode of
+    * `windowDays` day-offsets over the DISTINCT user-days (each user-day
+    * contributes to the windows ending day..day+w−1), so the fan-out is
+    * w × user-days — linear, never a per-day rescan; early days carry
+    * partial windows by construction (standard convention).
+    */
+  def stickiness(df: DataFrame, userCol: String, timeCol: String,
+      windowDays: Int = 7): DataFrame = {
+    require(windowDays >= 1, s"stickiness: bad window $windowDays")
+    val ud = df.filter(col(timeCol).isNotNull && col(userCol).isNotNull)
+      .select(col(userCol).as("u"), to_date(col(timeCol)).as("d"))
+      .distinct()
+    val dau = ud.groupBy(col("d")).agg(count(lit(1)).as("dau"))
+    val wau = ud
+      .select(col("u"),
+        explode(sequence(lit(0), lit(windowDays - 1))).as("off"), col("d"))
+      .select(col("u"), date_add(col("d"), col("off")).as("d"))
+      .distinct()
+      .groupBy(col("d")).agg(count(lit(1)).as("wau"))
+    // inner join: ghost trailing days (windows ending past the corpus)
+    // have no dau row and drop out
+    dau.join(wau, Seq("d"))
+      .select(col("d").cast("string").as("day"), col("dau"), col("wau"),
+        round(col("dau").cast("double") / col("wau"), 6).as("stickiness"))
+  }
+
   /** SEASONALLY-adjusted volume anomaly: for every (group, date, hour)
     * cell, compare the observed event count to the group's MEDIAN count
     * for that hour-of-day across all dates — the baseline [[loadProfile]]
