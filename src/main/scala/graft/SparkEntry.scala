@@ -1490,6 +1490,11 @@ object SparkEntry {
       Multimodal.probeMeta(media).toDF()
         .orderBy("media_ref")
     }),
+    "m_budget" -> ((s, dir) =>
+      // storage budget by what files ARE (magic bytes), not what the
+      // catalog claims: counts, byte totals, shares
+      Multimodal.mediaBudget(Multimodal.syntheticMedia(s, 2000))
+        .orderBy("detected_mime")),
     "m_kind_mismatch" -> ((s, dir) => {
       // mislabeled-asset audit: every 7th asset's DECLARED mime is forced
       // to image/png; magic-byte detection reports what each file IS, so
@@ -2700,6 +2705,33 @@ object SparkEntry {
       Validate.failFastProfile(t(s, dir, "documents"), rules)
         .orderBy("rank")
     }),
+    // ---------- composite data-quality score ----------
+    "g_dq_score" -> ((s, dir) => {
+      // the single number a feed owner is paged on: lang nulled at %23
+      // moves completeness (null lang still PASSES the enum rule —
+      // absent-passes — so validity decouples), normalized content
+      // hashes give uniqueness, equal weights
+      val docs = t(s, dir, "documents").withColumn("lang",
+        when(pmod(col("doc_id"), lit(23L)) === 0L,
+          lit(null).cast("string")).otherwise(col("lang")))
+      val rules = Seq(
+        "lang_enum" -> Rule.Check(Keywords(properties = Map(
+          "lang" -> Rule.Check(Keywords(enum_ = Some(langEnum)))))),
+        "chars_nonneg" -> Rule.Check(Keywords(properties = Map(
+          "n_chars" -> Rule.Check(Keywords(minimum = Some(0)))))))
+      Validate.dqScore(docs, rules, Seq("doc_id", "lang"), "text",
+          Seq("source"))
+        .orderBy("source")
+    }),
+    // ---------- per-partition volume contract ----------
+    "v_volume_contract" -> ((s, dir) =>
+      // arrived-but-thin SLA: 500 docs over 7 synthetic parts leave four
+      // 71-row parts under the declared 72-row floor, three in range
+      Validate.volumeContract(
+          t(s, dir, "documents")
+            .select(pmod(col("doc_id"), lit(7L)).as("pk")),
+          "pk", minRows = 72L, maxRows = 200L)
+        .orderBy("part_key")),
     // ---------- cross-field consistency audit ----------
     "v_cross_field" -> ((s, dir) => {
       // invariants the keyword grammar can't express (field vs FIELD):
@@ -5682,6 +5714,22 @@ object SparkEntry {
         |  CAST(CASE WHEN id % 3 = 1 THEN 1 + id % 2 ELSE 0 END AS INT) AS channels,
         |  true AS parsed
         |FROM ids ORDER BY media_ref""".stripMargin,
+    // media budget: detected mime + byte formulas from the generator ids
+    "m_budget" ->
+      """WITH ids AS (SELECT range AS id FROM range(0, 2000)),
+        |m AS (SELECT CASE WHEN id % 3 = 0 THEN 'image/png'
+        |    WHEN id % 3 = 1 THEN 'audio/wav'
+        |    ELSE 'video/mp4' END AS detected_mime,
+        |  CASE WHEN id % 3 = 0 THEN 33 WHEN id % 3 = 1 THEN 44
+        |    ELSE 280 END AS bytes FROM ids),
+        |per AS (SELECT detected_mime, CAST(count(*) AS BIGINT) AS n_assets,
+        |    CAST(sum(bytes) AS BIGINT) AS total_bytes FROM m GROUP BY 1),
+        |t AS (SELECT sum(total_bytes) AS tt FROM per)
+        |SELECT detected_mime, n_assets, total_bytes,
+        |  CASE WHEN tt > 0
+        |    THEN round(CAST(total_bytes AS DOUBLE) / tt, 6) END
+        |    AS byte_share
+        |FROM per, t ORDER BY detected_mime""".stripMargin,
     // mime confusion matrix: detected mime recomputed from the generator
     // id formula — detector-vs-formula disagreement fails the hash
     "m_kind_mismatch" ->
@@ -6748,6 +6796,37 @@ object SparkEntry {
         |    AS cum_share
         |FROM r LEFT JOIN c ON r.idx = c.idx, g
         |ORDER BY r.rank""".stripMargin,
+    // composite DQ score: the three rates + weighted blend, normalized
+    // content hash matches Dedup.contentHash (no trim)
+    "g_dq_score" ->
+      """WITH d AS (SELECT source, doc_id, text, n_chars,
+        |    CASE WHEN doc_id % 23 = 0 THEN NULL ELSE lang END AS lang
+        |  FROM documents),
+        |g AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(CASE WHEN doc_id IS NOT NULL AND lang IS NOT NULL
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS c,
+        |  CAST(sum(CASE WHEN (lang IS NULL
+        |      OR lang IN ('en','de','fr','es'))
+        |    AND (n_chars IS NULL OR n_chars >= 0) THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS v,
+        |  CAST(count(DISTINCT md5(lower(
+        |    regexp_replace(text, '\s+', ' ', 'g')))) AS BIGINT) AS u
+        |  FROM d GROUP BY 1)
+        |SELECT source, n_docs,
+        |  round(CAST(c AS DOUBLE) / n_docs, 6) AS completeness,
+        |  round(CAST(v AS DOUBLE) / n_docs, 6) AS validity,
+        |  round(CAST(u AS DOUBLE) / n_docs, 6) AS uniqueness,
+        |  round((CAST(1.0 AS DOUBLE) * c + CAST(1.0 AS DOUBLE) * v
+        |      + CAST(1.0 AS DOUBLE) * u)
+        |    / (n_docs * CAST(3.0 AS DOUBLE)), 6) AS dq_score
+        |FROM g ORDER BY source""".stripMargin,
+    // volume contract: per-part counts vs declared [min, max]
+    "v_volume_contract" ->
+      """SELECT doc_id % 7 AS part_key, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(72 AS BIGINT) AS min_rows, CAST(200 AS BIGINT) AS max_rows,
+        |  CASE WHEN count(*) < 72 THEN 'under'
+        |       WHEN count(*) > 200 THEN 'over' END AS breach
+        |FROM documents GROUP BY 1 ORDER BY part_key""".stripMargin,
     // cross-field audit: CASE sums + conditional min per invariant over
     // the same corrupted view
     "v_cross_field" ->

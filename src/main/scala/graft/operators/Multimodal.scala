@@ -597,6 +597,34 @@ object Multimodal {
       .withColumn("mismatch", col("declared_mime") =!= col("detected_mime"))
   }
 
+  /** Media STORAGE budget by detected container: asset counts, byte
+    * totals and shares — the capacity/egress planning rollup a
+    * multimodal corpus owner reads before a decode fan-out (route by
+    * what files ARE, not what the catalog claims — same magic-byte
+    * dispatch as [[mimeMismatch]]). One `mapPartitions` scan,
+    * mime-count-sized output, broadcast 1-row total.
+    */
+  def mediaBudget(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    val per = media.select(col("media_ref"), col("mime"), col("content"))
+      .as[MediaRow]
+      .mapPartitions { rows =>
+        rows.map(r => (HeaderCodec.detectMime(r.content),
+          if (r.content == null) 0L else r.content.length.toLong))
+      }
+      .toDF("detected_mime", "bytes")
+      .groupBy(col("detected_mime"))
+      .agg(count(lit(1)).as("n_assets"), sum(col("bytes")).as("total_bytes"))
+    val tot = per.agg(sum(col("total_bytes")).as("_t"))
+    per.join(broadcast(tot))
+      .select(col("detected_mime"), col("n_assets"), col("total_bytes"),
+        // a corpus of only empty payloads would zero the total
+        when(col("_t") > 0L,
+          round(col("total_bytes").cast("double") / col("_t"), 6))
+          .as("byte_share"))
+  }
+
   /** Deterministic synthetic media with FULL content payloads (complete
     * PNG pixel streams and PCM data chunks, unlike [[syntheticMedia]]'s
     * header-only probe fixtures): even ids are small grayscale PNGs, odd

@@ -370,6 +370,73 @@ object Validate {
         round(col("m.failed_docs") / col("m.docs"), 6).as("fail_rate")): _*)
   }
 
+  /** Composite per-group DATA-QUALITY score — the executive rollup of
+    * three independent rates: completeness (all key fields present),
+    * validity (every rule passes, via the same compiled predicates the
+    * validator runs), uniqueness (distinct normalized content /
+    * rows, [[Dedup.contentHash]]'s normalization), weighted into one
+    * 0..1 `dq_score` per group. Not a replacement for the per-rule
+    * reports — the single number a feed OWNER is paged on, with the
+    * three components right next to it for the drill-down.
+    *
+    * Scale: ONE corpus scan — completeness/validity are conditional sums
+    * and uniqueness is a count-distinct on the content hash, all in the
+    * same map-side-combined groupBy (Spark plans the mixed
+    * distinct/non-distinct agg as a single-scan Expand); output is
+    * group-count-sized.
+    */
+  def dqScore(df: DataFrame, rules: Seq[(String, Rule)],
+      keyCols: Seq[String], contentCol: String, groupCols: Seq[String],
+      weights: (Double, Double, Double) = (1.0, 1.0, 1.0),
+      defs: Map[String, Rule] = Map.empty): DataFrame = {
+    require(rules.nonEmpty && keyCols.nonEmpty && groupCols.nonEmpty,
+      "dqScore: rules, key columns and group columns are all required")
+    val (wc, wv, wu) = weights
+    require(wc >= 0 && wv >= 0 && wu >= 0 && wc + wv + wu > 0,
+      "dqScore: weights must be non-negative and not all zero")
+    val row = struct(df.columns.map(col): _*)
+    val passAll = rules.map { case (_, r) =>
+      coalesce(RuleCompiler.compile(r, row, df.schema, defs).pred,
+        lit(false))
+    }.reduce(_ && _)
+    val complete = keyCols.map(col(_).isNotNull).reduce(_ && _)
+    df.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(complete, 1L).otherwise(0L)).as("_c"),
+        sum(when(passAll, 1L).otherwise(0L)).as("_v"),
+        countDistinct(Dedup.contentHash(col(contentCol))).as("_u"))
+      .select(groupCols.map(col) ++ Seq(col("n_docs"),
+        round(col("_c").cast("double") / col("n_docs"), 6)
+          .as("completeness"),
+        round(col("_v").cast("double") / col("n_docs"), 6).as("validity"),
+        round(col("_u").cast("double") / col("n_docs"), 6)
+          .as("uniqueness"),
+        round((lit(wc) * col("_c") + lit(wv) * col("_v") +
+            lit(wu) * col("_u")).cast("double") /
+          (col("n_docs") * lit(wc + wv + wu)), 6).as("dq_score")): _*)
+  }
+
+  /** Per-partition VOLUME contract: is each partition delivering the row
+    * count its SLA declares? n_docs per partition + breach direction
+    * (`under` / `over` / null when in range) — the arrived-but-thin
+    * check [[graft.operators.ResumableValidate]]'s 0-row pass verdict
+    * and byte-level partition health both miss. One map-side-combined
+    * groupBy; partitions that shipped ZERO rows are invisible to a scan
+    * by definition — diff against an expected-partition manifest for
+    * those (expectedParts in ResumableValidate).
+    */
+  def volumeContract(df: DataFrame, partCol: String, minRows: Long,
+      maxRows: Long): DataFrame = {
+    require(minRows >= 0 && maxRows >= minRows,
+      s"volumeContract: bad bounds [$minRows, $maxRows]")
+    df.groupBy(col(partCol).as("part_key"))
+      .agg(count(lit(1)).as("n_docs"))
+      .select(col("part_key"), col("n_docs"),
+        lit(minRows).as("min_rows"), lit(maxRows).as("max_rows"),
+        when(col("n_docs") < minRows, "under")
+          .when(col("n_docs") > maxRows, "over").as("breach"))
+  }
+
   /** CROSS-FIELD consistency audit — invariants the keyword grammar
     * cannot express because they compare one field to ANOTHER (derived
     * columns match their source, totals reconcile, ranges are ordered):
