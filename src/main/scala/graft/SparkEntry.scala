@@ -2705,6 +2705,35 @@ object SparkEntry {
       Validate.failFastProfile(t(s, dir, "documents"), rules)
         .orderBy("rank")
     }),
+    // ---------- per-category chi-square drill-down ----------
+    "g_drift_cells" -> ((s, dir) => {
+      // WHICH value drifted: snapshot v2 corrupts lang to 'xx' at %31 —
+      // the xx cell must own the statistic (rank 1); the statistic
+      // itself is g_drift_chi2's job, this is the next click
+      val docs = t(s, dir, "documents")
+      val v2 = docs.withColumn("lang",
+        when(pmod(col("doc_id"), lit(31L)) === 0L, lit("xx"))
+          .otherwise(col("lang")))
+      Drift.chiSquareByCategory(docs, v2, "lang").orderBy("category")
+    }),
+    // ---------- rule catch-rate stability ----------
+    "v_rule_stability" -> ((s, dir) => {
+      // systemic vs localized: the always-fires rule and the silent rule
+      // pin spread = 0 exactly; the real rules show their natural
+      // bucket-to-bucket variation over 4 md5-threshold slices
+      val rules = Seq(
+        "lang_enum" -> Rule.Check(Keywords(properties = Map(
+          "lang" -> Rule.Check(Keywords(enum_ = Some(langEnum)))))),
+        "chars_nonneg" -> Rule.Check(Keywords(properties = Map(
+          "n_chars" -> Rule.Check(Keywords(minimum = Some(0)))))),
+        "impossible_id" -> Rule.Check(Keywords(properties = Map(
+          "doc_id" -> Rule.Check(Keywords(maximum = Some(-1)))))),
+        "src_pattern" -> Rule.Check(Keywords(properties = Map(
+          "source" -> Rule.Check(Keywords(pattern = Some("^src[0-3]$")))))))
+      Validate.ruleStability(t(s, dir, "documents"), rules, "doc_id",
+          nBuckets = 4)
+        .orderBy("rule")
+    }),
     // ---------- composite data-quality score ----------
     "g_dq_score" -> ((s, dir) => {
       // the single number a feed owner is paged on: lang nulled at %23
@@ -6796,6 +6825,73 @@ object SparkEntry {
         |    AS cum_share
         |FROM r LEFT JOIN c ON r.idx = c.idx, g
         |ORDER BY r.rank""".stripMargin,
+    // per-category chi2 cells: same expected-count algebra, windowed
+    // totals, contribution rounded before ranking
+    "g_drift_cells" ->
+      """WITH a AS (SELECT lang AS category, CAST(count(*) AS BIGINT) AS ca
+        |  FROM documents WHERE lang IS NOT NULL GROUP BY 1),
+        |b0 AS (SELECT CASE WHEN doc_id % 31 = 0 THEN 'xx' ELSE lang END
+        |    AS category FROM documents),
+        |b AS (SELECT category, CAST(count(*) AS BIGINT) AS cb FROM b0
+        |  WHERE category IS NOT NULL GROUP BY 1),
+        |j AS (SELECT coalesce(a.category, b.category) AS category,
+        |    coalesce(ca, 0) AS ca, coalesce(cb, 0) AS cb
+        |  FROM a FULL OUTER JOIN b ON b.category = a.category),
+        |t AS (SELECT category, ca, cb, sum(ca) OVER () AS na,
+        |    sum(cb) OVER () AS nb FROM j),
+        |e AS (SELECT category, ca, cb,
+        |    CAST(ca + cb AS DOUBLE) * na / (na + nb) AS ea,
+        |    CAST(ca + cb AS DOUBLE) * nb / (na + nb) AS eb FROM t),
+        |c AS (SELECT category, ca, cb,
+        |    round(ea, 4) AS expected_a, round(eb, 4) AS expected_b,
+        |    round((ca - ea) * (ca - ea) / ea
+        |      + (cb - eb) * (cb - eb) / eb, 6) AS contribution FROM e)
+        |SELECT category, ca, cb, expected_a, expected_b, contribution,
+        |  CASE WHEN sum(contribution) OVER () > 0
+        |    THEN round(contribution / sum(contribution) OVER (), 6) END
+        |    AS stat_share,
+        |  row_number() OVER (ORDER BY contribution DESC, category)
+        |    AS drift_rank
+        |FROM c ORDER BY category""".stripMargin,
+    // rule stability: md5-threshold buckets, per-bucket rates rounded
+    // before min/max — no cross-engine summation anywhere
+    "v_rule_stability" ->
+      s"""WITH d AS (SELECT *,
+        |  CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+        |         < '${Sampling.thresholdHex(0.25)}' THEN 0
+        |       WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+        |         < '${Sampling.thresholdHex(0.5)}' THEN 1
+        |       WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+        |         < '${Sampling.thresholdHex(0.75)}' THEN 2
+        |       ELSE 3 END AS b
+        |  FROM documents),
+        |g AS (SELECT b, CAST(count(*) AS BIGINT) AS docs,
+        |  CAST(sum(CASE WHEN NOT (lang IS NULL
+        |    OR lang IN ('en','de','fr','es')) THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS f_lang,
+        |  CAST(sum(CASE WHEN NOT (n_chars IS NULL OR n_chars >= 0)
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS f_chars,
+        |  CAST(sum(CASE WHEN NOT (doc_id IS NULL OR doc_id <= -1)
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS f_id,
+        |  CAST(sum(CASE WHEN NOT (source IS NULL
+        |    OR regexp_matches(source, '^src[0-3]$$')) THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS f_src
+        |  FROM d GROUP BY 1),
+        |r AS (
+        |  SELECT 'lang_enum' AS rule, b, docs, f_lang AS caught FROM g
+        |  UNION ALL SELECT 'chars_nonneg', b, docs, f_chars FROM g
+        |  UNION ALL SELECT 'impossible_id', b, docs, f_id FROM g
+        |  UNION ALL SELECT 'src_pattern', b, docs, f_src FROM g),
+        |rr AS (SELECT rule, docs, caught,
+        |  round(CAST(caught AS DOUBLE) / docs, 6) AS rate FROM r)
+        |SELECT rule, CAST(sum(docs) AS BIGINT) AS docs,
+        |  CAST(sum(caught) AS BIGINT) AS caught,
+        |  CASE WHEN sum(docs) > 0 THEN
+        |    round(CAST(sum(caught) AS DOUBLE) / sum(docs), 6) END
+        |    AS overall_rate,
+        |  min(rate) AS min_bucket_rate, max(rate) AS max_bucket_rate,
+        |  round(max(rate) - min(rate), 6) AS spread
+        |FROM rr GROUP BY rule ORDER BY rule""".stripMargin,
     // composite DQ score: the three rates + weighted blend, normalized
     // content hash matches Dedup.contentHash (no trim)
     "g_dq_score" ->

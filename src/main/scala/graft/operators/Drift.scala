@@ -149,6 +149,60 @@ object Drift {
         (col("cb") - col("eb")) * (col("cb") - col("eb")) / col("eb")).as("chi2"))
   }
 
+  /** Per-CATEGORY chi-square drill-down — WHICH value drifted: for every
+    * category of a string column, both sides' counts, expected counts
+    * under homogeneity, the category's χ² contribution, its share of the
+    * total statistic, and its rank. [[chiSquare]] answers "did the
+    * distribution move" with one number; a monitoring page needs the next
+    * click — "the whole statistic is the `xx` bucket". Same expected-count
+    * algebra as the binned form (double from the first multiply — a long
+    * (ca+cb)·na product overflows past ~3e9 rows/side); per-category
+    * contributions rounded to 6 before ranking, rank ties broken by
+    * category name, so the report replays cross-engine.
+    *
+    * Scale: two map-side-combined category histograms are the only corpus
+    * scans; the join, totals windows and rank all run on the
+    * category-count-sized summary.
+    */
+  def chiSquareByCategory(a: DataFrame, b: DataFrame, c: String): DataFrame = {
+    def hist(df: DataFrame, side: String): DataFrame =
+      df.filter(col(c).isNotNull)
+        .groupBy(col(c).as("category"))
+        .agg(count(lit(1)).as(s"cnt_$side"))
+    val joined = hist(a, "a").join(hist(b, "b"), Seq("category"), "full_outer")
+      .select(col("category"),
+        coalesce(col("cnt_a"), lit(0L)).as("ca"),
+        coalesce(col("cnt_b"), lit(0L)).as("cb"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(lit(1))
+    val guardA = assert_true(col("na") > 0,
+      lit(s"chiSquareByCategory: no non-null rows in '$c' on side 'a'"))
+    val guardB = assert_true(col("nb") > 0,
+      lit(s"chiSquareByCategory: no non-null rows in '$c' on side 'b'"))
+    val withTot = joined
+      .select(col("category"), col("ca"), col("cb"),
+        sum(col("ca")).over(w).as("na"), sum(col("cb")).over(w).as("nb"))
+      .select(col("category"), col("ca"), col("cb"),
+        when(guardA.isNull, (col("ca") + col("cb")).cast("double") *
+          col("na") / (col("na") + col("nb"))).as("ea"),
+        when(guardB.isNull, (col("ca") + col("cb")).cast("double") *
+          col("nb") / (col("na") + col("nb"))).as("eb"))
+      .select(col("category"), col("ca"), col("cb"),
+        round(col("ea"), 4).as("expected_a"),
+        round(col("eb"), 4).as("expected_b"),
+        round((col("ca") - col("ea")) * (col("ca") - col("ea")) / col("ea")
+          + (col("cb") - col("eb")) * (col("cb") - col("eb")) / col("eb"),
+          6).as("contribution"))
+    val wr = org.apache.spark.sql.expressions.Window
+      .orderBy(col("contribution").desc, col("category"))
+    val tot = sum(col("contribution")).over(w)
+    withTot.select(col("category"), col("ca"), col("cb"),
+      col("expected_a"), col("expected_b"), col("contribution"),
+      // identical distributions: total contribution 0 -> null shares
+      // (ANSI division would throw), ranks still deterministic
+      when(tot > 0, round(col("contribution") / tot, 6)).as("stat_share"),
+      row_number().over(wr).as("drift_rank"))
+  }
+
   /** PSI OVER TIME: one row per event-time day with that day's PSI against
     * the WHOLE corpus distribution — the continuous-monitoring form of
     * [[psi]] ("which day drifted?"), same clamped floor bucketing so any

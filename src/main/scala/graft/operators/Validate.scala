@@ -370,6 +370,66 @@ object Validate {
         round(col("m.failed_docs") / col("m.docs"), 6).as("fail_rate")): _*)
   }
 
+  /** Rule catch-rate STABILITY across deterministic hash buckets:
+    * systemic-vs-localized triage. A rule whose violation rate is flat
+    * across `nBuckets` random (md5-threshold) slices of the corpus is
+    * catching a SYSTEMIC property; one whose rate swings between buckets
+    * is catching something data-localized that the random partition
+    * happened to split — the complement of [[graft.operators.Stats]]'
+    * slice-lift (that names the guilty cohort; this says whether one
+    * exists without naming dimensions). Buckets reuse the
+    * [[Sampling.thresholdHex]] md5-prefix machinery, so an independent
+    * engine reproduces the assignment byte-for-byte; per-bucket rates
+    * are rounded before min/max (no cross-engine summation anywhere).
+    *
+    * Output per rule: docs, caught, overall_rate, min/max bucket rate
+    * and their spread.
+    *
+    * Scale: ONE aggregation scan grouped by the bucket expression
+    * (map-side combined to nBuckets rows), exploded to (rule, bucket)
+    * and rolled up — rules×buckets-sized, never a second corpus pass.
+    */
+  def ruleStability(df: DataFrame, rules: Seq[(String, Rule)],
+      idCol: String, nBuckets: Int = 4,
+      defs: Map[String, Rule] = Map.empty): DataFrame = {
+    require(rules.nonEmpty, "ruleStability: no rules")
+    require(nBuckets >= 2 && nBuckets <= 64,
+      s"ruleStability: need 2..64 buckets, got $nBuckets")
+    val prefix = substring(md5(col(idCol).cast("string")), 1, 8)
+    val bucket = (1 until nBuckets).foldLeft(when(lit(false), 0)) {
+      case (acc, i) => acc.when(
+        prefix < Sampling.thresholdHex(i.toDouble / nBuckets), i - 1)
+    }.otherwise(nBuckets - 1)
+    val row = struct(df.columns.map(col): _*)
+    val aggs = count(lit(1)).as("_docs") +: rules.zipWithIndex.map {
+      case ((_, r), i) =>
+        val pred = coalesce(
+          RuleCompiler.compile(r, row, df.schema, defs).pred, lit(false))
+        sum(when(!pred, 1L).otherwise(0L)).as(s"_c$i")
+    }
+    df.groupBy(bucket.as("_b")).agg(aggs.head, aggs.tail: _*)
+      .select(explode(array(rules.zipWithIndex.map { case ((name, _), i) =>
+        struct(lit(name).as("rule"), col("_docs").as("docs"),
+          coalesce(col(s"_c$i"), lit(0L)).as("caught"))
+      }: _*)).as("m"))
+      .select(col("m.rule").as("rule"), col("m.docs").as("docs"),
+        col("m.caught").as("caught"),
+        // empty buckets never appear (groupBy emits only seen buckets)
+        round(col("m.caught").cast("double") / col("m.docs"), 6)
+          .as("_rate"))
+      .groupBy(col("rule"))
+      .agg(sum(col("docs")).as("docs"), sum(col("caught")).as("caught"),
+        min(col("_rate")).as("min_bucket_rate"),
+        max(col("_rate")).as("max_bucket_rate"))
+      .select(col("rule"), col("docs"), col("caught"),
+        when(col("docs") > 0,
+          round(col("caught").cast("double") / col("docs"), 6))
+          .as("overall_rate"),
+        col("min_bucket_rate"), col("max_bucket_rate"),
+        round(col("max_bucket_rate") - col("min_bucket_rate"), 6)
+          .as("spread"))
+  }
+
   /** Composite per-group DATA-QUALITY score — the executive rollup of
     * three independent rates: completeness (all key fields present),
     * validity (every rule passes, via the same compiled predicates the
