@@ -1056,6 +1056,12 @@ object SparkEntry {
     "t_top_tokens" -> ((s, dir) => {
       TextAnalysis.topTokens(t(s, dir, "documents"), "text", 20)
     }),
+    "t_char_classes" -> ((s, dir) =>
+      // cheapest corpus-health fingerprint: per-source alpha/digit/space/
+      // other shares (a digit-share jump = IDs shipped as prose)
+      TextAnalysis.charClassProfile(t(s, dir, "documents"), "source",
+          "text")
+        .orderBy("key")),
     "t_readability" -> ((s, dir) => {
       // dictionary-free Flesch reading ease per doc: vowel-run syllables,
       // [.!?]+ sentence runs, the shared toks() words — one codegen scan,
@@ -1424,6 +1430,17 @@ object SparkEntry {
       Packing.packConcatCounted(docs, "doc_id", "_nt",
         capacity = 512, shards = 8, shardCol = Some("_shard"))
         .orderBy("shard", "id")
+    }),
+    "p_shard_balance" -> ((s, dir) => {
+      // straggler view of the training shards: every epoch waits for the
+      // fullest shard; load_vs_max over the same mod-8 manifest
+      val docs = t(s, dir, "documents")
+        .withColumn("_shard", pmod(col("doc_id"), lit(8L)))
+        .withColumn("_nt",
+          TextAnalysis.tokenCountWs(col("text")).cast("long"))
+      val manifest = Packing.packConcatCounted(docs, "doc_id", "_nt",
+        capacity = 512, shards = 8, shardCol = Some("_shard"))
+      Packing.shardBalance(manifest, capacity = 512).orderBy("shard")
     }),
     "p_pack_bins" -> ((s, dir) => {
       // per-bin fill: every bin exactly 512 tokens except the last of each
@@ -5328,6 +5345,22 @@ object SparkEntry {
         |  CAST(floor((start_off + n_tokens - 1) / 512)
         |    - floor(start_off / 512) + 1 AS BIGINT) AS n_bins
         |FROM p ORDER BY shard, id""".stripMargin,
+    // shard balance: same token formula and mod-8 shard as p_pack,
+    // integer bin ceil, ratio vs the busiest shard
+    "p_shard_balance" ->
+      """WITH d AS (SELECT CAST(doc_id % 8 AS INT) AS shard,
+        |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+        |      ELSE len(regexp_split_to_array(trim(text), '\s+')) END
+        |      AS BIGINT) AS nt
+        |  FROM documents),
+        |g AS (SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(nt) AS BIGINT) AS tokens FROM d GROUP BY 1)
+        |SELECT shard, n_docs, tokens,
+        |  CAST((tokens + 511) // 512 AS BIGINT) AS n_bins,
+        |  CASE WHEN max(tokens) OVER () > 0 THEN
+        |    round(CAST(tokens AS DOUBLE) / max(tokens) OVER (), 6) END
+        |    AS load_vs_max
+        |FROM g ORDER BY shard""".stripMargin,
     "p_pack_bins" ->
       """WITH d AS (SELECT doc_id AS id,
         |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
@@ -5497,6 +5530,28 @@ object SparkEntry {
         |SELECT token, CAST(count(*) AS BIGINT) AS occurrences
         |FROM w WHERE token <> ''
         |GROUP BY token ORDER BY occurrences DESC, token LIMIT 20""".stripMargin,
+    // char-class shares: explicit ASCII classes in both engines
+    "t_char_classes" ->
+      """WITH g AS (SELECT source AS key,
+        |  CAST(sum(len(text)) AS BIGINT) AS n_chars,
+        |  CAST(sum(len(regexp_extract_all(text, '[A-Za-z]'))) AS BIGINT)
+        |    AS a,
+        |  CAST(sum(len(regexp_extract_all(text, '[0-9]'))) AS BIGINT)
+        |    AS d,
+        |  CAST(sum(len(regexp_extract_all(text, ' '))) AS BIGINT) AS s
+        |  FROM documents WHERE text IS NOT NULL AND source IS NOT NULL
+        |  GROUP BY 1)
+        |SELECT key, n_chars,
+        |  CASE WHEN n_chars > 0
+        |    THEN round(CAST(a AS DOUBLE) / n_chars, 6) END AS alpha_share,
+        |  CASE WHEN n_chars > 0
+        |    THEN round(CAST(d AS DOUBLE) / n_chars, 6) END AS digit_share,
+        |  CASE WHEN n_chars > 0
+        |    THEN round(CAST(s AS DOUBLE) / n_chars, 6) END AS space_share,
+        |  CASE WHEN n_chars > 0
+        |    THEN round(CAST(n_chars - a - d - s AS DOUBLE) / n_chars, 6)
+        |    END AS other_share
+        |FROM g ORDER BY key""".stripMargin,
     // Flesch reading ease: vowel-group syllables (floor 1/word), [.!?]+
     // sentence runs (floor 1), toks() words; constants cast to DOUBLE so
     // both engines do identical IEEE arithmetic

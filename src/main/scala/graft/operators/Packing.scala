@@ -86,6 +86,29 @@ object Packing {
       .agg(sum(col("tokens_in_bin")).as("fill"),
         count(lit(1)).as("n_docs"))
 
+  /** Cross-shard BALANCE of a packing manifest: per shard, docs, token
+    * mass, bin count (exact integer ceil), and the shard's load relative
+    * to the BUSIEST shard — the straggler view of a training run (every
+    * epoch waits for the fullest shard; a 0.7 load_vs_max on half the
+    * shards is 30% idle accelerator time). All integer arithmetic until
+    * the final ratio; runs entirely on the shards-count summary after
+    * one map-side-combined groupBy of the manifest.
+    */
+  def shardBalance(manifest: DataFrame, capacity: Int): DataFrame = {
+    require(capacity > 0, s"shardBalance: bad capacity $capacity")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(lit(1))
+    manifest.groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("tokens"))
+      .select(col("shard"), col("n_docs"), col("tokens"),
+        expr(s"CAST((tokens + ${capacity - 1}) DIV $capacity AS BIGINT)")
+          .as("n_bins"),
+        // max(tokens) > 0 whenever any shard has tokens; an all-empty
+        // manifest yields null ratios rather than an ANSI divide error
+        when(max(col("tokens")).over(w) > 0,
+          round(col("tokens").cast("double") /
+            max(col("tokens")).over(w), 6)).as("load_vs_max"))
+  }
+
   /** Materialize the packed bins as text — the training-shard writer that
     * turns manifest + corpus into actual fixed-capacity sequences. Each
     * document contributes the token slice that falls inside each bin it

@@ -474,6 +474,43 @@ object TextAnalysis {
       .orderBy(col("occurrences").desc, col("domain"))
       .limit(k)
 
+  /** Per-group character-CLASS composition: shares of alphabetic, digit,
+    * space and other characters across a group's text mass — the
+    * cheapest corpus-health fingerprint there is (a feed whose digit
+    * share doubles started shipping IDs/markup as prose; an other-share
+    * spike is encoding damage the [[encodingAudit]] then names). ASCII
+    * classes spelled explicitly (`[A-Za-z]`, `[0-9]`, literal space) so
+    * both engines count identical sets — never `\w`/`\s`, whose
+    * definitions differ across regex dialects.
+    *
+    * Scale: all counting is per-row codegen'd `regexp_count`; one
+    * map-side-combined groupBy carries four longs per group per
+    * partition.
+    */
+  def charClassProfile(df: DataFrame, groupCol: String,
+      textCol: String): DataFrame = {
+    val t = col(textCol)
+    df.filter(t.isNotNull && col(groupCol).isNotNull)
+      .groupBy(col(groupCol).as("key"))
+      .agg(sum(length(t).cast("long")).as("n_chars"),
+        sum(regexp_count(t, lit("[A-Za-z]")).cast("long")).as("_a"),
+        sum(regexp_count(t, lit("[0-9]")).cast("long")).as("_d"),
+        sum(regexp_count(t, lit(" ")).cast("long")).as("_s"))
+      .select(col("key"), col("n_chars"),
+        when(col("n_chars") > 0,
+          round(col("_a").cast("double") / col("n_chars"), 6))
+          .as("alpha_share"),
+        when(col("n_chars") > 0,
+          round(col("_d").cast("double") / col("n_chars"), 6))
+          .as("digit_share"),
+        when(col("n_chars") > 0,
+          round(col("_s").cast("double") / col("n_chars"), 6))
+          .as("space_share"),
+        when(col("n_chars") > 0,
+          round((col("n_chars") - col("_a") - col("_d") - col("_s"))
+            .cast("double") / col("n_chars"), 6)).as("other_share"))
+  }
+
   /** Canonical form of a URL — the equality key under which
     * tracking-decorated / trivially-reformatted links are the SAME page:
     *   1. fragment stripped (`#…` never reaches the server);
