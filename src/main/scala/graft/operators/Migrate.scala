@@ -75,10 +75,15 @@ object Migrate {
         }.toMap
       }
     val targetRows = targets.map { t =>
+      // action reflects the DECLARED intent (`toType` present -> cast),
+      // not a comparison against the runtime source type: the same target
+      // list must audit identically regardless of how an environment's
+      // parquet reader materializes the source column (e.g. a writer that
+      // already stored o_orderdate as DATE). A cast to the column's
+      // current type is a no-op with 0 failures, still reported as `cast`.
       val action =
         if (!have(t.name)) "add"
-        else if (failCounts.contains(t.name) ||
-          t.toType.exists(_ != df.schema(t.name).dataType)) "cast"
+        else if (t.toType.isDefined) "cast"
         else "keep"
       Row(t.name, action, failCounts.getOrElse(t.name, 0L))
     }

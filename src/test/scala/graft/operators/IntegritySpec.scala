@@ -91,6 +91,26 @@ class IntegritySpec extends SparkSpec {
       ("id", "cast", 0L), ("num_str", "cast", 1L)), s"audit=${audit.mkString(",")}")
   }
 
+  test("migrate audit: action derives from the declared target, not the runtime type") {
+    import org.apache.spark.sql.types.LongType
+    // `id` is ALREADY a long: a declared toType=Long must still audit as
+    // `cast` (no-op cast, 0 failures) so the audit is invariant to how an
+    // environment materializes the source column (e.g. parquet readers
+    // that surface a column at the target type already)
+    val df = Seq((1L, "a"), (2L, "b")).toDF("id", "tag")
+    val targets = Seq(
+      Migrate.Target("id", toType = Some(LongType)),
+      Migrate.Target("tag"))
+    val audit = Migrate.audit(df, targets).orderBy("column").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(audit.toSeq == Seq(("id", "cast", 0L), ("tag", "keep", 0L)),
+      s"audit=${audit.mkString(",")}")
+    // the migrated frame is unchanged by the no-op cast
+    val out = Migrate.migrate(df, targets)
+    assert(out.schema("id").dataType == LongType)
+    assert(out.orderBy("id").collect().map(_.getLong(0)).toSeq == Seq(1L, 2L))
+  }
+
   test("incremental near-dups against a persisted index match the batch answer") {
     val base = "the quick brown fox jumps over the lazy dog and runs far away " +
       "into the deep dark forest where nobody can find it anymore tonight"
