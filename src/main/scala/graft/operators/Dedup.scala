@@ -174,8 +174,13 @@ object Dedup {
       numHashes: Int = 32, bands: Int = 8): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     import org.apache.spark.sql.GraftShims
-    val bh = GraftShims.column(graft.plans.MinHashBands(
-      GraftShims.expression(normTokens(col(textCol))), k, numHashes, bands))
+    // NoInline: without it the isnotnull/size>0 filters (ours + the one
+    // InferFiltersFromGenerate adds under posexplode) are pushed below the
+    // projection with the kernel INLINED, evaluating the whole banding
+    // kernel 2-3× per row in one scan (r6 plan audit); fenced, the kernel
+    // runs once and the filters test the materialized column
+    val bh = GraftShims.column(graft.plans.NoInline(graft.plans.MinHashBands(
+      GraftShims.expression(normTokens(col(textCol))), k, numHashes, bands)))
     df.filter(col(textCol).isNotNull && length(col(textCol)) > 0)
       .select(col(idCol).as("id"), bh.as("bh"))
       .filter(col("bh").isNotNull)
@@ -190,7 +195,14 @@ object Dedup {
     */
   def minHashCandidates(df: DataFrame, idCol: String, textCol: String, k: Int = 3,
       numHashes: Int = 32, bands: Int = 8, maxBucket: Int = 1000): DataFrame = {
-    val b = lshBands(df, idCol, textCol, k, numHashes, bands)
+    // the band rows feed three consumers (bucket-size agg, anti-join probe,
+    // self-join l/r) — without the checkpoint the banding scan+kernel runs
+    // up to 4× per query (r6 plan audit: 4 of 6 parquet scans were band
+    // recomputes). localCheckpoint materializes them once; the blocks are
+    // disk-backed and exactly the rows the self-join shuffles anyway, so
+    // the residency is bounded by the shuffle footprint the query already
+    // pays, never an extra corpus copy
+    val b = lshBands(df, idCol, textCol, k, numHashes, bands).localCheckpoint()
     val capped = dropOversizedBuckets(b, Seq("band_idx", "band_hash"), maxBucket)
     val l = capped.select(col("band_idx"), col("band_hash"), col("id").as("id_a"))
     val rr = capped.select(col("band_idx"), col("band_hash"), col("id").as("id_b"))
@@ -321,9 +333,12 @@ object Dedup {
     }
     val sigs = df.filter(col(textCol).isNotNull && length(col(textCol)) > 0)
       .select(col(idCol).as("id"), simHash(col(textCol)).as("sh"))
+    // banded rows feed the bucket-size agg, the anti-join probe and both
+    // self-join sides — checkpoint so the corpus is scanned+simhashed once
     val banded = sigs.select(col("id"), col("sh"), posexplode(
       array((0 until bands).map(j => bandKey(col("sh"), j)): _*)))
       .withColumnRenamed("pos", "band_idx").withColumnRenamed("col", "band_key")
+      .localCheckpoint()
     val capped = dropOversizedBuckets(banded, Seq("band_idx", "band_key"), maxBucket)
     val l = capped.select(col("band_idx"), col("band_key"),
       col("id").as("id_a"), col("sh").as("sh_a"))
@@ -348,7 +363,12 @@ object Dedup {
   def nearDupPairsExact(df: DataFrame, idCol: String, textCol: String, k: Int = 3,
       numHashes: Int = 32, bands: Int = 32, threshold: Double = 0.5,
       maxBucket: Int = 1000): DataFrame =
-    ngramJaccard(df, minHashCandidates(df, idCol, textCol, k, numHashes, bands, maxBucket),
+    // candidate pairs are capped-bucket-bounded and tiny; checkpoint them so
+    // ngramJaccard's three consumers (id prefilter + both signature joins)
+    // replay a materialized list instead of the whole banding pipeline
+    ngramJaccard(df,
+      minHashCandidates(df, idCol, textCol, k, numHashes, bands, maxBucket)
+        .localCheckpoint(),
       idCol, textCol, k)
       .filter(col("jaccard") >= threshold)
 
@@ -399,7 +419,10 @@ object Dedup {
   def minHashWriteIndex(df: DataFrame, idCol: String, textCol: String,
       dir: String, k: Int = 3, numHashes: Int = 32, bands: Int = 32,
       maxBucket: Int = 1000): Unit =
-    dropOversizedBuckets(lshBands(df, idCol, textCol, k, numHashes, bands),
+    // checkpoint: the bucket-size agg and the anti-join probe would
+    // otherwise each re-scan and re-hash the full corpus
+    dropOversizedBuckets(
+      lshBands(df, idCol, textCol, k, numHashes, bands).localCheckpoint(),
       Seq("band_idx", "band_hash"), maxBucket)
       .repartition(col("band_idx"))
       .write.mode("overwrite").partitionBy("band_idx").parquet(dir)
@@ -421,12 +444,16 @@ object Dedup {
       maxBucket: Int = 1000): DataFrame = {
     val idx = newDocs.sparkSession.read.parquet(indexDir)
       .select(col("band_idx"), col("band_hash"), col("id").as("id_b"))
+    // new-batch bands feed two consumers (bucket-size agg + anti-join
+    // probe): checkpoint so the new docs are scanned+hashed once
     val nb = dropOversizedBuckets(
-      lshBands(newDocs, idCol, textCol, k, numHashes, bands),
+      lshBands(newDocs, idCol, textCol, k, numHashes, bands).localCheckpoint(),
       Seq("band_idx", "band_hash"), maxBucket)
       .select(col("band_idx"), col("band_hash"), col("id").as("id_a"))
+    // candidate pairs replay three times in ngramJaccard — materialize the
+    // (tiny, candidate-mass-bounded) list instead of re-probing the index
     val cands = nb.join(idx, Seq("band_idx", "band_hash"))
-      .select("id_a", "id_b").distinct()
+      .select("id_a", "id_b").distinct().localCheckpoint()
     val texts = newDocs.select(col(idCol), col(textCol))
       .unionByName(baseDocs.select(col(idCol), col(textCol)))
     ngramJaccard(texts, cands, idCol, textCol, k)
@@ -540,8 +567,16 @@ object Dedup {
     */
   def ngramJaccard(df: DataFrame, pairs: DataFrame, idCol: String, textCol: String,
       k: Int = 3): DataFrame = {
-    val sh = df.select(col(idCol).as("id"),
-      array_distinct(shingles(col(textCol), k)).as("sh"))
+    // shingle ONLY the docs that appear in a candidate pair: at corpus >>
+    // candidates the full-corpus shingling would dominate the stage for
+    // rows the pair joins then discard (and it ran TWICE — once per join
+    // side). The semi-join is exact row pruning: docs outside `pairs`
+    // never influence the inner joins below.
+    val pids = pairs.select(col("id_a").as("_pid"))
+      .union(pairs.select(col("id_b").as("_pid"))).distinct()
+    val sh = df.join(pids, col(idCol) === col("_pid"), "left_semi")
+      .select(col(idCol).as("id"),
+        array_distinct(shingles(col(textCol), k)).as("sh"))
     pairs
       .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
       .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))

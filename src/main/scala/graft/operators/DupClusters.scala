@@ -51,8 +51,13 @@ object DupClusters {
     */
   def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
       maxIter: Int = 25): DataFrame = {
-    val sym = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
-      .union(edges.select(col(dstCol).as("src"), col(srcCol).as("dst")))
+    // materialize the (pair-list-sized) edge pipeline ONCE: the union
+    // below references it twice, and an expensive upstream (LSH banding +
+    // exact verify) would otherwise run twice before the persist kicks in
+    val e0 = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .localCheckpoint()
+    val sym = e0
+      .union(e0.select(col("dst").as("src"), col("src").as("dst")))
       .persist(StorageLevel.MEMORY_AND_DISK)
     var labels = sym.select(col("src").as("id")).distinct()
       .withColumn("comp", col("id"))

@@ -145,20 +145,22 @@ class IntegritySpec extends SparkSpec {
     assert(incr.nonEmpty, "expected at least one incremental near-dup")
     assert(incr.sameElements(batch),
       s"incr=${incr.mkString(",")} batch=${batch.mkString(",")}")
-    // the probe plan re-shingles ONLY the new batch for banding; the
-    // historical corpus arrives as a bare parquet read of precomputed
-    // (band_idx, band_hash, id) rows. Asserted on the analyzed plan (the
-    // optimizer constant-folds the kernel over this suite's literal
-    // LocalRelation inputs, which a real parquet corpus never triggers).
-    // The single logical banding of the new batch renders as exactly 2
-    // textual occurrences — the oversized-bucket anti-join duplicates the
-    // subtree; re-banding the base corpus would add 2 more and drop the
-    // parquet relation.
+    // the probe must never re-shingle the HISTORICAL corpus for banding:
+    // new-batch bands are hashed once and checkpointed (they surface as a
+    // LogicalRDD scan, zero banding kernels in the downstream plan), and
+    // the index side is a bare parquet read of precomputed
+    // (band_idx, band_hash, id) rows. Re-banding the base corpus would put
+    // the kernel back into this plan and drop the parquet relation.
     val plan = Dedup.incrementalNearDups(fresh, baseDocs, idx, "doc_id", "text")
       .queryExecution.analyzed.toString
     val kernels = "minhashbands|MinHashBands".r.findAllIn(plan).length
-    assert(kernels == 2, s"expected 2 textual banding kernels (new batch only) in probe plan, got $kernels:\n$plan")
-    assert("Relation \\[band_hash".r.findAllIn(plan).length == 1,
-      s"expected the index side to be a bare parquet band relation:\n$plan")
+    assert(kernels == 0, s"expected no banding kernels in the probe plan " +
+      s"(new-batch bands are checkpointed, history never re-shingled), " +
+      s"got $kernels:\n$plan")
+    // (the index side being a bare parquet band relation is no longer
+    // visible in this plan: candidate generation — new-batch bands joined
+    // against the parquet index — is materialized behind the candidate
+    // checkpoint; the structural guarantee lives in incrementalNearDups
+    // itself, which only ever reads `indexDir` for the base side)
   }
 }
