@@ -106,6 +106,23 @@ object SparkEntry {
         pmod(col("l_orderkey"), lit(8L)).cast("int").as("part"))
   }
 
+  /** The exploded media-ref projection of [[derivedDocs]], computed
+    * straight from lineitem: [[derivedDocs]]' doc assembly (collect_list +
+    * array_sort per order) followed by `explode(spans)` is a
+    * row-preserving round trip for span-level consumers — one media span
+    * per `l_returnflag = 'R'` lineitem row, with the same doc_id and
+    * media_ref expressions. The g_ref_* family reads THIS (guide §1.2:
+    * don't compute what you throw away); oracle parity is unchanged
+    * because the oracle SQL always derived the refs flat from lineitem.
+    */
+  private def derivedMediaRefs(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .filter(col("l_returnflag") === "R")
+      .select(
+        col("l_orderkey").cast("string").as("doc_id"),
+        concat(lit("m-"), lpad(pmod(col("l_partkey"), lit(100000000L))
+          .cast("string"), 8, "0")).as("media_ref"))
+
   /** Flagship (driver smoke contract): full validation pipeline over docs
     * derived from sf0.001 — DELEGATES to the q_verdicts query so the two
     * cannot drift.
@@ -421,12 +438,12 @@ object SparkEntry {
     "g_ref_integrity" -> ((s, dir) => {
       // docs: lineitem-derived media refs; catalog: part table's key namespace
       // minus a deterministic hole (every partkey % 10 == 3 is "missing")
-      val docs = derivedDocs(s, dir)
+      val refs = derivedMediaRefs(s, dir)
       val catalog = t(s, dir, "part")
         .filter(pmod(col("p_partkey"), lit(10L)) =!= 3L)
         .select(concat(lit("m-"), lpad(pmod(col("p_partkey"), lit(100000000L)).cast("string"),
           8, "0")).as("media_ref"))
-      RefIntegrity.dangling(docs, catalog)
+      RefIntegrity.danglingFromRefs(refs, catalog)
         .groupBy(col("media_ref")).agg(count(lit(1)).as("n_docs"))
         .orderBy("media_ref")
     }),
@@ -441,14 +458,14 @@ object SparkEntry {
       // Bloom-tier RI: same catalog hole as g_ref_integrity; output is the
       // DISTINCT dangling refs — exact despite the probabilistic tier 1
       // (Bloom false positives fall through to the exact anti-join)
-      val docs = derivedDocs(s, dir)
+      val refs = derivedMediaRefs(s, dir)
       val nCat = t(s, dir, "part")
         .filter(pmod(col("p_partkey"), lit(10L)) =!= 3L).count()
       val catalog = t(s, dir, "part")
         .filter(pmod(col("p_partkey"), lit(10L)) =!= 3L)
         .select(concat(lit("m-"), lpad(pmod(col("p_partkey"), lit(100000000L)).cast("string"),
           8, "0")).as("media_ref"))
-      RefIntegrity.danglingRefsBloom(docs, catalog,
+      RefIntegrity.danglingRefsBloomFromRefs(refs, catalog,
           expectedItems = math.max(nCat, 1L), fpp = 0.001)
         .orderBy("media_ref")
     }),
@@ -629,15 +646,29 @@ object SparkEntry {
       // engine-internal sketch bytes or estimates leave the query.
       val li = t(s, dir, "lineitem")
       val cols = Seq("l_orderkey", "l_partkey", "l_returnflag")
-      val aggs = cols.flatMap { c => Seq(
-        count(col(c)).as(s"${c}__cnt"),
-        countDistinct(col(c)).as(s"${c}__ex"),
-        hll_sketch_estimate(hll_sketch_agg(col(c).cast("string"))).as(s"${c}__hll")) }
-      val stacked = cols.map(c =>
-        s"'$c', `${c}__cnt`, `${c}__ex`, `${c}__hll`").mkString(", ")
-      li.agg(aggs.head, aggs.tail: _*)
-        .select(expr(s"stack(${cols.size}, $stacked) as " +
-          "(column, non_null_count, exact_distinct, hll_est)"))
+      // one independent two-level aggregation per column instead of a
+      // single 3-distinct agg: the multi-distinct form planned a 4x Expand
+      // of lineitem into an ObjectHashAggregate keyed on all three columns
+      // at once (r6 plan audit — the 4th most expensive query at 3.8 s).
+      // Per column: map-side-combined groupBy(value) collapses duplicates
+      // in the scan stage, then one grid-sized final agg derives all three
+      // figures. The HLL sketch over DISTINCT values is register-identical
+      // to the sketch over raw rows (an HLL update is idempotent per
+      // value: registers are max() of per-value hashes), so the estimate
+      // — and the 5%-bound flag the oracle asserts — is unchanged.
+      val profiles = cols.map { c =>
+        li.select(col(c).as("v")).groupBy(col("v"))
+          .agg(count(lit(1)).as("n"))
+          .agg(
+            sum(when(col("v").isNotNull, col("n")).otherwise(0L))
+              .as("non_null_count"),
+            count(col("v")).as("exact_distinct"),
+            hll_sketch_estimate(hll_sketch_agg(col("v").cast("string")))
+              .as("hll_est"))
+          .select(lit(c).as("column"),
+            col("non_null_count"), col("exact_distinct"), col("hll_est"))
+      }
+      profiles.reduce(_ unionByName _)
         .select(col("column"), col("non_null_count"), col("exact_distinct"),
           (abs(col("hll_est") - col("exact_distinct"))
             <= col("exact_distinct") * 0.05).as("hll_within_5pct"))
@@ -2696,13 +2727,13 @@ object SparkEntry {
       // the cost half of referential integrity: catalog entries nothing
       // references — retention/GC candidates (same doc/catalog derivation
       // as g_ref_integrity, opposite join direction)
-      val docs = derivedDocs(s, dir)
+      val refs = derivedMediaRefs(s, dir)
       val catalog = t(s, dir, "part")
         .filter(pmod(col("p_partkey"), lit(10L)) =!= 3L)
         .select(concat(lit("m-"),
           lpad(pmod(col("p_partkey"), lit(100000000L)).cast("string"),
             8, "0")).as("media_ref"))
-      RefIntegrity.unreferenced(catalog, docs).orderBy("media_ref")
+      RefIntegrity.unreferencedFromRefs(catalog, refs).orderBy("media_ref")
     }),
     // ---------- fail-fast short-circuit profile ----------
     "v_failfast" -> ((s, dir) => {
@@ -2871,14 +2902,14 @@ object SparkEntry {
       // exact levenshtein residual — never a cross join); the %10==3
       // catalog hole makes every dangling ref a last-digit near-miss of
       // real assets
-      val docs = derivedDocs(s, dir)
+      val refs = derivedMediaRefs(s, dir)
       val catalog = t(s, dir, "part")
         .filter(pmod(col("p_partkey"), lit(10L)) =!= 3L)
         .select(concat(lit("m-"),
           lpad(pmod(col("p_partkey"), lit(100000000L)).cast("string"),
             8, "0")).as("media_ref"))
       RefIntegrity.nearMissRefs(
-          RefIntegrity.danglingRefs(docs, catalog), catalog)
+          RefIntegrity.danglingRefsFromRefs(refs, catalog), catalog)
         .orderBy("media_ref", "suggestion")
     }),
     // ---------- streaming state EVICTION (event-time timeout) ----------
@@ -2940,10 +2971,8 @@ object SparkEntry {
     "g_ref_degree" -> ((s, dir) => {
       // how many spans share one asset — the degree histogram that
       // prices the broadcast/skew decision for the referential join
-      val deg = derivedDocs(s, dir)
-        .select(explode(col("spans")).as("sp"))
-        .filter(col("sp.kind") === "media" && col("sp.media_ref") =!= "")
-        .groupBy(col("sp.media_ref").as("media_ref"))
+      val deg = derivedMediaRefs(s, dir)
+        .groupBy(col("media_ref"))
         .agg(count(lit(1)).as("n_spans"))
       deg.groupBy(col("n_spans")).agg(count(lit(1)).as("n_assets"))
         .orderBy("n_spans")

@@ -489,10 +489,20 @@ object Dedup {
     */
   def boilerplateShare(df: DataFrame, idCol: String, textCol: String,
       k: Int = 3, minDocs: Int = 100): DataFrame = {
-    val boiler = boilerplateShingles(df, idCol, textCol, k, minDocs)
-      .select(col("shingle"), lit(1L).as("_is_boiler"))
+    // ONE corpus shingle pass shared by the strip list and the per-doc
+    // side (previously each ran its own scan+shingling), with shingle
+    // identity as xxhash64 — this operator only counts, never emits
+    // shingle text (the report form with strings is
+    // [[boilerplateShingles]], unchanged); see [[containmentPairs]] on
+    // the collision trade-off
     val perDoc = df.select(col(idCol).as("id"),
-      explode(array_distinct(shingles(col(textCol), k))).as("shingle"))
+      explode(array_distinct(transform(shingles(col(textCol), k),
+        s => xxhash64(s)))).as("shingle"))
+      .localCheckpoint()
+    val boiler = perDoc.groupBy(col("shingle"))
+      .agg(count(lit(1)).as("_nd"))
+      .filter(col("_nd") >= minDocs)
+      .select(col("shingle"), lit(1L).as("_is_boiler"))
     perDoc.join(boiler, Seq("shingle"), "left")
       .groupBy(col("id"))
       .agg(count(lit(1)).as("n_shingles"),
@@ -810,11 +820,24 @@ object Dedup {
     */
   def containmentPairs(df: DataFrame, idCol: String, textCol: String,
       k: Int = 3, maxDf: Int = 100, minContainment: Double = 0.8): DataFrame = {
+    // shingle identity rides as xxhash64 of the shingle STRING: the
+    // operator only ever counts shared shingles (no shingle text in the
+    // output), so a 64-bit key carries the same equality at a fraction of
+    // the shuffle/compare bytes (guide §2.3 — narrower shuffle keys). A
+    // cross-shingle collision (≈ vocab²/2^65) could shift one count by 1;
+    // at the md5-vs-xxhash64 trade-off discussed on [[contentHash]] this
+    // path takes the 8-byte key because a collision only perturbs a ratio,
+    // never deletes a document. The exploded index feeds SIX downstream
+    // consumers (df-count, df-join, size agg, self-join l/r via kept) —
+    // checkpoint both tiers so the corpus is scanned+shingled exactly once.
     val ex = df.select(col(idCol).as("_id"),
-        explode(array_distinct(shingles(col(textCol), k))).as("sh"))
+        explode(array_distinct(transform(shingles(col(textCol), k),
+          s => xxhash64(s)))).as("sh"))
+      .localCheckpoint()
     val kept = ex.join(
       ex.groupBy("sh").agg(count(lit(1)).as("_df"))
         .filter(col("_df") <= maxDf), Seq("sh"))
+      .localCheckpoint()
     val sizes = kept.groupBy(col("_id")).agg(count(lit(1)).as("_n"))
     // df = 1 shingles cannot contribute a pair — pre-dropping them from
     // the JOIN side (not the size side) is a pure fan-out reduction

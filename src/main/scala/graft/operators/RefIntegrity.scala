@@ -22,13 +22,28 @@ import org.apache.spark.sql.functions._
   */
 object RefIntegrity {
 
-  /** (doc_id, media_ref) pairs whose media_ref is absent from the catalog. */
-  def dangling(docs: DataFrame, catalog: DataFrame,
-      broadcastCatalog: Boolean = true): DataFrame = {
-    val refs = docs
+  /** The media-ref projection of a docs frame: one row per media span,
+    * (doc_id, media_ref). Shared by every RI direction below; callers
+    * whose source can produce this projection WITHOUT assembling span
+    * arrays first (e.g. a flat fact table) should skip the docs shape and
+    * call the `...FromRefs` forms directly — building an array column and
+    * exploding it back is a row-preserving round trip (guide §1.2: don't
+    * compute what you throw away).
+    */
+  def mediaRefs(docs: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"), explode(col("spans")).as("s"))
       .filter(col("s.kind") === "media" && col("s.media_ref") =!= "")
       .select(col("doc_id"), col("s.media_ref").as("media_ref"))
+
+  /** (doc_id, media_ref) pairs whose media_ref is absent from the catalog. */
+  def dangling(docs: DataFrame, catalog: DataFrame,
+      broadcastCatalog: Boolean = true): DataFrame =
+    danglingFromRefs(mediaRefs(docs), catalog, broadcastCatalog)
+
+  /** [[dangling]] over an already-projected (doc_id, media_ref) frame. */
+  def danglingFromRefs(refs: DataFrame, catalog: DataFrame,
+      broadcastCatalog: Boolean = true): DataFrame = {
     val cat = catalog.select(col("media_ref"))
     val right = if (broadcastCatalog) broadcast(cat) else cat
     refs.join(right, Seq("media_ref"), "left_anti")
@@ -38,15 +53,16 @@ object RefIntegrity {
     * partial-agg `distinct` before the anti-join).
     */
   def danglingRefs(docs: DataFrame, catalog: DataFrame,
+      broadcastCatalog: Boolean = true): DataFrame =
+    danglingRefsFromRefs(mediaRefs(docs), catalog, broadcastCatalog)
+
+  /** [[danglingRefs]] over an already-projected (…, media_ref) frame. */
+  def danglingRefsFromRefs(refs: DataFrame, catalog: DataFrame,
       broadcastCatalog: Boolean = true): DataFrame = {
-    val refs = docs
-      .select(explode(col("spans")).as("s"))
-      .filter(col("s.kind") === "media" && col("s.media_ref") =!= "")
-      .select(col("s.media_ref").as("media_ref"))
-      .distinct()
+    val r = refs.select(col("media_ref")).distinct()
     val cat = catalog.select(col("media_ref"))
     val right = if (broadcastCatalog) broadcast(cat) else cat
-    refs.join(right, Seq("media_ref"), "left_anti")
+    r.join(right, Seq("media_ref"), "left_anti")
   }
 
   /** The REVERSE of [[dangling]]: catalog entries no document references —
@@ -64,13 +80,13 @@ object RefIntegrity {
     * catalog anti-joins against that key-sized set. Neither side of the
     * join is corpus-sized.
     */
-  def unreferenced(catalog: DataFrame, docs: DataFrame): DataFrame = {
-    val refs = docs
-      .select(explode(col("spans")).as("s"))
-      .filter(col("s.kind") === "media" && col("s.media_ref") =!= "")
-      .select(col("s.media_ref").as("media_ref"))
-      .distinct()
-    catalog.select(col("media_ref")).join(refs, Seq("media_ref"), "left_anti")
+  def unreferenced(catalog: DataFrame, docs: DataFrame): DataFrame =
+    unreferencedFromRefs(catalog, mediaRefs(docs))
+
+  /** [[unreferenced]] over an already-projected (…, media_ref) frame. */
+  def unreferencedFromRefs(catalog: DataFrame, refs: DataFrame): DataFrame = {
+    val r = refs.select(col("media_ref")).distinct()
+    catalog.select(col("media_ref")).join(r, Seq("media_ref"), "left_anti")
   }
 
   /** Near-miss repair suggestions for dangling refs: catalog keys within
@@ -153,17 +169,21 @@ object RefIntegrity {
     * [[dangling]].
     */
   def danglingRefsBloom(docs: DataFrame, catalog: DataFrame,
+      expectedItems: Long, fpp: Double = 0.001): DataFrame =
+    danglingRefsBloomFromRefs(mediaRefs(docs), catalog, expectedItems, fpp)
+
+  /** [[danglingRefsBloom]] over an already-projected (…, media_ref)
+    * frame.
+    */
+  def danglingRefsBloomFromRefs(refsIn: DataFrame, catalog: DataFrame,
       expectedItems: Long, fpp: Double = 0.001): DataFrame = {
     require(expectedItems > 0, s"expectedItems must be > 0, got $expectedItems")
-    val refs = docs
-      .select(explode(col("spans")).as("s"))
-      .filter(col("s.kind") === "media" &&
-        col("s.media_ref").isNotNull && col("s.media_ref") =!= "")
-      .select(col("s.media_ref").as("media_ref"))
+    val refs = refsIn
+      .select(col("media_ref"))
       .distinct()
     val bloom = catalog.select(col("media_ref"))
       .stat.bloomFilter("media_ref", expectedItems, fpp)
-    val bloomBc = docs.sparkSession.sparkContext.broadcast(bloom)
+    val bloomBc = refsIn.sparkSession.sparkContext.broadcast(bloom)
     val maybePresent = udf((r: String) => bloomBc.value.mightContainString(r))
     // ONE conditional anti-join, one corpus scan: a ref is kept (dangling)
     // when NO catalog row satisfies (maybePresent(ref) AND key equality).
