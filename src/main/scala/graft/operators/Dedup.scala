@@ -616,6 +616,22 @@ object Dedup {
     * to AUDIT it.
     */
   def minHashPortableSig(text: Column, k: Int = 3,
+      numHashes: Int = 16): Column = {
+    import org.apache.spark.sql.GraftShims
+    // native kernel (graft.plans.PortableMinHashSig): one digest per
+    // DISTINCT shingle slot, minima kept as raw digest bytes — bit-identical
+    // to [[minHashPortableSigHof]] (PipelineOpsSpec cross-checks), which
+    // allocated a 16-slot string array + 16 interpreted md5 trees per
+    // shingle. NoInline fences it from filter-pushdown duplication (the
+    // lshBands precedent).
+    GraftShims.column(graft.plans.NoInline(graft.plans.PortableMinHashSig(
+      GraftShims.expression(normTokens(text)), k, numHashes)))
+  }
+
+  /** The HOF twin of [[minHashPortableSig]] — kept as the cross-check
+    * oracle for the native kernel (PipelineOpsSpec), not used in queries.
+    */
+  private[graft] def minHashPortableSigHof(text: Column, k: Int = 3,
       numHashes: Int = 16): Column =
     aggregate(
       shingles(text, k),

@@ -79,6 +79,21 @@ object Similarity {
     * ROW; BENCH r2 flagged the 2× regression). Same accumulation order, so
     * buckets stay bit-identical to [[lshBucketScala]].
     */
+  /** All `nTables` bucket ids in ONE native kernel pass
+    * ([[graft.plans.LshBuckets]] — element t = [[lshBucket]] for table t,
+    * bit-identical; PipelineOpsSpec cross-checks). The HOF per-table form
+    * evaluated nTables interpreted aggregate/zip_with trees per row, each
+    * allocating a boxed dims-array per plane — it dominated the LSH index
+    * build. NoInline fences the kernel from generate/filter-pushdown
+    * duplication (the lshBands precedent).
+    */
+  private[operators] def allTableBuckets(vec: Column, dims: Int, nPlanes: Int,
+      nTables: Int): Column = {
+    import org.apache.spark.sql.GraftShims
+    GraftShims.column(graft.plans.NoInline(graft.plans.LshBuckets(
+      GraftShims.expression(vec), dims, nPlanes, nTables)))
+  }
+
   def lshBucket(vec: Column, dims: Int, nPlanes: Int, table: Int): Column = {
     val m: Seq[Seq[Double]] = (0 until nPlanes).map(p =>
       (0 until dims).map(d => planeComponentScala(table, p, d)))
@@ -138,11 +153,15 @@ object Similarity {
     val dims = query.size
     val qd = query.map(_.toDouble)
     val qvec = typedlit(qd)
+    // one kernel eval per row: materialize the bucket array in a
+    // projection, then filter on its elements (OR-ing kernel calls inside
+    // the filter would re-evaluate the non-deterministic fence per term)
     val matchesAnyTable = (0 until nTables).map { t =>
-      lshBucket(transform(col(vecCol), x => x.cast("double")), dims, nPlanes, t) ===
-        lit(lshBucketScala(qd, nPlanes, t))
+      element_at(col("_qb"), t + 1) === lit(lshBucketScala(qd, nPlanes, t))
     }.reduce(_ || _)
     df.filter(col(vecCol).isNotNull && size(col(vecCol)) === dims)
+      .withColumn("_qb", allTableBuckets(
+        transform(col(vecCol), x => x.cast("double")), dims, nPlanes, nTables))
       .filter(matchesAnyTable)
       .select(col(idCol).as("id"),
         cosine(transform(col(vecCol), x => x.cast("double")), qvec).as("cosine"))
@@ -181,8 +200,8 @@ object Similarity {
     // bytes. Tuning note: pick nPlanes so 2^nPlanes ≈ corpus/5k — too many
     // buckets costs dir-listing overhead, too few costs probe scoring.
     base.select(col("id"), col("vec"),
-        posexplode(array((0 until nTables).map(t =>
-          lshBucket(col("vec"), dims, nPlanes, t)): _*)).as(Seq("tbl", "bucket")))
+        posexplode(allTableBuckets(col("vec"), dims, nPlanes, nTables))
+          .as(Seq("tbl", "bucket")))
       .select(col("id"), transform(col("vec"), x => x.cast("float")).as("vec"),
         col("tbl"), col("bucket"))
       .repartition(col("tbl"), col("bucket"))
@@ -199,11 +218,24 @@ object Similarity {
   def lshTopKIndexed(spark: org.apache.spark.sql.SparkSession, indexPath: String,
       query: Seq[Float], k: Int, nPlanes: Int = 12, nTables: Int = 4): DataFrame = {
     val qd = query.map(_.toDouble)
-    val hit = (0 until nTables).map { tbl =>
-      col("tbl") === tbl && col("bucket") === lit(lshBucketScala(qd, nPlanes, tbl))
-    }.reduce(_ || _)
-    spark.read.parquet(indexPath)
-      .filter(hit)
+    // The query's bucket PATHS are known on the driver (bit-identical plane
+    // math, zero Spark jobs) — read exactly those ≤ nTables leaf
+    // directories instead of mounting the whole index root: root-mount
+    // partition DISCOVERY lists every (tbl, bucket) directory
+    // (2^nPlanes × nTables of them — at serving scale, millions) before
+    // pruning to the same 4, and that listing dominated the probe
+    // (measured 0.85 s → 0.17 s at 256 dirs). A bucket with no vectors has
+    // no directory; absent paths are skipped (same candidate set — the
+    // pruned scan of an absent partition read zero rows too).
+    val fs = new org.apache.hadoop.fs.Path(indexPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val paths = (0 until nTables)
+      .map(tbl => s"$indexPath/tbl=$tbl/bucket=${lshBucketScala(qd, nPlanes, tbl)}")
+      .filter(p => fs.exists(new org.apache.hadoop.fs.Path(p)))
+    val cands =
+      if (paths.nonEmpty) spark.read.parquet(paths: _*)
+      else spark.read.parquet(indexPath).filter(lit(false))
+    cands
       .dropDuplicates("id")
       .select(col("id"),
         cosine(transform(col("vec"), x => x.cast("double")), typedlit(qd)).as("cosine"))
@@ -221,10 +253,13 @@ object Similarity {
     val base = df.filter(col(vecCol).isNotNull && size(col(vecCol)) === dims)
       .select(col(idCol).as("id"),
         transform(col(vecCol), x => x.cast("double")).as("vec"))
-    val banded = (0 until nTables).map { t =>
-      base.select(lit(t).as("tbl"),
-        lshBucket(col("vec"), dims, nPlanes, t).as("bucket"), col("id"), col("vec"))
-    }.reduce(_ unionAll _)
+    // one kernel pass over the corpus; posexplode fans out (tbl, bucket) —
+    // the per-table union re-scanned the source nTables times
+    val banded = base
+      .select(col("id"), col("vec"),
+        posexplode(allTableBuckets(col("vec"), dims, nPlanes, nTables))
+          .as(Seq("tbl", "bucket")))
+      .select(col("tbl"), col("bucket"), col("id"), col("vec"))
     // oversized-bucket cap without a Window sort (see
     // Dedup.dropOversizedBuckets scaladoc for the 100 TB rationale)
     val capped = Dedup.dropOversizedBuckets(banded, Seq("tbl", "bucket"), maxBucket)
@@ -443,8 +478,16 @@ object Similarity {
       centroids: Seq[Seq[Double]], query: Seq[Float], k: Int,
       nProbe: Int = 2): DataFrame = {
     val lists = probeLists(centroids, query, nProbe)
-    spark.read.parquet(indexPath)
-      .filter(col("centroid").isin(lists.map(Integer.valueOf): _*))
+    // read the nProbe centroid leaf dirs directly (the lshTopKIndexed
+    // rationale: probe-time listing should touch the probed lists only)
+    val fs = new org.apache.hadoop.fs.Path(indexPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val paths = lists.map(c => s"$indexPath/centroid=$c")
+      .filter(p => fs.exists(new org.apache.hadoop.fs.Path(p)))
+    val cands =
+      if (paths.nonEmpty) spark.read.parquet(paths: _*)
+      else spark.read.parquet(indexPath).filter(lit(false))
+    cands
       .select(col("id"),
         cosine(transform(col("vec"), x => x.cast("double")),
           typedlit(query.map(_.toDouble))).as("cosine"))

@@ -1262,6 +1262,46 @@ class PipelineOpsSpec extends SparkSpec {
     assert(native(5) == null && native(6) == null && native(7) != null)
   }
 
+  test("native LshBuckets kernel matches lshBucket HOF and lshBucketScala per table") {
+    import org.apache.spark.sql.GraftShims
+    val vecs = spark.range(50).select(col("id"),
+      transform(sequence(lit(0), lit(15)),
+        d => sin(col("id") * 7 + d).cast("double")).as("vec"))
+    val native = vecs.select(col("id"), GraftShims.column(graft.plans.LshBuckets(
+        GraftShims.expression(col("vec")), 16, 6, 3)).as("b"))
+      .orderBy("id").collect().map(_.getSeq[Long](1))
+    val hof = vecs.select(col("id"), array((0 until 3).map(t =>
+        Similarity.lshBucket(col("vec"), 16, 6, t)): _*).as("b"))
+      .orderBy("id").collect().map(_.getSeq[Long](1))
+    native.zip(hof).foreach { case (a, b) => assert(a == b, s"$a != $b") }
+    // driver-side twin agrees too
+    val raw = vecs.orderBy("id").collect().map(_.getSeq[Double](1))
+    raw.zip(native).foreach { case (v, bs) =>
+      (0 until 3).foreach { t =>
+        assert(bs(t) == Similarity.lshBucketScala(v, 6, t)) }
+    }
+  }
+
+  test("native PortableMinHashSig is bit-identical to the HOF formulation") {
+    val corpus = docs.unionAll(Seq((6L, "one"), (7L, "two words"),
+      (8L, "now three tokens"), (9L, "dup dup dup words dup"))
+      .toDF("doc_id", "text"))
+    Seq((1, 16), (3, 16), (2, 8)).foreach { case (k, n) =>
+      val native = corpus.select(col("doc_id"),
+        Dedup.minHashPortableSig(col("text"), k, n).as("s"))
+        .orderBy("doc_id").collect()
+        .map(r => if (r.isNullAt(1)) null else r.getSeq[String](1))
+      val hof = corpus.select(col("doc_id"),
+        Dedup.minHashPortableSigHof(col("text"), k, n).as("s"))
+        .orderBy("doc_id").collect()
+        .map(r => if (r.isNullAt(1)) null else r.getSeq[String](1))
+      assert(native.length == hof.length)
+      native.zip(hof).foreach { case (a, b) => assert(a == b, s"k=$k n=$n: $a != $b") }
+      // short docs (< k tokens) are null in BOTH formulations
+      if (k == 3) assert(native(5) == null && native(6) == null && native(7) != null)
+    }
+  }
+
   test("contamination: probe shingle containment finds embedding docs only") {
     // probe = a 6-token benchmark item; doc 10 contains it verbatim,
     // doc 11 contains half of it, docs 3/4 share nothing

@@ -125,19 +125,18 @@ class PlanSpec extends SparkSpec {
     val q = Seq.tabulate(8)(d => ((d % 17) - 8).toFloat)
     val probe = Similarity.lshTopKIndexed(spark, idx, q, k = 10,
       nPlanes = 4, nTables = 2)
-    val plan = planOf(probe)
-    assert(plan.contains("PartitionFilters") && plan.contains("bucket"),
-      s"no partition pruning on (tbl, bucket):\n$plan")
-    // runtime evidence: only files under the query's bucket dirs are read
+    // the probe mounts ONLY the query's bucket leaf dirs (path-constructed
+    // on the driver) — stronger than PartitionFilters pruning: the file
+    // index never even lists the other 2^nPlanes×nTables directories
     val qd = q.map(_.toDouble)
     val wantDirs = (0 until 2).map(t =>
       s"tbl=$t/bucket=${Similarity.lshBucketScala(qd, 4, t)}").toSet
-    val hit = (0 until 2).map(t => col("tbl") === t &&
-      col("bucket") === Similarity.lshBucketScala(qd, 4, t)).reduce(_ || _)
-    val touched = spark.read.parquet(idx).filter(hit)
-      .select(input_file_name()).distinct().collect().map(_.getString(0))
-    assert(touched.nonEmpty && touched.forall(f => wantDirs.exists(f.contains)),
-      s"probe read outside its buckets: ${touched.mkString(",")} vs $wantDirs")
+    val roots = probe.queryExecution.sparkPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.relation.location.rootPaths.map(_.toString)
+    }.flatten
+    assert(roots.nonEmpty && roots.forall(r => wantDirs.exists(r.contains)),
+      s"probe mounted outside its buckets: ${roots.mkString(",")} vs $wantDirs")
     // and the indexed probe returns exactly the ad-hoc lshTopK rows
     val adhoc = Similarity.lshTopK(vecs, "vec_id", "embedding", q, k = 10,
       nPlanes = 4, nTables = 2).collect().map(r => (r.getLong(0), r.getDouble(1)))
@@ -157,15 +156,16 @@ class PlanSpec extends SparkSpec {
     Similarity.ivfWriteIndex(vecs, "vec_id", "embedding", centroids, idx)
     val q = Seq(1f, 0.2f, 0f, 0f)
     val probe = Similarity.ivfTopKIndexed(spark, idx, centroids, q, k = 10, nProbe = 2)
-    val plan = planOf(probe)
-    assert(plan.contains("PartitionFilters") && plan.contains("centroid"),
-      s"no partition pruning on centroid:\n$plan")
-    // runtime evidence: only files under the probed lists are read
+    // the probe mounts ONLY the probed centroid leaf dirs (see the LSH
+    // probe test: path construction replaces partition-filter pruning)
     val lists = Similarity.probeLists(centroids, q, 2).toSet
-    val touched = spark.read.parquet(idx)
-      .filter(col("centroid").isin(lists.toSeq.map(Integer.valueOf): _*))
-      .select(input_file_name()).distinct().collect().map(_.getString(0))
-    assert(touched.forall(f => lists.exists(l => f.contains(s"centroid=$l"))))
+    val roots = probe.queryExecution.sparkPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.relation.location.rootPaths.map(_.toString)
+    }.flatten
+    assert(roots.nonEmpty &&
+      roots.forall(r => lists.exists(l => r.contains(s"centroid=$l"))),
+      s"probe mounted outside its lists: ${roots.mkString(",")} vs $lists")
     // and the indexed probe returns the same rows as the ad-hoc probe
     val adhoc = Similarity.ivfTopK(vecs, "vec_id", "embedding", centroids, q,
       k = 10, nProbe = 2).collect().map(r => (r.getLong(0), r.getDouble(1)))
