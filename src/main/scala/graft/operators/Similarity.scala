@@ -313,6 +313,24 @@ object Similarity {
   }
 
   def quantizeInt8(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    import org.apache.spark.sql.GraftShims
+    // native kernel (graft.plans.QuantizeInt8): one pass computes the
+    // max-abs scale and the rounded int8 values, IEEE-identical to
+    // [[quantizeInt8Hof]] (PipelineOpsSpec cross-checks), which ran an
+    // interpreted aggregate + a branchy transform per row. NoInline fences
+    // it from projection duplication (the lshBands precedent).
+    val qz = GraftShims.column(graft.plans.NoInline(graft.plans.QuantizeInt8(
+      GraftShims.expression(col(vecCol)))))
+    df.filter(col(vecCol).isNotNull)
+      .select(col(idCol).as("id"), qz.as("_q"))
+      .select(col("id"), col("_q.scale").as("scale"), col("_q.qvec").as("qvec"))
+  }
+
+  /** The HOF twin of [[quantizeInt8]] — kept as the cross-check oracle for
+    * the native kernel (PipelineOpsSpec), not used in queries.
+    */
+  private[operators] def quantizeInt8Hof(df: DataFrame, idCol: String,
+      vecCol: String): DataFrame = {
     val v = transform(col(vecCol), x => x.cast("double"))
     val scale = aggregate(v, lit(0.0d), (acc, x) => greatest(acc, abs(x)))
     df.filter(col(vecCol).isNotNull)

@@ -1262,6 +1262,22 @@ class PipelineOpsSpec extends SparkSpec {
     assert(native(5) == null && native(6) == null && native(7) != null)
   }
 
+  test("native QuantizeInt8 kernel is IEEE-identical to the HOF formulation") {
+    val vecs = spark.range(40).select(col("id"),
+      transform(sequence(lit(0), lit(7)),
+        d => (sin(col("id") * 3 + d) * 2.5).cast("float")).as("vec"))
+      .unionAll(spark.range(1).select(lit(99L).as("id"),
+        array_repeat(lit(0.0f), 8).as("vec")))  // all-zero edge: scale 0
+    val native = Similarity.quantizeInt8(vecs, "id", "vec")
+      .orderBy("id").collect()
+      .map(r => (r.getDouble(1), r.getSeq[Int](2)))
+    val hof = Similarity.quantizeInt8Hof(vecs, "id", "vec")
+      .orderBy("id").collect()
+      .map(r => (r.getDouble(1), r.getSeq[Int](2)))
+    assert(native.length == hof.length)
+    native.zip(hof).foreach { case (a, b) => assert(a == b, s"$a != $b") }
+  }
+
   test("native LshBuckets kernel matches lshBucket HOF and lshBucketScala per table") {
     import org.apache.spark.sql.GraftShims
     val vecs = spark.range(50).select(col("id"),
