@@ -441,15 +441,25 @@ object SparkEntry {
       // interleave-structure profile of the multimodal corpus: each doc's
       // kind sequence compressed to a 't'/'m' pattern string, histogrammed
       // with span/media totals — how text and media actually interleave,
-      // by doc shape. Scan + one map-side-combined groupBy on a
-      // bounded-cardinality pattern key
-      derivedDocs(s, dir)
-        .select(
-          array_join(transform(col("spans"),
-            x => substring(x.getField("kind"), 1, 1)), "").as("pattern"),
-          size(col("spans")).cast("long").as("n_spans"),
-          size(filter(col("spans"),
-            x => x.getField("kind") === "media")).cast("long").as("n_media"))
+      // by doc shape. NARROW assembly (guide §2.3): the pattern only needs
+      // the kind initials in span order, so the shuffle carries the sort
+      // key (ln, pk, sk, qt, ep — the oracle's ORDER BY; ln alone is not
+      // unique) + one char instead of derivedDocs' full span structs with
+      // the string fields the transform immediately threw away. 'm' < 't'
+      // orders like "media" < "text", so ties beyond ep break identically.
+      t(s, dir, "lineitem")
+        .select(col("l_orderkey"),
+          struct(col("l_linenumber").as("ln"),
+            col("l_partkey").as("pk"), col("l_suppkey").as("sk"),
+            col("l_quantity").as("qt"), col("l_extendedprice").as("ep"),
+            when(col("l_returnflag") === "R", "m").otherwise("t").as("c"))
+            .as("lnc"),
+          when(col("l_returnflag") === "R", 1L).otherwise(0L).as("is_media"))
+        .groupBy(col("l_orderkey"))
+        .agg(array_join(transform(array_sort(collect_list(col("lnc"))),
+            x => x.getField("c")), "").as("pattern"),
+          count(lit(1)).as("n_spans"),
+          sum(col("is_media")).as("n_media"))
         .groupBy(col("pattern"))
         .agg(count(lit(1)).as("n_docs"),
           sum(col("n_spans")).as("spans_total"),
@@ -2183,15 +2193,23 @@ object SparkEntry {
     // ---------- span-kind mass per partition ----------
     "v_span_kinds" -> ((s, dir) =>
       // the axes-A+B profile at span granularity: per (part, kind) span
-      // counts, doc coverage, offset mass — explode + one map-side
-      // groupBy over the interleaved corpus
-      derivedDocs(s, dir)
-        .select(col("part"), col("doc_id"), explode(col("spans")).as("sp"))
-        .groupBy(col("part"), col("sp.kind").as("kind"))
+      // counts, doc coverage, offset mass. FLAT span projection of
+      // derivedDocs (the derivedMediaRefs precedent — assemble-then-
+      // explode is a row-preserving round trip for span-level consumers):
+      // one span per lineitem row with the same part/kind/offset
+      // expressions, span order irrelevant under aggregation
+      t(s, dir, "lineitem")
+        .select(pmod(col("l_orderkey"), lit(8L)).cast("int").as("part"),
+          col("l_orderkey").cast("string").as("doc_id"),
+          when(col("l_returnflag") === "R", "media").otherwise("text")
+            .as("kind"),
+          when(col("l_quantity") > 45, 0)
+            .otherwise(col("l_linenumber") * 10).cast("int").as("offset"))
+        .groupBy(col("part"), col("kind"))
         .agg(count(lit(1)).as("n_spans"),
           count_distinct(col("doc_id")).as("docs"),
-          sum(col("sp.offset")).cast("long").as("offset_sum"),
-          max(col("sp.offset")).cast("long").as("max_offset"))
+          sum(col("offset")).cast("long").as("offset_sum"),
+          max(col("offset")).cast("long").as("max_offset"))
         .orderBy("part", "kind")),
     // ---------- signup -> purchase funnel ----------
     "e_funnel" -> ((s, dir) => {

@@ -33,6 +33,15 @@ object Curation {
       sampleFraction: Double): DataFrame = {
     require(langs.nonEmpty && minQuality >= 0 && minDistinctFrac >= 0)
     val text = col(textCol)
+    // NoInline fence (guide §4.4 / the lshBands precedent): the gate
+    // filter below references these computed columns, and predicate
+    // pushdown would otherwise re-inline each definition into the pushed
+    // conjuncts — profiled as the pipeline's dominant cost (every doc
+    // re-ran the langId folds and quality regexes 2-3×).
+    def fence(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+      import org.apache.spark.sql.GraftShims
+      GraftShims.column(graft.plans.NoInline(GraftShims.expression(c)))
+    }
     // materialize BOTH token arrays ONCE: interpreted HOFs get no
     // common-subexpression elimination, so every textual reference to a
     // tokenizing expression re-tokenizes the row (the ~30x-per-lambda cost
@@ -41,10 +50,10 @@ object Curation {
     // langIdTk argmax (4 folds) AND qualityScoreTk's stopword fold — 6
     // tokenizations collapsed to 2.
     val gated = df
-      .withColumn("_tk", filter(split(lower(text), " "), t => length(t) > 0))
-      .withColumn("_ntk", TextAnalysis.toks(text))
-      .withColumn("lang_id", TextAnalysis.langIdTk(col("_ntk")))
-      .withColumn("quality", TextAnalysis.qualityScoreTk(text, col("_ntk")))
+      .withColumn("_tk", fence(filter(split(lower(text), " "), t => length(t) > 0)))
+      .withColumn("_ntk", fence(TextAnalysis.toks(text)))
+      .withColumn("lang_id", fence(TextAnalysis.langIdTk(col("_ntk"))))
+      .withColumn("quality", fence(TextAnalysis.qualityScoreTk(text, col("_ntk"))))
       .withColumn("_df",
         size(array_distinct(col("_tk"))).cast("double") / size(col("_tk")))
       .filter(size(col("_tk")) > 0 && col("lang_id").isin(langs.toSeq: _*) &&
