@@ -865,8 +865,11 @@ object SparkEntry {
       val docs = t(s, dir, "documents")
       val base = docs.filter(pmod(col("doc_id"), lit(7L)) =!= 3L)
       val fresh = docs.filter(pmod(col("doc_id"), lit(7L)) === 3L)
-      val idx = s"${System.getProperty("java.io.tmpdir")}/graft_mh_idx_${dir.hashCode}"
-      if (!new java.io.File(idx + "/_SUCCESS").exists())
+      // idx2: the r6 index layout (bands/ + sigs/ — the probe path verifies
+      // against persisted shingle-hash arrays instead of re-reading text)
+      val idx = s"${System.getProperty("java.io.tmpdir")}/graft_mh_idx2_${dir.hashCode}"
+      if (!new java.io.File(idx + "/bands/_SUCCESS").exists() ||
+          !new java.io.File(idx + "/sigs/_SUCCESS").exists())
         Dedup.minHashWriteIndex(base, "doc_id", "text", idx,
           k = 3, numHashes = 32, bands = 32)
       Dedup.incrementalNearDups(fresh, base, idx, "doc_id", "text",
@@ -1697,11 +1700,10 @@ object SparkEntry {
       // replays all 4 prefixes, not just the final statistic
       val li = t(s, dir, "lineitem")
       val base = genDriftSlicesPath(dir)
-      // one scan feeds all four slice writes (writeMtimeSlices filters the
-      // materialized blocks per slice instead of re-reading the table)
-      val src = li.localCheckpoint()
-      writeMtimeSlices(s, base, (0 until 4).map(i =>
-        src.filter(pmod(col("l_orderkey"), lit(4L)) === i.toLong)))
+      // one partitioned write job emits all four slices (no checkpoint,
+      // no per-slice re-scan)
+      writeMtimeSlices(s, base,
+        li.withColumn("_sl", pmod(col("l_orderkey"), lit(4L))), "_sl", 4)
       withStreamPartitions(s, inputBytes(s, base)) {
         val stream = s.readStream.schema(li.schema)
           .option("maxFilesPerTrigger", "1").parquet(base)
@@ -2746,10 +2748,10 @@ object SparkEntry {
       // state
       val ev = t(s, dir, "events").filter(col("ts").isNotNull)
       val base = genEventSlicesPath(dir)
-      // one scan feeds all four slice writes (see g_stream_drift_inc)
-      val src = ev.localCheckpoint()
-      writeMtimeSlices(s, base, (0 until 4).map(i =>
-        src.filter(pmod(col("event_id"), lit(4L)) === i.toLong)))
+      // one partitioned write job emits all four slices (see
+      // writeMtimeSlices)
+      writeMtimeSlices(s, base,
+        ev.withColumn("_sl", pmod(col("event_id"), lit(4L))), "_sl", 4)
       withStreamPartitions(s, inputBytes(s, base)) {
         val stream = s.readStream.schema(ev.schema)
           .option("maxFilesPerTrigger", "1").parquet(base)
@@ -3016,13 +3018,11 @@ object SparkEntry {
         .filter(pmod(col("user_id"), lit(7L)) === 0L
           && (col("_sl") === 0 || col("_sl") === 2))
         .withColumn("user_id", col("user_id") + 1000000L)
-      // one pass computes the union + sentinel aggregation; the four slice
-      // writes filter the materialized blocks (see g_stream_drift_inc)
+      // one pass computes the union + sentinel aggregation AND writes all
+      // four slices (see writeMtimeSlices)
       val sliced = withSl.unionByName(clones).unionByName(sent)
-        .localCheckpoint()
       val base = genEvictSlicesPath(dir)
-      writeMtimeSlices(s, base, (0 until 4).map(i =>
-        sliced.filter(col("_sl") === i).drop("_sl")))
+      writeMtimeSlices(s, base, sliced, "_sl", 4)
       withStreamPartitions(s, inputBytes(s, base)) {
         val stream = s.readStream
           .schema(sliced.drop("_sl").schema)
@@ -3237,38 +3237,55 @@ object SparkEntry {
     * and spacing must stay in lockstep across them or the pinned batch
     * order the oracles replay silently changes.
     */
-  private def writeMtimeSlices(s: SparkSession, base: String,
-      frames: Seq[DataFrame]): Unit = {
+  /** Write `df` as `nSlices` mtime-ordered single-file parquet slices
+    * (`slice_i.parquet`, strictly increasing mtimes — the file-source
+    * micro-batch ordering contract) in ONE Spark job: a dynamic-partition
+    * write on the int slice column. `repartition(nSlices, sliceCol)` puts
+    * each slice value wholly in one partition, so every partition dir
+    * holds exactly one part file, and the upstream (however expensive —
+    * unions, aggregations) is computed exactly once — the pre-r6 shape
+    * localCheckpoint'd the upstream and ran one filter+coalesce(1) write
+    * job PER slice, re-scanning the materialized blocks N times (r6 job
+    * profile: 4 × ~0.3 s of cached-block scans per harness). A slice value
+    * with zero rows (not seen in practice; slices are derived mods/weeks
+    * of non-empty tables) still gets an empty parquet file so the
+    * micro-batch COUNT cannot drift with data volume. Null slice values
+    * are the caller's bug — filtered here so they can never surface as a
+    * spurious 5th file.
+    */
+  private def writeMtimeSlices(s: SparkSession, base: String, df: DataFrame,
+      sliceCol: String, nSlices: Int): Unit = {
     val conf = s.sparkContext.hadoopConfiguration
     val basePath = new org.apache.hadoop.fs.Path(base)
     val fs = basePath.getFileSystem(conf)
     fs.delete(basePath, true)
     fs.mkdirs(basePath)
-    // The slice frames are filters of one localCheckpoint'd upstream (the
-    // callers materialize it once, so per-slice writes replay cached
-    // blocks instead of re-running the whole upstream); submit the N
-    // single-task coalesce(1) writes CONCURRENTLY (guide §2.6 — actions
-    // are only sequential because the driver calls them sequentially; 4
-    // independent one-task jobs fill 4 cores instead of running back to
-    // back). mtimes are set afterwards, sequentially — they are metadata,
-    // order-free across slices.
-    val writes = frames.zipWithIndex.map { case (df, i) =>
-      val tmp = new org.apache.hadoop.fs.Path(basePath, s"_tmp_$i")
-      val thread = new Thread(() =>
-        df.coalesce(1).write.mode("overwrite").parquet(tmp.toString))
-      thread.start()
-      (thread, tmp, i)
-    }
-    writes.foreach { case (thread, tmp, i) =>
-      thread.join()
-      val part = fs.listStatus(tmp).map(_.getPath)
-        .find(_.getName.startsWith("part-"))
-        .getOrElse(throw new IllegalStateException(s"no part file in $tmp"))
+    val tmp = new org.apache.hadoop.fs.Path(basePath, "_tmp")
+    df.filter(col(sliceCol).isNotNull)
+      .withColumn(sliceCol, col(sliceCol).cast("int"))
+      .repartition(nSlices, col(sliceCol))
+      .write.mode("overwrite").partitionBy(sliceCol).parquet(tmp.toString)
+    (0 until nSlices).foreach { i =>
+      val dir = new org.apache.hadoop.fs.Path(tmp, s"$sliceCol=$i")
       val dst = new org.apache.hadoop.fs.Path(basePath, s"slice_$i.parquet")
-      fs.rename(part, dst)
-      fs.delete(tmp, true)
+      val part =
+        if (fs.exists(dir))
+          fs.listStatus(dir).map(_.getPath).find(_.getName.startsWith("part-"))
+        else None
+      part match {
+        case Some(p) => fs.rename(p, dst)
+        case None => // empty slice: write a schema-only file to keep the batch count
+          val e = new org.apache.hadoop.fs.Path(tmp, s"_empty_$i")
+          df.drop(sliceCol).limit(0).coalesce(1)
+            .write.mode("overwrite").parquet(e.toString)
+          val ep = fs.listStatus(e).map(_.getPath)
+            .find(_.getName.startsWith("part-"))
+            .getOrElse(throw new IllegalStateException(s"no part file in $e"))
+          fs.rename(ep, dst)
+      }
       fs.setTimes(dst, 1700000000000L + i * 60000L, -1L)
     }
+    fs.delete(tmp, true)
   }
 
   /** e_stream_state's mtime-ordered event slice files (own dir — see

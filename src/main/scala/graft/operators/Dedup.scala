@@ -108,6 +108,18 @@ object Dedup {
   private[graft] def normTokens(text: Column): Column =
     split(lower(regexp_replace(trim(text), "\\s+", " ")), " ")
 
+  /** Distinct 64-bit shingle hashes of a text column (native kernel) —
+    * bit-identical element-wise to `array_distinct(transform(
+    * shingles(text, k), s => xxhash64(s)))`, except < k tokens yields null
+    * instead of an empty array (identical under `explode`, which skips
+    * both). NoInline fences the kernel from filter-pushdown duplication.
+    */
+  private[operators] def shingleHashesCol(text: Column, k: Int): Column = {
+    import org.apache.spark.sql.GraftShims
+    GraftShims.column(graft.plans.NoInline(graft.plans.ShingleHashes(
+      GraftShims.expression(normTokens(text)), k)))
+  }
+
   /** Word k-shingles of a normalized text column (array<string>).
     *
     * Built by zip_with-chaining the token array against its shifted copies —
@@ -189,20 +201,75 @@ object Dedup {
       .withColumnRenamed("col", "band_hash")
   }
 
-  /** MinHash-LSH candidate pairs (id_a < id_b), deduplicated across bands,
-    * with estimated Jaccard from full signatures. `maxBucket` caps
-    * pathological buckets (boilerplate) to bound the self-join blow-up.
+  /** One-scan (id, sh) proxy frame: `sh` = the DISTINCT 64-bit shingle
+    * hashes of the doc (native [[graft.plans.ShingleHashes]] kernel —
+    * bit-identical to `array_distinct(transform(shingles(text, k),
+    * xxhash64))`). This is the §8-shaped decision proxy of the whole
+    * near-dup subsystem: the text is read and shingled EXACTLY ONCE, and
+    * both the LSH banding (integer-mix kernel over `sh`) and the exact-
+    * Jaccard verify (set algebra over `sh`) derive from the materialized
+    * 8-bytes-per-shingle arrays — no later stage re-reads the corpus.
+    * Docs with < k tokens (null kernel output) are excluded: they can
+    * never band, so they can never be candidates.
+    */
+  private[operators] def shingleHashFrame(df: DataFrame, idCol: String,
+      textCol: String, k: Int): DataFrame =
+    df.filter(col(textCol).isNotNull && length(col(textCol)) > 0)
+      .select(col(idCol).as("id"), shingleHashesCol(col(textCol), k).as("sh"))
+      .filter(col("sh").isNotNull)
+
+  /** Banded rows (id, band_idx, band_hash) derived from a [[shingleHashFrame]]
+    * via the integer-only [[graft.plans.MinHashBandsFromHashes]] kernel —
+    * bit-identical to [[lshBands]]' output for the same docs. Cheap to
+    * recompute per consumer (a few integer mixes per shingle hash), so the
+    * callers checkpoint the sh frame, never the banded explode.
+    */
+  private[operators] def bandedFromSh(sh: DataFrame, numHashes: Int,
+      bands: Int): DataFrame = {
+    import org.apache.spark.sql.GraftShims
+    val bh = GraftShims.column(graft.plans.MinHashBandsFromHashes(
+      GraftShims.expression(col("sh")), numHashes, bands))
+    sh.select(col("id"), posexplode(bh))
+      .withColumnRenamed("pos", "band_idx")
+      .withColumnRenamed("col", "band_hash")
+  }
+
+  /** Exact Jaccard of candidate pairs from materialized shingle-hash
+    * arrays — the verify half of [[nearDupPairsExact]], fed by the SAME
+    * (checkpointed) [[shingleHashFrame]] the candidates came from, so
+    * verification costs two cached-block joins instead of a second corpus
+    * scan + re-shingling. Same set math as [[ngramJaccard]].
+    */
+  private[operators] def jaccardFromSh(pairs: DataFrame, sh: DataFrame): DataFrame =
+    pairs
+      .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("double"))
+      .withColumn("uni",
+        (size(col("sh_a")) + size(col("sh_b"))).cast("double") - col("inter"))
+      .select(col("id_a"), col("id_b"),
+        when(col("uni") === 0, 0.0).otherwise(col("inter") / col("uni")).as("jaccard"))
+
+  /** MinHash-LSH candidate pairs (id_a < id_b), deduplicated across bands.
+    * `maxBucket` caps pathological buckets (boilerplate) to bound the
+    * self-join blow-up.
     */
   def minHashCandidates(df: DataFrame, idCol: String, textCol: String, k: Int = 3,
-      numHashes: Int = 32, bands: Int = 8, maxBucket: Int = 1000): DataFrame = {
-    // the band rows feed three consumers (bucket-size agg, anti-join probe,
-    // self-join l/r) — without the checkpoint the banding scan+kernel runs
-    // up to 4× per query (r6 plan audit: 4 of 6 parquet scans were band
-    // recomputes). localCheckpoint materializes them once; the blocks are
-    // disk-backed and exactly the rows the self-join shuffles anyway, so
-    // the residency is bounded by the shuffle footprint the query already
-    // pays, never an extra corpus copy
-    val b = lshBands(df, idCol, textCol, k, numHashes, bands).localCheckpoint()
+      numHashes: Int = 32, bands: Int = 8, maxBucket: Int = 1000): DataFrame =
+    minHashCandidatesFromSh(
+      shingleHashFrame(df, idCol, textCol, k).localCheckpoint(),
+      numHashes, bands, maxBucket)
+
+  /** Candidate generation over a (checkpointed) [[shingleHashFrame]]: the
+    * banded rows feed three consumers (bucket-size agg, anti-join probe,
+    * self-join l/r), each re-deriving bands from the cached sh blocks with
+    * the integer kernel — cheaper than a second materialization, and the
+    * text itself is never touched (the pre-kernel pipeline re-ran the
+    * full banding scan up to 4× per query).
+    */
+  private def minHashCandidatesFromSh(sh: DataFrame, numHashes: Int,
+      bands: Int, maxBucket: Int): DataFrame = {
+    val b = bandedFromSh(sh, numHashes, bands)
     val capped = dropOversizedBuckets(b, Seq("band_idx", "band_hash"), maxBucket)
     val l = capped.select(col("band_idx"), col("band_hash"), col("id").as("id_a"))
     val rr = capped.select(col("band_idx"), col("band_hash"), col("id").as("id_b"))
@@ -362,15 +429,18 @@ object Dedup {
     */
   def nearDupPairsExact(df: DataFrame, idCol: String, textCol: String, k: Int = 3,
       numHashes: Int = 32, bands: Int = 32, threshold: Double = 0.5,
-      maxBucket: Int = 1000): DataFrame =
-    // candidate pairs are capped-bucket-bounded and tiny; checkpoint them so
-    // ngramJaccard's three consumers (id prefilter + both signature joins)
-    // replay a materialized list instead of the whole banding pipeline
-    ngramJaccard(df,
-      minHashCandidates(df, idCol, textCol, k, numHashes, bands, maxBucket)
-        .localCheckpoint(),
-      idCol, textCol, k)
-      .filter(col("jaccard") >= threshold)
+      maxBucket: Int = 1000): DataFrame = {
+    // ONE corpus scan: the checkpointed (id, sh) frame feeds candidate
+    // generation AND exact verification (the pre-r6 shape scanned the
+    // corpus again inside ngramJaccard — and that scan ran twice, once per
+    // broadcast-build side). Candidates are capped-bucket-bounded and
+    // tiny; checkpointing them keeps the self-join from replaying per
+    // verify consumer.
+    val sh = shingleHashFrame(df, idCol, textCol, k).localCheckpoint()
+    val cands = minHashCandidatesFromSh(sh, numHashes, bands, maxBucket)
+      .localCheckpoint()
+    jaccardFromSh(cands, sh).filter(col("jaccard") >= threshold)
+  }
 
   /** Benchmark-contamination check: per-document shingle containment
     * against a (small) probe corpus — "which training docs contain
@@ -388,10 +458,15 @@ object Dedup {
   def contaminationAgainst(docs: DataFrame, idCol: String, textCol: String,
       probes: DataFrame, probeIdCol: String, probeTextCol: String,
       k: Int = 3, minContainment: Double = 0.5): DataFrame = {
+    // join keys are the 64-bit kernel hashes, not shingle strings: the
+    // operator only counts shared shingles (narrower join key + no
+    // interpreted HOF chain per row; collision trade-off as in
+    // [[containmentPairs]])
     val dSh = docs.select(col(idCol).as("doc_id"),
-      explode(array_distinct(shingles(col(textCol), k))).as("sh"))
+      explode(shingleHashesCol(col(textCol), k)).as("sh"))
     val pShingles = probes.select(col(probeIdCol).as("probe_id"),
-      array_distinct(shingles(col(probeTextCol), k)).as("ps"))
+      coalesce(shingleHashesCol(col(probeTextCol), k),
+        array().cast("array<bigint>")).as("ps"))
       .filter(size(col("ps")) > 0)
     val pSh = pShingles.select(col("probe_id"), size(col("ps")).as("probe_shingles"),
       explode(col("ps")).as("sh"))
@@ -418,14 +493,22 @@ object Dedup {
     */
   def minHashWriteIndex(df: DataFrame, idCol: String, textCol: String,
       dir: String, k: Int = 3, numHashes: Int = 32, bands: Int = 32,
-      maxBucket: Int = 1000): Unit =
-    // checkpoint: the bucket-size agg and the anti-join probe would
-    // otherwise each re-scan and re-hash the full corpus
-    dropOversizedBuckets(
-      lshBands(df, idCol, textCol, k, numHashes, bands).localCheckpoint(),
+      maxBucket: Int = 1000): Unit = {
+    // one corpus scan feeds BOTH halves of the index: `bands/` (the LSH
+    // probe side) and `sigs/` (the (id, sh) shingle-hash arrays the verify
+    // stage joins against) — so the probe path never re-reads or
+    // re-shingles historical TEXT at all, which is the contract a daily
+    // 100 TB increment actually needs
+    val sh = shingleHashFrame(df, idCol, textCol, k).localCheckpoint()
+    dropOversizedBuckets(bandedFromSh(sh, numHashes, bands),
       Seq("band_idx", "band_hash"), maxBucket)
-      .repartition(col("band_idx"))
-      .write.mode("overwrite").partitionBy("band_idx").parquet(dir)
+      // explicit width so AQE can't coalesce the writers below the band
+      // count (the Similarity.lshWriteIndex lesson); still one task — and
+      // so ≤ one file — per band dir
+      .repartition(bands, col("band_idx"))
+      .write.mode("overwrite").partitionBy("band_idx").parquet(s"$dir/bands")
+    sh.write.mode("overwrite").parquet(s"$dir/sigs")
+  }
 
   /** Near-duplicates of a NEW batch against an indexed historical corpus:
     * (id_a = new id, id_b = base id, jaccard), exact-verified at >=
@@ -442,21 +525,32 @@ object Dedup {
       indexDir: String, idCol: String, textCol: String, k: Int = 3,
       numHashes: Int = 32, bands: Int = 32, threshold: Double = 0.5,
       maxBucket: Int = 1000): DataFrame = {
-    val idx = newDocs.sparkSession.read.parquet(indexDir)
+    val idx = newDocs.sparkSession.read.parquet(s"$indexDir/bands")
       .select(col("band_idx"), col("band_hash"), col("id").as("id_b"))
-    // new-batch bands feed two consumers (bucket-size agg + anti-join
-    // probe): checkpoint so the new docs are scanned+hashed once
-    val nb = dropOversizedBuckets(
-      lshBands(newDocs, idCol, textCol, k, numHashes, bands).localCheckpoint(),
+    // ONE scan of the new batch: the checkpointed (id, sh) frame feeds the
+    // banding probe AND the new-side verify join
+    val shNew = shingleHashFrame(newDocs, idCol, textCol, k).localCheckpoint()
+    val nb = dropOversizedBuckets(bandedFromSh(shNew, numHashes, bands),
       Seq("band_idx", "band_hash"), maxBucket)
       .select(col("band_idx"), col("band_hash"), col("id").as("id_a"))
-    // candidate pairs replay three times in ngramJaccard — materialize the
-    // (tiny, candidate-mass-bounded) list instead of re-probing the index
+    // candidate pairs feed both verify joins — materialize the (tiny,
+    // candidate-mass-bounded) list instead of re-probing the index
     val cands = nb.join(idx, Seq("band_idx", "band_hash"))
       .select("id_a", "id_b").distinct().localCheckpoint()
-    val texts = newDocs.select(col(idCol), col(textCol))
-      .unionByName(baseDocs.select(col(idCol), col(textCol)))
-    ngramJaccard(texts, cands, idCol, textCol, k)
+    // base-side verify reads the PERSISTED sigs — historical text is never
+    // re-read or re-shingled on the probe path (pre-r6, ngramJaccard
+    // re-scanned and re-shingled the base corpus' candidate docs, twice —
+    // once per broadcast-build side). `baseDocs` stays in the signature as
+    // the documented source the index was built from.
+    val shBase = newDocs.sparkSession.read.parquet(s"$indexDir/sigs")
+    cands
+      .join(shNew.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(shBase.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("double"))
+      .withColumn("uni",
+        (size(col("sh_a")) + size(col("sh_b"))).cast("double") - col("inter"))
+      .select(col("id_a"), col("id_b"),
+        when(col("uni") === 0, 0.0).otherwise(col("inter") / col("uni")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 
@@ -496,8 +590,7 @@ object Dedup {
     // [[boilerplateShingles]], unchanged); see [[containmentPairs]] on
     // the collision trade-off
     val perDoc = df.select(col(idCol).as("id"),
-      explode(array_distinct(transform(shingles(col(textCol), k),
-        s => xxhash64(s)))).as("shingle"))
+      explode(shingleHashesCol(col(textCol), k)).as("shingle"))
       .localCheckpoint()
     val boiler = perDoc.groupBy(col("shingle"))
       .agg(count(lit(1)).as("_nd"))
@@ -591,11 +684,19 @@ object Dedup {
     // Candidate mass is bands·corpus-bounded (r=1 banding keeps EVERY
     // single-slot match), so per-pair set cost dominates the stage: long
     // equality beats string hashing ~4×, and |A∪B| = |A|+|B|−|A∩B| saves
-    // the second hash-set build per pair.
+    // the second hash-set build per pair. The native ShingleHashes kernel
+    // replaces the interpreted HOF chain, with its null (< k tokens)
+    // mapped back to the HOF's empty array and a null TEXT kept null —
+    // bit-identical contract (PipelineOpsSpec). localCheckpoint: the two
+    // signature joins below each broadcast-build from `sh`; unchecked,
+    // the scan+shingling ran once PER SIDE (r6 job profile).
     val sh = df.join(pids, col(idCol) === col("_pid"), "left_semi")
       .select(col(idCol).as("id"),
-        array_distinct(transform(shingles(col(textCol), k), s => xxhash64(s)))
+        when(col(textCol).isNull, lit(null).cast("array<bigint>"))
+          .otherwise(coalesce(shingleHashesCol(col(textCol), k),
+            array().cast("array<bigint>")))
           .as("sh"))
+      .localCheckpoint()
     pairs
       .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
       .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
@@ -654,7 +755,11 @@ object Dedup {
     */
   def shingleDfHistogram(df: DataFrame, textCol: String,
       k: Int = 3): DataFrame =
-    df.select(explode(array_distinct(shingles(col(textCol), k))).as("shingle"))
+    // shingle identity as the 64-bit kernel hash (the [[containmentPairs]]
+    // trade-off): the histogram only counts distinct shingles, never emits
+    // their text, so the narrow key halves the vocabulary shuffle; a
+    // cross-vocabulary collision (≈ vocab²/2^65) could merge two rows
+    df.select(explode(shingleHashesCol(col(textCol), k)).as("shingle"))
       .groupBy(col("shingle")).agg(count(lit(1)).as("doc_freq"))
       .groupBy(col("doc_freq")).agg(count(lit(1)).as("n_shingles"))
 
@@ -857,8 +962,7 @@ object Dedup {
     // consumers (df-count, df-join, size agg, self-join l/r via kept) —
     // checkpoint both tiers so the corpus is scanned+shingled exactly once.
     val ex = df.select(col(idCol).as("_id"),
-        explode(array_distinct(transform(shingles(col(textCol), k),
-          s => xxhash64(s)))).as("sh"))
+        explode(shingleHashesCol(col(textCol), k)).as("sh"))
       .localCheckpoint()
     val kept = ex.join(
       ex.groupBy("sh").agg(count(lit(1)).as("_df"))

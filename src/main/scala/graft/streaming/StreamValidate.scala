@@ -162,7 +162,9 @@ object StreamValidate {
       .start()
     q.awaitTermination()
     import spark.implicits._
-    emissions.toSeq.toDF("batch_seq", "ks")
+    // driver-local, grid-bounded rows: one partition (the default
+    // parallelize split burned two 32-task jobs per harness run)
+    emissions.toSeq.toDF("batch_seq", "ks").coalesce(1)
   }
 
   /** INCREMENTAL top-k over a stream: per micro-batch, ONE map-side-
@@ -205,6 +207,7 @@ object StreamValidate {
         (-c, key == null, Option(key).getOrElse("")) }
       .take(k)
       .toDF(keyCol, "occurrences")
+      .coalesce(1) // k driver-local rows — see driftKsIncremental
   }
 
   /** Run an update-mode streaming Dataset to completion
@@ -293,6 +296,7 @@ object StreamValidate {
     collectUpdateStream(emitted.toDF)
       .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
       .toDF("key", "upd_seq", "events_seen", "last_us")
+      .coalesce(1) // emission-bounded driver-local rows — see driftKsIncremental
   }
   /** State EVICTION twin of [[keyedProfileStream]]: `flatMapGroupsWithState`
     * with an EVENT-TIME TIMEOUT — the piece that makes per-key state
@@ -371,6 +375,7 @@ object StreamValidate {
     collectUpdateStream(emitted.toDF)
       .map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
       .toDF("key", "events_seen", "last_us")
+      .coalesce(1) // episode-bounded driver-local rows — see driftKsIncremental
   }
 }
 

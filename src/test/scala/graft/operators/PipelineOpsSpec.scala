@@ -1262,6 +1262,44 @@ class PipelineOpsSpec extends SparkSpec {
     assert(native(5) == null && native(6) == null && native(7) != null)
   }
 
+  test("ShingleHashes + MinHashBandsFromHashes are bit-identical to the HOF/one-pass kernels") {
+    import org.apache.spark.sql.GraftShims
+    val corpus = docs.unionAll(Seq((6L, "one"), (7L, "two words"),
+      (8L, "now three tokens"), (9L, "dup dup dup words dup"), (10L, ""))
+      .toDF("doc_id", "text"))
+    Seq(1, 2, 3).foreach { k =>
+      // (a) the distinct shingle-hash set = the HOF chain, element order included
+      val native = corpus.select(col("doc_id"),
+        Dedup.shingleHashesCol(col("text"), k).as("sh"))
+        .orderBy("doc_id").collect()
+        .map(r => if (r.isNullAt(1)) null else r.getSeq[Long](1))
+      val hof = corpus.select(col("doc_id"),
+        array_distinct(transform(Dedup.shingles(col("text"), k),
+          s => xxhash64(s))).as("sh"))
+        .orderBy("doc_id").collect()
+        .map(r => if (r.isNullAt(1)) null
+          else r.getSeq[Long](1))
+      native.zip(hof).foreach { case (n, h) =>
+        // kernel: < k tokens -> null; HOF: empty array (identical under
+        // explode; jaccard callers map it back explicitly)
+        if (n == null) assert(h == null || h.isEmpty, s"k=$k: null vs $h")
+        else assert(n == h, s"k=$k: $n != $h")
+      }
+      // (b) bands derived FROM the hash set = bands from the tokens
+      val viaSh = corpus.select(col("doc_id"), GraftShims.column(
+        graft.plans.MinHashBandsFromHashes(GraftShims.expression(
+          Dedup.shingleHashesCol(col("text"), k)), 32, 16)).as("b"))
+        .orderBy("doc_id").collect()
+        .map(r => if (r.isNullAt(1)) null else r.getSeq[Long](1))
+      val direct = corpus.select(col("doc_id"), GraftShims.column(
+        graft.plans.MinHashBands(GraftShims.expression(
+          Dedup.normTokens(col("text"))), k, 32, 16)).as("b"))
+        .orderBy("doc_id").collect()
+        .map(r => if (r.isNullAt(1)) null else r.getSeq[Long](1))
+      viaSh.zip(direct).foreach { case (a, b) => assert(a == b, s"k=$k: $a != $b") }
+    }
+  }
+
   test("native QuantizeInt8 kernel is IEEE-identical to the HOF formulation") {
     val vecs = spark.range(40).select(col("id"),
       transform(sequence(lit(0), lit(7)),
