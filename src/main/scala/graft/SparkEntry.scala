@@ -1342,7 +1342,7 @@ object SparkEntry {
     "p_curate" -> ((s, dir) => {
       // the composed five-stage curation pipeline: lang + quality +
       // repetition gates -> exact dedup (keep min id) -> 50% hash sample
-      Curation.curate(t(s, dir, "documents"), "doc_id", "text",
+      Curation.curate(Scans.widen(t(s, dir, "documents")), "doc_id", "text",
         langs = Set("en"), minQuality = 0.5, minDistinctFrac = 0.3,
         sampleFraction = 0.5)
         .orderBy("doc_id")
@@ -2263,7 +2263,7 @@ object SparkEntry {
       // confusion matrix of the declared lang column against the n-gram
       // heuristic's verdict — the labeling-QA view over the corpus; one
       // scan + a matrix-sized groupBy
-      t(s, dir, "documents")
+      Scans.widen(t(s, dir, "documents").select(col("lang"), col("text")))
         .groupBy(coalesce(col("lang"), lit("<null>")).as("lang"),
           TextAnalysis.langId(col("text")).as("detected"))
         .agg(count(lit(1)).as("n_docs"))

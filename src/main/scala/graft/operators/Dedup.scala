@@ -590,7 +590,7 @@ object Dedup {
     // [[boilerplateShingles]], unchanged); see [[containmentPairs]] on
     // the collision trade-off
     val perDoc = df.select(col(idCol).as("id"),
-      explode(shingleHashesCol(col(textCol), k)).as("shingle"))
+        explode(shingleHashesCol(col(textCol), k)).as("shingle"))
       .localCheckpoint()
     val boiler = perDoc.groupBy(col("shingle"))
       .agg(count(lit(1)).as("_nd"))

@@ -178,13 +178,35 @@ object RefIntegrity {
   def danglingRefsBloomFromRefs(refsIn: DataFrame, catalog: DataFrame,
       expectedItems: Long, fpp: Double = 0.001): DataFrame = {
     require(expectedItems > 0, s"expectedItems must be > 0, got $expectedItems")
+    import org.apache.spark.sql.GraftShims
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal, XxHash64}
     val refs = refsIn
       .select(col("media_ref"))
       .distinct()
-    val bloom = catalog.select(col("media_ref"))
-      .stat.bloomFilter("media_ref", expectedItems, fpp)
-    val bloomBc = refsIn.sparkSession.sparkContext.broadcast(bloom)
-    val maybePresent = udf((r: String) => bloomBc.value.mightContainString(r))
+    // Build with Spark's native bloom_filter_agg over xxhash64(key) and
+    // probe with the native might_contain — the exact pair SPARK-32268's
+    // runtime filter injects, both whole-stage-codegen. The previous
+    // probe was a Scala UDF over the broadcast sketch-module filter:
+    // black-box to codegen, it broke the probe stage into interpreted
+    // row-at-a-time evaluation (r6 profile: 1.8 s of the 4.2 s wall for a
+    // 600k-row probe; the same scan+distinct without the UDF runs in
+    // 0.2 s). Same sizing math as the sketch builder; swapping the hash
+    // basis (xxhash64 vs murmur3-of-string) only moves WHICH keys are
+    // false positives — the exact anti-join behind it makes the output
+    // identical either way.
+    val nBits = org.apache.spark.util.sketch.BloomFilter
+      .optimalNumOfBits(expectedItems, fpp)
+    def h64(c: org.apache.spark.sql.Column) =
+      new XxHash64(Seq(GraftShims.expression(c)))
+    val bloomAgg = GraftShims.column(
+      new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+        h64(col("media_ref")), Literal(expectedItems), Literal(nBits))
+        .toAggregateExpression())
+    val bloomBytes = catalog.select(col("media_ref"))
+      .agg(bloomAgg.as("bf")).collect()(0).getAs[Array[Byte]](0)
+    val maybePresent = GraftShims.column(BloomFilterMightContain(
+      Literal(bloomBytes, org.apache.spark.sql.types.BinaryType),
+      h64(col("media_ref"))))
     // ONE conditional anti-join, one corpus scan: a ref is kept (dangling)
     // when NO catalog row satisfies (maybePresent(ref) AND key equality).
     // Definite danglings (maybePresent = false) match nothing by
@@ -194,7 +216,7 @@ object RefIntegrity {
     // corpus twice — measured 1.7× slower at sf0.1.
     val cat = catalog.select(col("media_ref").as("_cat_ref"))
     refs.join(cat,
-        maybePresent(col("media_ref")) && col("media_ref") === col("_cat_ref"),
+        maybePresent && col("media_ref") === col("_cat_ref"),
         "left_anti")
   }
 
