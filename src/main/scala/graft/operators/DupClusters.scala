@@ -59,8 +59,13 @@ object DupClusters {
     val sym = e0
       .union(e0.select(col("dst").as("src"), col("src").as("dst")))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    var labels = sym.select(col("src").as("id")).distinct()
-      .withColumn("comp", col("id"))
+    // initial label = min over the CLOSED neighborhood (id ∧ min neighbor)
+    // — the same map-side-combined aggregate a plain `distinct` would run,
+    // but it bakes round 1's propagation into the init, typically saving a
+    // full loop round (each round = 2 joins + 1 agg + a convergence count)
+    var labels = sym.groupBy(col("src").as("id"))
+      .agg(min(col("dst")).as("_nbr_min"))
+      .select(col("id"), least(col("id"), col("_nbr_min")).as("comp"))
       .localCheckpoint()
     var changed = 1L
     var iter = 0
@@ -69,8 +74,11 @@ object DupClusters {
       val nbrMin = sym
         .join(labels.select(col("id").as("src"), col("comp")), "src")
         .groupBy(col("dst").as("nid")).agg(min("comp").as("nbr_min"))
+      // carry the pre-step label through as `_prev` — re-joining `labels`
+      // for it after the jump was a third join per round for a column this
+      // row already had (r6: one join/shuffle per round removed)
       val stepped = labels.join(nbrMin, col("id") === col("nid"), "left")
-        .select(col("id"),
+        .select(col("id"), col("comp").as("_prev"),
           least(col("comp"), coalesce(col("nbr_min"), col("comp"))).as("cand"))
       // pointer jump (path doubling): also take the candidate label's OWN
       // label — labels only ever decrease toward the component min, so the
@@ -80,7 +88,6 @@ object DupClusters {
       // lazy checkpoint: the convergence count below is the materializing
       // action (eager would spend an extra job per round)
       val next = stepped.join(parents, col("cand") === col("_pid"), "left")
-        .join(labels.select(col("id"), col("comp").as("_prev")), "id")
         .select(col("id"),
           least(col("cand"), coalesce(col("_pcomp"), col("cand"))).as("comp"),
           col("_prev"))
