@@ -211,18 +211,6 @@ object Inference {
       "toYaml renders inferred Check rules only")
   }
 
-  /** Schema-DRIFT discovery — the inference complement: which properties
-    * ride along in a semi-structured column UNDECLARED by the schema, how
-    * many documents carry each. Catches upstream producers quietly adding
-    * fields before anyone writes a rule for them (the moment to decide
-    * validate-or-strip). Invalid / null JSON contributes nothing
-    * (`json_object_keys` yields null → explode drops the row); the
-    * denominator is non-null-JSON documents.
-    *
-    * Scale: one scan (keys explode inside the scan stage, declared-key
-    * filter BEFORE the shuffle), map-side-combined groupBy on the
-    * undeclared key names, broadcast 1-row total.
-    */
   /** Rule-bound RELAXATION suggestions — "repair the schema, not the
     * data": for each declared numeric bound, how many rows fall below /
     * above it, the observed corpus extremes, and the bound that would
@@ -277,6 +265,21 @@ object Inference {
           .otherwise(col("m.declared_max")).as("suggested_max"))
   }
 
+  /** Undeclared-property discovery over a JSON column: which keys
+    * ride along in a semi-structured column UNDECLARED by the schema, how
+    * many documents carry each. Catches upstream producers quietly adding
+    * fields before anyone writes a rule for them (the moment to decide
+    * validate-or-strip). Invalid JSON contributes no KEYS
+    * (`json_object_keys` yields null → explode drops the row) but still
+    * COUNTS in the denominator: `doc_share` is per non-null-STRING
+    * document, so a feed half-full of malformed JSON shows every prop at
+    * ≤ 50% share — deliberately, since the share answers "how much of the
+    * feed carries this field", not "how much of the parseable subset".
+    *
+    * Scale: one scan (keys explode inside the scan stage, declared-key
+    * filter BEFORE the shuffle), map-side-combined groupBy on the
+    * undeclared key names, broadcast 1-row total.
+    */
   def undeclaredProps(df: DataFrame, jsonCol: String,
       declared: Seq[String]): DataFrame = {
     val nonNull = df.filter(col(jsonCol).isNotNull)

@@ -340,10 +340,19 @@ object Layout {
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val files = fs.globStatus(new org.apache.hadoop.fs.Path(dir, glob))
       .map(_.getPath.toString).toSeq.sorted
+    // ship the SESSION's Hadoop configuration to the tasks (Writable
+    // round-trip — the SerializableConfiguration pattern): a bare
+    // `new Configuration()` in the task discarded every spark.hadoop.*
+    // setting (object-store credentials, endpoints, proxies), so the
+    // driver-side globStatus would list remote files the executors then
+    // failed to open — an environment-dependent failure invisible on a
+    // local FS
+    val confBc = spark.sparkContext.broadcast(
+      new SerializableHadoopConf(spark.sparkContext.hadoopConfiguration))
     spark.createDataset(files)(org.apache.spark.sql.Encoders.STRING)
       .repartition(math.max(1, math.min(files.size, 32)))
       .mapPartitions { (paths: Iterator[String]) =>
-        val conf = new org.apache.hadoop.conf.Configuration()
+        val conf = confBc.value.conf
         paths.map { p =>
           val path = new org.apache.hadoop.fs.Path(p)
           val in = org.apache.parquet.hadoop.util.HadoopInputFile
@@ -394,8 +403,14 @@ object Layout {
     val totals = counts.agg(sum(col("rows")).as("_total"),
       count(lit(1)).as("_nkeys"))
     counts.join(broadcast(totals))
-      .filter(col("rows") * col("_nkeys") >
-        lit(skewFactor.toLong) * col("_total"))
+      // compare in double (the joinExplosion precedent): rows * n_keys
+      // cross-multiplies two longs, and under ANSI mode a long overflow
+      // THROWS — at the 10^12-row scale this advisor targets (a 1e11-row
+      // hot key over 1e8 distinct keys) the whole report would die
+      // mid-query. Integer-valued doubles are exact below 2^53, far more
+      // headroom than any flag decision needs.
+      .filter(col("rows").cast("double") * col("_nkeys").cast("double") >
+        lit(skewFactor.toDouble) * col("_total").cast("double"))
       .select(keyCols.map(col) ++ Seq(
         col("rows"),
         round(col("rows") / col("_total"), 6).as("share"),
@@ -486,3 +501,22 @@ object Layout {
   */
 case class FooterStat(file: String, row_groups: Int, rows: Long,
   compressed_bytes: Long, uncompressed_bytes: Long)
+
+/** Java-serializable Hadoop Configuration carrier (the standard Writable
+  * round-trip — Configuration itself is not Serializable): lets
+  * [[Layout.parquetFooterAudit]] broadcast the SESSION's hadoopConfiguration
+  * to executor tasks instead of constructing a default-config one there.
+  */
+class SerializableHadoopConf(
+    @transient var conf: org.apache.hadoop.conf.Configuration)
+  extends Serializable {
+  private def writeObject(out: java.io.ObjectOutputStream): Unit = {
+    out.defaultWriteObject()
+    conf.write(out)
+  }
+  private def readObject(in: java.io.ObjectInputStream): Unit = {
+    in.defaultReadObject()
+    conf = new org.apache.hadoop.conf.Configuration(false)
+    conf.readFields(in)
+  }
+}

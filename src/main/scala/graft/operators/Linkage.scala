@@ -52,13 +52,17 @@ object Linkage {
         concat(lit("p"), substring(col("name"), 1, blockLen)),
         concat(lit("s"), substring(col("name"), -blockLen, blockLen))))
         .as("bkey"))
-    // block-size gate: tiny (≤ 2·distinct-blocks rows) → broadcast, so the
-    // cap costs one map-side semi-join, not a second big shuffle
+    // block-size gate: usually tiny (≤ distinct-block-key rows), but its
+    // size tracks the distinct 4-char prefix/suffix universe, which
+    // maxBlock does NOT bound — no broadcast hint (a hint is honored
+    // regardless of size and would OOM the driver on a high-cardinality
+    // corpus); the planner broadcasts while it fits and AQE demotes to a
+    // shuffle join otherwise (the dropOversizedBuckets policy)
     val smallBlocks = keyed.groupBy(col("bkey"))
       .agg(count(lit(1)).as("_bn"))
       .filter(col("_bn") <= maxBlock)
       .select(col("bkey"))
-    val ok = keyed.join(broadcast(smallBlocks), Seq("bkey"))
+    val ok = keyed.join(smallBlocks, Seq("bkey"))
     val left = ok.select(col("bkey"), col("id").as("id_a"),
       col("name").as("name_a"))
     val right = ok.select(col("bkey"), col("id").as("id_b"),

@@ -948,8 +948,11 @@ object Stats {
     df.select(scoreMilli.cast("long").as("_sm"),
         when(pass, 1L).otherwise(0L).as("_p"))
       .select(col("_sm"), col("_p"),
-        least(expr(s"CAST(((_sm * ${bins.toLong}) DIV ${scale.toLong}) " +
-          "AS BIGINT)"), lit(bins.toLong - 1L)).as("bin"))
+        // clamp BOTH ends: an under-range score (negative milli) would
+        // otherwise land in a negative bin and emit a garbage row; it now
+        // folds into bin 0, symmetric with the top clamp
+        greatest(least(expr(s"CAST(((_sm * ${bins.toLong}) DIV ${scale.toLong}) " +
+          "AS BIGINT)"), lit(bins.toLong - 1L)), lit(0L)).as("bin"))
       .groupBy(col("bin"))
       .agg(count(lit(1)).as("n"), sum(col("_p")).as("n_pass"),
         sum(col("_sm")).as("sum_milli"))

@@ -42,7 +42,30 @@ object DocsGen {
   private def perMille(id: Column, seed: Long, c: Int, i: Column = lit(0)): Column =
     pmod(h(id, seed, c, i), lit(1000L))
 
+  /** The generated docs table — native kernel path: one
+    * [[graft.plans.DocsGenRow]] struct per id (bit-identical to the HOF
+    * twin [[docsHof]], pinned by DocsGenKernelSpec). The HOF's
+    * interpreted `transform` lambda re-evaluated ~8 full xxhash64 channel
+    * trees per span (~100 µs/row — it dominated i_validate/gen_validate
+    * and the 48M-doc bench-corpus build); the kernel hoists the (id,
+    * seed) hash prefix and pays two integer mixes per channel.
+    */
   def docs(spark: SparkSession, k: Knobs): DataFrame = {
+    import org.apache.spark.sql.GraftShims
+    val r = GraftShims.column(graft.plans.DocsGenRow(
+      GraftShims.expression(col("id")), k.seed, k.nParts, k.dupPerMille,
+      k.badKindPerMille, k.badMediaRefPerMille, k.badOrderPerMille,
+      k.negOffsetPerMille, k.nullDocIdPerMille, k.danglingRefPerMille,
+      k.skew))
+    spark.range(k.nDocs).select(r.as("r"))
+      .select(col("r.doc_id").as("doc_id"), col("r.spans").as("spans"),
+        col("r.part").as("part"))
+  }
+
+  /** HOF twin of [[docs]] — kept as the bit-identity oracle for the
+    * native kernel (DocsGenKernelSpec), not used on any query path.
+    */
+  private[graft] def docsHof(spark: SparkSession, k: Knobs): DataFrame = {
     val id = col("id")
     val base = spark.range(k.nDocs)
 
