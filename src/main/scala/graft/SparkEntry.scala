@@ -1426,7 +1426,7 @@ object SparkEntry {
           .start()
         q.awaitTermination()
       }
-      s.table(name)
+      s.table(name).coalesce(1) // driver-held memory sink; see StreamValidate
         .select(date_format(col("window_start"), "yyyy-MM-dd HH:mm").as("w"),
           col("event_type"), col("events"), col("failed"))
         .orderBy("w", "event_type")
@@ -1457,7 +1457,7 @@ object SparkEntry {
           .start()
         q.awaitTermination()
       }
-      s.table(name)
+      s.table(name).coalesce(1) // driver-held memory sink; see StreamValidate
         .select(col("user_id"),
           date_format(col("session_start"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
           col("n_events"),
@@ -1490,7 +1490,7 @@ object SparkEntry {
           .start()
         q.awaitTermination()
       }
-      s.table(name).distinct().orderBy("content_hash")
+      s.table(name).coalesce(1).distinct().orderBy("content_hash")
     }),
     "e_json_props" -> ((s, dir) => {
       // semi-structured extraction: props is a JSON string; k in [0,100),
@@ -1663,7 +1663,7 @@ object SparkEntry {
           .start()
         q.awaitTermination()
       }
-      s.table(name).orderBy("part")
+      s.table(name).coalesce(1).orderBy("part")
     }),
     // ---------- streaming drift monitoring ----------
     "g_stream_drift" -> ((s, dir) => {
@@ -2014,7 +2014,7 @@ object SparkEntry {
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
       q.awaitTermination()
-      s.table(name).orderBy("doc_id")
+      s.table(name).coalesce(1).orderBy("doc_id")
     }),
     // ---------- violation evidence sampling ----------
     "v_rule_examples" -> ((s, dir) => {
