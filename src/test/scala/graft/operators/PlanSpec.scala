@@ -549,4 +549,18 @@ class PlanSpec extends SparkSpec {
     assert(!pFresh.contains("Join"),
       s"freshness should need no join at all:\n$pFresh")
   }
+
+  test("sketch-path profiling plans no Expand (exact multi-distinct stays oracle-only)") {
+    // the production cardinality path is mergeable sketches; a
+    // multi-column exact countDistinct in one agg lowers to an N-way
+    // Expand of the corpus, which is confined to the checked oracle row
+    // (g_stats_hll) and must never leak into the sketch path
+    val docs = spark.range(2000).select(
+      (col("id") % 16).as("part"), (col("id") % 97).cast("string").as("text"))
+    val sketches = Stats.partitionSketches(docs, "text", "part")
+    val pSk = planOf(sketches)
+    val pMerged = planOf(Stats.unionSketches(sketches))
+    assert(!pSk.contains("Expand"), s"Expand in partitionSketches plan:\n$pSk")
+    assert(!pMerged.contains("Expand"), s"Expand in unionSketches plan:\n$pMerged")
+  }
 }
