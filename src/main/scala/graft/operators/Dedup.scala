@@ -437,8 +437,15 @@ object Dedup {
     // tiny; checkpointing them keeps the self-join from replaying per
     // verify consumer.
     val sh = shingleHashFrame(df, idCol, textCol, k).localCheckpoint()
-    val cands = minHashCandidatesFromSh(sh, numHashes, bands, maxBucket)
-      .localCheckpoint()
+    // widen the (AQE-coalesced-to-bytes) candidate list before the verify:
+    // byte-based coalescing cannot see that each pair costs an
+    // array_intersect over two shingle-hash sets, and a few-MB candidate
+    // list otherwise verifies on ONE task (r6 profile: the whole verify
+    // stage single-threaded). No-op once the pair list has ≥ core-count
+    // partitions, i.e. at any production scale.
+    val cands = Scans.widen(
+      minHashCandidatesFromSh(sh, numHashes, bands, maxBucket)
+        .localCheckpoint())
     jaccardFromSh(cands, sh).filter(col("jaccard") >= threshold)
   }
 
@@ -498,15 +505,20 @@ object Dedup {
     // probe side) and `sigs/` (the (id, sh) shingle-hash arrays the verify
     // stage joins against) — so the probe path never re-reads or
     // re-shingles historical TEXT at all, which is the contract a daily
-    // 100 TB increment actually needs
+    // 100 TB increment actually needs.
+    //
+    // bands/ is PLAIN parquet, not partitionBy(band_idx): every probe
+    // joins ALL bands (each new doc carries all its band hashes), so a
+    // band-partitioned layout prunes nothing anywhere while costing one
+    // dir + file per band (32 tiny files whose listing/footer overhead
+    // dominated the sf0.1 probe's index read) — unlike the ANN index
+    // (Similarity.lshWriteIndex), whose probes really do prune to the
+    // query's buckets. File count follows the writing scan's partitions:
+    // input-split-shaped at scale (guide §6), a handful of files locally.
     val sh = shingleHashFrame(df, idCol, textCol, k).localCheckpoint()
     dropOversizedBuckets(bandedFromSh(sh, numHashes, bands),
       Seq("band_idx", "band_hash"), maxBucket)
-      // explicit width so AQE can't coalesce the writers below the band
-      // count (the Similarity.lshWriteIndex lesson); still one task — and
-      // so ≤ one file — per band dir
-      .repartition(bands, col("band_idx"))
-      .write.mode("overwrite").partitionBy("band_idx").parquet(s"$dir/bands")
+      .write.mode("overwrite").parquet(s"$dir/bands")
     sh.write.mode("overwrite").parquet(s"$dir/sigs")
   }
 
@@ -534,9 +546,11 @@ object Dedup {
       Seq("band_idx", "band_hash"), maxBucket)
       .select(col("band_idx"), col("band_hash"), col("id").as("id_a"))
     // candidate pairs feed both verify joins — materialize the (tiny,
-    // candidate-mass-bounded) list instead of re-probing the index
-    val cands = nb.join(idx, Seq("band_idx", "band_hash"))
-      .select("id_a", "id_b").distinct().localCheckpoint()
+    // candidate-mass-bounded) list instead of re-probing the index, and
+    // widen it so the per-pair array_intersect verify is not stranded on
+    // the single post-AQE partition (see nearDupPairsExact)
+    val cands = Scans.widen(nb.join(idx, Seq("band_idx", "band_hash"))
+      .select("id_a", "id_b").distinct().localCheckpoint())
     // base-side verify reads the PERSISTED sigs — historical text is never
     // re-read or re-shingled on the probe path (pre-r6, ngramJaccard
     // re-scanned and re-shingled the base corpus' candidate docs, twice —
